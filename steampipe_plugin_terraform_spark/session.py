@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a 1000-executor cluster reading ~100 TB; tested on local[N].
+All knobs here are safe at both extremes:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast-join demotion replace hand-tuned partition counts at scale.
+- shuffle.partitions is only the *initial* number; AQE coalesces. At 100 TB
+  you would raise it (or rely on AQE's initialPartitionNum); locally 32 avoids
+  tiny-partition overhead.
+- Arrow enabled for the Python boundary (the HCL parse UDF and any pandas UDFs
+  transfer columnar batches, not pickled rows).
+- Session timezone pinned to UTC so timestamp semantics are deterministic and
+  match the DuckDB oracle (which is timezone-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "steampipe-terraform-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) if cpus.isdigit() else 32, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_oracle_parity(spark: SparkSession) -> SparkSession:
+    """Runtime settings applied inside driver-contract queries.
+
+    The driver passes us *its* SparkSession; pin the runtime-mutable settings
+    that affect result values (timezone) without touching its topology.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
