@@ -1,0 +1,199 @@
+"""TerraformEngine: the seven reference tables as Spark DataFrames/views.
+
+Execution model (SURVEY.md §7.2 step 1-2, designed for 100 TB / 1000
+executors, tested on local[N]):
+
+1. **Discovery** (driver): glob lists → concrete (path, kind) file rows
+   (sources/discover.py — the tfConfigList analog).
+2. **Read** (executors): ``spark.read.format("binaryFile")`` over the
+   resolved list — works on any Hadoop FS (file:/, s3a:/, hdfs:/) and
+   bin-packs many small files per partition via
+   ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes``, which is the
+   right scan shape for the small-file-heavy Terraform workload.
+3. **Parse** (executors, narrow): one ``mapInPandas`` stage turns each file
+   into wide rows for every table it feeds (tfcore/rows.py). One parse per
+   file total — vs the reference's parse-per-table-per-query with a global
+   mutex (utils.go:35-36,256-257; SURVEY §4) — and NO shuffle anywhere in
+   the pipeline: file → rows is embarrassingly parallel and scales linearly
+   with executor count.
+4. **Tables**: each of the seven tables is a column projection over the
+   cached wide DataFrame; Catalyst prunes columns per query, and a
+   ``WHERE path = ...`` filter on any view prunes like the reference's
+   pushed qual.
+
+The wide frame is persisted on first materialization so repeat queries skip
+the parse (the SDK-cache analog, go.mod:23,35 — but correct by construction
+since our tables derive from one lineage).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .sources.discover import discover_files
+from .tfcore.rows import WIDE_COLUMNS, build_rows_for_file
+
+_STRING_COLS = {
+    "tf_table", "name", "type", "mode", "address", "arguments", "attributes",
+    "attributes_std", "count_src", "for_each", "depends_on", "lifecycle",
+    "provider", "alias", "version", "module_source", "value", "default_value",
+    "description", "validation", "source", "path",
+}
+_LONG_COLS = {"count", "start_line", "end_line"}
+_BOOL_COLS = {"sensitive"}
+
+WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            c,
+            T.LongType() if c in _LONG_COLS else T.BooleanType() if c in _BOOL_COLS else T.StringType(),
+            nullable=True,
+        )
+        for c in WIDE_COLUMNS
+    ]
+)
+
+# Column projections per table, in the reference's declared order
+# (SURVEY.md §1.4; table_terraform_*.go column lists).
+TABLE_COLUMNS: dict[str, list[str]] = {
+    "terraform_resource": [
+        "name", "type", "mode", "address", "arguments", "attributes",
+        "attributes_std", "count", "count_src", "for_each", "depends_on",
+        "lifecycle", "provider", "start_line", "end_line", "source", "path",
+    ],
+    "terraform_data_source": [
+        "name", "type", "arguments", "count", "count_src", "for_each",
+        "depends_on", "provider", "start_line", "end_line", "source", "path",
+    ],
+    "terraform_provider": [
+        "name", "arguments", "alias", "version", "start_line", "end_line",
+        "source", "path",
+    ],
+    "terraform_module": [
+        "name", "module_source", "version", "arguments", "count", "count_src",
+        "for_each", "depends_on", "provider", "start_line", "end_line",
+        "source", "path",
+    ],
+    "terraform_output": [
+        "name", "value", "description", "sensitive", "depends_on",
+        "start_line", "end_line", "source", "path",
+    ],
+    "terraform_local": [
+        "name", "value", "start_line", "end_line", "source", "path",
+    ],
+    "terraform_variable": [
+        "name", "type", "default_value", "description", "sensitive",
+        "validation", "start_line", "end_line", "source", "path",
+    ],
+}
+
+TABLE_NAMES = list(TABLE_COLUMNS)
+
+
+def _normalize_path(uri: str) -> str:
+    """binaryFile reports file:-scheme URIs; the path column is plain."""
+    if uri.startswith("file:"):
+        rest = uri[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return uri
+
+
+def _make_parse_fn(kind_by_path: dict[str, str], on_error: str):
+    """Arrow-batched parse stage: (path, content) batches → wide-row batches.
+
+    Closure state is a plain dict broadcast with the task — no shared mutable
+    parser state, so files parse fully in parallel (the reference serializes
+    every parse behind a global mutex, utils.go:35-36)."""
+    import pandas as pd
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for uri, content in zip(pdf["path"], pdf["content"]):
+                path = _normalize_path(uri)
+                kind = kind_by_path.get(path, kind_by_path.get(uri, "config"))
+                try:
+                    text = bytes(content).decode("utf-8", errors="replace")
+                    rows.extend(build_rows_for_file(path, kind, text))
+                except Exception as e:  # parse/build failure
+                    if on_error == "fail":
+                        raise
+                    print(f"[terraform-spark] skipping {path}: {e}", file=sys.stderr)
+            yield pd.DataFrame(rows, columns=WIDE_COLUMNS)
+
+    return parse
+
+
+class TerraformEngine:
+    """Parse-once / derive-seven-tables engine over Terraform artifacts."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config_paths: list[str] | tuple = (),
+        plan_paths: list[str] | tuple = (),
+        state_paths: list[str] | tuple = (),
+        path_qual: str | None = None,
+        on_error: str = "fail",
+        cache: bool = True,
+    ):
+        self.spark = spark
+        self.files = discover_files(config_paths, plan_paths, state_paths, path_qual)
+        self.on_error = on_error
+        self._cache = cache
+        self._wide: DataFrame | None = None
+
+    # -- core lineage --
+
+    def _files_df(self) -> DataFrame:
+        paths = [p for p, _ in self.files]
+        if not paths:
+            return self.spark.createDataFrame([], "path string, content binary")
+        return (
+            self.spark.read.format("binaryFile")
+            .load(paths)
+            .select("path", "content")
+        )
+
+    def wide(self) -> DataFrame:
+        """The canonical wide DataFrame all seven tables derive from."""
+        if self._wide is None:
+            kind_by_path = {p: k for p, k in self.files}
+            df = self._files_df().mapInPandas(
+                _make_parse_fn(kind_by_path, self.on_error), schema=WIDE_SCHEMA
+            )
+            if self._cache:
+                df = df.persist()
+            self._wide = df
+        return self._wide
+
+    # -- public surface --
+
+    def table(self, name: str, path: str | None = None) -> DataFrame:
+        """One of the seven tables; optional ``path`` equals-qual filter."""
+        if name not in TABLE_COLUMNS:
+            raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+        df = self.wide().filter(F.col("tf_table") == name).select(*TABLE_COLUMNS[name])
+        if path is not None:
+            df = df.filter(F.col("path") == path)
+        return df
+
+    def tables(self) -> dict[str, DataFrame]:
+        return {name: self.table(name) for name in TABLE_COLUMNS}
+
+    def register_views(self) -> None:
+        """Register all seven tables as temp views for ``spark.sql``."""
+        for name, df in self.tables().items():
+            df.createOrReplaceTempView(name)
+
+    def unpersist(self) -> None:
+        if self._wide is not None:
+            self._wide.unpersist()
+            self._wide = None
