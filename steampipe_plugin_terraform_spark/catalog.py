@@ -1,0 +1,693 @@
+"""Named query catalog: the driver-contract surface (SURVEY.md §2).
+
+Each entry pairs a Spark implementation (DataFrame-first, Catalyst-optimized)
+with an ANSI-SQL oracle DuckDB runs on the same parquet tables. Column names
+and value canonicalization (rounding, tiebreaks) match on both sides so the
+driver's order-insensitive value-hash comparison is deterministic:
+
+- money/ratio aggregates round to fixed decimals on BOTH sides
+- top-k cuts rank on the ROUNDED score with a unique-id tiebreaker so
+  floating-point last-ulp differences can never select different rows
+- integer-derived ratios (jaccard) are bit-identical across engines
+- md5-based hashing (fingerprints, minhash) is bit-identical across engines
+
+Queries without an oracle entry (simhash — xxhash64 is Spark-only; LSH ANN —
+approximate by design; streaming) get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup, multimodal, similarity, text
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS); Spark reads it only as a long
+        # (legacy.parquet.nanosAsLong). Truncate ns → µs exactly like DuckDB
+        # does when it converts to its microsecond TIMESTAMP.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core over the TPC-H-ish tables (SURVEY §2.7 — the operator
+# families the reference delegates to its host engine, native in Spark)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                   AS avg_qty,
+           round(avg(l_extendedprice), 2)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy partial+final hash aggregation.
+
+    Scale: filter + project push into the parquet scan; partial aggregation
+    is map-side, so the shuffle carries only |groups| rows per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → top-k.
+
+    The customer side is filtered then joined (AQE broadcasts it when small);
+    the top-k cut orders by the rounded measure + key so the selected rows
+    are engine-deterministic."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("date"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with small dims broadcast explicitly.
+
+    region/nation are O(10^1) rows at any SF — broadcast them so the only
+    shuffles are the fact-fact joins on orderkey/custkey."""
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_top3_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY round(o.o_totalprice, 2) DESC, o.o_orderkey) AS rnk
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+    WHERE rnk <= 3
+    """,
+)
+def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (top-k per group) — row_number over a partitioned sort."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).withColumn("o_totalprice", F.round("o_totalprice", 2))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "q_rollup_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation: ROLLUP(region, nation) incl. grand total."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_distinct_nations_per_segment",
+    oracle="""
+    SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_distinct_nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand-and-reaggregate under the hood)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "q_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS decorrelated to left_anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_custkeys_set_difference",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    """,
+)
+def q_custkeys_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers active only before 1997 (EXCEPT)."""
+    o = _t(spark, sf_dir, "orders")
+    before = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select("o_custkey").distinct()
+    after = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")).select("o_custkey").distinct()
+    return before.exceptAll(after)
+
+
+@query(
+    "q_brand_revenue",
+    oracle="""
+    SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join with explicit broadcast of the dim side."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_orders_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-customer running revenue (deterministic frame)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time-series / streaming-adjacent shapes (§2.8) + JSON surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming window)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "q_events_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): 30-min inactivity gap starts a new
+    session. lag + conditional sum — the batch equivalent of
+    session_window in Structured Streaming."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return ev.groupBy("user_id").agg(F.sum("is_new").alias("n_sessions"))
+
+
+@query(
+    "q_events_json_props",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    GROUP BY event_type
+    """,
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON member extraction + typed filter (the §2.10 ->> surface)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.get_json_object("props", "$.k").cast("int") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 2).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions (§2.11): dedup, text analysis, similarity, media
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: first event per (user, type) key."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup.exact_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id")
+    )
+
+
+@query(
+    "docs_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressing fingerprint (md5 of normalized text)."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(replace(text, ' ', '')) AS n_chars_nospace,
+           floor(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len,
+           floor(len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('the','a','of','and','to'))) * 1.0
+                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS stopword_ratio
+    FROM documents
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_quality",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             floor(len(list_filter(string_split(text, ' '),
+                                   w -> w IN ('the','a','of','and','to'))) * 1.0
+                   / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS stopword_ratio
+      FROM documents)
+    SELECT doc_id,
+           floor((0.5 * least(n_tokens / 100.0, 1.0)
+                 + 0.5 * least(stopword_ratio * 5.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+    FROM s
+    """,
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_lang_id",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))  AS en,
+             len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que')))   AS es,
+             len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu'))) AS de,
+             len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les')))  AS fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+                WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es >= de AND es >= fr THEN 'es'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM c
+    """,
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') s
+           FROM t, unnest(range(1, greatest(len(w) - 3, 1))) r(i)
+           WHERE len(w) >= 5),
+    sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+"""
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT s.id_a, s.id_b, floor(s.c * 1.0 / (x.n + y.n - s.c) * 10000 + 0.5) / 10000 AS jaccard
+    FROM shared s JOIN sz x ON s.id_a = x.doc_id JOIN sz y ON s.id_b = y.doc_id
+    WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.6
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 5-gram Jaccard (shared-shingle candidates)."""
+    pairs = dedup.shingle_jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.6)
+    return pairs.select("id_a", "id_b", F.expr("floor(jaccard * 10000 + 0.5) / 10000").alias("jaccard"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLE_CTE
+    + """,
+    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, floor(s.c * 1.0 / (x.n + y.n - s.c) * 10000 + 0.5) / 10000 AS jaccard
+    FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+    JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+    WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) candidates, verified by exact Jaccard ≥ 0.8.
+
+    The md5-seeded min-hash construction is bit-identical in the DuckDB
+    oracle, so the full LSH pipeline (not just the final pairs) is checked."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=5, num_hashes=8, bands=4, threshold=0.8
+    )
+    return pairs.select("id_a", "id_b", F.expr("floor(jaccard * 10000 + 0.5) / 10000").alias("jaccard"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (rows-only check: xxhash64 has no DuckDB analog)."""
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+QUERIES["dedup_simhash"] = dedup_simhash
+
+
+@query(
+    "emb_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id >= 10),
+    s AS (SELECT qid, nid,
+                 floor(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                       * 1000000 + 0.5) / 1000000 cosine
+          FROM q, c),
+    r AS (SELECT qid AS query_id, nid AS neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (exact ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    )
+
+
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), num_planes=8, k=5
+    )
+
+
+QUERIES["emb_lsh_topk"] = emb_lsh_topk
+
+
+# ---------------------------------------------------------------------------
+# Terraform tables (the reference's own surface, §1.4/§2.10) — DuckDB has no
+# terraform views, so the oracles are golden VALUES derived from the fixture
+# corpus (tests/fixtures), which exercises all three file kinds end-to-end.
+# ---------------------------------------------------------------------------
+
+_TF_FIXTURES = "/root/repo/tests/fixtures"
+
+
+def _tf_engine(spark: SparkSession):
+    from .engine import TerraformEngine
+
+    return TerraformEngine(
+        spark,
+        config_paths=[f"{_TF_FIXTURES}/config/*.tf"],
+        plan_paths=[f"{_TF_FIXTURES}/plan/*.json"],
+        state_paths=[f"{_TF_FIXTURES}/state/*.tfstate"],
+        cache=False,
+    )
+
+
+@query(
+    "tf_resource_count_by_type",
+    oracle="""
+    SELECT * FROM (VALUES ('aws_instance', 5::BIGINT),
+                          ('aws_s3_bucket', 2::BIGINT),
+                          ('aws_sqs_queue', 1::BIGINT)) t(type, n)
+    """,
+)
+def tf_resource_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terraform_resource across config+plan+state, aggregated by type.
+
+    The golden oracle pins the full routing matrix: 1 config + 2 plan + 2
+    state-instance rows for aws_instance, etc."""
+    return (
+        _tf_engine(spark)
+        .table("terraform_resource")
+        .groupBy("type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "tf_resources",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('app_server', 'aws_instance', NULL,      'aws_instance.app_server',    2::BIGINT),
+      ('app_server', 'aws_instance', 'managed', 'aws_instance.app_server[0]', NULL::BIGINT),
+      ('app_server', 'aws_instance', 'managed', 'aws_instance.app_server[0]', NULL::BIGINT),
+      ('app_server', 'aws_instance', 'managed', 'aws_instance.app_server[1]', NULL::BIGINT),
+      ('app_server', 'aws_instance', 'managed', 'aws_instance.app_server[1]', NULL::BIGINT),
+      ('b',          'aws_s3_bucket', NULL,      'aws_s3_bucket.b',           NULL::BIGINT),
+      ('b',          'aws_s3_bucket', 'managed', 'aws_s3_bucket.b',           NULL::BIGINT),
+      ('empty',      'aws_sqs_queue', NULL,      'aws_sqs_queue.empty',       NULL::BIGINT)
+    ) t(name, type, mode, address, count)
+    """,
+)
+def tf_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship reference query shape (README.md:30-37): resource
+    identity columns incl. state index addressing and NullIfZero count."""
+    return _tf_engine(spark).table("terraform_resource").select(
+        "name", "type", "mode", "address", "count"
+    )
+
+
+@query(
+    "tf_outputs",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('bucket_arn', '"${aws_s3_bucket.b.arn}"',      TRUE),
+      ('bucket_arn', '"arn:aws:s3:::my-app-bucket"',  NULL::BOOLEAN)
+    ) t(name, value, sensitive)
+    """,
+)
+def tf_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terraform_output from config AND state: expression-string values,
+    NullIfZero sensitive (state's absent sensitive → NULL)."""
+    return _tf_engine(spark).table("terraform_output").select("name", "value", "sensitive")
+
+
+@query(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id, length(text)::BIGINT AS n_bytes,
+           (64 + (length(text) % 448))::BIGINT AS width,
+           (64 + ((length(text) * 7) % 448))::BIGINT AS height,
+           3::BIGINT AS channels, 'fake/rgb8' AS format
+    FROM documents
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → Arrow-batched (stub) decode →
+    typed metadata. The oracle reproduces the deterministic stub formula."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_media_metadata(multimodal.documents_as_binary(docs))

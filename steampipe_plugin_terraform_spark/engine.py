@@ -124,7 +124,9 @@ def _make_parse_fn(kind_by_path: dict[str, str], on_error: str):
                     rows.extend(build_rows_for_file(path, kind, text))
                 except Exception as e:  # parse/build failure
                     if on_error == "fail":
-                        raise
+                        # name the file, like the reference's
+                        # "failed to parse file %s" errors
+                        raise RuntimeError(f"failed to parse file {path}: {e}") from e
                     print(f"[terraform-spark] skipping {path}: {e}", file=sys.stderr)
             yield pd.DataFrame(rows, columns=WIDE_COLUMNS)
 

@@ -1,0 +1,239 @@
+"""Deduplication operators for large-scale text pipelines.
+
+All operators are pure DataFrame compositions (JVM-side, whole-stage
+codegen) — no Python UDFs in any hot path. Hashes are md5-over-seeded-string
+so results are engine-portable (the same construction runs in DuckDB for the
+oracle checks).
+
+Scale notes (100 TB design point):
+- exact_dedup: one hash-shuffle on the dedup key; map-side partial
+  aggregation applies. For skew (one giant duplicate class) AQE skew-join
+  handling plus the key being a hash (uniform) keep partitions bounded.
+- shingle/minhash pipelines: explode(shingles) is narrow; the only shuffles
+  are the groupBy(doc) for signatures and the band-bucket self-join. Band
+  buckets are md5 values — uniformly distributed join keys, no hot spots;
+  candidate verification joins only bucket-colliding pairs, never the full
+  cross product.
+- simhash: fixed 64-bit signature per doc; near-dup candidates via banding
+  on 16-bit chunks (4 tables), Hamming-verify on collisions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def shingles(text_col: str, n: int = 5, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text column.
+
+    Guarded for short texts: Spark's sequence(1, 0) yields a DESCENDING
+    [1, 0], not an empty array, so size < n must short-circuit."""
+    toks = f"split({text_col}, '{sep}')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws('{sep}', slice({toks}, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep the first row per key group (deterministic via order_by).
+
+    Spark shape: window row_number over a hash-partitioned key — a single
+    shuffle, no driver involvement.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, candidate-filtered by
+    shared-shingle join (no all-pairs cross product).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of md5(i || ':' || s).
+
+    Lexicographic min over md5 hex strings is a valid uniform min-hash and is
+    bit-identical across engines (the DuckDB oracle runs the same formula).
+    One narrow explode + one groupBy(id) shuffle.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band signatures into buckets, join within
+    buckets only, then verify candidates with exact shingle Jaccard.
+
+    The band join key is an md5 of the band slice — uniformly distributed, so
+    the self-join shuffle has no skew. Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    buckets = banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bh"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # Verify ONLY the candidate pairs (|cand| << all pairs — that is the
+    # entire point of LSH): explode each candidate's shingles and count the
+    # intersection via an equi-join, never touching non-colliding pairs.
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "s")
+    sh_b = sh.select(F.col("id").alias("id_b"), "s")
+    shared = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens (token weight = term frequency).
+
+    Each token hashes to 64 bits (xxhash64); the signature bit b is 1 iff the
+    weighted sum of (bit set ? +1 : -1) over tokens is positive. Expressed as
+    explode + groupBy + bit arithmetic — all JVM-side.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    hashed = tok.select("id", F.xxhash64("t").alias("h"))
+    # 64 per-bit vote aggregates over the token rows — partial aggregation
+    # keeps the shuffle at |docs| rows; no 64× row blowup (an explode here
+    # would be 64·|tokens| rows, which at 100 TB is the difference between a
+    # pass and a non-starter).
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.expr(f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)").alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(64)
+    )
+    return votes.select("id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
+    (pigeonhole: hamming<=3 ⇒ at least one identical chunk), bucket-join, then
+    Hamming-verify collisions.
+    """
+    sig = simhash64(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr("transform(sequence(0, 3), c -> struct(c as chunk, shiftright(simhash, c * 16) & 65535 as ch))")
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.ch")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "ch"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

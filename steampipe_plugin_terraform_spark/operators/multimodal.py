@@ -1,0 +1,73 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern (SURVEY.md §2.11): media lives as a ``binary`` column (from
+``spark.read.format("binaryFile")`` or an upstream table); decode /
+feature-extract / resize run as Arrow-batched pandas functions over
+``mapInPandas``, emitting a typed metadata struct per row. The image/audio
+codec libraries are NOT in this container, so the actual decode is stubbed
+behind ``decode_image_stub`` — a deterministic fake with the REAL Spark
+plumbing (schema, batch shape, partitioning) so swapping in PIL/libav later
+is a one-function change.
+
+Scale: mapInPandas is a narrow map — no shuffle; Arrow batches bound memory
+(spark.sql.execution.arrow.maxRecordsPerBatch). Payload bytes never cross a
+shuffle boundary; only extracted metadata does.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Deterministic fake decode. A real implementation would do
+    ``PIL.Image.open(io.BytesIO(payload))``; the container has no codec
+    libs, so dimensions derive deterministically from the byte length
+    (keeps oracle checks possible)."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": 64 + (n % 448),
+        "height": 64 + ((n * 7) % 448),
+        "channels": 3,
+        "format": "fake/rgb8",
+    }
+
+
+def extract_media_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """binary payload column → typed metadata rows via Arrow-batched decode."""
+    import pandas as pd
+
+    id_name, payload_name = id_col, payload_col
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_name], pdf[payload_name]):
+                meta = decode_image_stub(bytes(payload))
+                meta["doc_id"] = int(i)
+                out.append(meta)
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(decode, schema=MEDIA_META_SCHEMA)
+
+
+def documents_as_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter for the synthetic testdata: treat the utf-8 text bytes as an
+    opaque media payload so the binary plumbing is exercised end-to-end."""
+    return df.select(F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload"))

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY.md §2.11):
+- brute-force cosine top-k — exact baseline. The query set is broadcast
+  (small side), the corpus streams through executors; per-pair math is
+  JVM-side ``zip_with``/``aggregate`` (no Python). Cost O(|Q|·|C|·d) but
+  embarrassingly parallel and shuffle-free until the final per-query top-k
+  window (which shuffles only |Q|·|C| score rows — prune first with a
+  cheap bound when |C| is huge).
+- LSH (random hyperplane) bucketed search — the scale path: sign-bit
+  signatures put similar vectors in the same bucket; only bucket-colliding
+  pairs are scored. Hyperplanes are generated deterministically from a seed
+  on the driver and shipped as literals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(F.expr(f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Ordering is made
+    engine-deterministic by ranking on the ROUNDED score with the neighbor id
+    as tiebreaker (floating-point last-ulp differences between engines cannot
+    flip the rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+    if round_digits is not None:
+        # portable fixed-point rounding (identical IEEE ops in any engine)
+        scale = 10 ** round_digits
+        scored = scored.withColumn("cosine", F.expr(f"floor(cosine * {scale} + 0.5) / {scale}"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5(seed,i,j).
+
+    Avoids numpy RNG state so the same planes can be regenerated anywhere.
+    """
+    planes = []
+    for i in range(num_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+            # map 8 bytes to a float in [-1, 1)
+            (u,) = struct.unpack(">Q", h[:8])
+            row.append(u / 2**63 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane sign signature (num_planes bits) per vector."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sig_bits = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in p) + ")"
+        dot = f"aggregate(zip_with(v, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        sig_bits.append(f"CASE WHEN {dot} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END")
+    return base.withColumn("bucket", F.expr(" + ".join(sig_bits)))
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only bucket-colliding (query, corpus) pairs.
+
+    With 8 planes the corpus splits into ~256 buckets; the scored-join
+    shrinks by that factor vs brute force. Recall depends on angular
+    distance; callers trade planes for recall. Shape: equi-join on bucket
+    (uniform md5-free sign pattern — mild skew possible; AQE skew-join
+    splits hot buckets at runtime).
+    """
+    qs = lsh_bucket_signatures(queries, id_col, vec_col, dim, num_planes, seed).withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
+    cs = lsh_bucket_signatures(corpus, id_col, vec_col, dim, num_planes, seed).withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "cv")
+    scored = (
+        F.broadcast(qs)
+        .join(cs, "bucket")
+        .withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.expr("floor(cosine * 1000000 + 0.5) / 1000000").alias("cosine"), "rank")
+    )

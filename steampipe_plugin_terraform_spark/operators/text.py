@@ -1,0 +1,101 @@
+"""Text-analysis operators for the documents table (SURVEY.md §2.11).
+
+Everything here is built-in-function Spark SQL (whole-stage codegen) — the
+formulas are intentionally engine-portable so the DuckDB oracle can run the
+same arithmetic. No Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the heuristic language scorer
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "de", "et", "les"),
+}
+
+STOPWORDS = LANG_STOPWORDS["en"]
+
+_BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def _in_list(col: str, words: tuple) -> str:
+    quoted = ",".join(f"'{w}'" for w in words)
+    return f"size(filter(split({col}, ' '), w -> w in ({quoted})))"
+
+
+def pround(sql: str, digits: int) -> str:
+    """Engine-portable fixed-point rounding: floor(x·10^d + 0.5)/10^d.
+
+    Spark's round() goes through exact BigDecimal HALF_UP while DuckDB
+    rounds the double numerically — they disagree on exact-rational ties
+    (e.g. 0.37625 → 0.3763 vs 0.3762). This formula is pure IEEE double
+    arithmetic, so any engine computes the identical bits."""
+    scale = 10 ** digits
+    return f"floor(({sql}) * {scale} + 0.5) / {scale}"
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, lengths, stopword/punct ratios.
+
+    Columns: n_tokens, n_chars_nospace, avg_token_len, stopword_ratio.
+    """
+    toks = f"split({text_col}, ' ')"
+    nchars = f"length(replace({text_col}, ' ', ''))"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(nchars).alias("n_chars_nospace"),
+        F.expr(pround(f"{nchars} / size({toks})", 4)).alias("avg_token_len"),
+        F.expr(pround(f"{_in_list(text_col, STOPWORDS)} / size({toks})", 4)).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0, 1]: rewards moderate length and
+    stopword presence (the standard cheap pre-filter for LLM corpora).
+
+    score = 0.5 * min(n_tokens / 100, 1) + 0.5 * min(stopword_ratio * 5, 1)
+    """
+    stats = token_stats(df, id_col, text_col)
+    return stats.select(
+        id_col,
+        F.expr(
+            pround("0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * least(stopword_ratio * 5.0, 1.0)", 4)
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: the language whose stopword profile hits the
+    most tokens wins; fixed priority order breaks ties; zero hits → 'und'."""
+    scores = {lang: F.expr(_in_list(text_col, words)) for lang, words in LANG_STOPWORDS.items()}
+    pred: Column = F.lit("und")
+    best: Column = F.lit(0)
+    # fixed priority = dict order; a strictly-greater score takes over
+    for lang, s in LANG_STOPWORDS.items():
+        cnt = scores[lang]
+        take = cnt > best
+        pred = F.when(take, F.lit(lang)).otherwise(pred)
+        best = F.when(take, cnt).otherwise(best)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token count under a BPE-ish regex (letter runs | single digits |
+    single punctuation) — the cheap proxy for LLM token budgeting."""
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size(regexp_extract_all({text_col}, '{_BPE_ISH_TOKEN_RE}', 0))").alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized (lowercased,
+    space-collapsed) text — the exact-dedup key for content-addressing."""
+    norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
+    return df.select(F.col(id_col), F.expr(f"md5({norm})").alias("fp"))
