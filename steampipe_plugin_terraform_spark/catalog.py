@@ -320,6 +320,49 @@ def q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL surface (beyond rollup/cube)."""
+    for t in ("orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(
+        """
+        SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
+        FROM gs_orders o
+        JOIN gs_customer c ON c.c_custkey = o.o_custkey
+        JOIN gs_nation n ON n.n_nationkey = c.c_nationkey
+        JOIN gs_region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "q_custkeys_intersect",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    """,
+)
+def q_custkeys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers active in both halves (INTERSECT)."""
+    o = _t(spark, sf_dir, "orders")
+    before = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select("o_custkey")
+    after = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")).select("o_custkey")
+    return before.intersect(after)
+
+
 # ---------------------------------------------------------------------------
 # Events: time-series / streaming-adjacent shapes (§2.8) + JSON surface
 # ---------------------------------------------------------------------------
@@ -594,6 +637,73 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["emb_lsh_topk"] = emb_lsh_topk
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming entries (§2.8): each runs the stream to completion
+# with an availableNow trigger into a memory sink and returns the result —
+# so the STREAMING operator (watermark + window state) is what the oracle
+# checks, not a batch rewrite.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window stream, drained via availableNow."""
+    from .streaming.events import hourly_counts_stream, read_events_stream
+
+    q = (
+        hourly_counts_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("__stream_events_hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table("__stream_events_hourly")
+
+
+@query(
+    "stream_sessions_per_user",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+    """,
+)
+def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window stream; per-user session counts equal the batch
+    gaps-and-islands definition (30-min inactivity gap)."""
+    from .streaming.events import read_events_stream, sessionized_stream
+
+    q = (
+        sessionized_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("__stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table("__stream_sessions")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
 
 
 # ---------------------------------------------------------------------------

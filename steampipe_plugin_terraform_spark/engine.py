@@ -105,7 +105,7 @@ def _normalize_path(uri: str) -> str:
     return uri
 
 
-def _make_parse_fn(kind_by_path: dict[str, str], on_error: str):
+def _make_parse_fn(kind_by_path: dict[str, str], on_error: str, default_kind: str = "config"):
     """Arrow-batched parse stage: (path, content) batches → wide-row batches.
 
     Closure state is a plain dict broadcast with the task — no shared mutable
@@ -118,7 +118,7 @@ def _make_parse_fn(kind_by_path: dict[str, str], on_error: str):
             rows: list[dict] = []
             for uri, content in zip(pdf["path"], pdf["content"]):
                 path = _normalize_path(uri)
-                kind = kind_by_path.get(path, kind_by_path.get(uri, "config"))
+                kind = kind_by_path.get(path, kind_by_path.get(uri, default_kind))
                 try:
                     text = bytes(content).decode("utf-8", errors="replace")
                     rows.extend(build_rows_for_file(path, kind, text))

@@ -1,0 +1,9 @@
+from .events import hourly_counts_stream, sessionized_stream, deduped_stream
+from .watch import watch_terraform_blocks
+
+__all__ = [
+    "watch_terraform_blocks",
+    "hourly_counts_stream",
+    "sessionized_stream",
+    "deduped_stream",
+]

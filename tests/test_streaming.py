@@ -1,0 +1,132 @@
+"""Structured Streaming tests: watch-mode file stream (S6 analog) and
+event-time windows over the events table, run with availableNow triggers
+against memory sinks."""
+
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from steampipe_plugin_terraform_spark.streaming import (
+    deduped_stream,
+    hourly_counts_stream,
+    sessionized_stream,
+    watch_terraform_blocks,
+)
+from steampipe_plugin_terraform_spark.streaming.events import read_events_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(df, name, timeout=120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming and _has_agg(df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def _has_agg(df):
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_watch_mode_picks_up_new_files(spark, fixtures_dir, tmp_path):
+    watch_dir = tmp_path / "watched"
+    watch_dir.mkdir()
+    shutil.copy(fixtures_dir / "config" / "main.tf", watch_dir / "main.tf")
+
+    stream = watch_terraform_blocks(spark, str(watch_dir))
+    assert stream.isStreaming
+    q = _run_to_memory(stream, "tf_watch_1")
+    n1 = spark.sql("select count(*) from tf_watch_1").collect()[0][0]
+    assert n1 > 0
+    res1 = spark.sql(
+        "select count(*) from tf_watch_1 where tf_table = 'terraform_resource'"
+    ).collect()[0][0]
+    assert res1 == 3
+
+    # a NEW file appears → the next availableNow batch ingests only it
+    (watch_dir / "extra.tf").write_text('resource "aws_sns_topic" "t" { name = "x" }\n')
+    q2 = (
+        watch_terraform_blocks(spark, str(watch_dir))
+        .writeStream.format("memory")
+        .queryName("tf_watch_2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    types = {
+        r[0]
+        for r in spark.sql(
+            "select distinct type from tf_watch_2 where tf_table='terraform_resource'"
+        ).collect()
+    }
+    assert "aws_sns_topic" in types
+
+
+def test_hourly_counts_stream_matches_batch(spark):
+    ev = read_events_stream(spark, SF)
+    q = (
+        hourly_counts_stream(ev)
+        .writeStream.format("memory")
+        .queryName("ev_hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from ev_hourly").collect()
+    }
+    # batch reference computed directly
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    want = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sessionized_stream(spark):
+    ev = read_events_stream(spark, SF)
+    q = (
+        sessionized_stream(ev)
+        .writeStream.format("memory")
+        .queryName("ev_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ev_sessions").collect()
+    assert len(rows) > 0
+    # session windows never overlap per user and each holds >= 1 event
+    assert all(r["n_events"] >= 1 and r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_deduped_stream(spark):
+    ev = read_events_stream(spark, SF)
+    q = (
+        deduped_stream(ev)
+        .writeStream.format("memory")
+        .queryName("ev_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(*) from ev_dedup").collect()[0][0]
+    n_keys = spark.sql("select count(distinct user_id, event_type) from ev_dedup").collect()[0][0]
+    assert n == n_keys > 0
