@@ -530,6 +530,52 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_zscore_by_lang",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN stddev_samp(n_chars) OVER w IS NULL
+                     OR stddev_samp(n_chars) OVER w = 0 THEN NULL
+                ELSE floor((n_chars - avg(n_chars) OVER w)
+                           / stddev_samp(n_chars) OVER w * 10000 + 0.5) / 10000
+           END AS z
+    FROM documents
+    WINDOW w AS (PARTITION BY lang)
+    """,
+)
+def docs_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-language length z-score.
+
+    Exercises the §2.9 UDF surface with a window-function oracle."""
+    return text.zscore_by_group(_t(spark, sf_dir, "documents"), group_col="lang", value_col="n_chars")
+
+
+@query(
+    "emb_near_dup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+    p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) c
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, floor(c * 1000000 + 0.5) / 1000000 AS cosine
+    FROM p WHERE c > 0.4
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (the
+    embedding analog of text near-dup; brute-force exact at this scale,
+    LSH-bucketed for the 100 TB path — see operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = similarity.with_cosine(pairs, "va", "vb", "c").filter(F.col("c") > 0.4)
+    return scored.select(
+        "id_a", "id_b", F.expr("floor(c * 1000000 + 0.5) / 1000000").alias("cosine")
+    )
+
+
+@query(
     "docs_bpe_tokens",
     oracle="""
     SELECT doc_id,

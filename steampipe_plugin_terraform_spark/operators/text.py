@@ -94,6 +94,41 @@ def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def zscore_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` (grouped-map pandas UDF).
+
+    Deliberately implemented on the Python grouped-map path to exercise the
+    §2.9 UDF surface with an oracle (the same math is a window expression in
+    SQL). Shape: one shuffle on the group key; each group materializes as a
+    pandas frame — fine for natural groups (languages, sources); for
+    high-cardinality keys prefer the window-function form.
+
+    Returns (id, group, z) with z = (x - mean) / stddev_samp, portable-
+    rounded to 4; singleton/zero-variance groups yield NULL.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, {group_col} string, z double"
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        x = pdf[value_col].astype("float64")
+        sd = x.std(ddof=1)
+        if not sd or sd != sd:  # 0 or NaN
+            z = pd.Series([float("nan")] * len(x))
+        else:
+            import numpy as np
+
+            z = np.floor((x - x.mean()) / sd * 10000 + 0.5) / 10000
+        return pd.DataFrame({id_col: pdf[id_col], group_col: pdf[group_col], "z": z})
+
+    return df.groupBy(group_col).applyInPandas(norm, schema=out_schema)
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized (lowercased,
     space-collapsed) text — the exact-dedup key for content-addressing."""

@@ -142,3 +142,73 @@ def test_no_shuffle_in_table_scan(engine):
     # the parse pipeline must stay narrow (SURVEY §4): no Exchange operator
     plan = engine.table("terraform_resource")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_in_list_filter(spark, engine):
+    # docs/tables/terraform_resource.md:239 — type in (…)
+    rows = spark.sql(
+        """
+        select type, count(*) as n from terraform_resource
+        where type in ('aws_instance', 'aws_s3_bucket') group by type
+        """
+    ).collect()
+    assert {(r["type"], r["n"]) for r in rows} == {("aws_instance", 5), ("aws_s3_bucket", 2)}
+
+
+def test_boolean_cast_with_default_case(spark, engine):
+    # docs/tables/terraform_resource.md:164-174 — CASE over a JSON bool with
+    # default-on-null
+    rows = spark.sql(
+        """
+        select name,
+               case when get_json_object(lifecycle, '$.create_before_destroy') is null then 'default'
+                    when cast(get_json_object(lifecycle, '$.create_before_destroy') as boolean) then 'cbd'
+                    else 'no-cbd' end as policy
+        from terraform_resource where mode is null and path like '%.tf'
+        """
+    ).collect()
+    assert {(r["name"], r["policy"]) for r in rows} == {
+        ("app_server", "cbd"), ("b", "default"), ("empty", "default"),
+    }
+
+
+def test_is_null_predicate_on_json_member(spark, engine):
+    # docs/tables/terraform_resource.md:141 — attributes_std -> 'x' is null
+    rows = spark.sql(
+        """
+        select name from terraform_resource
+        where type = 'aws_instance' and mode is null
+          and get_json_object(attributes_std, '$.kms_key_id') is null
+        """
+    ).collect()
+    assert [r["name"] for r in rows] == ["app_server"]
+
+
+def test_like_on_json_value_text(spark, engine):
+    # docs/tables/terraform_output.md:85 — value::text like '%aws_s3_bucket.%'
+    rows = spark.sql(
+        "select name from terraform_output where value like '%aws_s3_bucket.%.arn%'"
+    ).collect()
+    assert [r["name"] for r in rows] == ["bucket_arn"]
+
+
+def test_not_boolean_json_member(spark, engine):
+    # docs/tables/terraform_resource.md:207 — and not (…)::boolean
+    rows = spark.sql(
+        """
+        select name from terraform_resource
+        where mode is null and path like '%.tf'
+          and not coalesce(cast(get_json_object(lifecycle, '$.create_before_destroy') as boolean), false)
+        """
+    ).collect()
+    assert sorted(r["name"] for r in rows) == ["b", "empty"]
+
+
+def test_variable_validation_and_type_columns(spark, engine):
+    # docs/tables/terraform_variable.md — type stripped from ${…}; validation text
+    rows = spark.sql(
+        "select name, type, validation from terraform_variable where validation is not null"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["type"] == "string"
+    assert rows[0]["validation"].startswith("validation {")
