@@ -31,6 +31,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "emb_cosine_topk",
+    "emb_near_dup_pairs",
+    "docs_winnow_fingerprint",
+    "docs_zscore_by_lang",
     "media_metadata",
     "tf_resources",
 ]

@@ -40,6 +40,10 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name in ("events", "orders", "lineitem"):
+        # timestamp semantics must match the (timezone-naive) DuckDB oracle
+        # regardless of the caller session's timezone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS); Spark reads it only as a long
         # (legacy.parquet.nanosAsLong). Truncate ns → µs exactly like DuckDB
@@ -562,17 +566,11 @@ def docs_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold (the
-    embedding analog of text near-dup; brute-force exact at this scale,
-    LSH-bucketed for the 100 TB path — see operators/similarity.py)."""
+    """Embedding-cosine near-duplicate pairs above a threshold: Arrow-batched
+    numpy matmul against a broadcast matrix (exact; LSH-bucketed variant is
+    the beyond-broadcast path — see operators/similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    scored = similarity.with_cosine(pairs, "va", "vb", "c").filter(F.col("c") > 0.4)
-    return scored.select(
-        "id_a", "id_b", F.expr("floor(c * 1000000 + 0.5) / 1000000").alias("cosine")
-    )
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
 
 
 @query(
@@ -585,6 +583,21 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_winnow_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+    kg AS (SELECT doc_id, [md5(text[i:i+7]) FOR i IN range(1, length(text) - 6)] g FROM t),
+    w AS (SELECT doc_id, [list_min(g[j:j+3]) FOR j IN range(1, len(g) - 2)] wins FROM kg),
+    fp AS (SELECT doc_id, list_distinct(wins) fps FROM w)
+    SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp FROM fp
+    """,
+)
+def docs_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash window-min) fingerprints, k=8 chars, w=4."""
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
 
 
 _SHINGLE_CTE = """

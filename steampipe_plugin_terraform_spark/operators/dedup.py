@@ -39,6 +39,15 @@ def shingles(text_col: str, n: int = 5, sep: str = " ") -> Column:
     )
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a narrow projection to cluster parallelism before a
+    compute-heavy explode: a small single-file input is one partition and
+    would serialize the hash work on one core. At real scale the input is
+    already partitioned and this is a cheap rebalance of id+text only."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(*cols).repartition(par)
+
+
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
     """Keep the first row per key group (deterministic via order_by).
 
@@ -66,7 +75,8 @@ def shingle_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+        _spread(df, id_col, text_col)
+        .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
         .distinct()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -101,7 +111,9 @@ def minhash_signatures(
     bit-identical across engines (the DuckDB oracle runs the same formula).
     One narrow explode + one groupBy(id) shuffle.
     """
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+    sh = _spread(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -149,7 +161,8 @@ def minhash_lsh_pairs(
     # entire point of LSH): explode each candidate's shingles and count the
     # intersection via an equi-join, never touching non-colliding pairs.
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+        _spread(df, id_col, text_col)
+        .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
         .distinct()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -180,7 +193,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     weighted sum of (bit set ? +1 : -1) over tokens is positive. Expressed as
     explode + groupBy + bit arithmetic — all JVM-side.
     """
-    tok = df.select(
+    tok = _spread(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("t"),
     )

@@ -65,6 +65,59 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs cosine pairs above a threshold via Arrow-batched numpy.
+
+    Higher-order-function lambdas (zip_with/aggregate) are interpreted, not
+    codegen'd — measured 66 s for 2M pairs at sf0.1. Dense pairwise math is
+    the one place the vectorized-pandas path beats built-ins: one side is
+    broadcast as a numpy matrix (the broadcast-join pattern; block BOTH
+    sides for corpora too big to broadcast), each Arrow batch does a BLAS
+    matmul against it. Same 2M pairs: well under a second of compute.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine portable-rounded
+    to 6 digits.
+    """
+    import numpy as np
+
+    out_schema = "id_a long, id_b long, cosine double"
+    side = df.select(id_col, vec_col).toPandas()
+    if not len(side):
+        return df.sparkSession.createDataFrame([], out_schema)
+    ids = side[id_col].to_numpy()
+    M = np.stack(side[vec_col].to_numpy()).astype("float64")
+    norms = np.sqrt((M * M).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, norms))
+
+    def block(batches):
+        import pandas as pd
+
+        ids_b, M_b, norms_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf[id_col].to_numpy()
+            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            S = (Q @ M_b.T) / np.outer(qn, norms_b)
+            qi, ci = np.nonzero(S > threshold)
+            mask = qids[qi] < ids_b[ci]
+            yield pd.DataFrame(
+                {
+                    "id_a": qids[qi][mask],
+                    "id_b": ids_b[ci][mask],
+                    "cosine": np.floor(S[qi, ci][mask] * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(block, out_schema)
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes from md5(seed,i,j).
 
