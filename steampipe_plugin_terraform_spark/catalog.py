@@ -248,6 +248,35 @@ def q_distinct_nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "q_big_spenders_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS decorrelated to left_semi)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per segment — rows-only check:
+    sketch estimates are engine-specific by construction; the exact
+    countDistinct twin is oracle-checked in q_distinct_nations_per_segment."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+    )
+
+
+QUERIES["q_approx_distinct"] = q_approx_distinct
+
+
+@query(
     "q_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
