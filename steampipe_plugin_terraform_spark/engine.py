@@ -94,6 +94,13 @@ TABLE_COLUMNS: dict[str, list[str]] = {
 
 TABLE_NAMES = list(TABLE_COLUMNS)
 
+# proto JSON columns (SURVEY §1.2) — canonical JSON strings by default,
+# convertible to Spark 4 VariantType on request
+JSON_COLUMNS = {
+    "arguments", "attributes", "attributes_std", "count_src", "for_each",
+    "depends_on", "lifecycle", "value", "default_value",
+}
+
 
 def _normalize_path(uri: str) -> str:
     """binaryFile reports file:-scheme URIs; the path column is plain."""
@@ -178,21 +185,35 @@ class TerraformEngine:
 
     # -- public surface --
 
-    def table(self, name: str, path: str | None = None) -> DataFrame:
-        """One of the seven tables; optional ``path`` equals-qual filter."""
+    def table(self, name: str, path: str | None = None, json_as: str = "string") -> DataFrame:
+        """One of the seven tables; optional ``path`` equals-qual filter.
+
+        ``json_as="variant"`` converts the proto-JSON columns to Spark 4
+        VariantType (binary-encoded semi-structured values: typed access via
+        ``variant_get``/``col:path`` without per-query string re-parsing —
+        the scale-friendly representation for JSON-heavy analytics).
+        """
         if name not in TABLE_COLUMNS:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-        df = self.wide().filter(F.col("tf_table") == name).select(*TABLE_COLUMNS[name])
+        if json_as not in ("string", "variant"):
+            raise ValueError(f"json_as must be 'string' or 'variant', got {json_as!r}")
+        cols = [
+            F.parse_json(F.col(c)).alias(c)
+            if json_as == "variant" and c in JSON_COLUMNS
+            else F.col(c)
+            for c in TABLE_COLUMNS[name]
+        ]
+        df = self.wide().filter(F.col("tf_table") == name).select(*cols)
         if path is not None:
             df = df.filter(F.col("path") == path)
         return df
 
-    def tables(self) -> dict[str, DataFrame]:
-        return {name: self.table(name) for name in TABLE_COLUMNS}
+    def tables(self, json_as: str = "string") -> dict[str, DataFrame]:
+        return {name: self.table(name, json_as=json_as) for name in TABLE_COLUMNS}
 
-    def register_views(self) -> None:
+    def register_views(self, json_as: str = "string") -> None:
         """Register all seven tables as temp views for ``spark.sql``."""
-        for name, df in self.tables().items():
+        for name, df in self.tables(json_as=json_as).items():
             df.createOrReplaceTempView(name)
 
     def unpersist(self) -> None:

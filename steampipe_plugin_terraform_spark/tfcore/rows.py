@@ -150,7 +150,9 @@ def _count_fields(v: Any) -> tuple[int | None, str]:
             count = None
         else:
             count = int(v)
-    return count, count_src
+    # NullIfZero applies to the INT column too: a literal `count = 0` is
+    # indistinguishable from unset (SURVEY §7.4 risk 5)
+    return _nz_int(count), count_src
 
 
 def _empty_row(tf_table: str, path: str) -> dict[str, Any]:

@@ -212,3 +212,27 @@ def test_variable_validation_and_type_columns(spark, engine):
     assert len(rows) == 1
     assert rows[0]["type"] == "string"
     assert rows[0]["validation"].startswith("validation {")
+
+
+def test_variant_json_columns(spark, engine, fixtures_dir):
+    # Spark 4 VariantType surface: typed access without string re-parsing
+    eng = TerraformEngine(
+        spark, config_paths=[str(fixtures_dir / "config" / "*.tf")], cache=False
+    )
+    df = eng.table("terraform_resource", json_as="variant")
+    assert str(df.schema["arguments"].dataType) == "VariantType()"
+    df.createOrReplaceTempView("tf_res_variant")
+    rows = spark.sql(
+        """
+        select name, variant_get(arguments, '$.tags.Name', 'string') as tag
+        from tf_res_variant where variant_get(arguments, '$.tags.Name', 'string') is not null
+        """
+    ).collect()
+    assert [(r["name"], r["tag"]) for r in rows] == [("app_server", "ExampleAppServerInstance")]
+
+
+def test_variant_bad_mode_rejected(spark, engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="json_as"):
+        engine.table("terraform_resource", json_as="nope")
