@@ -39,6 +39,64 @@ HEADLINE = [
 ]
 
 
+def _tf_corpus(n_files: int) -> str:
+    """Deterministic synthetic .tf corpus (~n_files files, 3 resources +
+    1 variable + 1 output each) for the parse-throughput benchmark."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tf_bench_")
+    for i in range(n_files):
+        with open(f"{d}/mod_{i:04d}.tf", "w") as f:
+            f.write(
+                f'''variable "env_{i}" {{
+  type    = string
+  default = "dev-{i}"
+}}
+
+resource "aws_instance" "app_{i}" {{
+  ami           = "ami-{i:08x}"
+  instance_type = var.env_{i} == "prod" ? "m5.large" : "t3.micro"
+  count         = {i % 5}
+  tags = {{ Name = "app-{i}", Index = {i} }}
+}}
+
+resource "aws_s3_bucket" "b_{i}" {{
+  bucket = "bucket-{i}"
+  lifecycle {{ prevent_destroy = true }}
+}}
+
+resource "aws_security_group" "sg_{i}" {{
+  name = "sg-{i}"
+  ingress {{
+    from_port = 443
+    to_port   = 443
+  }}
+  ingress {{
+    from_port = 80
+    to_port   = 80
+  }}
+}}
+
+output "app_id_{i}" {{
+  value = aws_instance.app_{i}[0].id
+}}
+'''
+            )
+    return d
+
+
+def bench_tf_parse(spark, n_files: int = 500) -> float:
+    """Full 7-table materialization over n_files HCL files (one parse pass,
+    executor-parallel — the reference serializes this behind a mutex)."""
+    from steampipe_plugin_terraform_spark import TerraformEngine
+
+    d = _tf_corpus(n_files)
+    start = time.perf_counter()
+    eng = TerraformEngine(spark, config_paths=[f"{d}/*.tf"], cache=False)
+    eng.wide().write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -56,6 +114,9 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    timings["tf_parse_500_files"] = round(bench_tf_parse(spark, 500), 3)
+    print(f"# tf_parse_500_files: {timings['tf_parse_500_files']}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
