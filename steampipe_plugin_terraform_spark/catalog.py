@@ -727,6 +727,20 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["emb_lsh_topk"] = emb_lsh_topk
 
 
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) top-k probing half the buckets —
+    rows-only: k-means cluster shapes are engine-specific. The exactness of
+    the probe machinery is pinned by tests (full probe ≡ brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    assigned, centroids = similarity.build_ivf(corpus, n_centroids=16)
+    return similarity.ivf_topk(queries, assigned, centroids, k=5, nprobe=8)
+
+
+QUERIES["emb_ivf_topk"] = emb_ivf_topk
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming entries (§2.8): each runs the stream to completion
 # with an availableNow trigger into a memory sink and returns the result —

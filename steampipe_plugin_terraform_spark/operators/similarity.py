@@ -65,6 +65,87 @@ def cosine_topk(
     )
 
 
+def build_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids + per-vector bucket column.
+
+    The returned assignment DataFrame is the write-once index — at scale,
+    persist it partitioned by ``bucket`` so probes prune partitions. Uses
+    spark.ml KMeans (distributed Lloyd iterations) with a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(id_col, vec_col).withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="bucket").fit(base)
+    assigned = model.transform(base).select(id_col, vec_col, "bucket")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: score each query only against the ``nprobe`` buckets whose
+    centroids are nearest (by cosine) — the corpus fraction touched is
+    nprobe/n_centroids instead of 1. ``nprobe = n_centroids`` degrades to
+    exact brute force (useful as a correctness check).
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bc = queries.sparkSession.sparkContext.broadcast(Cn)
+
+    def probe(batches):
+        import pandas as pd
+
+        Cn_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            # clamp: probing more buckets than exist is just a full probe
+            n_probe = min(nprobe, Cn_b.shape[0])
+            order = np.argsort(-(Qn @ Cn_b.T), axis=1)[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out["bucket"] = order.ravel()
+            yield pd.DataFrame(
+                {"query_id": out[id_col], "qv": out[vec_col], "bucket": out["bucket"]}
+            )
+
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        probe, f"query_id long, qv {dict(queries.dtypes)[vec_col]}, bucket int"
+    )
+    cand = F.broadcast(probed).join(assigned, "bucket").select(
+        "query_id", "qv", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = cand.withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+    scored = scored.withColumn("cosine", F.expr("floor(cosine * 1000000 + 0.5) / 1000000"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
