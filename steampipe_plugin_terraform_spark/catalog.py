@@ -741,6 +741,13 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["emb_ivf_topk"] = emb_ivf_topk
 
 
+def _stop_stream(spark: SparkSession, name: str) -> None:
+    """Stop a leftover active query with this name (re-invocation safety)."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming entries (§2.8): each runs the stream to completion
 # with an availableNow trigger into a memory sink and returns the result —
@@ -761,6 +768,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window stream, drained via availableNow."""
     from .streaming.events import hourly_counts_stream, read_events_stream
 
+    _stop_stream(spark, "__stream_events_hourly")
     q = (
         hourly_counts_stream(read_events_stream(spark, sf_dir))
         .writeStream.format("memory")
@@ -792,6 +800,7 @@ def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands definition (30-min inactivity gap)."""
     from .streaming.events import read_events_stream, sessionized_stream
 
+    _stop_stream(spark, "__stream_sessions")
     q = (
         sessionized_stream(read_events_stream(spark, sf_dir))
         .writeStream.format("memory")
