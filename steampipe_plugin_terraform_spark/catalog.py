@@ -196,7 +196,7 @@ def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(c, o.o_custkey == c.c_custkey).withColumn("o_totalprice", F.round("o_totalprice", 2))
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        j.withColumn("rnk", F.row_number().over(w))
+        j.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
     )

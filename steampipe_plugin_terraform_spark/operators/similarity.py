@@ -59,7 +59,7 @@ def cosine_topk(
         scored = scored.withColumn("cosine", F.expr(f"floor(cosine * {scale} + 0.5) / {scale}"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -140,7 +140,7 @@ def ivf_topk(
     scored = scored.withColumn("cosine", F.expr("floor(cosine * 1000000 + 0.5) / 1000000"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -262,7 +262,7 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.expr("floor(cosine * 1000000 + 0.5) / 1000000").alias("cosine"), "rank")
     )

@@ -48,8 +48,8 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     nchars = f"length(replace({text_col}, ' ', ''))"
     return df.select(
         F.col(id_col),
-        F.expr(f"size({toks})").alias("n_tokens"),
-        F.expr(nchars).alias("n_chars_nospace"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST({nchars} AS BIGINT)").alias("n_chars_nospace"),
         F.expr(pround(f"{nchars} / size({toks})", 4)).alias("avg_token_len"),
         F.expr(pround(f"{_in_list(text_col, STOPWORDS)} / size({toks})", 4)).alias("stopword_ratio"),
     )
@@ -90,7 +90,7 @@ def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     single punctuation) — the cheap proxy for LLM token budgeting."""
     return df.select(
         F.col(id_col),
-        F.expr(f"size(regexp_extract_all({text_col}, '{_BPE_ISH_TOKEN_RE}', 0))").alias("n_bpe_tokens"),
+        F.expr(f"CAST(size(regexp_extract_all({text_col}, '{_BPE_ISH_TOKEN_RE}', 0)) AS BIGINT)").alias("n_bpe_tokens"),
     )
 
 
