@@ -467,6 +467,42 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_events_last_order_asof",
+    oracle="""
+    WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+               FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, r.o_orderkey AS last_orderkey,
+           r.o_orderdate AS last_orderdate
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def q_events_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-merge-scan composition — Spark has no native asof):
+    each event paired with the customer's newest order at-or-before it.
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))  # unique per (key, time)
+    )
+    joined = asof_join(
+        ev, orders,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions (§2.11): dedup, text analysis, similarity, media
 # ---------------------------------------------------------------------------
