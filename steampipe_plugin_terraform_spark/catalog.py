@@ -853,6 +853,36 @@ def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_user_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals; the drained stream's final state must equal the batch
+    aggregate. Latest state per user selected for multi-batch robustness."""
+    from .streaming.events import read_events_stream
+    from .streaming.stateful import running_user_totals
+
+    _stop_stream(spark, "__stream_user_totals")
+    q = (
+        running_user_totals(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("__stream_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    latest = spark.table("__stream_user_totals").groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    return latest.select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_value").alias("total_value"))
+
+
 # ---------------------------------------------------------------------------
 # Terraform tables (the reference's own surface, §1.4/§2.10) — DuckDB has no
 # terraform views, so the oracles are golden VALUES derived from the fixture

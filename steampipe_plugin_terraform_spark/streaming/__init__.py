@@ -1,4 +1,5 @@
 from .events import hourly_counts_stream, sessionized_stream, deduped_stream
+from .stateful import running_user_totals
 from .watch import watch_terraform_blocks
 
 __all__ = [
@@ -6,4 +7,5 @@ __all__ = [
     "hourly_counts_stream",
     "sessionized_stream",
     "deduped_stream",
+    "running_user_totals",
 ]

@@ -130,3 +130,31 @@ def test_deduped_stream(spark):
     n = spark.sql("select count(*) from ev_dedup").collect()[0][0]
     n_keys = spark.sql("select count(distinct user_id, event_type) from ev_dedup").collect()[0][0]
     assert n == n_keys > 0
+
+
+def test_stateful_running_totals(spark):
+    from steampipe_plugin_terraform_spark.streaming.stateful import running_user_totals
+
+    ev = read_events_stream(spark, SF)
+    q = (
+        running_user_totals(ev)
+        .writeStream.format("memory")
+        .queryName("ev_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from ev_state").collect()
+    }
+    # final state must equal the batch aggregate
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    want = {r["user_id"]: (r["n"], r["tv"]) for r in batch.collect()}
+    assert got == want
