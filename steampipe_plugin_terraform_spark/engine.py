@@ -38,12 +38,6 @@ from pyspark.sql import types as T
 from .sources.discover import discover_files
 from .tfcore.rows import WIDE_COLUMNS, build_rows_for_file
 
-_STRING_COLS = {
-    "tf_table", "name", "type", "mode", "address", "arguments", "attributes",
-    "attributes_std", "count_src", "for_each", "depends_on", "lifecycle",
-    "provider", "alias", "version", "module_source", "value", "default_value",
-    "description", "validation", "source", "path",
-}
 _LONG_COLS = {"count", "start_line", "end_line"}
 _BOOL_COLS = {"sensitive"}
 
@@ -112,20 +106,23 @@ def _normalize_path(uri: str) -> str:
     return uri
 
 
-def _make_parse_fn(kind_by_path: dict[str, str], on_error: str, default_kind: str = "config"):
-    """Arrow-batched parse stage: (path, content) batches → wide-row batches.
+def _make_parse_fn(on_error: str, default_kind: str = "config"):
+    """Arrow-batched parse stage: (path, content[, file_kind]) batches →
+    wide-row batches.
 
-    Closure state is a plain dict broadcast with the task — no shared mutable
-    parser state, so files parse fully in parallel (the reference serializes
-    every parse behind a global mutex, utils.go:35-36)."""
+    Kind arrives as a COLUMN (set per source list before the read), never by
+    matching path strings — executor-visible URIs (file:-scheme, expanded
+    remote globs) need not round-trip to the driver's spelling. No shared
+    mutable parser state, so files parse fully in parallel (the reference
+    serializes every parse behind a global mutex, utils.go:35-36)."""
     import pandas as pd
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows: list[dict] = []
-            for uri, content in zip(pdf["path"], pdf["content"]):
+            kinds = pdf["file_kind"] if "file_kind" in pdf.columns else [default_kind] * len(pdf)
+            for uri, content, kind in zip(pdf["path"], pdf["content"], kinds):
                 path = _normalize_path(uri)
-                kind = kind_by_path.get(path, kind_by_path.get(uri, default_kind))
                 try:
                     text = bytes(content).decode("utf-8", errors="replace")
                     rows.extend(build_rows_for_file(path, kind, text))
@@ -162,21 +159,29 @@ class TerraformEngine:
     # -- core lineage --
 
     def _files_df(self) -> DataFrame:
-        paths = [p for p, _ in self.files]
-        if not paths:
-            return self.spark.createDataFrame([], "path string, content binary")
-        return (
-            self.spark.read.format("binaryFile")
-            .load(paths)
-            .select("path", "content")
-        )
+        """One binaryFile read per kind, kind attached as a literal column —
+        robust for remote globs the reader expands itself."""
+        parts = []
+        for kind in ("config", "plan", "state"):
+            paths = [p for p, k in self.files if k == kind]
+            if paths:
+                parts.append(
+                    self.spark.read.format("binaryFile")
+                    .load(paths)
+                    .select("path", "content", F.lit(kind).alias("file_kind"))
+                )
+        if not parts:
+            return self.spark.createDataFrame([], "path string, content binary, file_kind string")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def wide(self) -> DataFrame:
         """The canonical wide DataFrame all seven tables derive from."""
         if self._wide is None:
-            kind_by_path = {p: k for p, k in self.files}
             df = self._files_df().mapInPandas(
-                _make_parse_fn(kind_by_path, self.on_error), schema=WIDE_SCHEMA
+                _make_parse_fn(self.on_error), schema=WIDE_SCHEMA
             )
             if self._cache:
                 df = df.persist()

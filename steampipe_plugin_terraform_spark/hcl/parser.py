@@ -155,9 +155,14 @@ def tokenize(src: str) -> list[Token]:
                     buf.append(mapped if mapped is not None else "\\" + nxt)
                     i += 2
                     continue
-                if (src.startswith("${", i) or src.startswith("%{", i)) and not (
-                    src.startswith("$${", i - 1) or src.startswith("%%{", i - 1)
-                ):
+                if src.startswith("$${", i) or src.startswith("%%{", i):
+                    # HCL escape: $${ evaluates to the literal ${ (same for
+                    # %%{) — unescape so pure-literal strings match what the
+                    # kics/hcl template evaluation produces
+                    buf.append(src[i + 1 : i + 3])
+                    i += 3
+                    continue
+                if src.startswith("${", i) or src.startswith("%{", i):
                     has_interp = True
                     depth += 1
                     buf.append(src[i : i + 2])
@@ -417,7 +422,6 @@ class _Parser:
             return self.parse_unary()
         left = self.parse_binary(level + 1)
         ops = self._BIN_LEVELS[level]
-        combined = False
         while True:
             t = self.peek()
             if t.kind == "OP" and t.value in ops:
@@ -425,7 +429,6 @@ class _Parser:
                 self.skip_newlines()
                 right = self.parse_binary(level + 1)
                 left = _Raw(left.start, right.end)
-                combined = True
                 continue
             break
         return left

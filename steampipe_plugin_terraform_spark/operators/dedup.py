@@ -137,6 +137,11 @@ def minhash_lsh_pairs(
     The band join key is an md5 of the band slice — uniformly distributed, so
     the self-join shuffle has no skew. Returns (id_a, id_b, jaccard).
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            "— trailing signature rows would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = [

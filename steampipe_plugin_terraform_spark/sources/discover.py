@@ -101,6 +101,10 @@ def discover_files(
     """
     if path_qual is not None:
         kind = "state" if path_qual.endswith(".tfstate") else "config"
+        if not is_dfs_url(path_qual):
+            # normalize like expand_glob does, so the reader's absolute URI
+            # and the path column agree with the caller's filter value
+            path_qual = os.path.abspath(os.path.expanduser(path_qual))
         return [(path_qual, kind)]
     out: list[tuple[str, str]] = []
     for patterns, kind in ((config_paths, "config"), (plan_paths, "plan"), (state_paths, "state")):

@@ -46,5 +46,5 @@ def watch_terraform_blocks(
         F.encode(F.col("value"), "utf-8").alias("content"),
     )
     # every file discovered by this stream carries the watched dir's kind
-    parse = _make_parse_fn({}, on_error="skip", default_kind=kind)
+    parse = _make_parse_fn(on_error="skip", default_kind=kind)
     return files.mapInPandas(parse, schema=WIDE_SCHEMA)

@@ -162,3 +162,11 @@ def test_comments_ignored():
 def test_multiline_list():
     doc = parse_document('locals {\n  l = [\n    "a",\n    "b",\n  ]\n}\n')
     assert doc["locals"]["l"] == ["a", "b"]
+
+
+def test_escaped_interpolation_unescapes():
+    # HCL: $${x} evaluates to the literal ${x} (and %%{ to %{)
+    doc = parse_document('locals {\n  a = "$${aws:username}"\n  b = "%%{if}"\n  c = "$5"\n}')
+    assert doc["locals"]["a"] == "${aws:username}"
+    assert doc["locals"]["b"] == "%{if}"
+    assert doc["locals"]["c"] == "$5"
