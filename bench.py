@@ -90,11 +90,16 @@ def bench_tf_parse(spark, n_files: int = 500) -> float:
     executor-parallel — the reference serializes this behind a mutex)."""
     from steampipe_plugin_terraform_spark import TerraformEngine
 
+    import shutil
+
     d = _tf_corpus(n_files)
-    start = time.perf_counter()
-    eng = TerraformEngine(spark, config_paths=[f"{d}/*.tf"], cache=False)
-    eng.wide().write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - start
+    try:
+        start = time.perf_counter()
+        eng = TerraformEngine(spark, config_paths=[f"{d}/*.tf"], cache=False)
+        eng.wide().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def main() -> None:

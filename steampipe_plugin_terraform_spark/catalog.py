@@ -40,6 +40,12 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE: the two conf sets below deliberately PERSIST on the caller's
+    # session — they must be in effect at execution time of the returned
+    # (lazy) DataFrame, so a set/restore scope would produce heisenbugs.
+    # Both settings are required for oracle-correct results from this
+    # catalog; callers needing different semantics should use a separate
+    # session.
     if name in ("events", "orders", "lineitem"):
         # timestamp semantics must match the (timezone-naive) DuckDB oracle
         # regardless of the caller session's timezone
@@ -813,7 +819,9 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_events_hourly drain exceeded 600s")
     return spark.table("__stream_events_hourly")
 
 
@@ -845,7 +853,9 @@ def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_sessions_per_user drain exceeded 600s")
     return (
         spark.table("__stream_sessions")
         .groupBy("user_id")
@@ -876,7 +886,9 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_user_running_totals drain exceeded 600s")
     latest = spark.table("__stream_user_totals").groupBy("user_id").agg(
         F.max(F.struct("n_events", "total_value")).alias("s")
     )
@@ -889,7 +901,9 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus (tests/fixtures), which exercises all three file kinds end-to-end.
 # ---------------------------------------------------------------------------
 
-_TF_FIXTURES = "/root/repo/tests/fixtures"
+import pathlib as _pathlib
+
+_TF_FIXTURES = str(_pathlib.Path(__file__).resolve().parents[1] / "tests" / "fixtures")
 
 
 def _tf_engine(spark: SparkSession):

@@ -149,7 +149,10 @@ def tokenize(src: str) -> list[Token]:
                     nxt = src[i + 1]
                     mapped = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}.get(nxt)
                     if nxt == "u" and i + 5 < n:
-                        buf.append(chr(int(src[i + 2 : i + 6], 16)))
+                        try:
+                            buf.append(chr(int(src[i + 2 : i + 6], 16)))
+                        except ValueError:
+                            raise err(f"invalid \\u escape {src[i:i + 6]!r}") from None
                         i += 6
                         continue
                     buf.append(mapped if mapped is not None else "\\" + nxt)
@@ -621,12 +624,27 @@ def _insert_block(container: dict, name: str, labels: list[str], body: Any) -> N
     """
     cur = container
     path = [name] + list(labels)
-    for key in path[:-1]:
+    for depth, key in enumerate(path[:-1]):
         nxt = cur.get(key)
-        if not isinstance(nxt, dict):
+        if nxt is None:
             nxt = {}
             cur[key] = nxt
-        cur = nxt
+            cur = nxt
+        elif isinstance(nxt, dict):
+            cur = nxt
+        else:
+            # incompatible shapes at this key (e.g. unlabeled `filter {}`
+            # bodies already accumulated, now a labeled `filter "x" {}`):
+            # preserve BOTH by appending the nested remainder to a list
+            # instead of silently overwriting the earlier bodies
+            rest: Any = body
+            for k2 in reversed(path[depth + 1 :]):
+                rest = {k2: rest}
+            if isinstance(nxt, list):
+                nxt.append(rest)
+            else:
+                cur[key] = [nxt, rest]
+            return
     leaf = path[-1]
     if leaf not in cur:
         cur[leaf] = body

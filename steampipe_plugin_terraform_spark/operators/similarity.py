@@ -259,10 +259,12 @@ def lsh_cosine_topk(
         F.broadcast(qs)
         .join(cs, "bucket")
         .withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .withColumn("cosine", F.expr("floor(cosine * 1000000 + 0.5) / 1000000"))
     )
+    # rank on the ROUNDED score + id (repo determinism convention)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.expr("floor(cosine * 1000000 + 0.5) / 1000000").alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

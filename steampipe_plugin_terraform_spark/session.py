@@ -38,13 +38,3 @@ def get_spark(app_name: str = "steampipe-terraform-spark", master: str | None = 
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
-
-
-def tune_for_oracle_parity(spark: SparkSession) -> SparkSession:
-    """Runtime settings applied inside driver-contract queries.
-
-    The driver passes us *its* SparkSession; pin the runtime-mutable settings
-    that affect result values (timezone) without touching its topology.
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark

@@ -170,3 +170,18 @@ def test_escaped_interpolation_unescapes():
     assert doc["locals"]["a"] == "${aws:username}"
     assert doc["locals"]["b"] == "%{if}"
     assert doc["locals"]["c"] == "$5"
+
+
+def test_mixed_labeled_unlabeled_blocks_preserved():
+    # same-name blocks at different label depths must not lose data
+    src = 'resource "r" "n" {\n  filter { f = 1 }\n  filter { f = 2 }\n  filter "x" { f = 3 }\n}'
+    body = parse_document(src)["resource"]["r"]["n"]
+    assert body["filter"] == [{"f": 1}, {"f": 2}, {"x": {"f": 3}}]
+
+
+def test_invalid_unicode_escape_raises_parse_error():
+    import pytest as _pytest
+    from steampipe_plugin_terraform_spark.hcl.parser import HCLParseError
+
+    with _pytest.raises(HCLParseError, match="invalid"):
+        parse_document('a = "\\u12G4"')
