@@ -225,3 +225,20 @@ class TerraformEngine:
         if self._wide is not None:
             self._wide.unpersist()
             self._wide = None
+
+    # -- canonical store (parse once, persist forever) --
+
+    def save_canonical(self, path: str) -> None:
+        """Write the wide frame as Parquet partitioned by ``tf_table`` —
+        the durable parse-once store. Repeat analytic sessions load it with
+        ``load_canonical`` and get partition pruning per table plus Parquet
+        min/max pruning for free (SCALE.md); re-parse only on refresh."""
+        self.wide().write.mode("overwrite").partitionBy("tf_table").parquet(path)
+
+    @classmethod
+    def load_canonical(cls, spark: SparkSession, path: str) -> "TerraformEngine":
+        """Engine over a previously saved canonical store (no parsing)."""
+        eng = cls(spark, cache=False)
+        # partition column comes back; reorder to the wide layout
+        eng._wide = spark.read.parquet(path).select(*WIDE_COLUMNS)
+        return eng

@@ -236,3 +236,15 @@ def test_variant_bad_mode_rejected(spark, engine):
 
     with _pytest.raises(ValueError, match="json_as"):
         engine.table("terraform_resource", json_as="nope")
+
+
+def test_canonical_store_roundtrip(spark, engine, tmp_path):
+    store = str(tmp_path / "canonical")
+    engine.save_canonical(store)
+    loaded = TerraformEngine.load_canonical(spark, store)
+    for t in ["terraform_resource", "terraform_output", "terraform_local"]:
+        assert loaded.table(t).count() == engine.table(t).count()
+    # values survive the round trip, not just counts
+    a = sorted((r["address"], r["count"]) for r in engine.table("terraform_resource").collect())
+    b = sorted((r["address"], r["count"]) for r in loaded.table("terraform_resource").collect())
+    assert a == b
