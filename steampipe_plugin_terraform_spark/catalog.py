@@ -532,6 +532,67 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_CTE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') s
+           FROM t, unnest(range(1, greatest(len(w) - 3, 1))) r(i)
+           WHERE len(w) >= 5),
+    sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+"""
+
+
+@query(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: per-language keep
+    rates via a Knuth-hash of the id — reproducible across engines and
+    runs (RNG-based sampleBy cannot be oracle-checked), shuffle-free."""
+    rate = "CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END"
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.expr(f"(doc_id * 2654435761) % 100 < {rate}"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "docs_contamination_screen",
+    oracle=_SHINGLE_CTE
+    + """,
+    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b))
+    SELECT DISTINCT t.doc_id FROM band t JOIN band bb
+      ON t.b = bb.b AND t.bh = bb.bh AND bb.doc_id < 50 AND t.doc_id >= 50
+    """,
+)
+def docs_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination screen: training docs (doc_id >= 50)
+    whose minhash band collides with the held-out set (doc_id < 50 as the
+    stand-in benchmark) — catches NEAR-dup contamination, not just exact
+    copies. Broadcast semi-join on the uniform band-bucket key: the
+    standard pre-training decontamination pass."""
+    buckets = dedup.minhash_band_buckets(_t(spark, sf_dir, "documents"))
+    bench = buckets.filter(F.col("id") < 50).select("band", "bh")
+    return (
+        buckets.filter(F.col("id") >= 50)
+        .join(F.broadcast(bench), ["band", "bh"], "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+
+
 @query(
     "docs_fingerprint",
     oracle="""
@@ -671,16 +732,6 @@ def docs_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
 
 
-_SHINGLE_CTE = """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') s
-           FROM t, unnest(range(1, greatest(len(w) - 3, 1))) r(i)
-           WHERE len(w) >= 5),
-    sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
-    shared AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
-"""
 
 
 @query(

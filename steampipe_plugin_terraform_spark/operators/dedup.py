@@ -122,6 +122,38 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH band buckets: (id, band, bh) — one row per band, bh = md5 of the
+    band's signature slice. Docs sharing any (band, bh) are near-dup
+    candidates; the bucket key is uniform, so self- or semi-joins on it
+    have no skew."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            "— trailing signature rows would be silently ignored"
+        )
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    return banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,24 +169,7 @@ def minhash_lsh_pairs(
     The band join key is an md5 of the band slice — uniformly distributed, so
     the self-join shuffle has no skew. Returns (id_a, id_b, jaccard).
     """
-    if num_hashes % bands:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
-            "— trailing signature rows would be silently ignored"
-        )
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    buckets = banded.select(
-        "id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh")) for b in range(bands)])
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bh"])
