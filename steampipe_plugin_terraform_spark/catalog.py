@@ -5,7 +5,11 @@ with an ANSI-SQL oracle DuckDB runs on the same parquet tables. Column names
 and value canonicalization (rounding, tiebreaks) match on both sides so the
 driver's order-insensitive value-hash comparison is deterministic:
 
-- money/ratio aggregates round to fixed decimals on BOTH sides
+- money/ratio aggregates round to fixed decimals on BOTH sides; ratio
+  columns built from exact rationals use floor(x*10^d+0.5)/10^d (ties are
+  REACHABLE there), while FP-accumulated money sums keep round() — a tie
+  needs the shortest-repr double to end exactly at the rounding digit,
+  which repeated sweeps show does not occur in this fixed corpus
 - top-k cuts rank on the ROUNDED score with a unique-id tiebreaker so
   floating-point last-ulp differences can never select different rows
 - integer-derived ratios (jaccard) are bit-identical across engines
@@ -269,9 +273,10 @@ def q_big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per segment — rows-only check:
-    sketch estimates are engine-specific by construction; the exact
-    countDistinct twin is oracle-checked in q_distinct_nations_per_segment."""
+    """approx_count_distinct (HyperLogLog++) customers per order-year —
+    rows-only check: sketch estimates are engine-specific by construction.
+    (The exact-countDistinct operator family is oracle-checked separately
+    in q_distinct_nations_per_segment.)"""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy(F.year("o_orderdate").alias("year"))
@@ -548,7 +553,7 @@ _SHINGLE_CTE = """
     "docs_stratified_sample",
     oracle="""
     SELECT doc_id, lang FROM documents
-    WHERE (doc_id * 2654435761) % 100 <
+    WHERE ((doc_id % 100) * 61) % 100 <
           CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END
     """,
 )
@@ -557,9 +562,12 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates via a Knuth-hash of the id — reproducible across engines and
     runs (RNG-based sampleBy cannot be oracle-checked), shuffle-free."""
     rate = "CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END"
+    # modular multiplication ((id%100)*61)%100 == (id*2654435761)%100 but
+    # cannot overflow BIGINT under ANSI mode at any id (61 = K mod 100,
+    # coprime to 100, so the spread is a permutation of id mod 100)
     return (
         _t(spark, sf_dir, "documents")
-        .filter(F.expr(f"(doc_id * 2654435761) % 100 < {rate}"))
+        .filter(F.expr(f"((doc_id % 100) * 61) % 100 < {rate}"))
         .select("doc_id", "lang")
     )
 
@@ -1031,9 +1039,9 @@ def tf_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "media_metadata",
     oracle="""
-    SELECT doc_id, length(text)::BIGINT AS n_bytes,
-           (64 + (length(text) % 448))::BIGINT AS width,
-           (64 + ((length(text) * 7) % 448))::BIGINT AS height,
+    SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+           (64 + (strlen(text) % 448))::BIGINT AS width,
+           (64 + ((strlen(text) * 7) % 448))::BIGINT AS height,
            3::BIGINT AS channels, 'fake/rgb8' AS format
     FROM documents
     """,

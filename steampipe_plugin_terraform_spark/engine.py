@@ -210,6 +210,12 @@ class TerraformEngine:
         ]
         df = self.wide().filter(F.col("tf_table") == name).select(*cols)
         if path is not None:
+            if "://" not in path:
+                # same normalization as discovery, so relative/~ quals match
+                # the absolute form stored in the path column
+                import os
+
+                path = os.path.abspath(os.path.expanduser(path))
             df = df.filter(F.col("path") == path)
         return df
 

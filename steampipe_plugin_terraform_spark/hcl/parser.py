@@ -359,7 +359,7 @@ class _Parser:
         if nxt.kind == "OP" and nxt.value == "=":
             self.next()
             node = self.parse_expression()
-            return (name, _render(node, self.src, top=True))
+            return (name, _render(node, self.src))
         # block: labels then '{'
         labels: list[str] = []
         while True:
@@ -370,7 +370,7 @@ class _Parser:
             if p.kind == "OP" and p.value == "{":
                 break
             raise self.err(f"expected block label or '{{', got {p.kind}:{p.value!r}")
-        open_tok = self.expect_op("{")
+        self.expect_op("{")
         body, end_line = self.parse_block_body()
         return Block(name, labels, body, name_tok.line, end_line)
 
@@ -389,7 +389,15 @@ class _Parser:
                 _insert_block(body, item.block_type, item.labels, item.body)
             else:
                 k, v = item
-                body[k] = v
+                prev = body.get(k)
+                if isinstance(prev, list):
+                    # attr sharing a name with accumulated block bodies —
+                    # preserve both (mirror of _insert_block's collision rule)
+                    prev.append(v)
+                elif isinstance(prev, dict):
+                    body[k] = [prev, v]
+                else:
+                    body[k] = v  # plain re-assignment: HCL attr last-wins
             self.skip_newlines()
 
     # -- expressions --
@@ -654,7 +662,7 @@ def _insert_block(container: dict, name: str, labels: list[str], body: Any) -> N
         cur[leaf] = [cur[leaf], body]
 
 
-def _render(node: _Node, src: str, top: bool = False) -> Any:
+def _render(node: _Node, src: str) -> Any:
     if isinstance(node, _Lit):
         return node.value
     if isinstance(node, _Tuple):

@@ -21,8 +21,10 @@ non-distributable step on executors.
 
 from __future__ import annotations
 
+import atexit
 import glob as _glob
 import os
+import shutil
 import re
 import subprocess
 import tempfile
@@ -74,15 +76,23 @@ def fetch_remote(url: str) -> tuple[str, str | None]:
     m = re.match(r"^(?P<repo>(?:https://)?[^/]+/[^/]+/[^/]+)//(?P<sub>.+)$", raw)
     if m:
         raw, sub = m.group("repo"), m.group("sub")
-    if not raw.startswith("http"):
+    if "://" not in raw and not raw.startswith("git@"):
         raw = "https://" + raw
     dest = tempfile.mkdtemp(prefix="tf_git_")
-    cmd = ["git", "clone", "--depth", "1"]
-    if ref:
-        cmd += ["--branch", ref]
-    cmd += [raw, dest]
+    atexit.register(shutil.rmtree, dest, ignore_errors=True)
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        cmd = ["git", "clone", "--depth", "1"]
+        if ref:
+            cmd += ["--branch", ref]
+        cmd += [raw, dest]
+        r = subprocess.run(cmd, capture_output=True, timeout=300)
+        if r.returncode != 0 and ref:
+            # a commit SHA is not clonable via --branch: full clone + checkout
+            shutil.rmtree(dest, ignore_errors=True)
+            subprocess.run(["git", "clone", raw, dest], check=True, capture_output=True, timeout=600)
+            subprocess.run(["git", "-C", dest, "checkout", ref], check=True, capture_output=True, timeout=60)
+        elif r.returncode != 0:
+            raise subprocess.CalledProcessError(r.returncode, cmd, r.stdout, r.stderr)
     except (OSError, subprocess.SubprocessError) as e:
         raise RuntimeError(f"git fetch failed for {url}: {e}") from e
     return dest, sub

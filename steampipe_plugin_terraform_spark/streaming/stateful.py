@@ -48,9 +48,12 @@ def _update(
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+    import math
+
+    # portable fixed-point rounding (Python round() is ties-to-even,
+    # diverging from the DuckDB oracle / Spark F.round on tie values)
+    tv = math.floor(total * 100 + 0.5) / 100
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [tv]})
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

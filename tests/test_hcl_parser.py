@@ -185,3 +185,13 @@ def test_invalid_unicode_escape_raises_parse_error():
 
     with _pytest.raises(HCLParseError, match="invalid"):
         parse_document('a = "\\u12G4"')
+
+
+def test_attr_after_block_same_name_preserved():
+    # symmetry with _insert_block: attr following same-name blocks must not
+    # silently drop the block bodies
+    body = parse_document('resource "r" "n" {\n  filter { f = 2 }\n  filter = 1\n}')["resource"]["r"]["n"]
+    assert body["filter"] == [{"f": 2}, 1]
+    # plain attr re-assignment still last-wins (HCL attr semantics)
+    body2 = parse_document("locals {\n  a = 1\n  a = 2\n}")["locals"]
+    assert body2["a"] == 2
