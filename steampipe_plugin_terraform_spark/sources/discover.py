@@ -13,10 +13,14 @@ Behavior port of ``tfConfigList`` (/root/reference/terraform/utils.go:38-169):
   ``discover_files(path_qual=...)``
 
 Remote sources: ``s3a://``/``s3://`` URLs pass through untouched (Spark's
-Hadoop FS reads them natively — the scale path); git URLs are fetched to a
-local temp dir on the driver (``fetch_remote``), mirroring the reference's
-go-getter behavior (utils.go:82; docs/index.md:118-268) without putting a
-non-distributable step on executors.
+Hadoop FS reads them natively — the scale path); the reference's documented
+go-getter form ``s3::https://bucket.s3.region.amazonaws.com/key//*.tf``
+(docs/index.md:227-268) is translated to the equivalent ``s3a://`` URL; git
+URLs are fetched to a local temp dir on the driver (``fetch_remote``),
+mirroring the reference's go-getter behavior (utils.go:82;
+docs/index.md:118-268) without putting a non-distributable step on
+executors. Any other ``scheme::`` forced-getter prefix raises instead of
+silently matching zero local files.
 """
 
 from __future__ import annotations
@@ -30,7 +34,10 @@ import subprocess
 import tempfile
 
 _REMOTE_SCHEME_RE = re.compile(r"^(s3a?|wasbs?|abfss?|gs|hdfs)://")
-_GIT_RE = re.compile(r"^(git::|github\.com/|gitlab\.com/|bitbucket\.org/|https://github\.com/|https://gitlab\.com/|https://bitbucket\.org/)")
+_GIT_RE = re.compile(r"^(git::|git@|github\.com/|gitlab\.com/|bitbucket\.org/|https://github\.com/|https://gitlab\.com/|https://bitbucket\.org/)")
+# go-getter "forced getter" prefix, e.g. s3::, git::, hg:: (utils.go:82 via
+# hashicorp/go-getter; documented formats docs/index.md:118-268)
+_FORCED_GETTER_RE = re.compile(r"^([a-z0-9]+)::")
 
 
 def is_dfs_url(p: str) -> bool:
@@ -41,15 +48,60 @@ def is_git_url(p: str) -> bool:
     return bool(_GIT_RE.match(p))
 
 
+def s3_getter_to_s3a(url: str) -> str:
+    """Translate a go-getter S3 URL (the reference's documented S3 format,
+    docs/index.md:227-268) to an ``s3a://bucket/key`` URL Spark's Hadoop FS
+    reads natively.
+
+    Handles both addressing styles go-getter accepts:
+    - virtual-hosted: ``s3::https://bucket.s3.us-east-1.amazonaws.com/folder//*.tf``
+    - path-style:     ``s3::https://s3-eu-west-1.amazonaws.com/bucket/folder//*.tf``
+
+    The ``//`` subpath separator just collapses into the key. Query params
+    (``?aws_profile=…``, ``?region=…``) are dropped: Spark/Hadoop resolves
+    AWS credentials through its own provider chain (the same env vars /
+    profiles the reference documents).
+    """
+    raw = url[len("s3::"):] if url.startswith("s3::") else url
+    if "?" in raw:
+        raw, _ = raw.split("?", 1)
+    m = re.match(r"^https?://(?P<host>[^/]+)/?(?P<key>.*)$", raw)
+    if not m:
+        raise ValueError(f"unrecognized S3 URL format: {url!r}")
+    host, key = m.group("host"), m.group("key").replace("//", "/")
+    if host.startswith("s3.") or re.match(r"^s3-[a-z0-9-]+\.", host):
+        # path-style: first key segment is the bucket
+        bucket, _, key = key.partition("/")
+    else:
+        # virtual-hosted: host is bucket.s3[.region].amazonaws.com
+        bucket = host.split(".s3.")[0].split(".s3-")[0]
+        if bucket == host:
+            raise ValueError(f"cannot extract bucket from S3 host {host!r} in {url!r}")
+    if not bucket:
+        raise ValueError(f"empty bucket in S3 URL {url!r}")
+    return f"s3a://{bucket}/{key.lstrip('/')}"
+
+
 def expand_glob(pattern: str) -> list[str]:
     """Expand one glob pattern to concrete files (dirs skipped, misses → [])."""
     if is_dfs_url(pattern):
         # distributed-FS URLs are resolved by Spark's reader (pathGlobFilter
         # handles trailing globs); pass through as-is
         return [pattern]
+    if pattern.startswith("s3::"):
+        return [s3_getter_to_s3a(pattern)]
     if is_git_url(pattern):
         local, sub_glob = fetch_remote(pattern)
         return expand_glob(os.path.join(local, sub_glob or "**/*.tf"))
+    forced = _FORCED_GETTER_RE.match(pattern)
+    if forced:
+        # an unrecognized forced-getter scheme must fail loudly — falling
+        # through to a local glob would silently yield zero files
+        raise ValueError(
+            f"unsupported remote scheme {forced.group(1)!r}:: in {pattern!r} "
+            "(supported: s3::, git::, plain s3a/gs/wasbs/abfss/hdfs URLs, "
+            "github.com/gitlab.com/bitbucket.org git paths)"
+        )
     pattern = os.path.expanduser(pattern)
     out = []
     for m in sorted(_glob.glob(pattern, recursive=True)):
@@ -57,6 +109,24 @@ def expand_glob(pattern: str) -> list[str]:
             continue
         out.append(os.path.abspath(m))
     return out
+
+
+def _split_git_subpath(raw: str) -> tuple[str, str | None]:
+    """Split a git URL into (clone_url, subpath_glob) at the first ``//``
+    that is not part of a ``scheme://`` prefix — go-getter's subdir rule.
+
+    Works for every format the reference documents (docs/index.md:141-200):
+    ``github.com/org/repo//**/*.tf``, ``git::ssh://git@host/org/repo//*.tf``,
+    scp-style ``git@host:org/repo//*.tf``, and nested
+    ``host/org/repo//sub/dir//*.tf`` (only the FIRST ``//`` splits; later
+    ``//`` collapse harmlessly inside the filesystem glob).
+    """
+    scheme_end = raw.find("://")
+    start = scheme_end + 3 if scheme_end >= 0 else 0
+    pos = raw.find("//", start)
+    if pos < 0:
+        return raw, None
+    return raw[:pos], raw[pos + 2 :]
 
 
 def fetch_remote(url: str) -> tuple[str, str | None]:
@@ -71,11 +141,7 @@ def fetch_remote(url: str) -> tuple[str, str | None]:
     ref = None
     if "?ref=" in raw:
         raw, ref = raw.split("?ref=", 1)
-    sub = None
-    # go-getter: '//' after the host part separates repo from subdir glob
-    m = re.match(r"^(?P<repo>(?:https://)?[^/]+/[^/]+/[^/]+)//(?P<sub>.+)$", raw)
-    if m:
-        raw, sub = m.group("repo"), m.group("sub")
+    raw, sub = _split_git_subpath(raw)
     if "://" not in raw and not raw.startswith("git@"):
         raw = "https://" + raw
     dest = tempfile.mkdtemp(prefix="tf_git_")

