@@ -111,6 +111,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup so the first measured query isn't paying JIT cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python-worker/Arrow warmup so the first pandas-path query isn't paying
+    # worker spin-up (mapInPandas and cogrouped applyInPandas lanes)
+    wdf = spark.range(64).selectExpr("id", "id % 4 AS k")
+    wdf.mapInPandas(lambda it: it, "id long, k long").write.format("noop").mode("overwrite").save()
+    (
+        wdf.groupby("k")
+        .cogroup(wdf.groupby("k"))
+        .applyInPandas(lambda l, r: l, "id long, k long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -239,6 +239,34 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube_revenue",
+    oracle="""
+    SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY CUBE (r.r_name, c.c_mktsegment)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(region, segment): all four grouping-set combinations — completes
+    the §2.7 rollup/cube/grouping-sets family (rollup and grouping sets have
+    their own entries)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .cube("r_name", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
     "q_distinct_nations_per_segment",
     oracle="""
     SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers
@@ -952,6 +980,40 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct("n_events", "total_value")).alias("s")
     )
     return latest.select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_value").alias("total_value"))
+
+
+@query(
+    "stream_deduped_events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_deduped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark drained via availableNow: the file
+    source delivers the whole corpus in one micro-batch, so every duplicate
+    key hits live dedup state and exactly one row per (user_id, event_type)
+    survives — the batch DISTINCT oracle. Only the key columns are
+    projected: which physical row wins is processing-order-dependent (the
+    operator keeps the first SEEN, not the earliest event-time), so value
+    columns would be nondeterministic."""
+    from .streaming.events import deduped_stream, read_events_stream
+
+    _stop_stream(spark, "__stream_deduped")
+    q = (
+        deduped_stream(read_events_stream(spark, sf_dir))
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("__stream_deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_deduped_events drain exceeded 600s")
+    # no final distinct: the comparison against the DISTINCT oracle is the
+    # proof that the STREAM deduped (one parquet file → one micro-batch)
+    return spark.table("__stream_deduped").select("user_id", "event_type")
 
 
 # ---------------------------------------------------------------------------

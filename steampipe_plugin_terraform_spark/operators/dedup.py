@@ -42,10 +42,46 @@ def shingles(text_col: str, n: int = 5, sep: str = " ") -> Column:
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition a narrow projection to cluster parallelism before a
     compute-heavy explode: a small single-file input is one partition and
-    would serialize the hash work on one core. At real scale the input is
-    already partitioned and this is a cheap rebalance of id+text only."""
+    would serialize the hash work on one core. Gated on the input actually
+    being under-partitioned — at real scale the corpus arrives in hundreds
+    of partitions and the extra shuffle of the full text column would be a
+    gratuitous cost, so it must be (and is) skipped."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(*cols).repartition(par)
+    proj = df.select(*cols)
+    if proj.rdd.getNumPartitions() >= max(par // 2, 2):
+        return proj
+    return proj.repartition(par)
+
+
+def _cap_document_frequency(sh: DataFrame, df_max: int | None, shingle_col: str = "s") -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``df_max`` before any
+    shingle self-join.
+
+    A boilerplate shingle shared by N docs contributes N² rows to a
+    shared-shingle join — one ubiquitous license-header 5-gram at corpus
+    scale is a quadratic hot key (SCALE.md). Capping df bounds the join at
+    |shingles|·df_max while leaving honest near-dup signals intact: a
+    shingle in >df_max docs identifies nothing. Pairs whose overlap is ONLY
+    boilerplate stop surfacing, and Jaccard of surviving pairs can
+    underestimate by the dropped shingles — the standard posting-list cap
+    semantics. ``None`` disables.
+
+    Implemented as a count window over the shingle key: ONE shuffle of the
+    posting list whose hash partitioning downstream equi-joins on the same
+    key then reuse (a groupBy + anti-join variant was measured ~2× slower —
+    5-grams are mostly distinct, so partial aggregation cannot compress its
+    extra shuffle). Worst case under an adversarial corpus degrades to a
+    spill-safe sort of the hot shingle's posting list inside one window
+    task — O(df·log df), vs the O(df²) join rows the cap exists to prevent.
+    """
+    if df_max is None:
+        return sh
+    w = Window.partitionBy(shingle_col)
+    return (
+        sh.withColumn("__df", F.count("*").over(w))
+        .filter(F.col("__df") <= df_max)
+        .drop("__df")
+    )
 
 
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
@@ -68,18 +104,26 @@ def shingle_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.6,
+    df_max: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, candidate-filtered by
     shared-shingle join (no all-pairs cross product).
 
+    ``df_max`` caps shingle document frequency before the self-join so one
+    boilerplate shingle cannot make the join quadratic on a hot key (see
+    ``_cap_document_frequency``); sizes/denominators still count every
+    shingle, so surviving pairs' Jaccard is exact up to the dropped-
+    boilerplate overlap.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
-    sh = (
+    sh_all = (
         _spread(df, id_col, text_col)
         .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sizes = sh_all.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh = _cap_document_frequency(sh_all, df_max)
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -162,12 +206,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
+    df_max: int | None = 10_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures into buckets, join within
     buckets only, then verify candidates with exact shingle Jaccard.
 
     The band join key is an md5 of the band slice — uniformly distributed, so
-    the self-join shuffle has no skew. Returns (id_a, id_b, jaccard).
+    the self-join shuffle has no skew. ``df_max`` additionally caps shingle
+    document frequency in the verification join (the same hot-key hazard as
+    the plain shared-shingle join — see ``_cap_document_frequency``); the
+    size denominators still count every shingle. Returns (id_a, id_b,
+    jaccard).
     """
     buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands)
     cand = (
@@ -180,12 +229,13 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs (|cand| << all pairs — that is the
     # entire point of LSH): explode each candidate's shingles and count the
     # intersection via an equi-join, never touching non-colliding pairs.
-    sh = (
+    sh_all = (
         _spread(df, id_col, text_col)
         .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sizes = sh_all.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh = _cap_document_frequency(sh_all, df_max)
     sh_a = sh.select(F.col("id").alias("id_a"), "s")
     sh_b = sh.select(F.col("id").alias("id_b"), "s")
     shared = (

@@ -1,16 +1,23 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers (SURVEY.md §2.11):
-- brute-force cosine top-k — exact baseline. The query set is broadcast
-  (small side), the corpus streams through executors; per-pair math is
-  JVM-side ``zip_with``/``aggregate`` (no Python). Cost O(|Q|·|C|·d) but
-  embarrassingly parallel and shuffle-free until the final per-query top-k
-  window (which shuffles only |Q|·|C| score rows — prune first with a
-  cheap bound when |C| is huge).
+Tiers (SURVEY.md §2.11):
+- brute-force cosine top-k — exact baseline. The corpus is hash-blocked;
+  queries replicate to each block; each block task does one BLAS matmul
+  and emits its local top-k, so the global rank window shuffles
+  |Q|·blocks·k rows, never the |Q|·|C| cartesian. Cost is still
+  O(|Q|·|C|·d) compute (exactness demands it) but embarrassingly parallel
+  with no driver materialization.
+- all-pairs near-dup — same blocking on BOTH sides over the
+  block-pair grid (B·(B+1)/2 cogroups), matmul per block pair.
 - LSH (random hyperplane) bucketed search — the scale path: sign-bit
-  signatures put similar vectors in the same bucket; only bucket-colliding
-  pairs are scored. Hyperplanes are generated deterministically from a seed
-  on the driver and shipped as literals.
+  signatures (one Arrow-batched matmul against the broadcast plane matrix)
+  put similar vectors in the same bucket; only bucket-colliding pairs are
+  scored. Hyperplanes are generated deterministically from a seed.
+- IVF (k-means coarse quantizer) — bucketed index + nprobe pruning.
+
+Dense pairwise linear algebra is the one sanctioned Python hot path
+(CLAUDE.md): interpreted zip_with/aggregate lambdas measured 66 s for the
+2M-pair matmul BLAS does in well under a second.
 """
 
 from __future__ import annotations
@@ -35,6 +42,13 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
     return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
 
 
+def _corpus_blocks(df: DataFrame, id_col: str, num_blocks: int) -> "Column":
+    """Uniform deterministic block id for a vector row: xxhash64 of the id
+    mod num_blocks — uniform for ANY id distribution (ids that are all
+    congruent mod B would make ``id % B`` a single hot block)."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -42,24 +56,81 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int | None = 6,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
+    Shape (100 TB path): the corpus is hash-split into ``num_blocks``
+    blocks; queries are replicated to every block (a broadcast join on a
+    ``num_blocks``-row literal — queries are the small side by contract).
+    Each (block) cogroup task computes the dense |Q|×|C|/B score matrix
+    with one BLAS matmul (dense linear algebra is the sanctioned Python
+    path — interpreted zip_with/aggregate lambdas measured ~30× slower)
+    and emits only its LOCAL top-k per query under the global total order,
+    so the final rank window shuffles |Q|·num_blocks·k rows instead of
+    the |Q|·|C| cartesian (the round-1 bottleneck). Local top-k under the
+    same strict total order (rounded score desc, id asc) is a superset of
+    each block's contribution to the global top-k, so the result is exact.
+
     Returns (query_id, neighbor_id, cosine, rank). Ordering is made
-    engine-deterministic by ranking on the ROUNDED score with the neighbor id
-    as tiebreaker (floating-point last-ulp differences between engines cannot
-    flip the rank).
+    engine-deterministic by ranking on the ROUNDED score with the neighbor
+    id as tiebreaker (floating-point last-ulp differences between engines
+    cannot flip the rank).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = F.broadcast(q).crossJoin(c).withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
-    if round_digits is not None:
-        # portable fixed-point rounding (identical IEEE ops in any engine)
-        scale = 10 ** round_digits
-        scored = scored.withColumn("cosine", F.expr(f"floor(cosine * {scale} + 0.5) / {scale}"))
+    import numpy as np
+
+    scale = 10 ** round_digits if round_digits is not None else None
+
+    # replicate queries to every block via explode — no join, no broadcast,
+    # whole-stage codegen (queries are the small side by contract)
+    q_rep = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.expr(f"sequence(0, {num_blocks - 1})")).alias("blk"),
+    )
+    c_blk = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _corpus_blocks(corpus, id_col, num_blocks).alias("blk"),
+    )
+
+    def block_topk(lpdf, rpdf):
+        import pandas as pd
+
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        qids = lpdf["query_id"].to_numpy()
+        Q = np.stack(lpdf["qv"].to_numpy()).astype("float64")
+        nids = rpdf["neighbor_id"].to_numpy()
+        C = np.stack(rpdf["cv"].to_numpy()).astype("float64")
+        S = (Q @ C.T) / np.outer(
+            np.sqrt((Q * Q).sum(axis=1)), np.sqrt((C * C).sum(axis=1))
+        )
+        if scale is not None:
+            S = np.floor(S * scale + 0.5) / scale
+        melt = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, len(nids)),
+                "neighbor_id": np.tile(nids, len(qids)),
+                "cosine": S.ravel(),
+            }
+        )
+        return (
+            melt.sort_values(
+                ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+
+    local = (
+        q_rep.groupby("blk")
+        .cogroup(c_blk.groupby("blk"))
+        .applyInPandas(block_topk, "query_id long, neighbor_id long, cosine double")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -151,52 +222,90 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine pairs above a threshold via Arrow-batched numpy.
+    """All-pairs cosine pairs above a threshold — blocked both sides, no
+    driver materialization (the round-1 version collected the corpus with
+    ``toPandas``; at the 100 TB design point the driver dies).
 
-    Higher-order-function lambdas (zip_with/aggregate) are interpreted, not
-    codegen'd — measured 66 s for 2M pairs at sf0.1. Dense pairwise math is
-    the one place the vectorized-pandas path beats built-ins: one side is
-    broadcast as a numpy matrix (the broadcast-join pattern; block BOTH
-    sides for corpora too big to broadcast), each Arrow batch does a BLAS
-    matmul against it. Same 2M pairs: well under a second of compute.
+    Shape: every vector gets a uniform block id (xxhash64 mod B); the
+    B·(B+1)/2 unordered block PAIRS form a tiny literal grid broadcast to
+    both replications; a cogroup on the pair id hands each task exactly two
+    blocks (~|N|/B vectors each), which it scores with one BLAS matmul
+    (dense linear algebra — the sanctioned Python path; interpreted
+    zip_with/aggregate lambdas measured 66 s for 2M pairs at sf0.1, the
+    matmul well under a second). Each unordered vector pair lands in
+    exactly one block pair, so no dedup pass is needed. Data amplification
+    is (B+1)× on the narrow (id, vec) projection; per-task memory is two
+    blocks, so B is the knob that fits blocks to executor memory — the
+    driver never holds vectors at any B.
 
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine portable-rounded
     to 6 digits.
     """
     import numpy as np
 
-    out_schema = "id_a long, id_b long, cosine double"
-    side = df.select(id_col, vec_col).toPandas()
-    if not len(side):
-        return df.sparkSession.createDataFrame([], out_schema)
-    ids = side[id_col].to_numpy()
-    M = np.stack(side[vec_col].to_numpy()).astype("float64")
-    norms = np.sqrt((M * M).sum(axis=1))
-    bc = df.sparkSession.sparkContext.broadcast((ids, M, norms))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _corpus_blocks(df, id_col, num_blocks).alias("blk"),
+    )
+    # a vector in block b participates as the LEFT side of pairs (b, j≥b)
+    # and the RIGHT side of pairs (i≤b, b); pid = bi·B + bj. Replication via
+    # explode — no grid join, no broadcast, stays in codegen.
+    left = base.select(
+        F.explode(
+            F.expr(f"transform(sequence(blk, {num_blocks - 1}), j -> blk * {num_blocks} + j)")
+        ).alias("pid"),
+        "id",
+        "v",
+    )
+    # distinct column names on the right side: a self-cogroup with shared
+    # attribute ids confuses Catalyst's column pruning (observed: the right
+    # frame arriving without its columns under count())
+    right = base.select(
+        F.explode(
+            F.expr(f"transform(sequence(0, blk), i -> i * {num_blocks} + blk)")
+        ).alias("pid"),
+        F.col("id").alias("rid"),
+        F.col("v").alias("rv"),
+    )
 
-    def block(batches):
+    def block_pair(key, lpdf, rpdf):
         import pandas as pd
 
-        ids_b, M_b, norms_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qids = pdf[id_col].to_numpy()
-            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            S = (Q @ M_b.T) / np.outer(qn, norms_b)
-            qi, ci = np.nonzero(S > threshold)
-            mask = qids[qi] < ids_b[ci]
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[qi][mask],
-                    "id_b": ids_b[ci][mask],
-                    "cosine": np.floor(S[qi, ci][mask] * 1e6 + 0.5) / 1e6,
-                }
-            )
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        bi, bj = divmod(int(key[0]), num_blocks)
+        a_ids = lpdf["id"].to_numpy()
+        A = np.stack(lpdf["v"].to_numpy()).astype("float64")
+        b_ids = rpdf["rid"].to_numpy()
+        B = np.stack(rpdf["rv"].to_numpy()).astype("float64")
+        S = (A @ B.T) / np.outer(
+            np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
+        )
+        ai, bix = np.nonzero(S > threshold)
+        ia, ib = a_ids[ai], b_ids[bix]
+        vals = S[ai, bix]
+        if bi == bj:
+            # same block on both sides: each unordered pair appears twice
+            # ((x,y) and (y,x)) — keep the ordered orientation once
+            keep = ia < ib
+            ia, ib, vals = ia[keep], ib[keep], vals[keep]
+        else:
+            # distinct blocks: every combination is a unique unordered pair;
+            # normalize orientation (block id ordering ≠ vector id ordering)
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": ia, "id_b": ib, "cosine": np.floor(vals * 1e6 + 0.5) / 1e6}
+        )
 
-    return df.select(id_col, vec_col).mapInPandas(block, out_schema)
+    return (
+        left.groupby("pid")
+        .cogroup(right.groupby("pid"))
+        .applyInPandas(block_pair, "id_a long, id_b long, cosine double")
+    )
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
@@ -224,15 +333,43 @@ def lsh_bucket_signatures(
     num_planes: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane sign signature (num_planes bits) per vector."""
-    planes = _hyperplanes(dim, num_planes, seed)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sig_bits = []
-    for i, p in enumerate(planes):
-        arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in p) + ")"
-        dot = f"aggregate(zip_with(v, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        sig_bits.append(f"CASE WHEN {dot} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END")
-    return base.withColumn("bucket", F.expr(" + ".join(sig_bits)))
+    """Random-hyperplane sign signature (num_planes bits) per vector.
+
+    Signatures come from ONE Arrow-batched matmul against the (tiny,
+    broadcast) plane matrix — the round-1 version built ``num_planes``
+    interpreted ``aggregate(zip_with(...))`` expressions per row, the exact
+    construct this repo measured ~30× slower than BLAS (SCALE.md). The
+    stage stays narrow (no shuffle); only the plane matrix
+    (num_planes × dim doubles) ships to executors.
+    """
+    import numpy as np
+
+    planes = np.asarray(_hyperplanes(dim, num_planes, seed), dtype="float64")
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    vec_type = dict(df.dtypes)[vec_col]
+    id_type = dict(df.dtypes)[id_col]
+
+    def sign(batches):
+        import pandas as pd
+
+        P = bc.value
+        weights = 1 << np.arange(P.shape[0], dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            bits = (V @ P.T) >= 0.0
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "v": pdf[vec_col],
+                    "bucket": (bits * weights).sum(axis=1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sign, f"id {id_type}, v {vec_type}, bucket bigint"
+    )
 
 
 def lsh_cosine_topk(

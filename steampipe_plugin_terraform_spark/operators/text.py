@@ -119,7 +119,10 @@ def zscore_by_group(
         x = pdf[value_col].astype("float64")
         sd = x.std(ddof=1)
         if not sd or sd != sd:  # 0 or NaN
-            z = pd.Series([float("nan")] * len(x))
+            # nullable Float64 so Arrow emits true SQL NULLs — a plain
+            # float64 NaN would survive as NaN in the DoubleType column
+            # and dodge `z IS NULL` filters
+            z = pd.array([None] * len(x), dtype="Float64")
         else:
             import numpy as np
 
