@@ -151,19 +151,60 @@ class TerraformEngine:
         cache: bool = True,
     ):
         self.spark = spark
+        self._source_lists = (tuple(config_paths), tuple(plan_paths), tuple(state_paths), path_qual)
         self.files = discover_files(config_paths, plan_paths, state_paths, path_qual)
         self.on_error = on_error
         self._cache = cache
         self._wide: DataFrame | None = None
+        self._views_json_as: str | None = None
+
+    # -- connection-config constructors (connection_config.go, terraform.spc) --
+
+    @classmethod
+    def with_defaults(cls, spark: SparkSession, base_dir: str | None = None, **kw) -> "TerraformEngine":
+        """Out-of-box engine mirroring the reference's default connection:
+        ``*.tf`` / ``tfplan.json``+``*.tfplan.json`` / ``*.tfstate`` resolved
+        against ``base_dir`` (default CWD) — config/terraform.spc:23-25."""
+        from .sources.config import TerraformConnectionConfig
+
+        return cls.from_config(spark, TerraformConnectionConfig(), base_dir=base_dir, **kw)
+
+    @classmethod
+    def from_config(
+        cls,
+        spark: SparkSession,
+        config: "TerraformConnectionConfig",
+        base_dir: str | None = None,
+        **kw,
+    ) -> "TerraformEngine":
+        c, p, s = config.resolve(base_dir)
+        return cls(spark, config_paths=c, plan_paths=p, state_paths=s, **kw)
+
+    @classmethod
+    def from_spc(
+        cls,
+        spark: SparkSession,
+        spc_path: str,
+        connection: str | None = None,
+        base_dir: str | None = None,
+        **kw,
+    ) -> "TerraformEngine":
+        """Engine from a Steampipe ``.spc`` connection file (HCL), so a
+        migrating reference user can point at their existing config."""
+        from .sources.config import load_spc
+
+        return cls.from_config(spark, load_spc(spc_path, connection), base_dir=base_dir, **kw)
 
     # -- core lineage --
 
-    def _files_df(self) -> DataFrame:
+    def _files_df(self, files: list[tuple[str, str]] | None = None) -> DataFrame:
         """One binaryFile read per kind, kind attached as a literal column —
         robust for remote globs the reader expands itself."""
+        if files is None:
+            files = self.files
         parts = []
         for kind in ("config", "plan", "state"):
-            paths = [p for p, k in self.files if k == kind]
+            paths = [p for p, k in files if k == kind]
             if paths:
                 parts.append(
                     self.spark.read.format("binaryFile")
@@ -177,16 +218,88 @@ class TerraformEngine:
             out = out.unionByName(p)
         return out
 
+    def _parse(self, files_df: DataFrame) -> DataFrame:
+        return files_df.mapInPandas(_make_parse_fn(self.on_error), schema=WIDE_SCHEMA)
+
     def wide(self) -> DataFrame:
         """The canonical wide DataFrame all seven tables derive from."""
         if self._wide is None:
-            df = self._files_df().mapInPandas(
-                _make_parse_fn(self.on_error), schema=WIDE_SCHEMA
-            )
+            df = self._parse(self._files_df())
             if self._cache:
                 df = df.persist()
             self._wide = df
         return self._wide
+
+    def refresh(self, changed_paths=None) -> None:
+        """Re-discover sources and bring the wide frame up to date — the
+        reference's watch re-scan (connection_config.go:8-11 fsnotify via
+        ``steampipe:"watch"`` tags; SURVEY §2 S6).
+
+        ``changed_paths``: optional iterable of local file paths known to
+        have been added/modified/deleted (e.g. from TerraformWatcher). When
+        given and a cached wide frame exists, ONLY those files re-parse:
+        surviving rows are kept from cache, so a one-file edit in a
+        million-file corpus costs one parse + a cheap cached filter, not a
+        full re-scan. Changed-file content is read on the driver (a watch
+        tick touches few files by definition; the bytes never exceed the
+        changed set) specifically to avoid ``refreshByPath``, which would
+        drop the cached wide frame we are reusing. A changed REMOTE object,
+        or ``changed_paths=None``, falls back to a full lazy rebuild.
+
+        Registered temp views are re-registered so ``spark.sql`` callers see
+        the refreshed tables without re-calling ``register_views``.
+        """
+        import os
+
+        old = self._wide
+        cfg, plan, state, qual = self._source_lists
+        self.files = discover_files(cfg, plan, state, qual)
+        # Spark's shared FileStatusCache pins each file's LENGTH from its
+        # first listing (no TTL by default), so a re-read of a grown file
+        # would silently truncate to the stale length. Drop the listing
+        # cache (metadata only — persisted DataFrames are untouched).
+        try:
+            self.spark._jvm.org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+        except Exception:
+            pass  # no JVM access (connect mode): stale listings possible
+        changed = (
+            None
+            if changed_paths is None
+            else {os.path.abspath(os.path.expanduser(p)) if "://" not in p else p for p in changed_paths}
+        )
+        incremental = (
+            old is not None
+            and self._cache
+            and changed is not None
+            and not any("://" in p for p in changed)
+        )
+        if old is None:
+            pass  # nothing materialized yet; next wide() sees the new list
+        elif not incremental:
+            # no cache to reuse rows from (or remote change we can't stat) —
+            # full lazy rebuild, like the reference's re-scan
+            self._wide = None
+            old.unpersist()
+        else:
+            keep = old.filter(~F.col("path").isin(list(changed)))
+            reparse = [(p, k) for p, k in self.files if p in changed]
+            if reparse:
+                rows = []
+                for p, k in reparse:
+                    with open(p, "rb") as f:
+                        rows.append((p, bytearray(f.read()), k))
+                fresh = self.spark.createDataFrame(
+                    rows, schema="path string, content binary, file_kind string"
+                )
+                df = keep.unionByName(self._parse(fresh))
+            else:
+                df = keep
+            df = df.persist()
+            df.count()  # materialize from the old cache BEFORE dropping it
+            self._wide = df
+            old.unpersist()
+        if self._views_json_as is not None:
+            self.register_views(json_as=self._views_json_as)
 
     # -- public surface --
 
@@ -224,6 +337,7 @@ class TerraformEngine:
 
     def register_views(self, json_as: str = "string") -> None:
         """Register all seven tables as temp views for ``spark.sql``."""
+        self._views_json_as = json_as
         for name, df in self.tables(json_as=json_as).items():
             df.createOrReplaceTempView(name)
 
