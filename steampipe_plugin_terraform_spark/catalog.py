@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import cluster, dedup, multimodal, similarity, text
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -819,6 +819,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_simhash"] = dedup_simhash
+
+
+@query(
+    "dedup_clusters",
+    # same minhash+LSH pipeline as dedup_minhash_lsh, then a RECURSIVE
+    # transitive closure over the verified pairs — the oracle checks the
+    # whole edges→components→assignment chain, not just the pair list
+    oracle="WITH RECURSIVE "
+    + _SHINGLE_CTE.split("WITH", 1)[1]
+    + """,
+    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    pairs AS (SELECT c.id_a, c.id_b
+              FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+              JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+              WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8),
+    edges AS (SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via large-star/small-star connected components over
+    MinHash+LSH verified pairs: every doc gets a cluster_id (= smallest
+    doc_id in its duplicate component; itself when unique) and an
+    is_canonical keep/drop flag — the end-to-end corpus-dedup assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=5, num_hashes=8, bands=4, threshold=0.8)
+    return cluster.dedup_clusters(docs, pairs)
 
 
 @query(

@@ -1,0 +1,67 @@
+"""Connected-components dedup clustering (operators/cluster.py)."""
+
+import pytest
+
+from steampipe_plugin_terraform_spark.operators import cluster
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = cluster.connected_components(df, **kw)
+    return {(r["node"], r["component"]) for r in out.collect()}
+
+
+def test_single_chain_collapses_to_min(spark):
+    # a 12-node path: worst case for naive label propagation (diameter 11);
+    # star-contraction must still converge and label everything with 1
+    edges = [(i, i + 1) for i in range(1, 12)]
+    got = _cc(spark, edges)
+    assert got == {(i, 1) for i in range(1, 13)}
+
+
+def test_two_components_and_duplicate_reversed_edges(spark):
+    edges = [(5, 3), (3, 5), (3, 9), (20, 30), (30, 20), (40, 30)]
+    got = _cc(spark, edges)
+    assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (30, 20), (40, 20)}
+
+
+def test_self_loops_ignored(spark):
+    got = _cc(spark, [(7, 7), (7, 8)])
+    assert got == {(7, 7), (8, 7)}
+
+
+def test_dedup_clusters_full_assignment(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 4), (4, 6), (3, 5)], "id_a long, id_b long")
+    out = cluster.dedup_clusters(docs, pairs)
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    assert rows == {
+        1: (1, True),
+        2: (2, True),
+        3: (3, True),
+        4: (2, False),
+        5: (3, False),
+        6: (2, False),
+        7: (7, True),
+    }
+    # exactly one canonical per cluster
+    canon = [d for d, (_, c) in rows.items() if c]
+    assert sorted(canon) == [1, 2, 3, 7]
+
+
+@pytest.mark.parametrize("shape", ["star", "clique", "binary_tree"])
+def test_topologies(spark, shape):
+    if shape == "star":
+        edges = [(100, i) for i in range(1, 20)]
+        want_root = 1
+        nodes = set(range(1, 20)) | {100}
+    elif shape == "clique":
+        nodes = {10, 11, 12, 13, 14}
+        edges = [(a, b) for a in nodes for b in nodes if a < b]
+        want_root = 10
+    else:
+        edges = [(i, 2 * i) for i in range(1, 16)] + [(i, 2 * i + 1) for i in range(1, 16)]
+        nodes = set(range(1, 32))
+        want_root = 1
+    got = _cc(spark, edges)
+    assert got == {(n, want_root) for n in nodes}
