@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators import cluster, dedup, multimodal, similarity, text
+from .operators import cluster, dedup, multimodal, pack, similarity, text
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -751,6 +751,111 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_top_bigrams",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') w FROM documents),
+    g AS (SELECT array_to_string(w[i:i+1], ' ') ngram
+          FROM t, unnest(range(1, len(w))) r(i)
+          WHERE len(w) >= 2)
+    SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+    ORDER BY cnt DESC, ngram LIMIT 20
+    """,
+)
+def docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams (vocabulary / boilerplate scan)."""
+    return text.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@query(
+    "docs_redact_pii",
+    # the synthetic corpus has no PII, so both sides graft the SAME
+    # deterministic contact line onto each doc before scrubbing — the
+    # redaction semantics (3 pattern families, sequential count) get a real
+    # value-checked workout instead of a vacuous identity pass
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      text || ' contact user' || doc_id::VARCHAR ||
+                      '@mail.example.com or 10.0.' || (doc_id % 256)::VARCHAR ||
+                      '.7 or +1 415 ' || (1000000 + doc_id)::VARCHAR AS text
+               FROM documents),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) c1,
+                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') t1
+           FROM d),
+    s2 AS (SELECT doc_id, c1,
+                  len(regexp_extract_all(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) c2,
+                  regexp_replace(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') t2
+           FROM s1),
+    s3 AS (SELECT doc_id, c1, c2,
+                  len(regexp_extract_all(t2, '\\+[0-9][0-9() -]{6,}[0-9]')) c3,
+                  regexp_replace(t2, '\\+[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') t3
+           FROM s2)
+    SELECT doc_id, t3 AS clean_text, (c1 + c2 + c3)::BIGINT AS n_redactions FROM s3
+    """,
+)
+def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails, IPv4, intl phone numbers) over the corpus with a
+    deterministic PII graft so the redaction paths actually fire."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', cast(doc_id AS string),"
+            " '@mail.example.com or 10.0.', cast(doc_id % 256 AS string),"
+            " '.7 or +1 415 ', cast(1000000 + doc_id AS string))"
+        ).alias("text"),
+    )
+    return text.redact_pii(docs)
+
+
+@query(
+    "docs_pack_sequences",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang, (doc_id % 4)::INTEGER AS shard,
+               len(string_split(text, ' '))::BIGINT AS weight,
+               row_number() OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id) rn
+        FROM documents),
+    p(lang, shard, rn, doc_id, weight, seq_id, acc) AS (
+        SELECT lang, shard, rn, doc_id, weight, 0::BIGINT, weight FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.shard, d.rn, d.doc_id, d.weight,
+               CASE WHEN p.acc + d.weight > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.acc + d.weight > 256 THEN d.weight ELSE p.acc + d.weight END
+        FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
+    SELECT doc_id, lang, shard, weight, seq_id FROM p
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing (budget 256 tokens) per
+    (lang, id-hash shard): the training-batch construction step. The DuckDB
+    oracle replays the same greedy recursion with a RECURSIVE CTE."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr("size(split(text, ' '))").cast("long").alias("n_tok")
+    )
+    return pack.pack_greedy(
+        docs, budget=256, weight_col="n_tok", group_col="lang", shards=4
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+    a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) amax FROM e)
+    SELECT vec_id,
+           CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+           CASE WHEN amax = 0 THEN list_transform(v, x -> 0::INTEGER)
+                ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5)::INTEGER)
+           END AS q
+    FROM a
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column."""
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
 @query(

@@ -405,3 +405,29 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, scale, q) with
+    q[i] = round_half_up(v[i] · 127 / amax) and amax = max(|v|), so
+    dequantization is q[i] · scale with scale = amax / 127.
+
+    The storage/IO workhorse of an embedding pipeline: 4× smaller vectors
+    for the ANN index and candidate scoring, exact re-scoring on the fp32
+    originals afterwards. Pure codegen'd array expressions, one row in/out,
+    no shuffle; rounding is the engine-portable floor(x + 0.5) form (all
+    IEEE-double ops, bit-identical in the DuckDB oracle). Zero vectors get
+    scale 0 and an all-zero q.
+    """
+    v = f"transform({vec_col}, x -> cast(x AS double))"
+    amax = f"array_max(transform({v}, x -> abs(x)))"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CASE WHEN {amax} = 0 THEN cast(0.0 AS double) ELSE {amax} / 127.0 END").alias("scale"),
+        F.expr(
+            f"CASE WHEN {amax} = 0 THEN transform({v}, x -> cast(0 AS int)) "
+            f"ELSE transform({v}, x -> cast(floor(x * 127.0 / {amax} + 0.5) AS int)) END"
+        ).alias("q"),
+    )

@@ -185,3 +185,63 @@ def winnow_fingerprints(
         F.countDistinct("win").alias("n_fps"),
         F.min("win").alias("min_fp"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Global top-k word n-grams by occurrence count — the corpus-vocabulary
+    scan of a training pipeline (boilerplate detection, tokenizer seeding).
+
+    Scale: explode is narrow; the count is a hash aggregate with map-side
+    partial combine (n-gram keys are near-uniform, no hot key worse than the
+    corpus' own most-common phrase); the final top-k is TakeOrdered over
+    per-partition k-row heaps, NOT a global sort shuffle. Ties break on the
+    n-gram string so results are deterministic across cluster layouts.
+    """
+    toks = f"split({text_col}, '{sep}')"
+    grams = F.expr(
+        # sequence(1, 0) yields DESCENDING [1, 0], not [] — guard short rows
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws('{sep}', slice({toks}, i, {n}))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+# (name, pattern, replacement) applied IN ORDER; each pattern is counted on
+# the text as already redacted by the previous ones, so overlapping matches
+# (an IP inside an email) are never double-counted. Patterns restrict to
+# syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB oracle): no
+# backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / international-format phone numbers, returning
+    (id, clean_text, n_redactions). Pure regexp_replace chain — whole-stage
+    codegen, no Python, embarrassingly parallel (no shuffle at any scale).
+    """
+    cur: Column = F.col(text_col)
+    count = F.lit(0)
+    for _, pat, repl in PII_PATTERNS:
+        count = count + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(
+        F.col(id_col), cur.alias("clean_text"), count.cast("long").alias("n_redactions")
+    )
