@@ -316,6 +316,85 @@ QUERIES["q_approx_distinct"] = q_approx_distinct
 
 
 @query(
+    "q_returns_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_returns_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: EXISTS decorrelates to a left-semi join, then a hash
+    aggregate on the tiny priority domain (map-side combine collapses it)."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_promo_revenue_ratio",
+    oracle="""
+    SELECT floor(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000
+           AS economy_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    """,
+)
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: conditional-aggregate ratio over a fact↔dim join;
+    part is explicitly broadcast so the fact side never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.expr(
+            "floor(100.0 * sum(CASE WHEN p_type = 'ECONOMY'"
+            " THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+            " / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000"
+        ).alias("economy_revenue_pct")
+    )
+
+
+@query(
+    "q_small_quantity_revenue",
+    oracle="""
+    SELECT p_brand,
+           floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS small_qty_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p_brand
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: correlated scalar subquery (per-part average
+    quantity). Spark-first decorrelation: ONE pre-aggregation of lineitem by
+    partkey broadcast back onto the fact table — the fact side is scanned
+    twice but never shuffled (both the threshold join and the brand lookup
+    are broadcast hash joins)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == avg_q.ak)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.expr("floor(sum(l_extendedprice) * 100 + 0.5) / 100").alias("small_qty_revenue"))
+    )
+
+
+@query(
     "q_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
@@ -1260,3 +1339,22 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed metadata. The oracle reproduces the deterministic stub formula."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.extract_media_metadata(multimodal.documents_as_binary(docs))
+
+
+@query(
+    "media_frame_sample",
+    # the corpus is pure ASCII (verified), so byte-frames == char windows
+    # and DuckDB can fingerprint the identical slices
+    oracle="""
+    SELECT doc_id, i AS frame_idx, md5(substring(text, (i * 256)::INTEGER + 1, 256)) AS frame_md5
+    FROM documents, unnest(range(0, (strlen(text) + 255) // 256)) r(i)
+    WHERE i % 4 = 0
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over the binary payload (multi-row-per-input
+    mapInPandas demux plumbing with a deterministic fake codec)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.documents_as_binary(docs), every=4, frame_bytes=256
+    )

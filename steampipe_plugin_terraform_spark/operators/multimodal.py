@@ -71,3 +71,53 @@ def documents_as_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     """Adapter for the synthetic testdata: treat the utf-8 text bytes as an
     opaque media payload so the binary plumbing is exercised end-to-end."""
     return df.select(F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every: int = 4,
+    frame_bytes: int = 256,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over an opaque video-like payload: one output row per
+    sampled frame (every ``every``-th fixed-size byte frame), carrying a
+    frame fingerprint. The fake "codec" slices fixed-size byte windows — a
+    real demuxer (pyav etc., not in this container) drops into the same
+    per-row loop; everything around it (multi-row-per-input mapInPandas,
+    Arrow batching, schema) is the production plumbing.
+
+    Scale: narrow map, no shuffle; output row count is |payload|/(every·
+    frame_bytes) per doc, and frame bytes leave the executor only as an
+    md5 fingerprint — never raw.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    id_name, payload_name = id_col, payload_col
+
+    def demux(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, payload in zip(pdf[id_name], pdf[payload_name]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    hashes.append(
+                        hashlib.md5(b[fi * frame_bytes : (fi + 1) * frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(demux, schema=FRAME_SCHEMA)
