@@ -1242,6 +1242,40 @@ def stream_deduped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("__stream_deduped").select("user_id", "event_type")
 
 
+@query(
+    "stream_click_error_join",
+    oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks ⋈ same-user errors within 10
+    minutes after), both sides watermarked so join state evicts past
+    watermark + interval; drained via availableNow against the batch-join
+    oracle."""
+    from .streaming.events import interval_join_stream, read_events_stream
+
+    _stop_stream(spark, "__stream_ss_join")
+    q = (
+        interval_join_stream(
+            read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+        )
+        .writeStream.format("memory")
+        .queryName("__stream_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_click_error_join drain exceeded 600s")
+    return spark.table("__stream_ss_join")
+
+
 # ---------------------------------------------------------------------------
 # Terraform tables (the reference's own surface, §1.4/§2.10) — DuckDB has no
 # terraform views, so the oracles are golden VALUES derived from the fixture

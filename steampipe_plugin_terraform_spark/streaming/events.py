@@ -64,3 +64,48 @@ def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-key events within the watermark horizon
     (dropDuplicatesWithinWatermark — the streaming exact-dedup analog)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "error",
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval: every
+    ``left_type`` event joined to the same user's ``right_type`` events in
+    [ts, ts + within]. Both sides carry watermarks so the join state store
+    evicts rows once they age past watermark + interval — the state bound
+    that makes stream-stream joins viable at scale (without the time bound
+    the state is unbounded and the join is rejected by Spark).
+    """
+    l = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+    ).select(
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("error_id"),
+        F.col("l_user").alias("user_id"),
+    )
