@@ -1096,6 +1096,31 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["emb_ivf_topk"] = emb_ivf_topk
 
 
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF probe against brute-force ground truth — the
+    self-evaluation loop an ANN deployment runs before trusting an index
+    (rows-only: inherits k-means engine-specificity from emb_ivf_topk).
+
+    Shape: both sides produce (qid, nid) pairs; recall is |approx ∩ exact|
+    / |exact| via an equi-join and one aggregate — no collect."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
+    assigned, centroids = similarity.build_ivf(corpus, n_centroids=16)
+    approx = similarity.ivf_topk(queries, assigned, centroids, k=5, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return hits.agg(
+        (F.count("*") / F.lit(exact.count())).alias("recall_at_5"),
+        F.countDistinct("query_id").alias("n_queries_with_hits"),
+    )
+
+
+QUERIES["emb_ivf_recall"] = emb_ivf_recall
+
+
 def _stop_stream(spark: SparkSession, name: str) -> None:
     """Stop a leftover active query with this name (re-invocation safety)."""
     for q in spark.streams.active:
