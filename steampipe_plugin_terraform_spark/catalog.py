@@ -300,6 +300,29 @@ def q_big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
 
+@query(
+    "q_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+           floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    `quantile_cont`: both rank at p·(n−1) with linear interpolation). The
+    exact form needs a per-group sort; the streaming/sketch alternative is
+    approx_percentile (t-digest), engine-specific like approx_distinct."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("floor(percentile(value, 0.5) * 10000 + 0.5) / 10000").alias("p50"),
+        F.expr("floor(percentile(value, 0.9) * 10000 + 0.5) / 10000").alias("p90"),
+        F.expr("floor(percentile(value, 0.99) * 10000 + 0.5) / 10000").alias("p99"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) customers per order-year —
     rows-only check: sketch estimates are engine-specific by construction.
