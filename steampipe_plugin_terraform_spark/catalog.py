@@ -1071,6 +1071,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_curation_pipeline",
+    # end-to-end corpus curation: the dedup_clusters CTE chain (minhash →
+    # LSH → verify → RECURSIVE components) + fused quality/lang heuristics
+    oracle="WITH RECURSIVE "
+    + _SHINGLE_CTE.split("WITH", 1)[1]
+    + """,
+    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    pairs AS (SELECT c.id_a, c.id_b
+              FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+              JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+              WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8),
+    edges AS (SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    m AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             floor((0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                   + 0.5 * least(floor(len(list_filter(string_split(text, ' '),
+                                       w -> w IN ('the','a','of','and','to'))) * 1.0
+                                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 * 5.0,
+                                 1.0)) * 10000 + 0.5) / 10000 AS quality,
+             CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to'))) = 0
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que'))) = 0
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu'))) = 0
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les'))) = 0 THEN 'und'
+                  WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que')))
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu')))
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les'))) THEN 'en'
+                  WHEN len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu')))
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les'))) THEN 'es'
+                  WHEN len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les'))) THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM documents)
+    SELECT m.doc_id, m.pred_lang, m.quality, m.n_tokens
+    FROM m LEFT JOIN comp c ON m.doc_id = c.doc_id
+    WHERE coalesce(c.cluster_id, m.doc_id) = m.doc_id
+      AND m.quality >= 0.5 AND m.pred_lang = 'en'
+    """,
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation query: keep documents that are (a)
+    canonical within their near-dup cluster (MinHash+LSH → connected
+    components), (b) quality ≥ 0.5, (c) predicted English.
+
+    Spark shape: the per-document metrics (tokens, quality, language) fuse
+    into ONE projection over the parquet scan — no joins between metric
+    operators — and the only relational step is the left join against the
+    (typically tiny, broadcast) duplicate-component map."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=5, num_hashes=8, bands=4, threshold=0.8)
+    assigned = cluster.dedup_clusters(docs, pairs).filter("is_canonical").select("doc_id")
+    metrics = docs.select(
+        "doc_id",
+        text.lang_pred_expr("text").alias("pred_lang"),
+        text.quality_expr("text").alias("quality"),
+        text.n_tokens_expr("text").alias("n_tokens"),
+    )
+    return (
+        metrics.join(assigned, "doc_id", "left_semi")
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )
+
+
+@query(
     "emb_cosine_topk",
     oracle="""
     WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10),

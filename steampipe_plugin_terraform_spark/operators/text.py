@@ -39,6 +39,38 @@ def pround(sql: str, digits: int) -> str:
     return f"floor(({sql}) * {scale} + 0.5) / {scale}"
 
 
+def n_tokens_expr(text_col: str = "text") -> Column:
+    return F.expr(f"CAST(size(split({text_col}, ' ')) AS BIGINT)")
+
+
+def stopword_ratio_expr(text_col: str = "text", digits: int = 4) -> Column:
+    toks = f"split({text_col}, ' ')"
+    return F.expr(pround(f"{_in_list(text_col, STOPWORDS)} / size({toks})", digits))
+
+
+def quality_expr(text_col: str = "text") -> Column:
+    """score = 0.5 · min(n_tokens/100, 1) + 0.5 · min(stopword_ratio·5, 1)."""
+    toks = f"split({text_col}, ' ')"
+    sw = pround(f"{_in_list(text_col, STOPWORDS)} / size({toks})", 4)
+    return F.expr(
+        pround(f"0.5 * least(size({toks}) / 100.0, 1.0) + 0.5 * least(({sw}) * 5.0, 1.0)", 4)
+    )
+
+
+def lang_pred_expr(text_col: str = "text") -> Column:
+    """The language whose stopword profile hits the most tokens; fixed
+    priority (dict order) breaks ties; zero hits → 'und'."""
+    pred: Column = F.lit("und")
+    best: Column = F.lit(0)
+    # fixed priority = dict order; a strictly-greater score takes over
+    for lang, words in LANG_STOPWORDS.items():
+        cnt = F.expr(_in_list(text_col, words))
+        take = cnt > best
+        pred = F.when(take, F.lit(lang)).otherwise(pred)
+        best = F.when(take, cnt).otherwise(best)
+    return pred
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token statistics: counts, lengths, stopword/punct ratios.
 
@@ -48,41 +80,23 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     nchars = f"length(replace({text_col}, ' ', ''))"
     return df.select(
         F.col(id_col),
-        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        n_tokens_expr(text_col).alias("n_tokens"),
         F.expr(f"CAST({nchars} AS BIGINT)").alias("n_chars_nospace"),
         F.expr(pround(f"{nchars} / size({toks})", 4)).alias("avg_token_len"),
-        F.expr(pround(f"{_in_list(text_col, STOPWORDS)} / size({toks})", 4)).alias("stopword_ratio"),
+        stopword_ratio_expr(text_col).alias("stopword_ratio"),
     )
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic quality score in [0, 1]: rewards moderate length and
-    stopword presence (the standard cheap pre-filter for LLM corpora).
-
-    score = 0.5 * min(n_tokens / 100, 1) + 0.5 * min(stopword_ratio * 5, 1)
-    """
-    stats = token_stats(df, id_col, text_col)
-    return stats.select(
-        id_col,
-        F.expr(
-            pround("0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * least(stopword_ratio * 5.0, 1.0)", 4)
-        ).alias("quality"),
-    )
+    stopword presence (the standard cheap pre-filter for LLM corpora)."""
+    return df.select(F.col(id_col), quality_expr(text_col).alias("quality"))
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic language ID: the language whose stopword profile hits the
     most tokens wins; fixed priority order breaks ties; zero hits → 'und'."""
-    scores = {lang: F.expr(_in_list(text_col, words)) for lang, words in LANG_STOPWORDS.items()}
-    pred: Column = F.lit("und")
-    best: Column = F.lit(0)
-    # fixed priority = dict order; a strictly-greater score takes over
-    for lang, s in LANG_STOPWORDS.items():
-        cnt = scores[lang]
-        take = cnt > best
-        pred = F.when(take, F.lit(lang)).otherwise(pred)
-        best = F.when(take, cnt).otherwise(best)
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return df.select(F.col(id_col), lang_pred_expr(text_col).alias("pred_lang"))
 
 
 def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
