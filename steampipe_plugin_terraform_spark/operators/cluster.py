@@ -91,6 +91,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_count = edges.count()
+    converged = False
     for _ in range(max_rounds):
         after_large = _star_round(edges, large=True)
         after_small = _star_round(after_large, large=False).localCheckpoint(eager=True)
@@ -103,6 +104,14 @@ def connected_components(
         edges, prev_count = after_small, new_count
         if converged:
             break
+    if not converged:
+        # star-contraction needs O(log n) rounds; hitting the cap means the
+        # labels may not be component minima yet — surface it loudly rather
+        # than silently returning partial clusters
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds; "
+            "raise max_rounds (the alternating algorithm needs O(log n) rounds)"
+        )
     # converged star graph: every non-min node points at its component min
     stars = edges.select(F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component"))
     mins = stars.select(F.col("component").alias("node"), F.col("component"))

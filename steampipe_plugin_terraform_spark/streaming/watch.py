@@ -111,3 +111,37 @@ class TerraformWatcher:
             self.poll()
             ticks += 1
             time.sleep(interval)
+
+
+def watch_to_canonical(
+    spark: SparkSession,
+    config_dir: str,
+    store_path: str,
+    kind: str = "config",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Continuously append newly-discovered files' wide rows to the durable
+    canonical store (Parquet partitioned by ``tf_table`` — the same layout
+    ``TerraformEngine.save_canonical`` writes, readable by
+    ``load_canonical``). foreachBatch keeps the write idempotent per
+    micro-batch id via the stream checkpoint; ``available_now`` drains the
+    current backlog and stops (cron-style refresh), otherwise the query
+    runs until stopped.
+
+    Returns the StreamingQuery.
+    """
+    stream = watch_terraform_blocks(spark, config_dir, kind=kind)
+    writer = (
+        stream.writeStream.option(
+            "checkpointLocation", checkpoint or store_path + "/_checkpoint"
+        )
+        .foreachBatch(
+            lambda batch, _id: batch.write.mode("append")
+            .partitionBy("tf_table")
+            .parquet(store_path)
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -158,3 +158,30 @@ def test_stateful_running_totals(spark):
     )
     want = {r["user_id"]: (r["n"], r["tv"]) for r in batch.collect()}
     assert got == want
+
+
+def test_watch_to_canonical_store(spark, fixtures_dir, tmp_path):
+    from steampipe_plugin_terraform_spark.engine import TerraformEngine
+    from steampipe_plugin_terraform_spark.streaming.watch import watch_to_canonical
+
+    watch_dir = tmp_path / "watched"
+    watch_dir.mkdir()
+    shutil.copy(fixtures_dir / "config" / "main.tf", watch_dir / "main.tf")
+    store = str(tmp_path / "store")
+
+    q = watch_to_canonical(spark, str(watch_dir), store)
+    assert q.awaitTermination(300)
+
+    eng = TerraformEngine.load_canonical(spark, store)
+    n1 = eng.table("terraform_resource").count()
+    assert n1 > 0
+
+    # a new file appears; a second availableNow drain appends only its rows
+    (watch_dir / "extra.tf").write_text('resource "canary" "c" { x = 1 }\n')
+    q2 = watch_to_canonical(spark, str(watch_dir), store)
+    assert q2.awaitTermination(300)
+    eng2 = TerraformEngine.load_canonical(spark, store)
+    assert eng2.table("terraform_resource").count() == n1 + 1
+    assert (
+        eng2.table("terraform_resource").filter("type = 'canary'").count() == 1
+    )
