@@ -62,8 +62,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return _par_floor(df)
+    return _par_floor(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _par_floor(df: DataFrame) -> DataFrame:
+    """Gated scan-parallelism floor for toy inputs.
+
+    The sf* test tables are single-row-group parquet files, so the scan is
+    ONE split and every per-row expression (regexp, md5, shingle explode)
+    serializes on one core regardless of cluster size. At real scale the
+    source arrives in hundreds of splits and the gate disqualifies the
+    shuffle — a round-robin repartition there would be a gratuitous full
+    re-distribution (same design as ``operators.dedup._spread``). Column
+    pruning and filter pushdown still reach the scan below the exchange.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(par // 2, 2):
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(par)
 
 
 # ---------------------------------------------------------------------------
@@ -949,15 +966,22 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) amax FROM e)
     SELECT vec_id,
            CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
-           CASE WHEN amax = 0 THEN list_transform(v, x -> 0::INTEGER)
-                ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5)::INTEGER)
-           END AS q
+           '[' || array_to_string(
+               CASE WHEN amax = 0 THEN list_transform(v, x -> 0::INTEGER)
+                    ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5)::INTEGER)
+               END, ',') || ']' AS q
     FROM a
     """,
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector int8 quantization of the embedding column."""
-    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    """Symmetric per-vector int8 quantization of the embedding column.
+
+    The catalog entry serializes the int8 vector as its JSON text (both
+    sides) because the correctness gate canonicalizes via pandas sort,
+    which cannot hash array cells; ``similarity.quantize_int8`` itself
+    returns the real array<int> column."""
+    q = similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.select("vec_id", "scale", F.to_json("q").alias("q"))
 
 
 @query(

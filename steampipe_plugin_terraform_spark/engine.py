@@ -259,7 +259,13 @@ class TerraformEngine:
         # would silently truncate to the stale length. Drop the listing
         # cache (metadata only — persisted DataFrames are untouched).
         try:
-            self.spark._jvm.org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+            # the Scala companion object has no static forwarder for this
+            # method, so it must be addressed explicitly via $.MODULE$
+            jvm = self.spark._jvm
+            companion = getattr(
+                jvm, "org.apache.spark.sql.execution.datasources.FileStatusCache$"
+            )
+            getattr(companion, "MODULE$").resetForTesting()
         except Exception:
             pass  # no JVM access (connect mode): stale listings possible
         changed = (
@@ -286,8 +292,15 @@ class TerraformEngine:
             if reparse:
                 rows = []
                 for p, k in reparse:
-                    with open(p, "rb") as f:
-                        rows.append((p, bytearray(f.read()), k))
+                    try:
+                        with open(p, "rb") as f:
+                            rows.append((p, bytearray(f.read()), k))
+                    except OSError:
+                        # vanished between discovery and read: its old rows
+                        # are already filtered out of `keep`, so treating it
+                        # as deleted is exactly right; the next poll sees a
+                        # stable snapshot
+                        continue
                 fresh = self.spark.createDataFrame(
                     rows, schema="path string, content binary, file_kind string"
                 )

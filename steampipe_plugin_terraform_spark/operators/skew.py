@@ -44,6 +44,12 @@ def salted_join(
             "inner/left/left_semi/left_anti with the skewed side preserved"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    for side, df in (("skewed", skewed), ("other", other)):
+        if SALT_COL in df.columns:
+            raise ValueError(
+                f"{side} input already has a {SALT_COL!r} column — it would "
+                "collide with the internal salt; rename it before salted_join"
+            )
 
     # deterministic uniform salt — hash of the full row id-space would need a
     # row id; the key columns alone would put the whole hot key in one salt,

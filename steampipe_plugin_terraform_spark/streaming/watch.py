@@ -99,8 +99,11 @@ class TerraformWatcher:
         old = self._snap
         changed = {p for p in old.keys() | new.keys() if old.get(p) != new.get(p)}
         if changed:
-            self._snap = new
+            # refresh FIRST: if it raises, the snapshot stays old, so the
+            # same delta is re-detected and retried on the next tick rather
+            # than being permanently lost
             self.engine.refresh(changed)
+            self._snap = new
         return changed
 
     def run(self, interval: float = 1.0, max_ticks: int | None = None) -> None:
@@ -111,6 +114,32 @@ class TerraformWatcher:
             self.poll()
             ticks += 1
             time.sleep(interval)
+
+
+def canonical_batch_writer(store_path: str):
+    """foreachBatch callable appending wide rows to the canonical store,
+    skipping replayed micro-batch ids (see ``watch_to_canonical``). The
+    batch-id marker needs a POSIX-atomic rename, so it is kept only for
+    local store paths; an object-store path falls back to at-least-once
+    (use a transactional table format there)."""
+    marker = None if "://" in store_path else os.path.join(store_path, "_last_committed_batch")
+
+    def _append_once(batch: DataFrame, batch_id: int) -> None:
+        if marker is not None:
+            try:
+                with open(marker) as f:
+                    if batch_id <= int(f.read().strip()):
+                        return  # replayed batch: already fully written
+            except (OSError, ValueError):
+                pass  # first batch, or marker unreadable → write (at-least-once)
+        batch.write.mode("append").partitionBy("tf_table").parquet(store_path)
+        if marker is not None:
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(batch_id))
+            os.replace(tmp, marker)  # atomic on POSIX
+
+    return _append_once
 
 
 def watch_to_canonical(
@@ -124,24 +153,25 @@ def watch_to_canonical(
     """Continuously append newly-discovered files' wide rows to the durable
     canonical store (Parquet partitioned by ``tf_table`` — the same layout
     ``TerraformEngine.save_canonical`` writes, readable by
-    ``load_canonical``). foreachBatch keeps the write idempotent per
-    micro-batch id via the stream checkpoint; ``available_now`` drains the
-    current backlog and stops (cron-style refresh), otherwise the query
-    runs until stopped.
+    ``load_canonical``). ``available_now`` drains the current backlog and
+    stops (cron-style refresh), otherwise the query runs until stopped.
+
+    foreachBatch is at-least-once: a micro-batch whose write succeeded but
+    whose checkpoint commit failed is REPLAYED on restart, so a blind
+    append would duplicate rows. The writer records the last fully-written
+    batch id in a ``_last_committed_batch`` marker (leading underscore →
+    invisible to parquet scans) and skips replayed ids. Remaining gap,
+    stated honestly: a batch that fails MID-write leaves a partial append
+    that the retry then re-writes — closing that needs a transactional
+    table format, which plain parquet is not; the marker closes the common
+    replay case (commit raced the crash).
 
     Returns the StreamingQuery.
     """
     stream = watch_terraform_blocks(spark, config_dir, kind=kind)
-    writer = (
-        stream.writeStream.option(
-            "checkpointLocation", checkpoint or store_path + "/_checkpoint"
-        )
-        .foreachBatch(
-            lambda batch, _id: batch.write.mode("append")
-            .partitionBy("tf_table")
-            .parquet(store_path)
-        )
-    )
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint or store_path + "/_checkpoint"
+    ).foreachBatch(canonical_batch_writer(store_path))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -143,3 +143,66 @@ def test_incremental_refresh_reparses_only_changed(spark, tmp_path):
     eng.refresh(changed_paths=[str(tmp_path / "b.tf")])
     res = eng.table("terraform_resource")
     assert {r["name"] for r in res.collect()} == {"a", "b", "b2"}
+
+
+def test_canonical_batch_writer_skips_replayed_batch(spark, tmp_path):
+    # foreachBatch is at-least-once: the writer must not duplicate rows
+    # when the same micro-batch id is replayed after a checkpoint race
+    from steampipe_plugin_terraform_spark.streaming.watch import canonical_batch_writer
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame([("a", "terraform_resource")], "path string, tf_table string")
+    write = canonical_batch_writer(store)
+    write(batch, 0)
+    write(batch, 0)  # replay: must be skipped
+    assert spark.read.parquet(store).count() == 1
+    write(batch, 1)  # genuinely new batch still appends
+    assert spark.read.parquet(store).count() == 2
+
+
+def test_watcher_snapshot_survives_failed_refresh(spark, tmp_path):
+    # if refresh raises, the delta must be re-detected on the next poll —
+    # advancing the snapshot first would lose the change forever
+    (tmp_path / "a.tf").write_text('resource "r" "x" {}\n')
+    eng = TerraformEngine(spark, config_paths=[str(tmp_path / "*.tf")])
+    w = TerraformWatcher(eng)
+    (tmp_path / "a.tf").write_text('resource "r" "y" {}\n')
+
+    calls = []
+
+    def boom(changed):
+        calls.append(set(changed))
+        raise RuntimeError("transient")
+
+    real = eng.refresh
+    eng.refresh = boom
+    with pytest.raises(RuntimeError):
+        w.poll()
+    eng.refresh = real
+    changed = w.poll()  # same delta re-detected and refreshed for real
+    assert calls and changed == calls[0]
+
+
+def test_refresh_tolerates_vanished_file(spark, tmp_path):
+    # a file deleted between discovery and the driver-side read must be
+    # treated as deleted, not crash the refresh
+    import os
+    from unittest import mock
+
+    (tmp_path / "a.tf").write_text('resource "r" "x" { n = 1 }\n')
+    (tmp_path / "b.tf").write_text('resource "r" "y" { n = 1 }\n')
+    eng = TerraformEngine(spark, config_paths=[str(tmp_path / "*.tf")])
+    assert eng.table("terraform_resource").count() == 2
+    (tmp_path / "b.tf").write_text('resource "r" "y" { n = 2 }\n')
+
+    real_open = open
+
+    def flaky_open(path, *a, **kw):
+        if str(path).endswith("b.tf"):
+            raise FileNotFoundError(path)
+        return real_open(path, *a, **kw)
+
+    with mock.patch("builtins.open", side_effect=flaky_open):
+        eng.refresh([str(tmp_path / "b.tf")])
+    # b.tf behaved as deleted: only a.tf's row remains, no exception
+    assert eng.table("terraform_resource").count() == 1

@@ -18,8 +18,24 @@ def _plan(df) -> str:
 
 @pytest.mark.parametrize("name", ["docs_redact_pii", "emb_quantize_int8", "media_frame_sample", "media_metadata"])
 def test_narrow_ops_have_no_exchange(spark, name):
-    # pure per-row transforms: any Exchange is a regression
-    assert "Exchange" not in _plan(QUERIES[name](spark, SF_DIR))
+    # pure per-row transforms: any KEY shuffle is a regression. The single
+    # round-robin exchange from catalog._par_floor is permitted — the sf*
+    # fixtures are single-row-group files, and the floor is what gives the
+    # per-row work cluster parallelism there (gated off for real inputs).
+    assert "Exchange hashpartitioning" not in _plan(QUERIES[name](spark, SF_DIR))
+
+
+def test_narrow_ops_stay_narrow_on_parallel_input(spark):
+    # operator-level guarantee: with an already-parallel source the per-row
+    # operators add NO exchange of any kind
+    from steampipe_plugin_terraform_spark.operators import similarity, text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(8)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(8)
+    for df in (text.fingerprint(docs), similarity.quantize_int8(emb)):
+        plan = _plan(df)
+        assert plan.count("Exchange") == 1  # only the explicit repartition above
+        assert "Exchange hashpartitioning" not in plan
 
 
 def test_top_ngrams_uses_take_ordered(spark):

@@ -40,3 +40,12 @@ def test_salt_actually_spreads_hot_key(spark, skewed_fact):
 def test_unsupported_how_raises(spark, skewed_fact, dim):
     with pytest.raises(ValueError):
         salted_join(skewed_fact, dim, "k", how="full_outer")
+
+
+def test_salt_column_collision_raises(spark, skewed_fact, dim):
+    # an input already carrying __salt would silently join on the wrong
+    # column; must fail loudly instead
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(skewed_fact.withColumn(SALT_COL, F.lit(0)), dim, on="k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(skewed_fact, dim.withColumn(SALT_COL, F.lit(0)), on="k")
