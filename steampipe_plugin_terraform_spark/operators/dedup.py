@@ -60,16 +60,32 @@ def _hashed_shingles(
 
     All pair-counting joins/aggregations downstream key on the 8-byte hash
     instead of the raw n-gram string (~40+ bytes): a 5×+ smaller shuffle
-    and cheaper comparisons. 64-bit collisions merge two distinct shingles
-    with probability ~|shingles|²/2⁶⁵ — at 10¹² corpus shingles that is
-    ~10⁴ collisions, a relative Jaccard error of 1e-8; negligible for
-    near-dup mining (the oracle-checked corpora are collision-free).
-    ``shingles`` is already array_distinct per doc, so (id, h) needs no
-    extra distinct pass.
+    and cheaper comparisons. The n-gram string is never materialized at
+    all — tokens hash to longs and each shingle hash is xxhash64 of the
+    5-long slice (hashing an array<bigint> directly), which also keeps the
+    generated code small enough that one-shot runs don't pay multi-second
+    codegen compilation (measured: 7.0 s → 1.6 s cold at 100k docs; warm
+    identical). 64-bit collisions merge two distinct shingles with
+    probability ~|shingles|²/2⁶⁵ — at 10¹² corpus shingles that is ~10⁴
+    collisions, a relative Jaccard error of 1e-8; negligible for near-dup
+    mining (the oracle-checked corpora are collision-free). The per-doc
+    array_distinct runs on the hashes, so (id, h) needs no extra distinct
+    pass.
     """
+    toks = f"split({text_col}, '{' '}')"
     return _spread(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))).alias("h"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+                # slice BEFORE hashing: slice(transform(toks), i, n) would
+                # materialize the full token-hash array per shingle (O(len²)
+                # per doc — fatal for long docs); this form is O(len·n)
+                f"i -> xxhash64(transform(slice({toks}, i, {n}), t -> xxhash64(t))))) "
+                f"ELSE array() END"
+            )
+        ).alias("h"),
     )
 
 
