@@ -960,6 +960,99 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') gram
+          FROM t, unnest(range(1, greatest(len(w), 1))) r(i) WHERE len(w) >= 2),
+    c AS (SELECT doc_id, gram, count(*) cnt FROM g GROUP BY 1, 2),
+    s AS (SELECT doc_id, max(cnt)::BIGINT best, sum(cnt)::BIGINT total,
+                 count(*)::BIGINT nd
+          FROM c GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(s.total, 0)::BIGINT AS n_ngrams,
+           floor(s.best::DOUBLE / s.total * 10000 + 0.5) / 10000 AS top_ngram_frac,
+           floor((1::DOUBLE - s.nd::DOUBLE / s.total) * 10000 + 0.5) / 10000 AS dup_ngram_frac
+    FROM t LEFT JOIN s USING (doc_id)
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats (top-/duplicated-bigram fractions) —
+    zero-shuffle sorted-array run-length scan per document."""
+    return text.repetition_signals(_t(spark, sf_dir, "documents"), n=2)
+
+
+@query(
+    "docs_span_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    ch AS (SELECT doc_id, c AS pos, array_to_string(w[c*8+1:c*8+8], ' ') chunk
+           FROM t, unnest(range(0, ceil(len(w) / 8.0)::BIGINT)) r(c)),
+    k AS (SELECT doc_id, pos, chunk,
+                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) rn
+          FROM ch),
+    agg AS (SELECT doc_id,
+                   string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos) joined,
+                   count(*)::BIGINT n_chunks,
+                   sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::BIGINT n_dropped
+            FROM k GROUP BY 1)
+    SELECT doc_id,
+           CASE WHEN n_dropped > 0 AND (joined IS NULL OR joined = '')
+                THEN NULL ELSE coalesce(joined, '') END AS clean_text,
+           n_chunks, n_dropped
+    FROM agg
+    """,
+)
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span removal (C4 recipe, 8-token windows):
+    keep the globally first occurrence of each chunk, reassemble docs."""
+    return text.span_dedup(_t(spark, sf_dir, "documents"), window=8)
+
+
+@query(
+    "docs_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+    v AS (SELECT t, count(*) cnt FROM tok GROUP BY 1),
+    tot AS (SELECT sum(cnt)::DOUBLE tot FROM v)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(ln(cnt::DOUBLE / tot)) * 10000 + 0.5) / 10000 AS mean_logprob
+    FROM tok JOIN v USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-estimated unigram LM score per document (mean ln P(token)) —
+    the cheap perplexity proxy for quality filtering."""
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_source_mix",
+    oracle="""
+    WITH per AS (SELECT source,
+                        count(*)::BIGINT n_docs,
+                        sum(len(string_split(text, ' ')))::BIGINT n_tokens,
+                        avg(floor((0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                            + 0.5 * least(floor(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('the','a','of','and','to'))) * 1.0
+                                  / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 * 5.0, 1.0))
+                            * 10000 + 0.5) / 10000) mq
+                 FROM documents GROUP BY 1),
+    tot AS (SELECT sum(sqrt(n_tokens::DOUBLE)) tot_sqrt FROM per)
+    SELECT source, n_docs, n_tokens,
+           floor(mq * 10000 + 0.5) / 10000 AS mean_quality,
+           floor(sqrt(n_tokens::DOUBLE) / tot_sqrt * 1000000 + 0.5) / 1000000 AS mix_weight
+    FROM per CROSS JOIN tot
+    """,
+)
+def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report per source: volume, mean quality, sqrt-of-tokens
+    sampling weight — the data-mixing planning step of a pretraining run."""
+    return text.source_mix(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "emb_quantize_int8",
     oracle="""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tiny per-language stopword profiles for the heuristic language scorer
 LANG_STOPWORDS = {
@@ -258,4 +259,189 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         cur = F.regexp_replace(cur, pat, repl)
     return df.select(
         F.col(id_col), cur.alias("clean_text"), count.cast("long").alias("n_redactions")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition filters: per-document n-gram repetition
+    statistics (Rae et al. 2021 use the fraction of content in the most
+    common n-gram and in duplicated n-grams as quality gates).
+
+    Returns (id, n_ngrams, top_ngram_frac, dup_ngram_frac) where
+    top_ngram_frac = count(most frequent n-gram) / n_ngrams and
+    dup_ngram_frac = 1 - distinct/total (fraction of n-gram slots occupied
+    by repeats). Fractions are portable-rounded to 4 digits.
+
+    Scale shape: ZERO shuffle. The per-doc statistics come from one
+    codegen'd pass — n-grams hash to longs (token-hash slices, no string
+    materialization), ``sort_array`` groups equal hashes adjacently, and a
+    single ``aggregate`` scan carries (prev, run, best, n_distinct)
+    through the sorted array. An explode + groupBy formulation would
+    shuffle |tokens| rows per doc; this ships one row per doc and is
+    embarrassingly parallel at any corpus size. Docs with fewer than n
+    tokens report 0 n-grams and null fractions.
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"sort_array(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> xxhash64(transform(slice({toks}, i, {n}), t -> xxhash64(t))))) "
+        f"ELSE array() END"
+    )
+    scan = (
+        f"aggregate({grams}, "
+        "struct(CAST(NULL AS BIGINT) AS prev, CAST(0 AS BIGINT) AS run, "
+        "       CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS nd), "
+        "(acc, g) -> struct(g AS prev, "
+        "  IF(g <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run, "
+        "  greatest(acc.best, IF(g <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT))) AS best, "
+        "  acc.nd + IF(g <=> acc.prev, CAST(0 AS BIGINT), CAST(1 AS BIGINT)) AS nd))"
+    )
+    total = f"size({grams})"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CAST({total} AS BIGINT)").alias("n_ngrams"),
+        F.expr(
+            f"CASE WHEN {total} > 0 THEN "
+            + pround(f"CAST(({scan}).best AS DOUBLE) / {total}", 4)
+            + " END"
+        ).alias("top_ngram_frac"),
+        F.expr(
+            f"CASE WHEN {total} > 0 THEN "
+            + pround(f"CAST(1 AS DOUBLE) - CAST(({scan}).nd AS DOUBLE) / {total}", 4)
+            + " END"
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def span_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Corpus-level duplicated-span removal (the C4 recipe, token-window
+    variant): split each document into non-overlapping ``window``-token
+    chunks (the final partial chunk included), keep only the globally FIRST
+    occurrence of every distinct chunk (ordered by doc id, then chunk
+    position), and reassemble each document from its surviving chunks.
+
+    Returns (id, clean_text, n_chunks, n_dropped); clean_text is NULL for a
+    document whose every chunk was seen earlier (a pure duplicate).
+
+    Scale shape: the explode is narrow; first-occurrence is one
+    ``row_number`` window over the chunk hash — the hash is uniform, so the
+    shuffle has no hot keys (a chunk repeated millions of times lands in one
+    partition ordered by (doc, pos): its posting is sort-bounded, the same
+    O(df·log df) bound as the dedup window). Reassembly is one groupBy(doc)
+    of (pos, surviving chunk) pairs. Chunks join on the chunk TEXT, not a
+    hash, so removal is exact (no collision risk on destructive edits).
+    """
+    toks = f"split({text_col}, ' ')"
+    nchunks = f"CAST(ceil(size({toks}) / {window}.0) AS INT)"
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {nchunks} - 1), "
+                f"c -> concat_ws(' ', slice({toks}, c * {window} + 1, {window})))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("id", "pos")
+    kept = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(IF(rn = 1, struct(pos, chunk), NULL))), s -> s.chunk)"),
+            ).alias("joined"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.expr("IF(rn = 1, 0, 1)")).alias("n_dropped"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.expr("IF(joined = '' AND n_dropped > 0, NULL, joined)").alias("clean_text"),
+            F.col("n_chunks").cast("long"),
+            F.col("n_dropped").cast("long"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", digits: int = 4
+) -> DataFrame:
+    """Unigram language-model score: mean ln P(token) per document, with
+    P estimated from the corpus itself (count/total over all token
+    occurrences) — the classic cheap perplexity proxy for quality filtering
+    (very low mean logprob → gibberish / rare-token soup; very high →
+    degenerate repetition of common words).
+
+    Returns (id, n_tokens, mean_logprob) rounded to ``digits``.
+
+    Scale shape: pass 1 builds the vocabulary (explode + map-side-combined
+    count — vocab cardinality, not corpus size, crosses the wire); pass 2
+    joins token occurrences to the vocab on the token (AQE broadcasts a
+    small vocab; a web-scale vocab falls back to a uniform-key shuffle
+    join) and averages per doc. The corpus total rides along as a literal
+    aggregate, not a driver-side collect.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    scored = tok.join(vocab, "t").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.expr("ln(CAST(cnt AS DOUBLE) / tot)")).alias("mlp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long"),
+            F.expr(pround("mlp", digits)).alias("mean_logprob"),
+        )
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Training-mix report per source: document/token volume, mean quality,
+    and a sqrt-of-tokens sampling weight (the standard sub-linear mixing
+    heuristic — large sources are down-weighted relative to their raw size
+    so the mix stays diverse).
+
+    Returns (source, n_docs, n_tokens, mean_quality, mix_weight) with
+    mix_weight = sqrt(n_tokens) / Σ sqrt(n_tokens), portable-rounded.
+
+    Scale shape: one map-side-combined groupBy on the (low-cardinality)
+    source key; the normalizing total is a one-row aggregate broadcast back
+    — never a driver-side collect. Source-key skew is irrelevant: partial
+    aggregation reduces each partition to |sources| rows before the
+    shuffle.
+    """
+    per = (
+        df.select(
+            F.col(source_col).alias("source"),
+            n_tokens_expr(text_col).alias("nt"),
+            quality_expr(text_col).alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.avg("q").alias("mq"),
+        )
+    )
+    tot = per.agg(F.sum(F.sqrt(F.expr("CAST(n_tokens AS DOUBLE)"))).alias("tot_sqrt"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.expr(pround("mq", 4)).alias("mean_quality"),
+        F.expr(pround("sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt", digits)).alias("mix_weight"),
     )
