@@ -1343,6 +1343,52 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["emb_ivf_recall"] = emb_ivf_recall
 
 
+@query(
+    "emb_lang_centroids",
+    oracle="""
+    WITH j AS (SELECT d.lang, list_transform(e.embedding, x -> x::DOUBLE) v
+               FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    ex AS (SELECT lang, i - 1 AS pos, v[i] AS x
+           FROM j, unnest(range(1, len(v) + 1)) r(i))
+    SELECT lang, pos::INTEGER AS pos,
+           floor(avg(x) * 10000 + 0.5) / 10000 AS mean_val,
+           count(*)::BIGINT AS n_vecs
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid (elementwise mean, long form) — the
+    drift-monitoring / centroid-routing aggregation; vectors join to their
+    documents' language on id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select("lang", "embedding")
+    return similarity.group_centroids(j, "lang")
+
+
+def emb_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SERVING path: build → save as a bucket-partitioned parquet
+    store (+ sibling centroid table) → load → probe with the bucket set
+    pushed as a static partition filter, so the scan reads only
+    nprobe-probed partitions (PartitionFilters pruning — pinned by
+    test_similarity_store). Rows-only: k-means shapes are engine-specific;
+    store≡memory result equality is pinned by tests instead.
+    """
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    assigned, centroids = similarity.build_ivf(corpus, n_centroids=16)
+    path = tempfile.mkdtemp(prefix="ivf_store_") + "/index"
+    similarity.ivf_save(assigned, centroids, path)
+    loaded, cents = similarity.ivf_load(spark, path)
+    return similarity.ivf_topk(queries, loaded, cents, k=5, nprobe=8, static_prune=True)
+
+
+QUERIES["emb_ivf_store_topk"] = emb_ivf_store_topk
+
+
 def _stop_stream(spark: SparkSession, name: str) -> None:
     """Stop a leftover active query with this name (re-invocation safety)."""
     for q in spark.streams.active:

@@ -161,6 +161,46 @@ def build_ivf(
     return assigned, centroids
 
 
+def ivf_save(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Persist an IVF index as the write-once bucketed store: vectors as
+    parquet PARTITIONED BY bucket (so a probe's bucket filter becomes
+    partition PRUNING — only nprobe/n_centroids of the files are ever
+    listed, let alone read), centroids as a tiny sibling parquet table
+    (``<path>_centroids``).
+
+    This is the billion-vector serving shape: build once with
+    ``build_ivf``, save, then every query session calls ``ivf_load`` +
+    ``ivf_topk`` and reads only the probed partitions.
+    """
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # centroids are n_centroids × dim doubles — driver-sized by design.
+    # Stored as a tiny SIBLING parquet dataset (not inside the index dir,
+    # where a non-parquet file would break the scan and an underscore name
+    # would be invisible to Hadoop readers); parquet keeps it portable to
+    # any filesystem the session can reach.
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load an ``ivf_save`` index: (assigned DataFrame, centroids).
+
+    The returned frame's ``bucket`` column is the partition column, so
+    ``ivf_topk``'s bucket equi-join prunes unprobed partitions at planning
+    time (verify with .explain: PartitionFilters on the scan).
+    """
+    assigned = spark.read.parquet(path)
+    rows = spark.read.parquet(path.rstrip("/") + "_centroids").collect()
+    centroids = [list(r.centroid) for r in sorted(rows, key=lambda r: r.cid)]
+    return assigned, centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     assigned: DataFrame,
@@ -169,11 +209,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    static_prune: bool = False,
 ) -> DataFrame:
     """IVF probe: score each query only against the ``nprobe`` buckets whose
     centroids are nearest (by cosine) — the corpus fraction touched is
     nprobe/n_centroids instead of 1. ``nprobe = n_centroids`` degrades to
     exact brute force (useful as a correctness check).
+
+    ``static_prune=True`` is the serving path over an ``ivf_load`` index:
+    the union of probed buckets (≤ n_centroids ints — a bounded, tiny
+    collect, not a data collect) is pushed as a literal IN filter, so the
+    scan's PartitionFilters prune unprobed bucket partitions at planning
+    time. Spark's dynamic partition pruning does not fire here on its own
+    (the probe side carries no selective filter predicate), so the static
+    push is what turns the bucketed store into an actual index.
 
     Returns (query_id, neighbor_id, cosine, rank).
     """
@@ -204,6 +253,9 @@ def ivf_topk(
     probed = queries.select(id_col, vec_col).mapInPandas(
         probe, f"query_id long, qv {dict(queries.dtypes)[vec_col]}, bucket int"
     )
+    if static_prune:
+        buckets = [int(r.bucket) for r in probed.select("bucket").distinct().collect()]
+        assigned = assigned.filter(F.col("bucket").isin(buckets))
     cand = F.broadcast(probed).join(assigned, "bucket").select(
         "query_id", "qv", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
@@ -430,4 +482,41 @@ def quantize_int8(
             f"CASE WHEN {amax} = 0 THEN transform({v}, x -> cast(0 AS int)) "
             f"ELSE transform({v}, x -> cast(floor(x * 127.0 / {amax} + 0.5) AS int)) END"
         ).alias("q"),
+    )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group embedding centroid (elementwise mean) in LONG form:
+    (group, pos, mean_val, n_vecs) — the cluster-profile / domain-embedding
+    aggregation of a curation pipeline (e.g. a language's mean embedding
+    for drift monitoring or centroid-based routing).
+
+    Scale shape: posexplode is narrow (|rows|·dim with only the group key,
+    position and one double crossing the wire — the vector itself never
+    shuffles as a unit); the mean is ONE map-side-combined groupBy on
+    (group, pos), so the shuffle carries |groups|·dim partial aggregates
+    regardless of corpus size. Long form keeps the result hashable for the
+    correctness gate; callers wanting arrays regroup with
+    ``array_sort(collect_list(struct(pos, mean_val)))``.
+    """
+    from .text import pround
+
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")).alias("pos", "x"),
+    )
+    return (
+        ex.groupBy("grp", "pos")
+        .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("pos").cast("int"),
+            F.expr(pround("m", digits)).alias("mean_val"),
+            F.col("n").cast("long").alias("n_vecs"),
+        )
     )

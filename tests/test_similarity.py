@@ -60,3 +60,31 @@ def test_lsh_topk_shape_and_bucket_pruning(spark, split):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_store_roundtrip_and_pruning(spark, tmp_path):
+    from steampipe_plugin_terraform_spark.operators.similarity import (
+        build_ivf,
+        ivf_load,
+        ivf_save,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(5)
+    assigned, cents = build_ivf(emb, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    ivf_save(assigned, cents, path)
+    loaded, c2 = ivf_load(spark, path)
+    assert c2 == cents
+    mem = sorted(map(tuple, ivf_topk(queries, assigned, cents, k=3, nprobe=2).collect()))
+    disk = sorted(map(tuple, ivf_topk(queries, loaded, c2, k=3, nprobe=2, static_prune=True).collect()))
+    assert mem == disk
+    # the serving probe must PRUNE: the store scan's PartitionFilters carry
+    # the probed-bucket IN list (reads nprobe partitions, not the corpus)
+    plan = (
+        ivf_topk(queries, loaded, c2, k=3, nprobe=2, static_prune=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("bucket" in l and "IN" in l for l in scan_lines), scan_lines
