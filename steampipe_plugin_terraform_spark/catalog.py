@@ -1137,12 +1137,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.expr("floor(jaccard * 10000 + 0.5) / 10000").alias("jaccard"))
 
 
+# SimHash oracle: replicates the WHOLE portable pipeline (md5-digit token
+# bits → 64 vote sums → hex signature → 4-chunk banding → Hamming verify)
+# so the driver hash-checks every stage, not just row counts. The SQL is
+# generated from the same (k, r) bit convention as operators.dedup.
+_SIMHASH_DIGITS = ", ".join(
+    f"strpos('0123456789abcdef', substr(md5(t), {k + 1}, 1)) - 1 AS d{k}" for k in range(16)
+)
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN ((d{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SIMHASH_HEXCH = " || ".join(
+    "substr('0123456789abcdef', ("
+    + " + ".join(f"CASE WHEN v{4 * k + r} > 0 THEN {1 << r} ELSE 0 END" for r in range(4))
+    + ") + 1, 1)"
+    for k in range(16)
+)
+_SIMHASH_HAM = " + ".join(
+    f"bit_count(xor(strpos('0123456789abcdef', substr(sa, {k + 1}, 1)) - 1, "
+    f"strpos('0123456789abcdef', substr(sb, {k + 1}, 1)) - 1))"
+    for k in range(16)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    d AS (SELECT doc_id, {_SIMHASH_DIGITS} FROM tok),
+    v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM d GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIMHASH_HEXCH} AS simhex FROM v),
+    ch AS (SELECT doc_id, simhex, c, substr(simhex, c * 4 + 1, 4) AS chk
+           FROM sig, unnest(range(0, 4)) r(c)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhex AS sa, b.simhex AS sb
+             FROM ch a JOIN ch b ON a.c = b.c AND a.chk = b.chk AND a.doc_id < b.doc_id),
+    h AS (SELECT id_a, id_b, {_SIMHASH_HAM} AS hamming FROM cand)
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM h WHERE hamming <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (rows-only check: xxhash64 has no DuckDB analog)."""
+    """SimHash near-dups via the engine-portable md5-bit signature.
+
+    The oracle replays token-bit extraction, vote aggregation, signature
+    assembly, banding, and Hamming verification bit-for-bit in DuckDB
+    (``operators.dedup.simhash64_hex`` docstring has the bit convention).
+    """
     return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
-
-
-QUERIES["dedup_simhash"] = dedup_simhash
 
 
 @query(

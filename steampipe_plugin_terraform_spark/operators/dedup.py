@@ -323,12 +323,68 @@ def minhash_lsh_pairs(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def simhash64_hex(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Engine-portable 64-bit SimHash; signature emitted as a 16-char hex
+    string ``simhex``.
+
+    Token bits come from the first 16 hex digits of md5(token) — md5 hex is
+    bit-identical across engines, so a DuckDB oracle replicates the WHOLE
+    pipeline (token hash → per-bit votes → signature) rather than getting a
+    rows-only check. Bit b (0..63) lives in hex digit k = b div 4 at
+    in-digit position r = b mod 4: bit = (digit >> r) & 1; the signature
+    digit k is rebuilt from votes v[4k..4k+3] with the same weighting, so
+    ``simhex`` digit k and md5 digit k use one convention on both engines.
+
+    Same shuffle shape as :func:`simhash64`: one narrow token explode, then
+    ONE groupBy(id) carrying 64 partial-aggregated vote sums — no 64x row
+    blowup. Per token row the 64 bits are materialized as TWO bigints via
+    conv() on the md5 hex halves (hex chars 1-8 and 9-16, big-endian), so
+    the vote CASEs are plain bit ops — measured 2.5x faster than per-digit
+    locate()/substring() string extraction, and bit-identical to it (digit
+    k of the hex string is nibble 7-(k mod 8) of its half's value).
+    """
+    tok = _spread(df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    m = tok.select("id", F.expr("substring(md5(t), 1, 16)").alias("m"))
+    halves = m.select(
+        "id",
+        F.expr("cast(conv(substring(m, 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(m, 9, 8), 16, 10) as bigint)").alias("h2"),
+    )
+    vote_aggs = []
+    for b in range(64):
+        k, r = b // 4, b % 4
+        src, kk = ("h1", k) if k < 8 else ("h2", k - 8)
+        shift = 4 * (7 - kk) + r
+        vote_aggs.append(
+            F.expr(
+                f"sum(CASE WHEN (shiftright({src}, {shift}) & 1) = 1 THEN 1 ELSE -1 END)"
+            ).alias(f"v{b}")
+        )
+    votes = halves.groupBy("id").agg(*vote_aggs)
+    nibbles = [
+        " + ".join(f"CASE WHEN v{4 * k + r} > 0 THEN {1 << r} ELSE 0 END" for r in range(4))
+        for k in range(16)
+    ]
+    return votes.select(
+        "id",
+        F.concat(*[F.expr(f"substring('{_HEX}', ({n}) + 1, 1)") for n in nibbles]).alias("simhex"),
+    )
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens (token weight = term frequency).
 
     Each token hashes to 64 bits (xxhash64); the signature bit b is 1 iff the
     weighted sum of (bit set ? +1 : -1) over tokens is positive. Expressed as
-    explode + groupBy + bit arithmetic — all JVM-side.
+    explode + groupBy + bit arithmetic — all JVM-side. Fastest path, but
+    xxhash64 is engine-specific; use :func:`simhash64_hex` when the result
+    must be reproducible outside Spark (the catalog's oracle-checked entry).
     """
     tok = _spread(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
@@ -357,33 +413,97 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    method: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
     (pigeonhole: hamming<=3 ⇒ at least one identical chunk), bucket-join, then
     Hamming-verify collisions.
+
+    ``method="md5"`` (default) uses the engine-portable hex signature so a
+    DuckDB oracle can verify the full pipeline bit-for-bit; banding is on
+    4-hex-digit substrings and the Hamming distance sums per-digit
+    ``bit_count(xor)``. Candidates come posting-list style: one groupBy
+    (chunk, chunk-value) collecting (id, simhex), pairs exploded per bucket
+    with Hamming computed inline — the signature subtree executes ONCE and
+    there is no self-join (the chunks-self-join variant measured 4x slower:
+    exchange reuse does not fire across the join's two aliases, so the
+    whole token-explode + 64-vote aggregation ran twice). ``bucket_max``
+    caps bucket size exactly like the shingle joins' df cap: a degenerate
+    signature shared by >bucket_max docs (empty/boilerplate texts) would
+    otherwise emit a quadratic pair blowup from one hot bucket.
+    ``method="xxhash64"`` is the fastest JVM-only path (bigint signature,
+    native xor). Both return (id_a, id_b, hamming).
     """
-    sig = simhash64(df, id_col, text_col)
+    if method == "xxhash64":
+        sig = simhash64(df, id_col, text_col)
+        chunks = sig.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.expr("transform(sequence(0, 3), c -> struct(c as chunk, shiftright(simhash, c * 16) & 65535 as ch))")
+            ).alias("cc"),
+        ).select("id", "simhash", "cc.chunk", "cc.ch")
+        cand = (
+            chunks.alias("x")
+            .join(chunks.alias("y"), ["chunk", "ch"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.col("x.simhash").alias("sh_a"),
+                F.col("y.simhash").alias("sh_b"),
+            )
+            .distinct()
+        )
+        return (
+            cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("bigint"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    if method != "md5":
+        raise ValueError(f"method must be 'md5' or 'xxhash64', got {method!r}")
+    bucket_max = 10_000
+    sig = simhash64_hex(df, id_col, text_col)
     chunks = sig.select(
         "id",
-        "simhash",
         F.explode(
-            F.expr("transform(sequence(0, 3), c -> struct(c as chunk, shiftright(simhash, c * 16) & 65535 as ch))")
+            F.expr("transform(sequence(0, 3), c -> struct(c AS chunk, substring(simhex, c * 4 + 1, 4) AS ch))")
         ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.ch")
-    cand = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk", "ch"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-        )
-        .distinct()
+        "simhex",
+    ).select("id", "cc.chunk", "cc.ch", "simhex")
+    buckets = (
+        chunks.groupBy("chunk", "ch")
+        .agg(F.collect_list(F.struct("id", "simhex")).alias("ds"))
+        .filter(F.expr(f"size(ds) BETWEEN 2 AND {bucket_max}"))
     )
+    # collect_list order is nondeterministic — canonicalize each pair by id
+    # inside the lambda so (id_a < id_b) holds regardless of arrival order
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), b -> struct("
+                "IF(a.id < b.id, a.id, b.id) AS id_a, "
+                "IF(a.id < b.id, b.id, a.id) AS id_b, "
+                "IF(a.id < b.id, a.simhex, b.simhex) AS sa, "
+                "IF(a.id < b.id, b.simhex, a.simhex) AS sb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    # Hamming from the hex halves as bigints (conv) — one xor+bit_count per
+    # half instead of 16 per-digit string extractions (smaller generated
+    # code, faster compile AND eval)
+    ham = (
+        "bit_count(cast(conv(substring(sa, 1, 8), 16, 10) as bigint) ^ "
+        "cast(conv(substring(sb, 1, 8), 16, 10) as bigint)) + "
+        "bit_count(cast(conv(substring(sa, 9, 8), 16, 10) as bigint) ^ "
+        "cast(conv(substring(sb, 9, 8), 16, 10) as bigint))"
+    )
+    # Hamming filter BEFORE the cross-chunk distinct: the dedup shuffle then
+    # carries only true near-dups, not every bucket collision
     return (
-        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        pairs.withColumn("hamming", F.expr(f"CAST({ham} AS BIGINT)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
