@@ -554,6 +554,218 @@ def q_custkeys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return before.intersect(after)
 
 
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension joined twice under different roles
+    (supplier nation vs customer nation) with a cross-pair predicate.
+
+    Scale: both nation sides are filtered to the two names BEFORE the join
+    and broadcast, so the fact path is lineitem⋈orders⋈(tiny) with the
+    pair predicate applied map-side; the only big shuffles are the
+    lineitem⋈orders keys."""
+    two = ["NATION_1", "NATION_2"]
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name").isin(two)))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name").isin(two)))
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")), F.col("nk1") == s.s_nationkey)
+        .join(n2.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")), F.col("nk2") == c.c_nationkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, revenue, n_name FROM (
+      SELECT c.c_custkey, c.c_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             n.n_name
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name)
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: selective fact filter → joins → agg → global top-k.
+
+    The top-k cut ranks on the ROUNDED revenue with c_custkey tiebreak
+    (catalog convention) so FP last-ulp differences cannot change the
+    selected rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("n_nationkey") == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@query(
+    "q_pivot_priority_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS p_urgent,
+           sum(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS p_high,
+           sum(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS p_medium,
+           sum(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS p_notspec,
+           sum(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p_low
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order-priority counts per market segment.
+
+    The pivot values are given EXPLICITLY so Spark skips the extra
+    distinct-values collect job — at scale an unbounded pivot is a full
+    extra pass plus an unpredictable column set."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+    piv = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", vals)
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(a) for v, a in zip(vals, out)],
+    )
+
+
+@query(
+    "q_events_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000
+           AS mavg7
+    FROM events
+    """,
+)
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with a rows frame: 7-event moving average per user.
+
+    The frame order carries the event_id tiebreaker so both engines sum the
+    same doubles in the same order — the floor-quantize then matches
+    bit-for-bit. Scale: partitioned by user_id (no global sort), one
+    shuffle."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr("floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000").alias("mavg7"),
+        )
+    )
+
+
+@query(
+    "q_stats_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000   AS sd_qty,
+           floor(var_samp(l_discount) * 1000000 + 0.5) / 1000000  AS var_disc,
+           floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qty_price,
+           floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) / 10000 AS cov_qty_disc,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/correlation/covariance.
+
+    All four are single-pass streaming aggregates (partial+final) in both
+    engines; quantized like the other FP aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = lambda c, d: F.floor(c * (10 ** d) + F.lit(0.5)) / (10 ** d)
+    return li.groupBy("l_returnflag").agg(
+        q(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        q(F.var_samp("l_discount"), 6).alias("var_disc"),
+        q(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        q(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_ntile_acctbal_deciles",
+    oracle="""
+    SELECT c_mktsegment, decile, count(*) AS n,
+           round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+    FROM (SELECT c_mktsegment, c_acctbal,
+                 CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+          FROM customer)
+    GROUP BY c_mktsegment, decile
+    """,
+)
+def q_ntile_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing: account-balance deciles per segment, then per-bucket
+    stats. Deterministic via the full-order (c_acctbal, c_custkey) sort key."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: time-series / streaming-adjacent shapes (§2.8) + JSON surface
 # ---------------------------------------------------------------------------
