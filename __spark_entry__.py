@@ -6,7 +6,9 @@
 extensions), each a (spark, sf_dir) → DataFrame callable.
 ``oracle_sql()`` — the DuckDB-runnable ANSI SQL equivalent per query
 (terraform queries use golden VALUES derived from the fixture corpus;
-simhash / LSH-ANN are rows-only by design).
+approx-distinct and the k-means IVF entries are rows-only by design —
+HLL sketches and iterative clustering are engine-specific; simhash and
+hyperplane-LSH oracles replay their full md5-deterministic pipelines).
 """
 
 from __future__ import annotations

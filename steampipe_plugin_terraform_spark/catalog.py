@@ -15,8 +15,11 @@ driver's order-insensitive value-hash comparison is deterministic:
 - integer-derived ratios (jaccard) are bit-identical across engines
 - md5-based hashing (fingerprints, minhash) is bit-identical across engines
 
-Queries without an oracle entry (simhash — xxhash64 is Spark-only; LSH ANN —
-approximate by design; streaming) get the driver's rows-only check.
+Queries without an oracle entry (approx_count_distinct — HLL sketches are
+engine-specific; the k-means IVF family — iterative clustering) get the
+driver's rows-only check. Simhash and hyperplane-LSH are approximate
+FAMILIES but deterministic PIPELINES (md5-seeded), so their oracles replay
+the full pipeline in DuckDB.
 """
 
 from __future__ import annotations
@@ -1547,15 +1550,64 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH oracle: the hyperplanes are DETERMINISTIC (md5(seed:i:j) bytes →
+# float in [-1,1), operators/similarity._hyperplanes), so DuckDB can
+# regenerate them bit-for-bit and replay the whole pipeline: plane matrix →
+# sign-bit signatures → bucket equi-join → rounded-rank scoring. The md5
+# uint64 is rebuilt from the two hex halves as hi/2^31 + lo/2^63 - 1
+# (both addends exactly representable, one rounding — identical to
+# Python's u/2**63 - 1.0).
+_LSH_HI = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {t + 1}, 1)) - 1) * {16 ** (7 - t)}"
+    for t in range(8)
+)
+_LSH_LO = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {t + 9}, 1)) - 1) * {16 ** (7 - t)}"
+    for t in range(8)
+)
+
+
+@query(
+    "emb_lsh_topk",
+    oracle=f"""
+    WITH ph AS (SELECT i, j, md5('42:' || i || ':' || j) AS h
+                FROM range(0, 8) r1(i), range(0, 64) r2(j)),
+    p AS (SELECT i, j,
+                 ({_LSH_HI})::DOUBLE / 2147483648.0
+                 + ({_LSH_LO})::DOUBLE / 9223372036854775808.0 - 1.0 AS w
+          FROM ph),
+    pl AS (SELECT i, list(w ORDER BY j) AS wv FROM p GROUP BY i),
+    q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id >= 10),
+    qb AS (SELECT qid, CAST(sum(CASE WHEN list_dot_product(q.v, pl.wv) >= 0
+                                     THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
+           FROM q, pl GROUP BY qid),
+    cb AS (SELECT nid, CAST(sum(CASE WHEN list_dot_product(c.v, pl.wv) >= 0
+                                     THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
+           FROM c, pl GROUP BY nid),
+    s AS (SELECT q.qid, c.nid,
+                 floor(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                       * 1000000 + 0.5) / 1000000 AS cosine
+          FROM qb JOIN cb ON qb.bucket = cb.bucket
+          JOIN q ON q.qid = qb.qid JOIN c ON c.nid = cb.nid),
+    r AS (SELECT qid AS query_id, nid AS neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
+    """LSH-bucketed approximate top-k, fully oracle-checked.
+
+    Approximate vs brute force, but DETERMINISTIC end-to-end: the oracle
+    regenerates the md5-seeded hyperplanes and replays signature, banding,
+    and rounded-rank scoring, so the driver hash-checks bucketing and
+    scoring — not just row counts."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_cosine_topk(
         emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), num_planes=8, k=5
     )
-
-
-QUERIES["emb_lsh_topk"] = emb_lsh_topk
 
 
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
