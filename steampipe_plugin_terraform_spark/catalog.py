@@ -1610,24 +1610,100 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF oracle: the coarse quantizer is similarity.kmeans_lloyd — every step
+# deterministic and quantized (md5-ordered init, 1e-4-grid distances with
+# cid tiebreak, 1e-6-grid means, empty clusters keep their centroid) — so
+# the SQL oracle replays init, all Lloyd iterations, the final assignment,
+# the nprobe probe ranking, and candidate scoring as chained CTEs.
+def _ivf_cte(k: int = 16, iters: int = 3, nprobe: int = 8, dim: int = 64) -> str:
+    def dist(v: str, cv: str) -> str:
+        return (
+            f"floor((list_dot_product({v},{v}) - 2*list_dot_product({v},{cv}) "
+            f"+ list_dot_product({cv},{cv})) * 10000 + 0.5) / 10000"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"floor(list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) "
+            f"* sqrt(list_dot_product({b},{b}))) * 1000000 + 0.5) / 1000000"
+        )
+
+    parts = [
+        "q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)",
+        "e AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id >= 10)",
+        "c0 AS (SELECT cid, cv FROM (SELECT CAST(row_number() OVER "
+        f"(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM e) WHERE cid < {k})",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts += [
+            f"a{t} AS (SELECT nid, v, cid AS bucket FROM ("
+            f"SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
+            f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM e, {prev} c) WHERE rn = 1)",
+            f"m{t} AS (SELECT bucket, j, floor(avg(v[j]) * 1000000 + 0.5) / 1000000 mx "
+            f"FROM a{t}, range(1, {dim + 1}) r(j) GROUP BY bucket, j)",
+            f"cl{t} AS (SELECT bucket AS cid, list(mx ORDER BY j) cv FROM m{t} GROUP BY bucket)",
+            f"c{t} AS (SELECT p.cid, COALESCE(n.cv, p.cv) cv "
+            f"FROM {prev} p LEFT JOIN cl{t} n ON n.cid = p.cid)",
+        ]
+    parts += [
+        "af AS (SELECT nid, v, cid AS bucket FROM ("
+        "SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
+        f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM e, c{iters} c) WHERE rn = 1)",
+        "pr AS (SELECT qid, cid AS bucket FROM ("
+        "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
+        f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c{iters} c) WHERE rn <= {nprobe})",
+        f"s AS (SELECT q.qid, af.nid, {cos('q.v', 'af.v')} AS cosine "
+        "FROM pr JOIN q ON q.qid = pr.qid JOIN af ON af.bucket = pr.bucket)",
+        "r AS (SELECT qid, nid, cosine, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) rank FROM s)",
+    ]
+    return ",\n    ".join(parts)
+
+
+_IVF_TOPK_SQL = f"""
+    WITH {_ivf_cte()}
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """
+
+
+@query("emb_ivf_topk", oracle=_IVF_TOPK_SQL)
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) top-k probing half the buckets —
-    rows-only: k-means cluster shapes are engine-specific. The exactness of
-    the probe machinery is pinned by tests (full probe ≡ brute force)."""
+    """IVF top-k probing half the buckets, fully oracle-checked: the coarse
+    quantizer is the deterministic ``kmeans_lloyd`` (md5 init, quantized
+    distances/means), so DuckDB replays clustering, probe ranking, and
+    candidate scoring end-to-end. Full probe ≡ brute force stays pinned by
+    tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    assigned, centroids = similarity.build_ivf(corpus, n_centroids=16)
+    assigned, centroids = similarity.kmeans_lloyd(corpus, k=16, iters=3)
     return similarity.ivf_topk(queries, assigned, centroids, k=5, nprobe=8)
 
 
-QUERIES["emb_ivf_topk"] = emb_ivf_topk
-
-
+@query(
+    "emb_ivf_recall",
+    oracle=f"""
+    WITH {_ivf_cte()},
+    bf AS (SELECT qid, nid FROM (
+        SELECT q.qid, e.nid, row_number() OVER (PARTITION BY q.qid ORDER BY
+            floor(list_dot_product(q.v, e.v)
+                  / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+                  * 1000000 + 0.5) / 1000000 DESC, e.nid) rnk
+        FROM q, e) WHERE rnk <= 5),
+    ap AS (SELECT qid, nid FROM r WHERE rank <= 5),
+    hits AS (SELECT bf.qid, bf.nid FROM bf JOIN ap ON ap.qid = bf.qid AND ap.nid = bf.nid)
+    SELECT count(*)::DOUBLE / (SELECT count(*) FROM bf) AS recall_at_5,
+           count(DISTINCT qid) AS n_queries_with_hits
+    FROM hits
+    """,
+)
 def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF probe against brute-force ground truth — the
-    self-evaluation loop an ANN deployment runs before trusting an index
-    (rows-only: inherits k-means engine-specificity from emb_ivf_topk).
+    self-evaluation loop an ANN deployment runs before trusting an index.
+    Oracle-checked end-to-end (deterministic quantizer + deterministic
+    rounded-rank ground truth).
 
     Shape: both sides produce (qid, nid) pairs; recall is |approx ∩ exact|
     / |exact| via an equi-join and one aggregate — no collect."""
@@ -1635,7 +1711,7 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     exact = similarity.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
-    assigned, centroids = similarity.build_ivf(corpus, n_centroids=16)
+    assigned, centroids = similarity.kmeans_lloyd(corpus, k=16, iters=3)
     approx = similarity.ivf_topk(queries, assigned, centroids, k=5, nprobe=8).select(
         "query_id", "neighbor_id"
     )
@@ -1644,9 +1720,6 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") / F.lit(exact.count())).alias("recall_at_5"),
         F.countDistinct("query_id").alias("n_queries_with_hits"),
     )
-
-
-QUERIES["emb_ivf_recall"] = emb_ivf_recall
 
 
 @query(

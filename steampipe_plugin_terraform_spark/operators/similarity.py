@@ -161,6 +161,112 @@ def build_ivf(
     return assigned, centroids
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    dist_digits: int = 4,
+    mean_digits: int = 6,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic distributed Lloyd k-means — the engine-PORTABLE coarse
+    quantizer behind the oracle-checked IVF entries.
+
+    Every step is defined so a SQL engine can replay it bit-for-bit:
+
+    - init: the k corpus vectors with smallest ``(md5(id), id)`` — a
+      distributed TakeOrdered (no RNG state, no driver scan); cid = rank
+      in that order.
+    - assignment: argmin over squared distances QUANTIZED to
+      ``dist_digits`` with centroid-id tiebreak. Distances are computed
+      |v|² - 2v·c + |c|² with one BLAS matmul per Arrow batch (the
+      sanctioned dense-linear-algebra path); the quantization grid absorbs
+      summation-order ulp differences between BLAS and a SQL engine's
+      sequential fold.
+    - update: element-wise means via posexplode + groupBy(bucket, pos) —
+      map-side combined, so the shuffle carries k·dim partial rows
+      regardless of corpus size — QUANTIZED to ``mean_digits``. Empty
+      clusters keep their previous centroid.
+
+    The driver holds only the k×dim centroid matrix between iterations
+    (the IVF contract); vectors never leave the executors. Returns
+    (assigned (id, vec, bucket) DataFrame, final centroids).
+
+    vs ``build_ivf`` (spark.ml KMeans): ML's kmeans|| init converges a
+    little faster, but its cluster shapes are engine-opaque; this
+    quantizer trades one or two extra Lloyd rounds for end-to-end
+    replayability (the DuckDB oracle replays init, every assignment, and
+    every mean).
+    """
+    import numpy as np
+
+    qd = 10.0 ** dist_digits
+    qm = 10.0 ** mean_digits
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    seeds = (
+        base.withColumn("__mk", F.md5(F.col("id").cast("string")))
+        .orderBy("__mk", "id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    C = np.asarray([r.v for r in seeds], dtype="float64")
+
+    def assigner(Cm):
+        bc = spark.sparkContext.broadcast(Cm)
+
+        def go(batches):
+            import pandas as pd
+
+            Cb = bc.value
+            c2 = (Cb * Cb).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype("float64")
+                D = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cb.T) + c2[None, :]
+                D = np.floor(D * qd + 0.5) / qd
+                # np.argmin returns the FIRST minimum → smallest cid, the
+                # same tiebreak as SQL's ORDER BY qdist, cid
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "vec": pdf["vec"],
+                        "v": pdf["v"],
+                        "bucket": np.argmin(D, axis=1).astype("int32"),
+                    }
+                )
+
+        return go
+
+    schema = f"id {id_type}, vec {vec_type}, v array<double>, bucket int"
+    for _ in range(iters):
+        assigned = base.mapInPandas(assigner(C), schema)
+        means = (
+            assigned.select("bucket", F.posexplode("v").alias("pos", "x"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        newC = C.copy()
+        for r in means:
+            newC[r.bucket][r.pos] = np.floor(r.m * qm + 0.5) / qm
+        C = newC
+    final = base.mapInPandas(assigner(C), schema).select(
+        F.col("id").alias(id_col), F.col("vec").alias(vec_col), "bucket"
+    )
+    return final, [row.tolist() for row in C]
+
+
 def ivf_save(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -243,7 +349,11 @@ def ivf_topk(
             Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
             # clamp: probing more buckets than exist is just a full probe
             n_probe = min(nprobe, Cn_b.shape[0])
-            order = np.argsort(-(Qn @ Cn_b.T), axis=1)[:, :n_probe]
+            # quantize + stable sort: the probed bucket SET is then
+            # engine-deterministic (rank by rounded cosine desc, cid asc —
+            # replayable in the SQL oracle), not an ulp coin-flip
+            S = np.floor((Qn @ Cn_b.T) * 1e6 + 0.5) / 1e6
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
             out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
             out["bucket"] = order.ravel()
             yield pd.DataFrame(
