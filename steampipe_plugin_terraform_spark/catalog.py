@@ -769,6 +769,409 @@ def q_ntile_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q4_priority_late_ship",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join, then a small
+    group-count. (This corpus has no commit/receipt dates, so "late" is
+    shipped >60 days after the order date — same correlated-inequality
+    EXISTS physical shape.)
+
+    Scale: the date filter prunes orders BEFORE the semi join, and the
+    semi join keys on l_orderkey with the inequality evaluated as a join
+    residual — lineitem is never widened or aggregated."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan→filter→aggregate, no join, no group.
+
+    Scale: the showcase for pushdown — all three predicates and the
+    2-column projection reach the parquet scan (PushedFilters), so the
+    stage reads a fraction of the file and aggregates map-side to one row.
+    The discount bounds compare against the same double literals in both
+    engines, and the parquet values are identical bit patterns."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume) * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n1.n_regionkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table join tree feeding
+    a conditional-aggregate ratio per year.
+
+    Scale: every dimension (part-filtered, supplier, both nation roles,
+    region) broadcasts; the only shuffle-joined pair is lineitem⋈orders.
+    The region/nation filter applies to the CUSTOMER side while the share
+    CASE keys on the SUPPLIER nation — the two roles stay separate
+    broadcasts, as in q7. Ratio uses the portable floor grid (catalog
+    convention for ratios of FP sums)."""
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk_cust"), F.col("n_regionkey").alias("rk_cust")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk_supp"), F.col("n_name").alias("supp_nation")))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    joined = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == F.col("nk_cust"))
+        .join(r, F.col("rk_cust") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("nk_supp"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.expr(
+            "floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)"
+            " / sum(volume) * 1000000 + 0.5) / 1000000"
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_profit_by_nation",
+    oracle="""
+    SELECT n_name AS nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity AS amount
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_type = 'STANDARD')
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product profit per nation per year — a 5-way join
+    whose aggregate expression mixes columns from two tables (lineitem
+    price terms minus a part-derived cost; this corpus has no partsupp,
+    so cost is 10% of retail price — same multi-table amount shape).
+
+    Scale: part (filtered) / supplier / nation broadcast; lineitem⋈orders
+    is the one big shuffle. The amount expression is evaluated map-side
+    before the partial aggregate, so the shuffle carries (nation, year)
+    partials only."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey", "p_retailprice")
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — a filtered LEFT
+    OUTER join (the filter lives in the join condition, NOT the WHERE, so
+    zero-order customers survive with count 0), then a two-level aggregate.
+
+    Scale: the outer join shuffles on custkey and the first aggregate
+    reuses that partitioning (no second exchange); the histogram aggregate
+    moves one row per distinct count."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150) t ON t.l_orderkey = o.o_orderkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING — rewritten as an
+    aggregate-then-join (the subquery result is the join input itself, so
+    no separate semi join is needed).
+
+    Scale: the lineitem aggregate reduces 4 rows/order to 1 BEFORE any
+    join; the HAVING filter then cuts that to the rare heavy orders, which
+    AQE sees is small enough to broadcast against orders and customer.
+    l_quantity is integral-valued so the double sum is exact in FP —
+    cross-engine comparison is safe without a rounding grid."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    heavy = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        heavy.join(o, heavy.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) join predicate mixing
+    columns from both tables.
+
+    Scale: Catalyst extracts the common single-table residues of the OR —
+    part rows must match one of the three brands, lineitem rows one of the
+    quantity ranges — and pushes them below the join, so the scans prune
+    before the (broadcast) join evaluates the full disjunction."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderstatus = 'F'
+    JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey AND l1.l_suppkey = s.s_suppkey
+    WHERE n.n_name = 'NATION_5'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — one EXISTS plus one correlated NOT EXISTS over
+    the same fact table (late = shipped >60 days after order date; this
+    corpus has no receipt/commit dates).
+
+    Scale: both subqueries become lineitem self-joins keyed on l_orderkey
+    (semi then anti) with the supplier inequality as a join residual; the
+    anti side pre-filters to LATE lines only, so its build input is the
+    small side. Supplier and nation broadcast."""
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    l1 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+    )
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+    l3 = l.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    )
+    return (
+        l1.join(l2, (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("sk2")), "left_semi")
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("sk3"))
+            & (F.col("sd3") > F.date_add(F.col("o_orderdate"), 60)),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH thr AS (SELECT (floor(avg(c_acctbal) * 100 + 0.5) + 0.5) / 100 AS t
+                 FROM customer WHERE c_acctbal > 0.0)
+    SELECT cntrycode, count(*)::BIGINT AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (SELECT c_nationkey % 7 AS cntrycode, c_acctbal
+          FROM customer c CROSS JOIN thr
+          WHERE c.c_acctbal > thr.t
+            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    GROUP BY cntrycode
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance average
+    with no orders — scalar aggregate subquery + anti join + group. (No
+    phone column in this corpus; country code is nationkey mod 7.)
+
+    The threshold is snapped to a half-cent grid ((floor(avg*100+.5)+.5)/100):
+    balances have exactly 2 decimals, so NO balance can ever equal the
+    threshold and a last-ulp difference in the two engines' FP average
+    cannot flip a row across the > comparison.
+
+    Scale: the scalar subquery is one map-side-combined aggregate
+    broadcast into the filter; the anti join shuffles on custkey only
+    after the balance filter has cut the probe side."""
+    c = _t(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        ((F.floor(F.avg("c_acctbal") * 100 + 0.5) + 0.5) / 100).alias("t")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select((F.col("c_nationkey") % 7).alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: time-series / streaming-adjacent shapes (§2.8) + JSON surface
 # ---------------------------------------------------------------------------
