@@ -74,7 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered so entries without a green driver row come first (the driver
     checks a bounded prefix); see ``_VALIDATE_FIRST``.
     """
-    ordered = {k: QUERIES[k] for k in _VALIDATE_FIRST if k in QUERIES}
+    missing = [k for k in _VALIDATE_FIRST if k not in QUERIES]
+    assert not missing, f"_VALIDATE_FIRST names unknown entries: {missing}"
+    ordered = {k: QUERIES[k] for k in _VALIDATE_FIRST}
     ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
     return ordered
 

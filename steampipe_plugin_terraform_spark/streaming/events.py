@@ -14,30 +14,64 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def probe_events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
+    """Driver-side footer probe of the events table's ``ts`` physical type.
+
+    Returns the *batch* dtype string Spark assigns to the column:
+    ``bigint`` for TIMESTAMP(NANOS) files (readable only via
+    ``legacy.parquet.nanosAsLong``), ``timestamp_ntz``/``timestamp`` for
+    ordinary µs files. Setting the legacy conf first is safe — it only
+    affects genuine nanos columns and deliberately persists on the session
+    (same contract as ``catalog._t``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts", "")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events parquet as a file source (ns → µs timestamp).
+    """Stream the events parquet as a file source, adapting to the file's
+    timestamp unit: ordinary ``timestamp[us]`` parquet streams as-is with a
+    (NTZ) timestamp schema; legacy TIMESTAMP(NANOS) files are read as long
+    and truncated ns → µs (exactly like DuckDB's µs conversion).
 
     The file stream source needs a directory; ``pathGlobFilter`` narrows it
     to the events file inside the multi-table sf dir."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dtype = probe_events_ts_dtype(spark, sf_dir)
+    if dtype == "bigint":  # TIMESTAMP(NANOS) → long, convert ourselves
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype == "timestamp":
+        return (
+            spark.readStream.schema(_events_schema(T.TimestampType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    # timestamp_ntz: watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_
+    # TIMESTAMP_TYPE), so cast under a UTC session tz — wall-clock values
+    # are preserved exactly, matching the timezone-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -84,11 +84,11 @@ def test_hourly_counts_stream_matches_batch(spark):
         (str(r["hour"]), r["event_type"]): (r["n"], r["total_value"])
         for r in spark.sql("select * from ev_hourly").collect()
     }
-    # batch reference computed directly
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # batch reference computed directly (adaptive ts-unit read, like the stream)
+    from steampipe_plugin_terraform_spark.catalog import _t
+
     batch = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _t(spark, SF, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
@@ -150,9 +150,10 @@ def test_stateful_running_totals(spark):
         for r in spark.sql("select * from ev_state").collect()
     }
     # final state must equal the batch aggregate
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from steampipe_plugin_terraform_spark.catalog import _t
+
     batch = (
-        spark.read.parquet(f"{SF}/events.parquet")
+        _t(spark, SF, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
     )
