@@ -27,44 +27,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 queries() entries in
-# dict order.  Round 3 registered 78 entries but the 28 extension entries
-# past position 49 (dedup/similarity/streaming/media, catalog.py:1551+)
-# never produced a driver row.  Front-load exactly those so CORRECTNESS_r04
-# validates them; the relational entries that are three-rounds-green take
-# the back seats (they remain in queries() and still smoke-run locally via
-# tests/test_oracle_parity.py, which checks all entries regardless of order).
+# dict order; entries past the window are still value-checked locally by
+# tests/test_oracle_parity.py (all entries, order-independent).  Round-5
+# rotation: changed-this-round entries first (streaming ts fix, new tf
+# tables, emb_ivf_store_topk's new oracle), then the 28 entries that fell
+# out of round 4's window (last driver-checked r03).
 _VALIDATE_FIRST = [
-    # never driver-checked in any round
-    "docs_repetition",
-    "docs_span_dedup",
-    "docs_unigram_logprob",
-    "docs_source_mix",
-    "emb_lang_centroids",
-    "emb_ivf_store_topk",
-    "stream_deduped_events",
-    "stream_click_error_join",
-    "media_frame_sample",
-    # oracle/output changed in r03, never re-checked by the driver
-    "dedup_simhash",
-    "emb_lsh_topk",
-    "emb_ivf_topk",
-    "emb_ivf_recall",
-    "emb_quantize_int8",
-    # extension entries last driver-checked in r02 (out of window r03)
-    "docs_pack_sequences",
-    "docs_winnow_fingerprint",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "docs_curation_pipeline",
-    "emb_cosine_topk",
+    # changed in r05: streaming reader ts-unit fix (3 were wrong in r04;
+    # the other 2 re-check the fix's blast radius)
     "stream_events_hourly",
     "stream_sessions_per_user",
+    "stream_click_error_join",
+    "stream_deduped_events",
     "stream_user_running_totals",
-    "tf_resource_count_by_type",
-    "tf_resources",
-    "tf_outputs",
-    "media_metadata",
+    # new in r05: remaining five terraform tables, each golden-oracled
+    "tf_modules",
+    "tf_variables",
+    "tf_locals",
+    "tf_providers",
+    "tf_data_sources",
+    # oracle added in r05 (was rows-only through r04)
+    "emb_ivf_store_topk",
+    # out of round 4's 50-entry window; last driver-checked r03
+    "q_events_moving_avg",
+    "q_stats_by_returnflag",
+    "q_ntile_acctbal_deciles",
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q_events_hourly",
+    "q_events_sessions",
+    "q_events_json_props",
+    "q_events_last_order_asof",
+    "dedup_first_event",
+    "docs_stratified_sample",
+    "docs_contamination_screen",
+    "docs_fingerprint",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_zscore_by_lang",
+    "emb_near_dup_pairs",
+    "docs_bpe_tokens",
+    "docs_top_bigrams",
+    "docs_redact_pii",
 ]
 
 

@@ -2148,27 +2148,27 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.group_centroids(j, "lang")
 
 
+@query("emb_ivf_store_topk", oracle=_IVF_TOPK_SQL)
 def emb_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF SERVING path: build → save as a bucket-partitioned parquet
     store (+ sibling centroid table) → load → probe with the bucket set
     pushed as a static partition filter, so the scan reads only
     nprobe-probed partitions (PartitionFilters pruning — pinned by
-    test_similarity_store). Rows-only: k-means shapes are engine-specific;
-    store≡memory result equality is pinned by tests instead.
+    test_similarity_store). Quantizer is the deterministic ``kmeans_lloyd``
+    (same as ``emb_ivf_topk``), and parquet round-trips floats exactly, so
+    the store path replays the identical Lloyd-CTE oracle — the driver now
+    value-checks that save→load→probe changes nothing.
     """
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    assigned, centroids = similarity.build_ivf(corpus, n_centroids=16)
+    assigned, centroids = similarity.kmeans_lloyd(corpus, k=16, iters=3)
     path = tempfile.mkdtemp(prefix="ivf_store_") + "/index"
     similarity.ivf_save(assigned, centroids, path)
     loaded, cents = similarity.ivf_load(spark, path)
     return similarity.ivf_topk(queries, loaded, cents, k=5, nprobe=8, static_prune=True)
-
-
-QUERIES["emb_ivf_store_topk"] = emb_ivf_store_topk
 
 
 def _stop_stream(spark: SparkSession, name: str) -> None:
@@ -2431,6 +2431,98 @@ def tf_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """terraform_output from config AND state: expression-string values,
     NullIfZero sensitive (state's absent sensitive → NULL)."""
     return _tf_engine(spark).table("terraform_output").select("name", "value", "sensitive")
+
+
+@query(
+    "tf_modules",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('vpc', 'terraform-aws-modules/vpc/aws', '5.0.0',
+       '{"cidr":"10.0.0.0/16"}', '"${toset([\\"a\\", \\"b\\"])}"')
+    ) t(name, module_source, version, arguments, for_each)
+    """,
+)
+def tf_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terraform_module basic-info shape (docs/tables/terraform_module.md:
+    28-36): the ``source`` argument surfaces as ``module_source`` (name-clash
+    rename, table_terraform_module.go), non-reserved args collect into the
+    canonical-JSON ``arguments`` map, and ``for_each`` round-trips through
+    the expression→JSON serializer."""
+    return _tf_engine(spark).table("terraform_module").select(
+        "name", "module_source", "version", "arguments", "for_each"
+    )
+
+
+@query(
+    "tf_variables",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('instance_type', 'string', '"t2.micro"', 'EC2 type', NULL::BOOLEAN)
+    ) t(name, type, default_value, description, sensitive)
+    """,
+)
+def tf_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terraform_variable basic-info shape (docs/tables/terraform_variable.md).
+    Pins the reference quirk (table_terraform_variable.go:226-233): the
+    ``sensitive`` value is type-checked but never assigned, so the column is
+    NULL even though the fixture sets ``sensitive = true``."""
+    return _tf_engine(spark).table("terraform_variable").select(
+        "name", "type", "default_value", "description", "sensitive"
+    )
+
+
+@query(
+    "tf_locals",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('owner',       '"team-a"'),
+      ('cost_center', '42'),
+      ('tags',        '{"env":"dev"}')
+    ) t(name, value)
+    """,
+)
+def tf_locals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terraform_local basic-info shape (docs/tables/terraform_local.md:
+    22-28): one row per local across multiple ``locals`` blocks, values as
+    canonical expression JSON (string/number/object)."""
+    return _tf_engine(spark).table("terraform_local").select("name", "value")
+
+
+@query(
+    "tf_providers",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aws', NULL::VARCHAR, NULL::VARCHAR, '{"region":"us-west-2"}'),
+      ('aws', 'east',        '~> 4.0',      '{"region":"us-east-1"}')
+    ) t(name, alias, version, arguments)
+    """,
+)
+def tf_providers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terraform_provider basic-info shape (docs/tables/terraform_provider.md):
+    aliased re-declarations stay separate rows; ``alias``/``version`` lift out
+    of the body while the rest lands in the ``arguments`` JSON."""
+    return _tf_engine(spark).table("terraform_provider").select(
+        "name", "alias", "version", "arguments"
+    )
+
+
+@query(
+    "tf_data_sources",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ubuntu', 'aws_ami',
+       '{"filter":[{"name":"name","values":["ubuntu/images/*"]},"""
+    + """{"name":"virtualization-type","values":["hvm"]}],"most_recent":true}')
+    ) t(name, type, arguments)
+    """,
+)
+def tf_data_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terraform_data_source basic-info shape (docs/tables/
+    terraform_data_source.md): repeated nested ``filter`` blocks aggregate
+    into a JSON array inside ``arguments``."""
+    return _tf_engine(spark).table("terraform_data_source").select(
+        "name", "type", "arguments"
+    )
 
 
 @query(

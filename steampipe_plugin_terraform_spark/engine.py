@@ -149,14 +149,75 @@ class TerraformEngine:
         path_qual: str | None = None,
         on_error: str = "fail",
         cache: bool = True,
+        watch: bool = False,
+        watch_interval: float = 1.0,
     ):
         self.spark = spark
         self._source_lists = (tuple(config_paths), tuple(plan_paths), tuple(state_paths), path_qual)
-        self.files = discover_files(config_paths, plan_paths, state_paths, path_qual)
+        auth: dict[str, str] = {}
+        self.files = discover_files(
+            config_paths, plan_paths, state_paths, path_qual, auth_sink=auth
+        )
+        if auth:  # per-path ?aws_profile=/?region= → per-bucket S3A confs,
+            # applied before the first read (reference docs/index.md:227-268)
+            from .sources.discover import apply_s3a_auth
+
+            apply_s3a_auth(spark, auth)
         self.on_error = on_error
         self._cache = cache
         self._wide: DataFrame | None = None
         self._views_json_as: str | None = None
+        self.watcher = None
+        self._watch_thread = None
+        self._watch_stop = None
+        if watch:
+            self.start_watch(watch_interval)
+
+    # -- watch wiring (the reference's `steampipe:"watch"` tags,
+    #    connection_config.go:8-11: path lists are watched automatically;
+    #    here the same behavior is one constructor flag) --
+
+    def start_watch(self, interval: float = 1.0):
+        """Start background change detection over the engine's path lists.
+
+        Mirrors the reference SDK's automatic fsnotify watch on
+        ``steampipe:"watch"``-tagged config fields: added / modified /
+        deleted files trigger an incremental ``refresh`` (only changed files
+        re-parse) and registered views re-register. Poll-based (see
+        ``TerraformWatcher``), driver-only, daemon thread — a failed refresh
+        leaves the snapshot untouched so the delta retries next tick.
+        Returns the watcher; idempotent while already running.
+        """
+        import threading
+
+        from .streaming.watch import TerraformWatcher
+
+        if self._watch_thread is not None:
+            return self.watcher
+        self.watcher = TerraformWatcher(self)
+        self._watch_stop = threading.Event()
+
+        def _loop() -> None:
+            while not self._watch_stop.wait(interval):
+                try:
+                    self.watcher.poll()
+                except Exception:  # keep watching; poll retries the delta
+                    pass
+
+        self._watch_thread = threading.Thread(
+            target=_loop, daemon=True, name="terraform-watch"
+        )
+        self._watch_thread.start()
+        return self.watcher
+
+    def stop_watch(self) -> None:
+        """Stop the background watch thread (no-op if not watching)."""
+        if self._watch_thread is None:
+            return
+        self._watch_stop.set()
+        self._watch_thread.join(timeout=30)
+        self._watch_thread = None
+        self._watch_stop = None
 
     # -- connection-config constructors (connection_config.go, terraform.spc) --
 
@@ -253,7 +314,12 @@ class TerraformEngine:
 
         old = self._wide
         cfg, plan, state, qual = self._source_lists
-        self.files = discover_files(cfg, plan, state, qual)
+        auth: dict[str, str] = {}
+        self.files = discover_files(cfg, plan, state, qual, auth_sink=auth)
+        if auth:
+            from .sources.discover import apply_s3a_auth
+
+            apply_s3a_auth(self.spark, auth)
         # Spark's shared FileStatusCache pins each file's LENGTH from its
         # first listing (no TTL by default), so a re-read of a grown file
         # would silently truncate to the stale length. Drop the listing

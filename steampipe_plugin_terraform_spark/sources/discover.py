@@ -51,20 +51,31 @@ def is_git_url(p: str) -> bool:
 def s3_getter_to_s3a(url: str) -> str:
     """Translate a go-getter S3 URL (the reference's documented S3 format,
     docs/index.md:227-268) to an ``s3a://bucket/key`` URL Spark's Hadoop FS
-    reads natively.
+    reads natively. Query auth params are parsed but dropped here; use
+    ``parse_s3_getter`` to also honor them (the reference passes
+    ``?aws_profile=``/``?region=`` to go-getter per path)."""
+    return parse_s3_getter(url)[0]
+
+
+def parse_s3_getter(url: str) -> tuple[str, dict[str, str]]:
+    """Translate a go-getter S3 URL to (``s3a://bucket/key``, auth params).
 
     Handles both addressing styles go-getter accepts:
     - virtual-hosted: ``s3::https://bucket.s3.us-east-1.amazonaws.com/folder//*.tf``
     - path-style:     ``s3::https://s3-eu-west-1.amazonaws.com/bucket/folder//*.tf``
 
     The ``//`` subpath separator just collapses into the key. Query params
-    (``?aws_profile=…``, ``?region=…``) are dropped: Spark/Hadoop resolves
-    AWS credentials through its own provider chain (the same env vars /
-    profiles the reference documents).
+    (``?aws_profile=…``, ``?region=…`` — reference docs/index.md:227-268)
+    come back as the second element; ``s3a_auth_confs`` maps them onto
+    Hadoop S3A's per-bucket configuration.
     """
     raw = url[len("s3::"):] if url.startswith("s3::") else url
+    params: dict[str, str] = {}
     if "?" in raw:
-        raw, _ = raw.split("?", 1)
+        raw, qs = raw.split("?", 1)
+        from urllib.parse import parse_qsl
+
+        params = dict(parse_qsl(qs))
     m = re.match(r"^https?://(?P<host>[^/]+)/?(?P<key>.*)$", raw)
     if not m:
         raise ValueError(f"unrecognized S3 URL format: {url!r}")
@@ -79,17 +90,95 @@ def s3_getter_to_s3a(url: str) -> str:
             raise ValueError(f"cannot extract bucket from S3 host {host!r} in {url!r}")
     if not bucket:
         raise ValueError(f"empty bucket in S3 URL {url!r}")
-    return f"s3a://{bucket}/{key.lstrip('/')}"
+    return f"s3a://{bucket}/{key.lstrip('/')}", params
 
 
-def expand_glob(pattern: str) -> list[str]:
-    """Expand one glob pattern to concrete files (dirs skipped, misses → [])."""
+# pseudo-key in an auth-conf dict for the process-wide profile selection
+# (everything else is a real per-bucket Hadoop key)
+ENV_AWS_PROFILE = "env.AWS_PROFILE"
+
+
+def s3a_auth_confs(s3a_url: str, params: dict[str, str]) -> dict[str, str]:
+    """Map go-getter S3 auth params onto Hadoop S3A per-bucket configuration.
+
+    - ``?region=R`` → ``fs.s3a.bucket.<b>.endpoint.region = R`` (public
+      Hadoop S3A per-bucket override, hadoop-aws docs "Configurations
+      different S3 buckets").
+    - ``?aws_profile=P`` → per-bucket credentials provider pinned to the AWS
+      SDK profile provider, plus the ``env.AWS_PROFILE`` pseudo-key: the SDK
+      resolves the profile NAME process-wide from $AWS_PROFILE (Hadoop has
+      no per-bucket profile-name key), so ``apply_s3a_auth`` sets the env
+      var and refuses conflicting profiles loudly rather than silently
+      reading one bucket with another bucket's credentials.
+
+    Unknown params raise — dropping an auth param silently is how you read
+    prod data with the wrong role.
+    """
+    bucket = s3a_url[len("s3a://"):].split("/", 1)[0]
+    confs: dict[str, str] = {}
+    for k, v in params.items():
+        if k == "region":
+            confs[f"fs.s3a.bucket.{bucket}.endpoint.region"] = v
+        elif k == "aws_profile":
+            confs[f"fs.s3a.bucket.{bucket}.aws.credentials.provider"] = (
+                "software.amazon.awssdk.auth.credentials.ProfileCredentialsProvider"
+            )
+            confs[ENV_AWS_PROFILE] = v
+        elif k == "version":
+            # go-getter S3 object versioning — Hadoop S3A reads latest only
+            raise ValueError(
+                f"S3 object versioning (?version=) is not supported: {s3a_url!r}"
+            )
+        else:
+            raise ValueError(f"unsupported S3 auth param {k!r} in {s3a_url!r}")
+    return confs
+
+
+def apply_s3a_auth(spark, confs: dict[str, str]) -> None:
+    """Apply collected S3A auth confs to the session's Hadoop configuration.
+
+    Must run before the first read of the affected bucket (Hadoop caches FS
+    instances per scheme+authority). The ``env.AWS_PROFILE`` pseudo-key sets
+    $AWS_PROFILE; a pre-existing DIFFERENT value raises (profile selection
+    is process-wide in the AWS SDK — two paths wanting two profiles cannot
+    both be honored, and guessing would use the wrong credentials).
+    """
+    confs = dict(confs)
+    profile = confs.pop(ENV_AWS_PROFILE, None)
+    if profile is not None:
+        existing = os.environ.get("AWS_PROFILE")
+        if existing not in (None, "", profile):
+            raise ValueError(
+                f"conflicting AWS profiles: path wants {profile!r} but "
+                f"$AWS_PROFILE={existing!r} (profile selection is process-wide)"
+            )
+        os.environ["AWS_PROFILE"] = profile
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in confs.items():
+        hconf.set(k, v)
+
+
+def expand_glob(pattern: str, auth_sink: dict[str, str] | None = None) -> list[str]:
+    """Expand one glob pattern to concrete files (dirs skipped, misses → []).
+
+    ``auth_sink``: optional dict that per-path S3 auth params accumulate
+    into as Hadoop confs (see ``s3a_auth_confs``); conflicting values for
+    the same key raise rather than last-writer-wins."""
     if is_dfs_url(pattern):
         # distributed-FS URLs are resolved by Spark's reader (pathGlobFilter
         # handles trailing globs); pass through as-is
         return [pattern]
     if pattern.startswith("s3::"):
-        return [s3_getter_to_s3a(pattern)]
+        s3a_url, params = parse_s3_getter(pattern)
+        if params and auth_sink is not None:
+            for k, v in s3a_auth_confs(s3a_url, params).items():
+                if auth_sink.get(k, v) != v:
+                    raise ValueError(
+                        f"conflicting S3 auth for {k}: {auth_sink[k]!r} vs {v!r} "
+                        f"(from {pattern!r})"
+                    )
+                auth_sink[k] = v
+        return [s3a_url]
     if is_git_url(pattern):
         local, sub_glob = fetch_remote(pattern)
         return expand_glob(os.path.join(local, sub_glob or "**/*.tf"))
@@ -169,11 +258,13 @@ def discover_files(
     plan_paths: list[str] | tuple = (),
     state_paths: list[str] | tuple = (),
     path_qual: str | None = None,
+    auth_sink: dict[str, str] | None = None,
 ) -> list[tuple[str, str]]:
     """Resolve the three glob lists to [(path, kind)] rows.
 
     ``path_qual`` replicates the pushed-down ``WHERE path = x`` fast path:
     exactly that file, state-routed iff it ends in ``.tfstate``.
+    ``auth_sink`` collects per-path S3 auth Hadoop confs (``expand_glob``).
     """
     if path_qual is not None:
         kind = "state" if path_qual.endswith(".tfstate") else "config"
@@ -185,6 +276,6 @@ def discover_files(
     out: list[tuple[str, str]] = []
     for patterns, kind in ((config_paths, "config"), (plan_paths, "plan"), (state_paths, "state")):
         for pattern in patterns or ():
-            for path in expand_glob(pattern):
+            for path in expand_glob(pattern, auth_sink=auth_sink):
                 out.append((path, kind))
     return out

@@ -206,3 +206,38 @@ def test_refresh_tolerates_vanished_file(spark, tmp_path):
         eng.refresh([str(tmp_path / "b.tf")])
     # b.tf behaved as deleted: only a.tf's row remains, no exception
     assert eng.table("terraform_resource").count() == 1
+
+
+def test_watch_flag_autostarts_watcher(spark, tmp_path):
+    """`watch=True` wires the watcher automatically — the reference's
+    `steampipe:"watch"` tags (connection_config.go:8-11) make watching a
+    property of the connection, not an object the user assembles by hand."""
+    import time
+
+    (tmp_path / "a.tf").write_text('resource "r" "x" { n = 1 }\n')
+    eng = TerraformEngine(
+        spark,
+        config_paths=[str(tmp_path / "*.tf")],
+        watch=True,
+        watch_interval=0.1,
+    )
+    try:
+        eng.register_views()
+        assert eng.watcher is not None and eng._watch_thread.is_alive()
+        (tmp_path / "b.tf").write_text('resource "watch_canary" "c" { n = 2 }\n')
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.sql(
+                "select count(*) from terraform_resource where type = 'watch_canary'"
+            ).collect()[0][0]
+            if n == 1:
+                break
+            time.sleep(0.2)
+        assert n == 1, "background watch never picked up the new file"
+    finally:
+        eng.stop_watch()
+    assert eng._watch_thread is None
+    # idempotent restart path
+    eng.start_watch(interval=0.1)
+    eng.start_watch(interval=0.1)
+    eng.stop_watch()

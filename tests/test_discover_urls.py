@@ -177,3 +177,75 @@ def test_fetch_remote_clone_url_for_ssh(monkeypatch):
     )
     assert seen["url"] == "https://github.com/turbot/steampipe-plugin-aws"
     assert sub == "aws-test/tests/aws_acm_certificate//variables.tf"
+
+
+# --- per-path S3 auth params (docs/index.md:227-268: ?aws_profile=/?region=)
+
+
+def test_parse_s3_getter_returns_params():
+    from steampipe_plugin_terraform_spark.sources.discover import parse_s3_getter
+
+    url, params = parse_s3_getter(
+        "s3::https://b.s3.us-east-1.amazonaws.com/f//*.tf?aws_profile=prod&region=eu-west-1"
+    )
+    assert url == "s3a://b/f/*.tf"
+    assert params == {"aws_profile": "prod", "region": "eu-west-1"}
+
+
+def test_s3a_auth_confs_maps_to_per_bucket_keys():
+    from steampipe_plugin_terraform_spark.sources.discover import (
+        ENV_AWS_PROFILE,
+        s3a_auth_confs,
+    )
+
+    confs = s3a_auth_confs(
+        "s3a://b/f/*.tf", {"aws_profile": "prod", "region": "eu-west-1"}
+    )
+    assert confs["fs.s3a.bucket.b.endpoint.region"] == "eu-west-1"
+    assert confs["fs.s3a.bucket.b.aws.credentials.provider"].endswith(
+        "ProfileCredentialsProvider"
+    )
+    assert confs[ENV_AWS_PROFILE] == "prod"
+    with pytest.raises(ValueError, match="unsupported S3 auth param"):
+        s3a_auth_confs("s3a://b/k", {"mystery": "x"})
+    with pytest.raises(ValueError, match="versioning"):
+        s3a_auth_confs("s3a://b/k", {"version": "3"})
+
+
+def test_expand_glob_collects_auth_and_rejects_conflicts():
+    sink: dict = {}
+    assert expand_glob(
+        "s3::https://b.s3.amazonaws.com/f//*.tf?region=us-west-2", auth_sink=sink
+    ) == ["s3a://b/f/*.tf"]
+    assert sink["fs.s3a.bucket.b.endpoint.region"] == "us-west-2"
+    # same bucket, same value: idempotent
+    expand_glob("s3::https://b.s3.amazonaws.com/g//*.tf?region=us-west-2", auth_sink=sink)
+    with pytest.raises(ValueError, match="conflicting S3 auth"):
+        expand_glob(
+            "s3::https://b.s3.amazonaws.com/h//*.tf?region=eu-central-1", auth_sink=sink
+        )
+
+
+def test_apply_s3a_auth_sets_hadoop_conf_and_profile(spark, monkeypatch):
+    from steampipe_plugin_terraform_spark.sources.discover import (
+        ENV_AWS_PROFILE,
+        apply_s3a_auth,
+    )
+
+    monkeypatch.delenv("AWS_PROFILE", raising=False)
+    apply_s3a_auth(
+        spark,
+        {
+            "fs.s3a.bucket.pb.endpoint.region": "ap-south-1",
+            ENV_AWS_PROFILE: "prod",
+        },
+    )
+    import os
+
+    assert os.environ["AWS_PROFILE"] == "prod"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.bucket.pb.endpoint.region") == "ap-south-1"
+    # conflicting pre-existing profile refuses loudly
+    monkeypatch.setenv("AWS_PROFILE", "other")
+    with pytest.raises(ValueError, match="conflicting AWS profiles"):
+        apply_s3a_auth(spark, {ENV_AWS_PROFILE: "prod"})
