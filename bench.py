@@ -134,8 +134,11 @@ def main() -> None:
     # hypervisor CPU-steal windows (a 3 s query can read 15 s), and run 1
     # additionally pays one-time whole-stage-codegen compilation. The min
     # of two runs is the standard way to report the query's actual compute
-    # cost under both noise sources; both samples go to stderr.
+    # cost under both noise sources; BOTH samples also go into the JSON
+    # ("samples") so a regression can be adjudicated against noise from the
+    # recorded artifact alone, without the stderr log.
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
@@ -144,16 +147,15 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
         timings[name] = round(min(samples), 3)
-        print(
-            f"# {name}: {timings[name]}s (samples: {[round(s, 3) for s in samples]})",
-            file=sys.stderr,
-        )
+        all_samples[name] = [round(s, 3) for s in samples]
+        print(f"# {name}: {timings[name]}s (samples: {all_samples[name]})", file=sys.stderr)
 
     parse_samples = [bench_tf_parse(spark, 500) for _ in range(2)]
     timings["tf_parse_500_files"] = round(min(parse_samples), 3)
+    all_samples["tf_parse_500_files"] = [round(s, 3) for s in parse_samples]
     print(
         f"# tf_parse_500_files: {timings['tf_parse_500_files']}s "
-        f"(samples: {[round(s, 3) for s in parse_samples]})",
+        f"(samples: {all_samples['tf_parse_500_files']})",
         file=sys.stderr,
     )
 
@@ -163,6 +165,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": all_samples,
         "sf": sf,
     }))
 

@@ -159,12 +159,18 @@ def shingle_jaccard_pairs(
         sh.groupBy("h")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.expr(f"size(ids) >= 2 AND {cap}"))
+        # pair emission is CHUNKED by anchor: explode the anchor index
+        # first, then emit only that anchor's pairs per row. A flat
+        # flatten(transform(...)) would materialize the bucket's full
+        # quadratic pair array as ONE row (df_max=10⁴ → ~5·10⁷ structs in a
+        # single executor row); this shape bounds per-row memory at O(n)
+        # while producing the identical pair set.
+        .select("ids", F.explode(F.expr("sequence(0, size(ids) - 2)")).alias("i"))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ids, (x, i) -> "
                     "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
+                    "y -> struct(ids[i] AS id_a, y AS id_b))"
                 )
             ).alias("p")
         )
@@ -477,19 +483,33 @@ def simhash_near_dups(
         .filter(F.expr(f"size(ds) BETWEEN 2 AND {bucket_max}"))
     )
     # collect_list order is nondeterministic — canonicalize each pair by id
-    # inside the lambda so (id_a < id_b) holds regardless of arrival order
-    pairs = buckets.select(
-        F.explode(
+    # inside the lambda so (id_a < id_b) holds regardless of arrival order.
+    # Pair emission is CHUNKED by anchor (explode the index, then one
+    # anchor's pairs per row): a flat flatten(transform(...)) would build a
+    # hot bucket's whole quadratic pair array as ONE row (bucket_max=10⁴ →
+    # ~5·10⁷ structs in a single executor row); this bounds per-row memory
+    # at O(bucket size) with the identical pair set.
+    pairs = (
+        buckets.select(
+            "ds", F.explode(F.expr("sequence(0, size(ds) - 2)")).alias("i")
+        )
+        .select(
+            F.expr("ds[i]").alias("a"),
+            F.explode(
+                F.expr("slice(ds, i + 2, size(ds) - i - 1)")
+            ).alias("b"),
+        )
+        .select(
             F.expr(
-                "flatten(transform(ds, (a, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), b -> struct("
+                "struct("
                 "IF(a.id < b.id, a.id, b.id) AS id_a, "
                 "IF(a.id < b.id, b.id, a.id) AS id_b, "
                 "IF(a.id < b.id, a.simhex, b.simhex) AS sa, "
-                "IF(a.id < b.id, b.simhex, a.simhex) AS sb))))"
-            )
-        ).alias("p")
-    ).select("p.*")
+                "IF(a.id < b.id, b.simhex, a.simhex) AS sb)"
+            ).alias("p")
+        )
+        .select("p.*")
+    )
     # Hamming from the hex halves as bigints (conv) — one xor+bit_count per
     # half instead of 16 per-digit string extractions (smaller generated
     # code, faster compile AND eval)
