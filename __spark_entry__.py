@@ -48,6 +48,12 @@ _VALIDATE_FIRST = [
     "tf_data_sources",
     # oracle added in r05 (was rows-only through r04)
     "emb_ivf_store_topk",
+    # new in r05: remaining numbered TPC-H shapes (q12/q15/q16/q20,
+    # adapted to this corpus's columns — no shipmode/partsupp)
+    "q12_priority_lines",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_quantity_suppliers",
     # out of round 4's 50-entry window; last driver-checked r03
     "q_events_moving_avg",
     "q_stats_by_returnflag",

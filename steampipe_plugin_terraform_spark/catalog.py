@@ -1172,6 +1172,188 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact↔fact join with a date-window filter feeding
+    complementary conditional counts per line attribute. (This corpus has
+    no l_shipmode/commitdate/receiptdate; returnflag plays the group key
+    and the window is one ship-year.)
+
+    Scale: the only shuffle is the orders⋈lineitem key exchange; the date
+    filter and 3-column projection reach the lineitem scan, and both CASE
+    sums fold into one partial aggregate per side of the exchange."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("date"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '2000-06-01' AND l_shipdate < DATE '2000-09-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN (
+      SELECT supplier_no, total_revenue,
+             rank() OVER (ORDER BY total_revenue DESC) AS rnk
+      FROM revenue) r ON s_suppkey = supplier_no
+    WHERE rnk = 1
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view (3-month window) whose MAX
+    selects the top supplier(s) — the scalar-max-subquery pattern expressed
+    as a rank() so revenue computes ONCE (TPC-H's view is referenced twice;
+    a literal translation would aggregate lineitem twice or require a
+    self-join against the max).
+
+    Revenue is snapped to the portable cent grid BEFORE ranking so an
+    engine ulp cannot reorder the top; rank() (not row_number) keeps the
+    spec's semantics of returning every tied top supplier.
+
+    Scale: one lineitem aggregation shuffle on suppkey; the rank window is
+    a single global sort over |suppliers| aggregated rows (tiny), and the
+    supplier join broadcasts."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-06-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("2000-09-01").cast("date"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        (
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5)
+            / 100
+        ).alias("total_revenue")
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = revenue.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return top.join(s, top.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO' AND p_size <= 25
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute group
+    with exclusion predicates. (No partsupp table in this corpus; lineitem
+    is the part↔supplier association, which preserves the join-then-
+    distinct-count structure.)
+
+    Scale: part is the filtered broadcast side; count(DISTINCT) expands to
+    the two-phase distinct aggregate, shuffling (brand, type, size,
+    suppkey) once before the final count — no row ever carries more than
+    the 4 grouping/distinct columns."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#9")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size") <= 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_quantity_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey),
+    thr AS (SELECT floor(avg(qty)) + 0.5 AS t FROM shipped)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped, thr WHERE qty > t)
+    """,
+)
+def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi join against a HAVING-style aggregated
+    subquery with a scalar-aggregate threshold. (No partsupp/availqty in
+    this corpus; shipped PROMO-part quantity stands in for excess stock,
+    keeping the nested agg → IN → semi-join structure.)
+
+    The threshold snaps to the half-unit grid (floor(avg)+0.5):
+    l_quantity is integral, so per-supplier sums are exactly representable
+    and NO sum can equal the threshold — an engine-ulp difference in the
+    FP average cannot flip a supplier across the > comparison.
+
+    Scale: part is a broadcast filter and the shipped agg shuffles on
+    suppkey — ONCE: the scalar threshold is a global window over the
+    aggregated frame (|suppliers| rows), not a separate scalar subquery,
+    which would re-execute the whole lineitem⋈part aggregation as a second
+    scan (TPC-H's revenue-view-twice trap, same cure as q15). The final
+    semi join broadcasts the qualifying-supplier set — supplier itself
+    never shuffles."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    qualifying = (
+        shipped.withColumn("t", F.floor(F.avg("qty").over(w)) + 0.5)
+        .filter(F.col("qty") > F.col("t"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: time-series / streaming-adjacent shapes (§2.8) + JSON surface
 # ---------------------------------------------------------------------------
