@@ -48,6 +48,8 @@ _VALIDATE_FIRST = [
     "tf_data_sources",
     # oracle added in r05 (was rows-only through r04)
     "emb_ivf_store_topk",
+    # new in r05: SemDeDup-shaped semantic dedup (full Lloyd+prune oracle)
+    "docs_semantic_dedup",
     # new in r05: remaining numbered TPC-H shapes (q12/q15/q16/q20,
     # adapted to this corpus's columns — no shipmode/partsupp)
     "q12_priority_lines",

@@ -2200,22 +2200,28 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cid tiebreak, 1e-6-grid means, empty clusters keep their centroid) — so
 # the SQL oracle replays init, all Lloyd iterations, the final assignment,
 # the nprobe probe ranking, and candidate scoring as chained CTEs.
-def _ivf_cte(k: int = 16, iters: int = 3, nprobe: int = 8, dim: int = 64) -> str:
-    def dist(v: str, cv: str) -> str:
-        return (
-            f"floor((list_dot_product({v},{v}) - 2*list_dot_product({v},{cv}) "
-            f"+ list_dot_product({cv},{cv})) * 10000 + 0.5) / 10000"
-        )
+def _dist_sql(v: str, cv: str) -> str:
+    return (
+        f"floor((list_dot_product({v},{v}) - 2*list_dot_product({v},{cv}) "
+        f"+ list_dot_product({cv},{cv})) * 10000 + 0.5) / 10000"
+    )
 
-    def cos(a: str, b: str) -> str:
-        return (
-            f"floor(list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) "
-            f"* sqrt(list_dot_product({b},{b}))) * 1000000 + 0.5) / 1000000"
-        )
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"floor(list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) "
+        f"* sqrt(list_dot_product({b},{b}))) * 1000000 + 0.5) / 1000000"
+    )
+
+
+def _lloyd_parts(corpus_where: str, k: int, iters: int, dim: int) -> list[str]:
+    """CTE chain replaying kmeans_lloyd over ``embeddings WHERE corpus_where``:
+    md5-ordered init → ``iters`` assignment/mean rounds (1e-4 / 1e-6 grids,
+    cid tiebreak, empty clusters keep their centroid) → final assignment
+    ``af(nid, v, bucket)``."""
+    dist = _dist_sql
     parts = [
-        "q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)",
-        "e AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id >= 10)",
+        f"e AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE {corpus_where})",
         "c0 AS (SELECT cid, cv FROM (SELECT CAST(row_number() OVER "
         f"(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM e) WHERE cid < {k})",
     ]
@@ -2231,10 +2237,22 @@ def _ivf_cte(k: int = 16, iters: int = 3, nprobe: int = 8, dim: int = 64) -> str
             f"c{t} AS (SELECT p.cid, COALESCE(n.cv, p.cv) cv "
             f"FROM {prev} p LEFT JOIN cl{t} n ON n.cid = p.cid)",
         ]
-    parts += [
+    parts.append(
         "af AS (SELECT nid, v, cid AS bucket FROM ("
         "SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
-        f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM e, c{iters} c) WHERE rn = 1)",
+        f"ORDER BY {dist('e.v', f'c.cv')}, c.cid) rn FROM e, c{iters} c) WHERE rn = 1)"
+    )
+    return parts
+
+
+def _ivf_cte(k: int = 16, iters: int = 3, nprobe: int = 8, dim: int = 64) -> str:
+    cos = _cos_sql
+
+    parts = [
+        "q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)"
+    ]
+    parts += _lloyd_parts("vec_id >= 10", k, iters, dim)
+    parts += [
         "pr AS (SELECT qid, cid AS bucket FROM ("
         "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
         f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c{iters} c) WHERE rn <= {nprobe})",
@@ -2328,6 +2346,33 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     j = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select("lang", "embedding")
     return similarity.group_centroids(j, "lang")
+
+
+_LLOYD_FULL = ",\n    ".join(_lloyd_parts("TRUE", 16, 3, 64))
+_SEMDEDUP_SQL = f"""
+    WITH {_LLOYD_FULL},
+    p AS (SELECT a.nid id_a, b.nid id_b,
+                 {_cos_sql('a.v', 'b.v')} AS cosine
+          FROM af a JOIN af b ON a.bucket = b.bucket AND a.nid < b.nid),
+    d AS (SELECT DISTINCT id_b FROM p WHERE cosine >= 0.38)
+    SELECT af.nid AS vec_id, af.bucket, (d.id_b IS NOT NULL) AS is_dup
+    FROM af LEFT JOIN d ON d.id_b = af.nid
+    """
+
+
+@query("docs_semantic_dedup", oracle=_SEMDEDUP_SQL)
+def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (cluster-then-prune, Abbas et al.
+    2023): deterministic Lloyd clustering of the embedding space, then
+    within-cluster quantized-cosine near-dups flagged, keeping each pair's
+    lowest id. Fully oracle-checked: DuckDB replays the Lloyd chain (same
+    CTEs as the IVF entries) plus the per-cluster pairwise prune.
+
+    Scale: one bucket shuffle + one per-cluster matmul (cluster size ~N/k
+    with k sized to the corpus) + a broadcast dup-id join — never all-pairs
+    across clusters. See ``operators/similarity.py:semantic_dedup``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k=16, iters=3, threshold=0.38)
 
 
 @query("emb_ivf_store_topk", oracle=_IVF_TOPK_SQL)

@@ -630,3 +630,76 @@ def group_centroids(
             F.col("n").cast("long").alias("n_vecs"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.38,
+    cos_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the embedding space
+    with the deterministic Lloyd quantizer, then flag within-cluster cosine
+    near-duplicates, keeping the lowest id of each near-dup pair.
+
+    The reference engine has no embedding ops; this is the LLM-pipeline
+    extension shape (cluster-then-prune, as in SemDeDup, Abbas et al. 2023)
+    re-expressed for Spark: one deterministic k-means (``kmeans_lloyd``,
+    engine-replayable), one ``applyInPandas`` over clusters where a single
+    BLAS matmul scores each cluster's pairs (the sanctioned dense-linear-
+    algebra path), one broadcast-size dup-id join back. Cosines snap to the
+    ``cos_digits`` grid BEFORE the threshold comparison, so a SQL engine
+    replaying the same grid makes identical keep/drop decisions.
+
+    A vector is a duplicate iff some SAME-CLUSTER vector with a smaller id
+    has quantized cosine >= threshold (pairwise, not transitive-closure —
+    chains prune like SemDeDup's per-cluster epsilon-pruning).
+
+    Scale: cluster sizes are ~N/k and k grows with the corpus at the design
+    point (IVF sizing), so the per-cluster quadratic stays bounded; the
+    matmul sees one cluster at a time (no all-pairs). Vectors shuffle once
+    (by bucket); the dup-id set is |dups| ids, broadcast back. Returns
+    (id, bucket, is_dup).
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned, _ = kmeans_lloyd(df, id_col, vec_col, k=k, iters=iters)
+    id_type = dict(df.dtypes)[id_col]
+    qc = 10.0 ** cos_digits
+
+    def cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"dup_id": pd.Series([], dtype=pdf["__id"].dtype)})
+        order = np.argsort(pdf["__id"].to_numpy())
+        ids = pdf["__id"].to_numpy()[order]
+        V = np.stack(pdf["__v"].to_numpy())[order].astype("float64")
+        N = V / np.sqrt((V * V).sum(axis=1))[:, None]
+        S = np.floor(N @ N.T * qc + 0.5) / qc
+        iu, ju = np.triu_indices(len(ids), 1)
+        dup = np.unique(ids[ju[S[iu, ju] >= threshold]])
+        return pd.DataFrame({"dup_id": dup})
+
+    dups = (
+        assigned.select(
+            "bucket",
+            F.col(id_col).alias("__id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(cluster_dups, schema=f"dup_id {id_type}")
+    )
+    return (
+        assigned.select(id_col, "bucket")
+        .join(
+            F.broadcast(dups.withColumnRenamed("dup_id", id_col)).withColumn(
+                "is_dup", F.lit(True)
+            ),
+            id_col,
+            "left",
+        )
+        .select(id_col, "bucket", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )

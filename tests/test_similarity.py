@@ -88,3 +88,46 @@ def test_ivf_store_roundtrip_and_pruning(spark, tmp_path):
     )
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("bucket" in l and "IN" in l for l in scan_lines), scan_lines
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from steampipe_plugin_terraform_spark.operators.similarity import semantic_dedup
+
+    # two near-identical pairs + one isolated vector; k=1 puts everything
+    # in one cluster so the pairwise prune is fully exercised
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~cos 0.9999 with id 1 -> dup
+        (3, [0.0, 1.0, 0.0, 0.0]),      # isolated -> kept
+        (4, [0.0, 0.999, 0.01, 0.0]),   # near id 3 -> dup
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(df, k=1, iters=1, threshold=0.95).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_semantic_dedup_prunes_only_within_cluster(spark):
+    from steampipe_plugin_terraform_spark.operators.similarity import semantic_dedup
+
+    # 40 vectors in two orthogonal families; near-dup pairs exist only
+    # inside each family, so with k=2 every dup decision is intra-cluster
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, i * 1e-4, 0.0, 0.0]))
+        rows.append((100 + i, [0.0, 0.0, 1.0, i * 1e-4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, k=2, iters=2, threshold=0.99).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # each family keeps exactly its lowest id
+    fam_a = [r for r in out if r["vec_id"] < 100]
+    fam_b = [r for r in out if r["vec_id"] >= 100]
+    assert sum(not r["is_dup"] for r in fam_a) == 1
+    assert sum(not r["is_dup"] for r in fam_b) == 1
+    assert not by_id[0]["is_dup"] and not by_id[100]["is_dup"]
+    # clusters are the two families
+    assert len({r["bucket"] for r in fam_a}) == 1
+    assert len({r["bucket"] for r in fam_b}) == 1
+    assert {r["bucket"] for r in fam_a} != {r["bucket"] for r in fam_b}
