@@ -40,6 +40,8 @@ _VALIDATE_FIRST = [
     "stream_click_error_join",
     "stream_deduped_events",
     "stream_user_running_totals",
+    # new in r05: stream-static dimension enrichment
+    "stream_segment_enriched",
     # new in r05: remaining five terraform tables, each golden-oracled
     "tf_modules",
     "tf_variables",

@@ -2441,6 +2441,39 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_segment_enriched",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_segment_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a static customer
+    dimension (broadcast per micro-batch, stateless — no join state, no
+    watermark), aggregated per (segment, event type). The production
+    "enrich the stream with reference data" shape the reference's watch
+    connection cannot express."""
+    from .streaming.events import dim_enriched_agg_stream, read_events_stream
+
+    _stop_stream(spark, "__stream_seg_enriched")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    q = (
+        dim_enriched_agg_stream(read_events_stream(spark, sf_dir), dim)
+        .writeStream.format("memory")
+        .queryName("__stream_seg_enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_segment_enriched drain exceeded 600s")
+    return spark.table("__stream_seg_enriched")
+
+
+@query(
     "stream_sessions_per_user",
     oracle="""
     WITH g AS (

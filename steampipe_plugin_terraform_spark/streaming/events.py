@@ -143,3 +143,25 @@ def interval_join_stream(
         F.col("r_id").alias("error_id"),
         F.col("l_user").alias("user_id"),
     )
+
+
+def dim_enriched_agg_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    group_cols: tuple[str, ...] = ("c_mktsegment", "event_type"),
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a STATIC
+    (batch) dimension, then aggregate per enriched group.
+
+    The static side is stateless for the stream — no watermark, no join
+    state: every micro-batch hash-joins against the dim snapshot, and the
+    explicit broadcast keeps the per-batch join shuffle-free (the dim is
+    the small side by contract; at 100 TB the events stream stays
+    partitioned while only the dim ships to executors).
+    """
+    joined = events.join(F.broadcast(dim), events[stream_key] == dim[dim_key])
+    return joined.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
