@@ -2360,6 +2360,28 @@ _SEMDEDUP_SQL = f"""
     """
 
 
+_CLUSTER_SAMPLE_SQL = f"""
+    WITH {_LLOYD_FULL},
+    r AS (SELECT nid, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY md5(nid::VARCHAR), nid) rn,
+                 count(*) OVER (PARTITION BY bucket) n
+          FROM af)
+    SELECT nid AS vec_id, bucket FROM r WHERE rn <= ceil(n * 0.25)
+    """
+
+
+@query("emb_cluster_balanced_sample", oracle=_CLUSTER_SAMPLE_SQL)
+def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling: a deterministic 25% of EVERY Lloyd
+    cluster (md5-rank selection, ceil keeps ≥1 per cluster) — the
+    data-mixture shape that preserves small semantic regions a global
+    uniform sample would wash out. Fully oracle-checked via the shared
+    Lloyd CTE + the same rank rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(emb, k=16, iters=3, frac=0.25)
+
+
 @query("docs_semantic_dedup", oracle=_SEMDEDUP_SQL)
 def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup (cluster-then-prune, Abbas et al.

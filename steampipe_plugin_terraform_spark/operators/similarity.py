@@ -703,3 +703,36 @@ def semantic_dedup(
         )
         .select(id_col, "bucket", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    frac: float = 0.25,
+) -> DataFrame:
+    """Cluster-balanced sampling: take a deterministic ``frac`` of EVERY
+    Lloyd cluster — the data-mixture shape (diversity-preserving
+    downsampling: small semantic regions keep proportional representation
+    instead of being washed out by a global uniform sample).
+
+    Per-cluster selection is the md5 rank (smallest ``(md5(id), id)``
+    first), the same driverless shuffle-free device as the stratified
+    sampler; ``ceil(n*frac)`` keeps at least one vector per non-empty
+    cluster. One bucket shuffle (the k-means assignment) + one window —
+    no collect, no second scan. Returns (id, bucket).
+    """
+    assigned, _ = kmeans_lloyd(df, id_col, vec_col, k=k, iters=iters)
+    wr = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    wn = Window.partitionBy("bucket")
+    return (
+        assigned.select(id_col, "bucket")
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(frac)))
+        .select(id_col, "bucket")
+    )
