@@ -1970,9 +1970,12 @@ _SIMHASH_HAM = " + ".join(
     sig AS (SELECT doc_id, {_SIMHASH_HEXCH} AS simhex FROM v),
     ch AS (SELECT doc_id, simhex, c, substr(simhex, c * 4 + 1, 4) AS chk
            FROM sig, unnest(range(0, 4)) r(c)),
+    bk AS (SELECT c, chk FROM ch GROUP BY c, chk
+           HAVING count(*) BETWEEN 2 AND 10000),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                     a.simhex AS sa, b.simhex AS sb
-             FROM ch a JOIN ch b ON a.c = b.c AND a.chk = b.chk AND a.doc_id < b.doc_id),
+             FROM ch a JOIN ch b ON a.c = b.c AND a.chk = b.chk AND a.doc_id < b.doc_id
+             JOIN bk ON bk.c = a.c AND bk.chk = a.chk),
     h AS (SELECT id_a, id_b, {_SIMHASH_HAM} AS hamming FROM cand)
     SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM h WHERE hamming <= 3
     """,
@@ -1981,7 +1984,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups via the engine-portable md5-bit signature.
 
     The oracle replays token-bit extraction, vote aggregation, signature
-    assembly, banding, and Hamming verification bit-for-bit in DuckDB
+    assembly, banding (INCLUDING the 10k hot-bucket cap, ``bk``), and
+    Hamming verification bit-for-bit in DuckDB
     (``operators.dedup.simhash64_hex`` docstring has the bit convention).
     """
     return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
