@@ -2829,6 +2829,26 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_byte_histogram",
+    # the corpus is pure ASCII (verified), so ord(char) == byte value and
+    # DuckDB can replay the per-byte binning exactly
+    oracle="""
+    WITH ch AS (SELECT doc_id, ord(substring(text, i, 1)) // 16 AS bin
+                FROM documents, unnest(range(1, strlen(text) + 1)) r(i))
+    SELECT doc_id, bin::INTEGER AS bin, count(*)::BIGINT AS n
+    FROM ch GROUP BY 1, 2
+    """,
+)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: 16-bin byte-value histogram per
+    payload (sparse long form) — the vectorize stage a production pipeline
+    fills with a CLIP/audio embedding, with the histogram keeping the whole
+    decode→vectorize path deterministic and driver-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.byte_histogram_features(multimodal.documents_as_binary(docs))
+
+
+@query(
     "media_frame_sample",
     # the corpus is pure ASCII (verified), so byte-frames == char windows
     # and DuckDB can fingerprint the identical slices

@@ -121,3 +121,55 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(demux, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def byte_histogram_features(
+    df: DataFrame,
+    bins: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature extraction over opaque payloads: a ``bins``-bin byte-value
+    histogram per document, emitted sparse (one row per non-empty bin).
+
+    This is the feature-extract stage of the multimodal pipeline with the
+    real Spark plumbing — a production system swaps the histogram for a
+    CLIP/audio embedding inside the same Arrow-batched loop; the histogram
+    keeps the stage deterministic so the driver can value-check the whole
+    path (decode → vectorize → long-form rows).
+
+    Scale: narrow map (no shuffle), numpy bincount per payload, output
+    ≤ ``bins`` rows per doc regardless of payload size — payload bytes
+    never leave the executor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assert 256 % bins == 0, "bins must divide 256"
+    shift = (256 // bins - 1).bit_length()
+    id_name, payload_name = id_col, payload_col
+
+    def feat(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, bs, ns = [], [], []
+            for i, payload in zip(pdf[id_name], pdf[payload_name]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = np.bincount(arr >> shift, minlength=bins)
+                nz = np.nonzero(h)[0]
+                ids.extend([int(i)] * len(nz))
+                bs.extend(int(x) for x in nz)
+                ns.extend(int(x) for x in h[nz])
+            yield pd.DataFrame({"doc_id": ids, "bin": bs, "n": ns})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        feat, schema=FEATURE_SCHEMA
+    )

@@ -503,6 +503,13 @@ def lsh_bucket_signatures(
     construct this repo measured ~30× slower than BLAS (SCALE.md). The
     stage stays narrow (no shuffle); only the plane matrix
     (num_planes × dim doubles) ships to executors.
+
+    The sign compares the RAW dot against 0 — deliberately unquantized,
+    unlike this repo's score rounding: a cross-engine flip needs the dot
+    within summation-order ulp (~1e-15) of the single zero boundary,
+    whereas snapping to a 1e-6 grid first would put a flip boundary every
+    grid cell (10⁶× the boundary density, strictly more coin-flip
+    exposure). The DuckDB oracle replays the same raw ``>= 0``.
     """
     import numpy as np
 
