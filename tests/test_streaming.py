@@ -186,3 +186,54 @@ def test_watch_to_canonical_store(spark, fixtures_dir, tmp_path):
     assert (
         eng2.table("terraform_resource").filter("type = 'canary'").count() == 1
     )
+
+
+def test_stream_reader_adapts_to_nanos_parquet(spark, tmp_path):
+    """Regression guard for the r04 ts-unit bug IN BOTH DIRECTIONS: the
+    streaming reader must probe the parquet footer and handle a genuine
+    TIMESTAMP(NANOS) events file (legacy testdata generations) exactly like
+    the current timestamp[us] files — identical wall-clock event times."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from steampipe_plugin_terraform_spark.streaming.events import (
+        probe_events_ts_dtype,
+        read_events_stream,
+    )
+
+    base = 1_600_000_000_000_000_000  # 2020-09-13T12:26:40 UTC, ns
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [base, base + 3_600_000_000_000, base + 7_200_000_000_000],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 10, 11], pa.int64()),
+            "event_type": pa.array(["click", "click", "error"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    d = tmp_path / "nanos_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet", store_schema=False)
+    assert probe_events_ts_dtype(spark, str(d)) == "bigint"
+
+    q = (
+        hourly_counts_stream(read_events_stream(spark, str(d)), watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("__nanos_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {
+        (str(r["hour"]), r["event_type"]): r["n"]
+        for r in spark.sql("select * from __nanos_probe").collect()
+    }
+    # three events, one per hour starting 12:00 UTC — nanos truncated to µs
+    assert sum(rows.values()) == 3
+    assert len([k for k in rows if k[1] == "click"]) == 2
+    assert any("12:00:00" in k[0] for k in rows)
