@@ -1,69 +1,70 @@
-"""Physical-plan shape assertions for the scale-critical operators.
-
-These pin the plans SCALE.md claims: narrow ops must not shuffle, ratio/
-dim joins must broadcast (never shuffle the fact side), and top-k must be
-TakeOrdered rather than a global sort.
-"""
+"""Plan-shape regression tests: pin the physical-plan properties the scale
+design depends on (SCALE.md), so a future edit that silently reintroduces a
+second scan / drops a pushdown / falls back to a cartesian join fails CI,
+not a 100 TB run. Checked on the declared (pre-AQE) plan — these are
+structural properties, not runtime size decisions."""
 
 import pytest
 
 from steampipe_plugin_terraform_spark.catalog import QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+def _plan(spark, name):
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", ["docs_redact_pii", "emb_quantize_int8", "media_frame_sample", "media_metadata"])
-def test_narrow_ops_have_no_exchange(spark, name):
-    # pure per-row transforms: any KEY shuffle is a regression. The single
-    # round-robin exchange from catalog._par_floor is permitted — the sf*
-    # fixtures are single-row-group files, and the floor is what gives the
-    # per-row work cluster parallelism there (gated off for real inputs).
-    assert "Exchange hashpartitioning" not in _plan(QUERIES[name](spark, SF_DIR))
+def test_q20_single_lineitem_scan(spark):
+    """The scalar threshold is a window over the aggregated frame — a
+    scalar-subquery formulation re-executes the whole lineitem⋈part
+    aggregation as a second scan."""
+    assert _plan(spark, "q20_excess_quantity_suppliers").count("lineitem.parquet") == 1
 
 
-def test_narrow_ops_stay_narrow_on_parallel_input(spark):
-    # operator-level guarantee: with an already-parallel source the per-row
-    # operators add NO exchange of any kind
-    from steampipe_plugin_terraform_spark.operators import similarity, text
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(8)
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(8)
-    for df in (text.fingerprint(docs), similarity.quantize_int8(emb)):
-        plan = _plan(df)
-        assert plan.count("Exchange") == 1  # only the explicit repartition above
-        assert "Exchange hashpartitioning" not in plan
+def test_q15_window_group_limit_prunes_before_sort(spark):
+    """rank()=1 over the global revenue order must plan a WindowGroupLimit
+    (partial+final) so each partition prunes to its top candidates before
+    the single-partition sort."""
+    assert "WindowGroupLimit" in _plan(spark, "q15_top_supplier")
 
 
-def test_top_ngrams_uses_take_ordered(spark):
-    plan = _plan(QUERIES["docs_top_bigrams"](spark, SF_DIR))
-    assert "TakeOrderedAndProject" in plan
-    assert "Sort " not in plan  # no global sort stage
+def test_q15_single_lineitem_scan(spark):
+    """The rank-once formulation exists to avoid TPC-H q15's
+    revenue-view-referenced-twice double scan."""
+    assert _plan(spark, "q15_top_supplier").count("lineitem.parquet") == 1
 
 
-@pytest.mark.parametrize(
-    "name", ["q_promo_revenue_ratio", "q_small_quantity_revenue", "q5_region_revenue"]
-)
-def test_dim_joins_are_broadcast(spark, name):
-    plan = _plan(QUERIES[name](spark, SF_DIR))
+def test_q6_filters_reach_the_scan(spark):
+    """The pushdown showcase: ship-date bounds must appear in PushedFilters,
+    not in a post-scan Filter only."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    scan = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert scan and "PushedFilters: [" in scan[0]
+    assert "l_shipdate" in scan[0].split("PushedFilters:")[1]
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """Within-cluster pruning must never plan a cartesian/nested-loop join
+    over the vectors (the dup-id join is a broadcast equi-join)."""
+    plan = _plan(spark, "docs_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_pair_generation_is_chunked(spark):
+    """Pair emission explodes the anchor index before the pair transform:
+    two Generate nodes, each bounded O(bucket) per row — a single flat
+    flatten(transform(...)) (one Generate) would materialize a hot bucket's
+    quadratic pair array as one executor row."""
+    for name in ("dedup_jaccard_pairs", "dedup_simhash"):
+        plan = _plan(spark, name)
+        assert plan.count("Generate explode") >= 2, name
+
+
+@pytest.mark.parametrize("name", ["q16_supplier_part_counts", "q_brand_revenue"])
+def test_part_side_broadcasts(spark, name):
+    """Filtered dimension sides are declared broadcast — the fact side must
+    never shuffle for these joins at any scale."""
+    plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-
-
-def test_pack_sequences_single_grouping_shuffle(spark):
-    # exactly one hashpartitioning exchange (the grouped-map UDF's), keyed
-    # on (group, shard); the shuffled projection carries the computed
-    # weight, not the text column (text is projected away before the
-    # exchange — its only appearance is inside the scan/project subtree)
-    plan = _plan(QUERIES["docs_pack_sequences"](spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1
-    head = plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
-    assert "lang" in head and "shard" in head and "text" not in head
-
-
-def test_q1_filter_pushed_to_scan(spark):
-    plan = _plan(QUERIES["q1_pricing_summary"](spark, SF_DIR))
-    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters: [*IsNotNull(l_shipdate)" in plan
