@@ -54,8 +54,11 @@ _VALIDATE_FIRST = [
     "docs_semantic_dedup",
     # new in r05: cluster-balanced downsampling (data-mixture shaping)
     "emb_cluster_balanced_sample",
-    # new in r05: multimodal feature-extract stage (byte histogram)
+    # new in r05: multimodal feature-extract + resize stages
     "media_byte_histogram",
+    "media_resize",
+    # new in r05: embedding curation composition (dedup -> balanced sample)
+    "emb_curation_pipeline",
     # new in r05: remaining numbered TPC-H shapes (q12/q15/q16/q20,
     # adapted to this corpus's columns — no shipmode/partsupp)
     "q12_priority_lines",

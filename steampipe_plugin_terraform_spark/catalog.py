@@ -2401,6 +2401,47 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(emb, k=16, iters=3, threshold=0.38)
 
 
+_EMB_CURATION_SQL = f"""
+    WITH {_LLOYD_FULL},
+    p AS (SELECT a.nid id_a, b.nid id_b,
+                 {_cos_sql('a.v', 'b.v')} AS cosine
+          FROM af a JOIN af b ON a.bucket = b.bucket AND a.nid < b.nid),
+    d AS (SELECT DISTINCT id_b FROM p WHERE cosine >= 0.38),
+    kept AS (SELECT af.nid, af.bucket FROM af
+             LEFT JOIN d ON d.id_b = af.nid WHERE d.id_b IS NULL),
+    r AS (SELECT nid, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY md5(nid::VARCHAR), nid) rn,
+                 count(*) OVER (PARTITION BY bucket) n
+          FROM kept)
+    SELECT nid AS vec_id, bucket FROM r WHERE rn <= ceil(n * 0.5)
+    """
+
+
+@query("emb_curation_pipeline", oracle=_EMB_CURATION_SQL)
+def emb_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding curation: semantic dedup, then a
+    cluster-balanced 50% sample of the SURVIVORS — the two-stage shape a
+    training-data pipeline runs before tokenization (prune redundancy,
+    then rebalance the mixture). The sampler reuses the dedup stage's
+    cluster assignment (one k-means, not two), so the whole composition is
+    one bucket shuffle + one per-cluster matmul + two windows; the oracle
+    chains the shared Lloyd CTE → prune → rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flags = similarity.semantic_dedup(emb, k=16, iters=3, threshold=0.38)
+    kept = flags.filter(~F.col("is_dup")).select("vec_id", "bucket")
+    wr = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    wn = Window.partitionBy("bucket")
+    return (
+        kept.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(0.5)))
+        .select("vec_id", "bucket")
+    )
+
+
 @query("emb_ivf_store_topk", oracle=_IVF_TOPK_SQL)
 def emb_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF SERVING path: build → save as a bucket-partitioned parquet
@@ -2826,6 +2867,36 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed metadata. The oracle reproduces the deterministic stub formula."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.extract_media_metadata(multimodal.documents_as_binary(docs))
+
+
+@query(
+    "media_resize",
+    # ASCII corpus: byte stride == char stride, so DuckDB re-derives the
+    # every-4th-byte downsample and the stub's dim formulas exactly
+    oracle="""
+    WITH ch AS (SELECT doc_id, i, substring(text, i::INTEGER, 1) AS c
+                FROM documents, unnest(range(1, strlen(text) + 1)) r(i)),
+    ds AS (SELECT doc_id, md5(string_agg(c, '' ORDER BY i)) AS resized_md5
+           FROM ch WHERE (i - 1) % 4 = 0 GROUP BY doc_id),
+    dims AS (SELECT doc_id,
+                    (64 + (strlen(text) % 448))::BIGINT AS src_width,
+                    (64 + ((strlen(text) * 7) % 448))::BIGINT AS src_height
+             FROM documents)
+    SELECT d.doc_id, src_width, src_height,
+           greatest(1, src_width // 4)::BIGINT AS dst_width,
+           greatest(1, src_height // 4)::BIGINT AS dst_height,
+           resized_md5
+    FROM dims d JOIN ds ON ds.doc_id = d.doc_id
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage (stub decode → stride-4 nearest-neighbor
+    downsample → fingerprint): completes the decode / feature-extract /
+    resize / frame-sample quartet. The Spark plumbing (narrow Arrow map,
+    fixed-width metadata out, bytes never shuffled) is production-real; a
+    codec swap is one function."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.resize_stub(multimodal.documents_as_binary(docs), stride=4)
 
 
 @query(

@@ -173,3 +173,56 @@ def byte_histogram_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         feat, schema=FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.LongType()),
+        T.StructField("src_height", T.LongType()),
+        T.StructField("dst_width", T.LongType()),
+        T.StructField("dst_height", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage of the multimodal pipeline (deterministic stub): source
+    dims from the fake decode, destination dims = source/stride, and the
+    "resized" content is every ``stride``-th payload byte (nearest-neighbor
+    downsampling on the 1-D fake raster), fingerprinted as md5 — a real
+    implementation swaps PIL's ``Image.resize`` into the same per-row spot.
+
+    Scale: narrow Arrow-batched map, no shuffle; the resized bytes leave
+    the executor only as a fingerprint. Output is one fixed-width metadata
+    row per input regardless of payload size.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    id_name, payload_name = id_col, payload_col
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for i, payload in zip(pdf[id_name], pdf[payload_name]):
+                b = bytes(payload)
+                meta = decode_image_stub(b)
+                out["doc_id"].append(int(i))
+                out["src_width"].append(meta["width"])
+                out["src_height"].append(meta["height"])
+                out["dst_width"].append(max(1, meta["width"] // stride))
+                out["dst_height"].append(max(1, meta["height"] // stride))
+                out["resized_md5"].append(hashlib.md5(b[::stride]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )
