@@ -65,6 +65,8 @@ _VALIDATE_FIRST = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q20_excess_quantity_suppliers",
+    # new in r05: bucketed co-located fact join (write-time shuffle)
+    "q_bucketed_cokey_join",
     # out of round 4's 50-entry window; last driver-checked r03
     "q_events_moving_avg",
     "q_stats_by_returnflag",

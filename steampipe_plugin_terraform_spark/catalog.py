@@ -1173,6 +1173,56 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bucketed_cokey_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_cokey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact↔fact join over BUCKETED tables: orders and lineitem
+    are persisted bucketed+sorted by orderkey, so the join plans an SMJ
+    directly over the bucketed scans with zero Exchange nodes (pinned by
+    test_plan_shapes) — write-time shuffle instead of query-time, the
+    repeated-fact-join leg of the 100 TB design (SCALE.md). Results equal
+    the plain join (the oracle)."""
+    import tempfile
+
+    from .operators import storage
+
+    storage.ensure_database(
+        spark, "tf_bucketed", tempfile.mkdtemp(prefix="tf_bucketed_")
+    )
+    storage.write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "tf_bucketed.orders_b",
+        "o_orderkey",
+    )
+    storage.write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "tf_bucketed.lineitem_b",
+        "l_orderkey",
+    )
+    o = spark.table("tf_bucketed.orders_b")
+    l = spark.table("tf_bucketed.lineitem_b")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
     "q12_priority_lines",
     oracle="""
     SELECT l_returnflag,

@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, similarity, storage, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "storage", "text", "multimodal"]

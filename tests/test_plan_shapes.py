@@ -68,3 +68,19 @@ def test_part_side_broadcasts(spark, name):
     never shuffle for these joins at any scale."""
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange_below_smj(spark):
+    """Bucketed+sorted tables must join without any query-time shuffle:
+    SortMergeJoin directly over bucketed scans. Broadcast is disabled for
+    the assertion so tiny test tables can't hide a missing bucket plan."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "q_bucketed_cokey_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_subtree
+    assert "Bucketed: true" in join_subtree
