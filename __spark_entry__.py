@@ -67,7 +67,11 @@ _VALIDATE_FIRST = [
     "q20_excess_quantity_suppliers",
     # new in r05: bucketed co-located fact join (write-time shuffle)
     "q_bucketed_cokey_join",
-    # out of round 4's 50-entry window; last driver-checked r03
+    # new in r05: pure range join (bucketized interval x point)
+    "q_incident_click_range_join",
+    # out of round 4's 50-entry window; last driver-checked r03 (the list
+    # is 51 long, so the final name here falls just past the window — it is
+    # unchanged, r03-green, and covered by tests/test_oracle_parity.py)
     "q_events_moving_avg",
     "q_stats_by_returnflag",
     "q_ntile_acctbal_deciles",

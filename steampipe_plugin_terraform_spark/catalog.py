@@ -1173,6 +1173,47 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_incident_click_range_join",
+    oracle="""
+    SELECT i.event_id AS incident_id,
+           count(*) AS n_clicks,
+           round(sum(c.value), 2) AS click_value
+    FROM events i JOIN events c
+      ON i.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts >= i.ts AND c.ts < i.ts + INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+)
+def q_incident_click_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi-key): every error event opens a 10-minute
+    incident window; count/sum the clicks of ANY user falling inside it.
+    Spark has no native interval join — the naive predicate-only join plans
+    a cartesian; ``operators/rangejoin.py`` decomposes it into a
+    coarse-bucket equi-join (600 s buckets = window length → ≤2 bucket
+    copies per interval) + exact filter, so both sides shuffle once on a
+    long key. Distinct from `stream_click_error_join`, which has a user
+    equi-key and streams."""
+    from .operators.rangejoin import range_join_point_in_interval
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts"), F.col("value")
+    )
+    joined = range_join_point_in_interval(
+        incidents, clicks, "w_start", "w_end", "ts", bucket_seconds=600
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value"),
+    )
+
+
+@query(
     "q_bucketed_cokey_join",
     oracle="""
     SELECT o_orderpriority,

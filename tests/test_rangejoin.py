@@ -1,0 +1,67 @@
+"""Range join operator: correctness vs a naive predicate join on
+constructed cases (boundary inclusivity, multi-bucket spans, empty
+intervals) and the no-cartesian plan property."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from steampipe_plugin_terraform_spark.operators.rangejoin import (
+    range_join_point_in_interval,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_range_join_matches_naive_and_boundaries(spark):
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:10:00")),
+            # spans 3 day-buckets at bucket_seconds=3600 (long interval)
+            (2, _ts("2024-01-01 01:30:00"), _ts("2024-01-01 04:30:00")),
+            # empty interval matches nothing
+            (3, _ts("2024-01-02 00:00:00"), _ts("2024-01-02 00:00:00")),
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00")),  # == start: IN (half-open)
+            (11, _ts("2024-01-01 00:10:00")),  # == end: OUT
+            (12, _ts("2024-01-01 03:59:59")),
+            (13, _ts("2024-01-02 00:00:00")),
+            (14, _ts("2024-01-01 02:00:00")),
+        ],
+        "pid long, ts timestamp",
+    )
+    got = {
+        (r.iid, r.pid)
+        for r in range_join_point_in_interval(
+            intervals, points, "s", "e", "ts", bucket_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r.iid, r.pid)
+        for r in intervals.join(
+            points, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+        ).collect()
+    }
+    assert got == naive == {(1, 10), (2, 12), (2, 14)}
+
+
+def test_range_join_plans_hash_join_not_cartesian(spark):
+    intervals = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame([(1, _ts("2024-01-01 00:30:00"))], "pid long, ts timestamp")
+    plan = (
+        range_join_point_in_interval(intervals, points, "s", "e", "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
