@@ -69,9 +69,11 @@ _VALIDATE_FIRST = [
     "q_bucketed_cokey_join",
     # new in r05: pure range join (bucketized interval x point)
     "q_incident_click_range_join",
+    # new in r05: hypertable-style rollup (daily derived from hourly)
+    "q_events_daily_rollup",
     # out of round 4's 50-entry window; last driver-checked r03 (the list
-    # is 51 long, so the final name here falls just past the window — it is
-    # unchanged, r03-green, and covered by tests/test_oracle_parity.py)
+    # is 52 long, so the final names here fall just past the window — they
+    # are unchanged, r03-green, and covered by tests/test_oracle_parity.py)
     "q_events_moving_avg",
     "q_stats_by_returnflag",
     "q_ntile_acctbal_deciles",

@@ -1173,6 +1173,36 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_daily_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the DAILY aggregate is
+    derived from the HOURLY partials (sum of counts, sum of sums), not from
+    raw events — the TimescaleDB continuous-aggregate pattern. At 100 TB
+    the hourly layer is the materialized table; every coarser granularity
+    (day/week/month) re-aggregates |hours|·|types| tiny rows instead of
+    rescanning the fact table. Value rounding happens only at the final
+    grain (partial sums stay exact doubles), so the result equals the
+    direct daily aggregate — which is exactly what the oracle computes."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sv"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "q_incident_click_range_join",
     oracle="""
     SELECT i.event_id AS incident_id,
