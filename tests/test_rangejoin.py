@@ -65,3 +65,41 @@ def test_range_join_plans_hash_join_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_property_random_cases(spark):
+    """Property check vs the naive predicate join on a pseudo-random corpus
+    (deterministic seed): all interval lengths vs several bucket widths,
+    including intervals shorter and much longer than the bucket."""
+    import random
+
+    rng = random.Random(42)
+    base = 1_700_000_000  # epoch seconds
+    intervals = [
+        (i, base + rng.randrange(0, 50_000), rng.randrange(0, 7_000))
+        for i in range(60)
+    ]
+    rows_i = [
+        (i, datetime.fromtimestamp(s, tz=None), datetime.fromtimestamp(s + d, tz=None))
+        for i, s, d in intervals
+    ]
+    rows_p = [
+        (j, datetime.fromtimestamp(base + rng.randrange(0, 60_000), tz=None))
+        for j in range(300)
+    ]
+    idf = spark.createDataFrame(rows_i, "iid long, s timestamp, e timestamp")
+    pdf = spark.createDataFrame(rows_p, "pid long, ts timestamp")
+    naive = {
+        (r.iid, r.pid)
+        for r in idf.join(
+            pdf, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+        ).collect()
+    }
+    for bucket in (60, 3600, 86_400):
+        got = {
+            (r.iid, r.pid)
+            for r in range_join_point_in_interval(
+                idf, pdf, "s", "e", "ts", bucket_seconds=bucket
+            ).collect()
+        }
+        assert got == naive, f"bucket={bucket}"
