@@ -2320,6 +2320,23 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The deterministic quantizer makes clustering results a pure function of
+# (corpus, k, iters), so entries sharing a corpus share ONE kmeans run per
+# session — the driver gate runs six Lloyd-backed entries; without the
+# cache each would redo the full iteration loop (4 corpus passes + 3
+# driver collects).
+_KMEANS_CACHE: dict = {}
+
+
+def _kmeans16(spark: SparkSession, sf_dir: str, kind: str):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _KMEANS_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        df = emb if kind == "full" else emb.filter(F.col("vec_id") >= 10)
+        _KMEANS_CACHE[key] = similarity.kmeans_lloyd(df, k=16, iters=3)
+    return _KMEANS_CACHE[key]
+
+
 # IVF oracle: the coarse quantizer is similarity.kmeans_lloyd — every step
 # deterministic and quantized (md5-ordered init, 1e-4-grid distances with
 # cid tiebreak, 1e-6-grid means, empty clusters keep their centroid) — so
@@ -2405,8 +2422,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    corpus = emb.filter(F.col("vec_id") >= 10)
-    assigned, centroids = similarity.kmeans_lloyd(corpus, k=16, iters=3)
+    assigned, centroids = _kmeans16(spark, sf_dir, "ge10")
     return similarity.ivf_topk(queries, assigned, centroids, k=5, nprobe=8)
 
 
@@ -2439,7 +2455,7 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     exact = similarity.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
-    assigned, centroids = similarity.kmeans_lloyd(corpus, k=16, iters=3)
+    assigned, centroids = _kmeans16(spark, sf_dir, "ge10")
     approx = similarity.ivf_topk(queries, assigned, centroids, k=5, nprobe=8).select(
         "query_id", "neighbor_id"
     )
@@ -2504,7 +2520,9 @@ def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform sample would wash out. Fully oracle-checked via the shared
     Lloyd CTE + the same rank rule."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cluster_balanced_sample(emb, k=16, iters=3, frac=0.25)
+    return similarity.cluster_balanced_sample(
+        emb, frac=0.25, assignment=_kmeans16(spark, sf_dir, "full")
+    )
 
 
 @query("docs_semantic_dedup", oracle=_SEMDEDUP_SQL)
@@ -2519,7 +2537,9 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with k sized to the corpus) + a broadcast dup-id join — never all-pairs
     across clusters. See ``operators/similarity.py:semantic_dedup``."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(emb, k=16, iters=3, threshold=0.38)
+    return similarity.semantic_dedup(
+        emb, threshold=0.38, assignment=_kmeans16(spark, sf_dir, "full")
+    )
 
 
 _EMB_CURATION_SQL = f"""
@@ -2549,7 +2569,9 @@ def emb_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bucket shuffle + one per-cluster matmul + two windows; the oracle
     chains the shared Lloyd CTE → prune → rank."""
     emb = _t(spark, sf_dir, "embeddings")
-    flags = similarity.semantic_dedup(emb, k=16, iters=3, threshold=0.38)
+    flags = similarity.semantic_dedup(
+        emb, threshold=0.38, assignment=_kmeans16(spark, sf_dir, "full")
+    )
     kept = flags.filter(~F.col("is_dup")).select("vec_id", "bucket")
     wr = Window.partitionBy("bucket").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
@@ -2578,8 +2600,7 @@ def emb_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    corpus = emb.filter(F.col("vec_id") >= 10)
-    assigned, centroids = similarity.kmeans_lloyd(corpus, k=16, iters=3)
+    assigned, centroids = _kmeans16(spark, sf_dir, "ge10")
     path = tempfile.mkdtemp(prefix="ivf_store_") + "/index"
     similarity.ivf_save(assigned, centroids, path)
     loaded, cents = similarity.ivf_load(spark, path)

@@ -647,6 +647,7 @@ def semantic_dedup(
     iters: int = 3,
     threshold: float = 0.38,
     cos_digits: int = 6,
+    assignment: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: cluster the embedding space
     with the deterministic Lloyd quantizer, then flag within-cluster cosine
@@ -674,7 +675,10 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    assigned, _ = kmeans_lloyd(df, id_col, vec_col, k=k, iters=iters)
+    # `assignment`: optionally reuse a precomputed kmeans_lloyd result (the
+    # quantizer is deterministic, so sharing one clustering across the
+    # dedup / sampling / curation entries is free correctness-wise)
+    assigned, _ = assignment or kmeans_lloyd(df, id_col, vec_col, k=k, iters=iters)
     id_type = dict(df.dtypes)[id_col]
     qc = 10.0 ** cos_digits
 
@@ -719,6 +723,7 @@ def cluster_balanced_sample(
     k: int = 16,
     iters: int = 3,
     frac: float = 0.25,
+    assignment: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """Cluster-balanced sampling: take a deterministic ``frac`` of EVERY
     Lloyd cluster — the data-mixture shape (diversity-preserving
@@ -731,7 +736,7 @@ def cluster_balanced_sample(
     cluster. One bucket shuffle (the k-means assignment) + one window —
     no collect, no second scan. Returns (id, bucket).
     """
-    assigned, _ = kmeans_lloyd(df, id_col, vec_col, k=k, iters=iters)
+    assigned, _ = assignment or kmeans_lloyd(df, id_col, vec_col, k=k, iters=iters)
     wr = Window.partitionBy("bucket").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
