@@ -71,6 +71,8 @@ _VALIDATE_FIRST = [
     "q_incident_click_range_join",
     # new in r05: hypertable-style rollup (daily derived from hourly)
     "q_events_daily_rollup",
+    # new in r05: temperature (power) sampling for data mixing
+    "docs_temperature_sample",
     # out of round 4's 50-entry window; last driver-checked r03 (the list
     # is 52 long, so the final names here fall just past the window — they
     # are unchanged, r03-green, and covered by tests/test_oracle_parity.py)

@@ -1641,6 +1641,43 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_temperature_sample",
+    oracle="""
+    WITH r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY md5(doc_id::VARCHAR), doc_id) rn,
+                      count(*) OVER (PARTITION BY lang) n
+               FROM documents)
+    SELECT doc_id, lang FROM r
+    WHERE rn <= ceil(floor(pow(n, 0.7) * 1000000000 + 0.5) / 1000000000)
+    """,
+)
+def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (power) sampling for data mixing: each language stratum
+    keeps ceil(n^0.7) documents by md5 rank — big strata flatten, small
+    strata survive nearly whole (the multilingual-mixture rebalancing
+    recipe, α=0.7). Deterministic md5-rank selection (no RNG) and the
+    power is snapped to a 1e-9 grid before ceil on both engines, so a pow
+    ulp cannot flip the boundary document. One window over the corpus,
+    shuffle on lang only."""
+    wr = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(
+            F.col("__rn")
+            <= F.ceil(F.floor(F.pow("__n", F.lit(0.7)) * 1e9 + 0.5) / 1e9)
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@query(
     "docs_contamination_screen",
     oracle=_SHINGLE_CTE
     + """,
