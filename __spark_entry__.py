@@ -74,7 +74,7 @@ _VALIDATE_FIRST = [
     # new in r05: temperature (power) sampling for data mixing
     "docs_temperature_sample",
     # out of round 4's 50-entry window; last driver-checked r03 (the list
-    # is 52 long, so the final names here fall just past the window — they
+    # is 53 long, so the final names here fall just past the window — they
     # are unchanged, r03-green, and covered by tests/test_oracle_parity.py)
     "q_events_moving_avg",
     "q_stats_by_returnflag",

@@ -195,10 +195,13 @@ class TerraformEngine:
         if self._watch_thread is not None:
             return self.watcher
         self.watcher = TerraformWatcher(self)
-        self._watch_stop = threading.Event()
+        stop = self._watch_stop = threading.Event()
 
+        # closure holds the Event directly: stop_watch() nulls the attribute
+        # after a join timeout, and a loop reading self._watch_stop would
+        # die on AttributeError mid-poll instead of exiting cleanly
         def _loop() -> None:
-            while not self._watch_stop.wait(interval):
+            while not stop.wait(interval):
                 try:
                     self.watcher.poll()
                 except Exception:  # keep watching; poll retries the delta
