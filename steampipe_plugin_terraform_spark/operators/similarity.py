@@ -665,6 +665,9 @@ def semantic_dedup(
     A vector is a duplicate iff some SAME-CLUSTER vector with a smaller id
     has quantized cosine >= threshold (pairwise, not transitive-closure —
     chains prune like SemDeDup's per-cluster epsilon-pruning).
+    Zero vectors are never duplicates on either engine: numpy yields
+    NaN cosines (comparisons False) and the SQL oracle yields NULL
+    (dropped by the threshold predicate) — consistent by construction.
 
     Scale: cluster sizes are ~N/k and k grows with the corpus at the design
     point (IVF sizing), so the per-cluster quadratic stays bounded; the
