@@ -33,6 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # tables, emb_ivf_store_topk's new oracle), then the 28 entries that fell
 # out of round 4's window (last driver-checked r03).
 _VALIDATE_FIRST = [
+    # changed in r05: chunked pair emission (dedup.py) + simhash oracle cap
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
     # changed in r05: streaming reader ts-unit fix (3 were wrong in r04;
     # the other 2 re-check the fix's blast radius)
     "stream_events_hourly",
@@ -74,7 +77,7 @@ _VALIDATE_FIRST = [
     # new in r05: temperature (power) sampling for data mixing
     "docs_temperature_sample",
     # out of round 4's 50-entry window; last driver-checked r03 (the list
-    # is 53 long, so the final names here fall just past the window — they
+    # is 55 long, so the final names here fall just past the window — they
     # are unchanged, r03-green, and covered by tests/test_oracle_parity.py)
     "q_events_moving_avg",
     "q_stats_by_returnflag",

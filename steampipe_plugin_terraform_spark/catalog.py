@@ -1243,6 +1243,9 @@ def q_incident_click_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_DB_READY: set = set()
+
+
 @query(
     "q_bucketed_cokey_join",
     oracle="""
@@ -1264,9 +1267,14 @@ def q_bucketed_cokey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import storage
 
-    storage.ensure_database(
-        spark, "tf_bucketed", tempfile.mkdtemp(prefix="tf_bucketed_")
-    )
+    # one database per session: CREATE IF NOT EXISTS pins the FIRST call's
+    # location, so later mkdtemp calls would only leak orphan empty dirs
+    app = spark.sparkContext.applicationId
+    if app not in _BUCKETED_DB_READY:
+        storage.ensure_database(
+            spark, "tf_bucketed", tempfile.mkdtemp(prefix="tf_bucketed_")
+        )
+        _BUCKETED_DB_READY.add(app)
     storage.write_bucketed(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
         "tf_bucketed.orders_b",
@@ -1660,20 +1668,11 @@ def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     power is snapped to a 1e-9 grid before ceil on both engines, so a pow
     ulp cannot flip the boundary document. One window over the corpus,
     shuffle on lang only."""
-    wr = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    wn = Window.partitionBy("lang")
-    return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang")
-        .withColumn("__rn", F.row_number().over(wr))
-        .withColumn("__n", F.count("*").over(wn))
-        .filter(
-            F.col("__rn")
-            <= F.ceil(F.floor(F.pow("__n", F.lit(0.7)) * 1e9 + 0.5) / 1e9)
-        )
-        .select("doc_id", "lang")
+    return similarity.md5_rank_take(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang",
+        "doc_id",
+        lambda n: F.ceil(F.floor(F.pow(n, F.lit(0.7)) * 1e9 + 0.5) / 1e9),
     )
 
 
@@ -2610,15 +2609,8 @@ def emb_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.38, assignment=_kmeans16(spark, sf_dir, "full")
     )
     kept = flags.filter(~F.col("is_dup")).select("vec_id", "bucket")
-    wr = Window.partitionBy("bucket").orderBy(
-        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-    )
-    wn = Window.partitionBy("bucket")
-    return (
-        kept.withColumn("__rn", F.row_number().over(wr))
-        .withColumn("__n", F.count("*").over(wn))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(0.5)))
-        .select("vec_id", "bucket")
+    return similarity.md5_rank_take(
+        kept, "bucket", "vec_id", lambda n: F.ceil(n * F.lit(0.5))
     )
 
 
@@ -3064,8 +3056,8 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, src_width, src_height,
            greatest(1, src_width // 4)::BIGINT AS dst_width,
            greatest(1, src_height // 4)::BIGINT AS dst_height,
-           resized_md5
-    FROM dims d JOIN ds ON ds.doc_id = d.doc_id
+           COALESCE(resized_md5, md5('')) AS resized_md5
+    FROM dims d LEFT JOIN ds ON ds.doc_id = d.doc_id
     """,
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

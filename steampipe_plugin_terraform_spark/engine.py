@@ -221,6 +221,7 @@ class TerraformEngine:
         self._watch_thread.join(timeout=30)
         self._watch_thread = None
         self._watch_stop = None
+        self.watcher = None  # public handle must not read as active
 
     # -- connection-config constructors (connection_config.go, terraform.spc) --
 

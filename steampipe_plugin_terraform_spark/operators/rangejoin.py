@@ -35,6 +35,9 @@ def range_join_point_in_interval(
     Returns all columns of both inputs (callers project/aggregate after).
     Intervals are half-open; empty intervals (start >= end) match nothing.
     """
+    for side, cols in (("intervals", intervals.columns), ("points", points.columns)):
+        if "__bkt" in cols:
+            raise ValueError(f"{side} input already has a __bkt column")
     bw = int(bucket_seconds) * 1_000_000  # epoch-µs bucket width
 
     # cast through TIMESTAMP so NTZ columns work too: the session-tz offset

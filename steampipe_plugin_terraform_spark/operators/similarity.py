@@ -719,6 +719,25 @@ def semantic_dedup(
     )
 
 
+def md5_rank_take(df: DataFrame, part_col: str, id_col: str, limit_expr) -> DataFrame:
+    """Deterministic per-partition selection shared by the sampling /
+    curation entries: keep the rows whose ``(md5(id), id)`` rank within
+    ``part_col`` is <= ``limit_expr(n)`` (``n`` = partition size). ONE
+    definition so the rule stays bit-identical to its DuckDB oracle replay
+    everywhere it appears (a tiebreak tweak applied to one copy would
+    silently break parity for the others)."""
+    wr = Window.partitionBy(part_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    wn = Window.partitionBy(part_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("__rn") <= limit_expr(F.col("__n")))
+        .drop("__rn", "__n")
+    )
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -740,14 +759,9 @@ def cluster_balanced_sample(
     no collect, no second scan. Returns (id, bucket).
     """
     assigned, _ = assignment or kmeans_lloyd(df, id_col, vec_col, k=k, iters=iters)
-    wr = Window.partitionBy("bucket").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    wn = Window.partitionBy("bucket")
-    return (
-        assigned.select(id_col, "bucket")
-        .withColumn("__rn", F.row_number().over(wr))
-        .withColumn("__n", F.count("*").over(wn))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(frac)))
-        .select(id_col, "bucket")
+    return md5_rank_take(
+        assigned.select(id_col, "bucket"),
+        "bucket",
+        id_col,
+        lambda n: F.ceil(n * F.lit(frac)),
     )

@@ -48,6 +48,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file stream source needs a directory; ``pathGlobFilter`` narrows it
     to the events file inside the multi-table sf dir."""
+    # UTC for every branch: window()/session_window bucket in session-local
+    # time, and the DuckDB oracle is timezone-naive — a non-UTC session
+    # would shift every hourly bucket (this entry can be the FIRST in a
+    # driver session, so no prior batch read has pinned the tz yet)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dtype = probe_events_ts_dtype(spark, sf_dir)
     if dtype == "bigint":  # TIMESTAMP(NANOS) → long, convert ourselves
         raw = (
@@ -63,9 +68,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir)
         )
     # timestamp_ntz: watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_
-    # TIMESTAMP_TYPE), so cast under a UTC session tz — wall-clock values
-    # are preserved exactly, matching the timezone-naive DuckDB oracle.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP_TYPE), so cast under the UTC session tz set above —
+    # wall-clock values are preserved exactly.
     raw = (
         spark.readStream.schema(_events_schema(T.TimestampNTZType()))
         .option("pathGlobFilter", "events.parquet")

@@ -15,6 +15,69 @@ def _plan(spark, name):
     return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_df(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- pre-round-5 pins (restored after an accidental overwrite) ----
+
+
+@pytest.mark.parametrize("name", ["docs_redact_pii", "emb_quantize_int8", "media_frame_sample", "media_metadata"])
+def test_narrow_ops_have_no_exchange(spark, name):
+    # pure per-row transforms: any KEY shuffle is a regression. The single
+    # round-robin exchange from catalog._par_floor is permitted — the sf*
+    # fixtures are single-row-group files, and the floor is what gives the
+    # per-row work cluster parallelism there (gated off for real inputs).
+    assert "Exchange hashpartitioning" not in _plan_df(QUERIES[name](spark, SF))
+
+
+def test_narrow_ops_stay_narrow_on_parallel_input(spark):
+    # operator-level guarantee: with an already-parallel source the per-row
+    # operators add NO exchange of any kind
+    from steampipe_plugin_terraform_spark.operators import similarity, text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(8)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").repartition(8)
+    for df in (text.fingerprint(docs), similarity.quantize_int8(emb)):
+        plan = _plan_df(df)
+        assert plan.count("Exchange") == 1  # only the explicit repartition above
+        assert "Exchange hashpartitioning" not in plan
+
+
+def test_top_ngrams_uses_take_ordered(spark):
+    plan = _plan_df(QUERIES["docs_top_bigrams"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+@pytest.mark.parametrize(
+    "name", ["q_promo_revenue_ratio", "q_small_quantity_revenue", "q5_region_revenue"]
+)
+def test_dim_joins_are_broadcast(spark, name):
+    plan = _plan_df(QUERIES[name](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_grouping_shuffle(spark):
+    # exactly one hashpartitioning exchange (the grouped-map UDF's), keyed
+    # on (group, shard); the shuffled projection carries the computed
+    # weight, not the text column (text is projected away before the
+    # exchange — its only appearance is inside the scan/project subtree)
+    plan = _plan_df(QUERIES["docs_pack_sequences"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    head = plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
+    assert "lang" in head and "shard" in head and "text" not in head
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan_df(QUERIES["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters: [*IsNotNull(l_shipdate)" in plan
+
+
+# ---- round-5 pins ----
+
+
 def test_q20_single_lineitem_scan(spark):
     """The scalar threshold is a window over the aggregated frame — a
     scalar-subquery formulation re-executes the whole lineitem⋈part
