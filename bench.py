@@ -150,6 +150,26 @@ def main() -> None:
         all_samples[name] = [round(s, 3) for s in samples]
         print(f"# {name}: {timings[name]}s (samples: {all_samples[name]})", file=sys.stderr)
 
+    # round-5 extension flagships: timed once (not best-of-2) and reported
+    # under "extended", NOT summed into "value" — the headline total stays
+    # comparable across rounds while new operators still get a throughput
+    # record in the artifact.
+    extended: dict[str, float] = {}
+    for name in [
+        "docs_semantic_dedup",
+        "emb_cluster_balanced_sample",
+        "emb_curation_pipeline",
+        "docs_temperature_sample",
+        "media_byte_histogram",
+        "q_incident_click_range_join",
+        "q_bucketed_cokey_join",
+        "q_events_daily_rollup",
+    ]:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - start, 3)
+        print(f"# extended {name}: {extended[name]}s", file=sys.stderr)
+
     parse_samples = [bench_tf_parse(spark, 500) for _ in range(2)]
     timings["tf_parse_500_files"] = round(min(parse_samples), 3)
     all_samples["tf_parse_500_files"] = [round(s, 3) for s in parse_samples]
@@ -166,6 +186,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "samples": all_samples,
+        "extended": extended,
         "sf": sf,
     }))
 
