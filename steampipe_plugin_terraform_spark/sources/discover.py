@@ -134,25 +134,53 @@ def s3a_auth_confs(s3a_url: str, params: dict[str, str]) -> dict[str, str]:
     return confs
 
 
+def _jvm_getenv(spark, name: str) -> str | None:
+    """The driver JVM's view of an environment variable.
+
+    Separate from ``os.environ``: the JVM snapshots its environment at
+    launch, so a Python-side ``os.environ`` mutation after SparkSession
+    creation is invisible to the AWS SDK running inside it (and to executor
+    JVMs, which inherit their env from the cluster manager, not from this
+    process).
+    """
+    return spark._jvm.java.lang.System.getenv(name)
+
+
 def apply_s3a_auth(spark, confs: dict[str, str]) -> None:
     """Apply collected S3A auth confs to the session's Hadoop configuration.
 
     Must run before the first read of the affected bucket (Hadoop caches FS
-    instances per scheme+authority). The ``env.AWS_PROFILE`` pseudo-key sets
-    $AWS_PROFILE; a pre-existing DIFFERENT value raises (profile selection
-    is process-wide in the AWS SDK — two paths wanting two profiles cannot
-    both be honored, and guessing would use the wrong credentials).
+    instances per scheme+authority). The ``env.AWS_PROFILE`` pseudo-key
+    carries the requested profile NAME, which the AWS SDK resolves from the
+    $AWS_PROFILE environment variable *inside each JVM* — a value we cannot
+    set retroactively (the driver JVM snapshots its env at launch; executor
+    JVMs never see this process's environ at all). So instead of mutating
+    ``os.environ`` (which would silently leave the SDK on the default
+    profile — the wrong-credentials scenario), require that the profile was
+    exported BEFORE SparkSession launch and verify the driver JVM agrees;
+    refuse loudly otherwise. For cluster deployments the same value must
+    also reach executors via ``spark.executorEnv.AWS_PROFILE``.
     """
     confs = dict(confs)
     profile = confs.pop(ENV_AWS_PROFILE, None)
     if profile is not None:
-        existing = os.environ.get("AWS_PROFILE")
-        if existing not in (None, "", profile):
+        jvm_profile = _jvm_getenv(spark, "AWS_PROFILE")
+        if jvm_profile != profile:
             raise ValueError(
-                f"conflicting AWS profiles: path wants {profile!r} but "
-                f"$AWS_PROFILE={existing!r} (profile selection is process-wide)"
+                f"path requires AWS profile {profile!r} but the driver JVM "
+                f"was launched with $AWS_PROFILE={jvm_profile!r}; profile "
+                "selection is per-JVM and fixed at launch — export "
+                "AWS_PROFILE before starting the SparkSession (and set "
+                "spark.executorEnv.AWS_PROFILE for cluster mode), or use "
+                "per-bucket static/assumed-role credentials in Hadoop conf "
+                "instead"
             )
-        os.environ["AWS_PROFILE"] = profile
+        exec_env = spark.conf.get("spark.executorEnv.AWS_PROFILE", None)
+        if exec_env not in (None, profile):
+            raise ValueError(
+                f"spark.executorEnv.AWS_PROFILE={exec_env!r} conflicts with "
+                f"the path's requested profile {profile!r}"
+            )
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for k, v in confs.items():
         hconf.set(k, v)

@@ -227,12 +227,17 @@ def test_expand_glob_collects_auth_and_rejects_conflicts():
 
 
 def test_apply_s3a_auth_sets_hadoop_conf_and_profile(spark, monkeypatch):
+    from steampipe_plugin_terraform_spark.sources import discover
     from steampipe_plugin_terraform_spark.sources.discover import (
         ENV_AWS_PROFILE,
         apply_s3a_auth,
     )
 
-    monkeypatch.delenv("AWS_PROFILE", raising=False)
+    # Profile selection is per-JVM and fixed at launch: the positive path
+    # requires the DRIVER JVM to already carry $AWS_PROFILE (a Python-side
+    # os.environ mutation after launch is invisible to the AWS SDK), so the
+    # JVM view is stubbed here; the real lookup is exercised below.
+    monkeypatch.setattr(discover, "_jvm_getenv", lambda sp, name: "prod")
     apply_s3a_auth(
         spark,
         {
@@ -240,12 +245,30 @@ def test_apply_s3a_auth_sets_hadoop_conf_and_profile(spark, monkeypatch):
             ENV_AWS_PROFILE: "prod",
         },
     )
-    import os
-
-    assert os.environ["AWS_PROFILE"] == "prod"
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.bucket.pb.endpoint.region") == "ap-south-1"
-    # conflicting pre-existing profile refuses loudly
-    monkeypatch.setenv("AWS_PROFILE", "other")
-    with pytest.raises(ValueError, match="conflicting AWS profiles"):
+    # JVM launched under a different (or no) profile: refuse loudly instead
+    # of silently reading the bucket with default-profile credentials
+    monkeypatch.setattr(discover, "_jvm_getenv", lambda sp, name: "other")
+    with pytest.raises(ValueError, match="launched with \\$AWS_PROFILE='other'"):
         apply_s3a_auth(spark, {ENV_AWS_PROFILE: "prod"})
+    # executorEnv must agree with the requested profile as well
+    monkeypatch.setattr(discover, "_jvm_getenv", lambda sp, name: "prod")
+    monkeypatch.setattr(
+        spark.conf, "get", lambda k, d=None: "staging" if "executorEnv" in k else d
+    )
+    with pytest.raises(ValueError, match="executorEnv.AWS_PROFILE"):
+        apply_s3a_auth(spark, {ENV_AWS_PROFILE: "prod"})
+
+
+def test_jvm_getenv_reads_driver_jvm_not_python_env(spark, monkeypatch):
+    """The real lookup goes through the JVM, which snapshots env at launch:
+    mutating os.environ afterwards must NOT change what it reports."""
+    import os
+
+    from steampipe_plugin_terraform_spark.sources.discover import _jvm_getenv
+
+    before = _jvm_getenv(spark, "AWS_PROFILE")
+    monkeypatch.setenv("AWS_PROFILE", "mutated-after-launch")
+    assert _jvm_getenv(spark, "AWS_PROFILE") == before
+    assert os.environ["AWS_PROFILE"] == "mutated-after-launch"

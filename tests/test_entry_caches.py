@@ -1,0 +1,76 @@
+"""Session-scoped caches behind catalog entries.
+
+Two entries persist derived on-disk state (the bucketed-join tables and
+the IVF serving store). These tests pin the round-6 contract: state is
+written ONCE per (session, corpus), repeat invocations reuse it, and a
+handle created for one corpus keeps reading that corpus even after the
+entry is invoked for another sf_dir (per-corpus object names — the
+stale-handle hazard called out in round 5's review).
+"""
+
+import pytest
+
+from steampipe_plugin_terraform_spark import catalog
+from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+SF_A = "/root/testdata/sf0.001"
+SF_B = "/root/testdata/sf0.01"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_store_written_once_per_corpus(spark, monkeypatch):
+    from steampipe_plugin_terraform_spark.operators import similarity
+
+    calls = []
+    real_save = similarity.ivf_save
+    monkeypatch.setattr(
+        catalog.similarity, "ivf_save", lambda *a, **k: (calls.append(1), real_save(*a, **k))[1]
+    )
+    # drop any store built by earlier tests in this session
+    for key in [k for k in catalog._IVF_STORE_CACHE if k[0] == spark.sparkContext.applicationId]:
+        catalog._IVF_STORE_CACHE.pop(key)
+    first = _rows(QUERIES["emb_ivf_store_topk"](spark, SF_A))
+    assert calls == [1], "first invocation builds the store"
+    second = _rows(QUERIES["emb_ivf_store_topk"](spark, SF_A))
+    assert calls == [1], "second invocation must probe the existing store"
+    assert first == second
+
+
+def test_bucketed_tables_written_once_and_reused(spark, monkeypatch):
+    from steampipe_plugin_terraform_spark.operators import storage
+
+    writes = []
+    real_write = storage.write_bucketed
+    # catalog imports the storage module inside the entry, so patching the
+    # module attribute is what the entry sees
+    monkeypatch.setattr(
+        storage,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a[1]), real_write(*a, **k))[1],
+    )
+    app = spark.sparkContext.applicationId
+    for key in [k for k in catalog._BUCKETED_TABLES_READY if k[0] == app]:
+        catalog._BUCKETED_TABLES_READY.discard(key)
+    first = _rows(QUERIES["q_bucketed_cokey_join"](spark, SF_A))
+    assert len(writes) == 2, "first invocation writes both bucketed tables"
+    second = _rows(QUERIES["q_bucketed_cokey_join"](spark, SF_A))
+    assert len(writes) == 2, "repeat invocation reuses the existing tables"
+    assert first == second
+
+
+def test_bucketed_handle_survives_other_corpus_invocation(spark):
+    """The round-5 hazard: a lazy handle for corpus A, executed AFTER the
+    entry ran for corpus B, must still return corpus A's data."""
+    handle_a = QUERIES["q_bucketed_cokey_join"](spark, SF_A)
+    expected_a = _rows(QUERIES["q_bucketed_cokey_join"](spark, SF_A))
+    QUERIES["q_bucketed_cokey_join"](spark, SF_B).collect()
+    assert _rows(handle_a) == expected_a
+    # and the two corpora genuinely landed in distinct tables
+    digs = {catalog._corpus_digest(SF_A), catalog._corpus_digest(SF_B)}
+    assert len(digs) == 2
+    tables = {t.name for t in spark.catalog.listTables("tf_bucketed")}
+    for d in digs:
+        assert f"orders_b_{d}" in tables and f"lineitem_b_{d}" in tables
