@@ -2403,13 +2403,36 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver collects).
 _KMEANS_CACHE: dict = {}
 
+# Cluster-count sizing: k grows with the corpus so per-cluster work stays
+# bounded — k = max(K_MIN, ceil(N / K_TARGET)) keeps the average cluster at
+# ~K_TARGET vectors, which caps the SemDeDup per-cluster O((N/k)^2) matmul
+# and the applyInPandas group memory REGARDLESS of corpus size (the round-5
+# review's scale caution). K_TARGET=64 is the demo-scale value sized to
+# this corpus family (500-2k vectors); at the 100 TB design point the same
+# rule runs with K_TARGET in the 2048-8192 range (SCALE.md "semantic
+# dedup"). K_TARGET is a power of two, so ceil(N / K_TARGET) is exact in
+# both engines' arithmetic (binary FP divides by 2^6 exactly).
+_K_MIN = 16
+_K_TARGET = 64
+
+
+def _effective_k(n: int) -> int:
+    """max(K_MIN, ceil(n / K_TARGET)) — mirrored verbatim by the oracle's
+    ``ksel`` CTE; the two MUST stay in lockstep."""
+    return max(_K_MIN, -(-n // _K_TARGET))
+
 
 def _kmeans16(spark: SparkSession, sf_dir: str, kind: str):
+    """Session-cached deterministic Lloyd per (corpus, kind); k is sized
+    from the corpus via ``_effective_k`` (16 at the driver SFs, 32 at
+    sf0.1 — different effective k pinned by tests). The name keeps the
+    historical ``16`` as the FLOOR, not the pin."""
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _KMEANS_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
         df = emb if kind == "full" else emb.filter(F.col("vec_id") >= 10)
-        _KMEANS_CACHE[key] = similarity.kmeans_lloyd(df, k=16, iters=3)
+        k = _effective_k(df.count())
+        _KMEANS_CACHE[key] = similarity.kmeans_lloyd(df, k=k, iters=3)
     return _KMEANS_CACHE[key]
 
 
@@ -2432,16 +2455,25 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _lloyd_parts(corpus_where: str, k: int, iters: int, dim: int) -> list[str]:
+def _lloyd_parts(corpus_where: str, iters: int, dim: int) -> list[str]:
     """CTE chain replaying kmeans_lloyd over ``embeddings WHERE corpus_where``:
     md5-ordered init → ``iters`` assignment/mean rounds (1e-4 / 1e-6 grids,
     cid tiebreak, empty clusters keep their centroid) → final assignment
-    ``af(nid, v, bucket)``."""
+    ``af(nid, v, bucket)``.
+
+    k is NOT baked into the SQL text: the ``ksel`` CTE derives it from the
+    corpus count with the same max(K_MIN, ceil(n/K_TARGET)) rule as
+    ``_effective_k``, so ONE static oracle string stays value-exact at
+    every SF even though the effective k differs (16 at sf0.01, 32 at
+    sf0.1)."""
     dist = _dist_sql
     parts = [
         f"e AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE {corpus_where})",
+        f"ksel AS (SELECT GREATEST({_K_MIN}, "
+        f"CAST(ceil(count(*) / {_K_TARGET}.0) AS INT)) AS k FROM e)",
         "c0 AS (SELECT cid, cv FROM (SELECT CAST(row_number() OVER "
-        f"(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM e) WHERE cid < {k})",
+        "(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM e) "
+        "WHERE cid < (SELECT k FROM ksel))",
     ]
     for t in range(1, iters + 1):
         prev = f"c{t - 1}"
@@ -2463,13 +2495,13 @@ def _lloyd_parts(corpus_where: str, k: int, iters: int, dim: int) -> list[str]:
     return parts
 
 
-def _ivf_cte(k: int = 16, iters: int = 3, nprobe: int = 8, dim: int = 64) -> str:
+def _ivf_cte(iters: int = 3, nprobe: int = 8, dim: int = 64) -> str:
     cos = _cos_sql
 
     parts = [
         "q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)"
     ]
-    parts += _lloyd_parts("vec_id >= 10", k, iters, dim)
+    parts += _lloyd_parts("vec_id >= 10", iters, dim)
     parts += [
         "pr AS (SELECT qid, cid AS bucket FROM ("
         "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
@@ -2565,7 +2597,7 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.group_centroids(j, "lang")
 
 
-_LLOYD_FULL = ",\n    ".join(_lloyd_parts("TRUE", 16, 3, 64))
+_LLOYD_FULL = ",\n    ".join(_lloyd_parts("TRUE", 3, 64))
 _SEMDEDUP_SQL = f"""
     WITH {_LLOYD_FULL},
     p AS (SELECT a.nid id_a, b.nid id_b,
