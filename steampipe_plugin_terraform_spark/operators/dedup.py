@@ -274,11 +274,20 @@ def minhash_lsh_pairs(
     ``df_max`` still caps shingle document frequency in the shared counts
     (boilerplate shingles identify nothing — see ``_cap_document_frequency``);
     the size denominators count every shingle. Returns (id_a, id_b, jaccard).
+
+    Join strategy (round 6): the band self-join and both verify joins are
+    MERGE-hinted. Neither side is broadcastable at scale (the bucket table
+    and the shingle-set table are both O(N) rows), and at small SF the
+    broadcast plan Spark otherwise picks duplicates the whole signature /
+    shingle-aggregation subtree into the build side — with identical
+    shuffle exchanges on both sides instead, the exchange-reuse rule
+    materializes each heavy subtree once, and the measured cold-start
+    settles at the warm cost (~2 s at sf0.1) instead of 4× it.
     """
     buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands)
     cand = (
         buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bh"])
+        .join(buckets.alias("y").hint("merge"), ["band", "bh"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
@@ -302,7 +311,9 @@ def minhash_lsh_pairs(
     )
     # both pair-side joins hit the IDENTICAL `sets` projection (renames go on
     # the candidate side) so exchange reuse materializes its subtree — the
-    # full shingle explode + groupBy — once, not twice
+    # full shingle explode + groupBy — once, not twice; the merge hint keeps
+    # Spark from broadcasting (and thereby duplicating) that subtree
+    sets = sets.hint("merge")
     return (
         cand.withColumnRenamed("id_a", "id")
         .join(sets, "id")

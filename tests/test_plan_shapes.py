@@ -147,3 +147,27 @@ def test_bucketed_join_has_no_exchange_below_smj(spark):
     join_subtree = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in join_subtree
     assert "Bucketed: true" in join_subtree
+
+
+# ---- round-6 pins ----
+
+
+def test_minhash_lsh_joins_never_broadcast(spark):
+    """dedup_minhash_lsh's three joins (band self-join + two shingle-set
+    verify joins) are merge-hinted: every side is O(N) rows, so no side is
+    broadcastable at scale, and the small-SF broadcast plan Spark would
+    otherwise pick DUPLICATES the heavy signature / shingle-aggregation
+    subtree into the build side (round-6 adjudication of the round-5 bench
+    flag). Identical shuffle exchanges on both sides let the exchange-reuse
+    rule materialize each heavy subtree once."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert plan.count("SortMergeJoin") >= 3
+    # the only permitted broadcast is the overcap-flag left join: its build
+    # side is the set of shingles with document frequency > df_max, which
+    # is tiny by construction at any corpus size (it appears twice in the
+    # DECLARED plan because the sets subtree prints once per verify join;
+    # AQE's exchange reuse collapses them at runtime)
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert len(bhj) <= 2 and all("LeftOuter" in l for l in bhj)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
