@@ -21,7 +21,22 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "steampipe-terraform-spark", master: str | None = None) -> SparkSession:
+# RocksDB-backed streaming state: keeps per-key state off-heap and spills
+# to local disk, so stateful operators (session windows, dedup-within-
+# watermark, flatMapGroupsWithState) are bounded by disk, not executor
+# heap — the right provider once streaming state outgrows memory (100 TB
+# design point: billions of live session keys). The default HDFS-backed
+# provider keeps every key's state in the JVM heap.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def get_spark(
+    app_name: str = "steampipe-terraform-spark",
+    master: str | None = None,
+    rocksdb_state: bool = False,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     builder = (
@@ -43,4 +58,15 @@ def get_spark(app_name: str = "steampipe-terraform-spark", master: str | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    if rocksdb_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+        )
+    spark = builder.getOrCreate()
+    if rocksdb_state:
+        # providerClass is a runtime SQL conf read at stream start, so it
+        # also takes effect when getOrCreate returned a pre-existing session
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+        )
+    return spark
