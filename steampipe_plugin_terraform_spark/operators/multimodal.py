@@ -3,11 +3,13 @@
 The pattern (SURVEY.md §2.11): media lives as a ``binary`` column (from
 ``spark.read.format("binaryFile")`` or an upstream table); decode /
 feature-extract / resize run as Arrow-batched pandas functions over
-``mapInPandas``, emitting a typed metadata struct per row. The image/audio
-codec libraries are NOT in this container, so the actual decode is stubbed
-behind ``decode_image_stub`` — a deterministic fake with the REAL Spark
-plumbing (schema, batch shape, partitioning) so swapping in PIL/libav later
-is a one-function change.
+``mapInPandas``, emitting a typed metadata struct per row. Decode is
+pluggable: ``codec="auto"`` dispatches to REAL decoders — stdlib ``wave``
+for RIFF/WAVE (always available), PIL for images where installed (resolved
+per-executor at decode time) — falling back to ``decode_image_stub``, a
+deterministic fake the DuckDB oracle can replay. Schema, batch shape, and
+plan are identical either way, so the oracle-checked entries pin the
+plumbing and the real-codec path is a flag flip.
 
 Scale: mapInPandas is a narrow map — no shuffle; Arrow batches bound memory
 (spark.sql.execution.arrow.maxRecordsPerBatch). Payload bytes never cross a
@@ -49,17 +51,84 @@ def decode_image_stub(payload: bytes) -> dict:
     }
 
 
-def extract_media_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """binary payload column → typed metadata rows via Arrow-batched decode."""
+def decode_wav(payload: bytes) -> dict | None:
+    """REAL audio decode via stdlib ``wave`` (no external lib): returns the
+    metadata struct for RIFF/WAVE payloads, None for anything else. Field
+    mapping for audio: width = frame count, height = sample rate."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            return {
+                "n_bytes": len(payload),
+                "width": w.getnframes(),
+                "height": w.getframerate(),
+                "channels": w.getnchannels(),
+                "format": "audio/wav",
+            }
+    except wave.Error:
+        return None
+
+
+def decode_image_pil(payload: bytes) -> dict | None:
+    """REAL image decode via PIL when installed; None when PIL is absent or
+    the payload isn't a decodable image. Import is inside the function so
+    availability is resolved per-EXECUTOR at decode time."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return {
+                "n_bytes": len(payload),
+                "width": im.width,
+                "height": im.height,
+                "channels": len(im.getbands()),
+                "format": f"image/{(im.format or 'unknown').lower()}",
+            }
+    except Exception:
+        return None
+
+
+def decode_payload_auto(payload: bytes) -> dict:
+    """Real-codec dispatcher: WAV via stdlib wave, images via PIL where
+    installed, deterministic stub for everything else. The catalog entries
+    keep ``codec="stub"`` (the oracle replays the stub's arithmetic); a
+    production pipeline flips ``extract_media_metadata(codec="auto")`` and
+    nothing else changes — same schema, same batching, same plan."""
+    return decode_wav(payload) or decode_image_pil(payload) or decode_image_stub(payload)
+
+
+_CODECS = {"stub": decode_image_stub, "auto": decode_payload_auto}
+
+
+def extract_media_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "stub",
+) -> DataFrame:
+    """binary payload column → typed metadata rows via Arrow-batched decode.
+
+    ``codec="stub"`` is the deterministic fake (oracle-checkable);
+    ``codec="auto"`` uses real decoders (stdlib wave always, PIL when
+    installed) with the stub as fallback — identical schema and plan."""
     import pandas as pd
 
     id_name, payload_name = id_col, payload_col
+    decode_one = _CODECS[codec]
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = []
             for i, payload in zip(pdf[id_name], pdf[payload_name]):
-                meta = decode_image_stub(bytes(payload))
+                meta = decode_one(bytes(payload))
                 meta["doc_id"] = int(i)
                 out.append(meta)
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
