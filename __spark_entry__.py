@@ -42,12 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # (daily-rollup cent-grid partials + two-level oracle, bucketed-join
 # per-corpus tables, IVF-store caching, semantic-dedup corpus-sized k),
 # then ALL 46 entries that had no r05 row (the 5 r03-stale first).
-# Positions 51-53 (r07 front-of-window): q_approx_distinct (rows-only by
-# design — its driver row carries no hash), and the two k-sizing
+# Positions 51+ (r07 front-of-window): q_approx_distinct (rows-only by
+# design — its driver row carries no hash), the two k-sizing
 # composition entries whose sf0.01 behavior is provably identical to r05
 # (effective k stays 16 there — pinned by tests/test_k_scaling.py — and
 # the changed _kmeans16/ksel path is exercised in-window by
-# docs_semantic_dedup and emb_ivf_topk).
+# docs_semantic_dedup and emb_ivf_topk), and the entries ADDED in r06
+# (funnel, retention cohorts, epoch shuffle, length buckets, tf-idf
+# pairs, hard negatives, PQ top-k). The r06 window is exactly consumed
+# by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
+# which have no stale driver row to invalidate and are value-checked by
+# the local parity replica at sf0.001 AND sf0.01 — take the r07 front
+# instead of displacing horizon repair.
 _VALIDATE_FIRST = [
     # -- changed in r06 (behavior deltas at the driver SF) --
     "docs_semantic_dedup",
@@ -108,6 +114,11 @@ _VALIDATE_FIRST = [
     "q_approx_distinct",
     "emb_cluster_balanced_sample",
     "emb_curation_pipeline",
+    # -- added in r06 (first driver rows land r07; parity-green at two SFs) --
+    "q_events_funnel",
+    "q_events_retention_cohorts",
+    "docs_epoch_shuffle",
+    "docs_length_buckets",
 ]
 
 

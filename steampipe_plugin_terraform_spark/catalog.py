@@ -1630,6 +1630,112 @@ def q_events_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) v_ts FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) c_ts FROM events e
+          JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) p_ts FROM events e
+          JOIN c ON c.user_id = e.user_id AND e.ts >= c.c_ts
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT 1 AS stage, 'view' AS stage_name, count(*)::BIGINT AS users FROM v
+    UNION ALL
+    SELECT 2, 'click', count(*)::BIGINT FROM c
+    UNION ALL
+    SELECT 3, 'purchase', count(*)::BIGINT FROM p
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click-after-view →
+    purchase-after-click): per-user stage timestamps chained through
+    min-after-predecessor aggregations, then stage-level user counts.
+
+    Scale: three aggregations and two joins, ALL keyed on user_id — after
+    the first shuffle the stage tables are co-partitioned, and each stage
+    table shrinks (funnel monotonicity), so AQE broadcasts the later
+    stages. No window over global order, no driver state. The min-after-ts
+    predicate join (not a window over a union) keeps each stage a plain
+    equi-join Catalyst can reorder."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+
+    def _stage(df: DataFrame, n: int, nm: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(n).alias("stage"), F.lit(nm).alias("stage_name"), "users"
+        )
+
+    return _stage(v, 1, "view").unionAll(_stage(c, 2, "click")).unionAll(
+        _stage(p, 3, "purchase")
+    )
+
+
+@query(
+    "q_events_retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) cohort_week
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+                 (epoch_us(e.ts) - epoch_us(f.cohort_week)) // 604800000000
+                 AS week_offset
+          FROM events e JOIN f ON f.user_id = e.user_id)
+    SELECT cohort_week, week_offset::BIGINT AS week_offset,
+           count(*)::BIGINT AS active_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the Monday-aligned week of
+    their first event, counted once per (cohort, weeks-since-cohort) they
+    were active in. Week offsets are integer µs arithmetic (no calendar
+    `datediff` — its boundary semantics differ across engines).
+
+    Scale: one user-keyed aggregation for cohorts, one co-partitioned join
+    back to events, and a distinct+count whose key space is
+    |users| × |weeks| before the final tiny (cohort, offset) rollup. No
+    global window, no skew (user activity is the natural partition key)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            # CASTs: the ts-unit probe can yield TIMESTAMP_NTZ columns at
+            # some SFs; under the catalog's UTC session the cast is a
+            # wall-clock identity, and unix_micros needs TIMESTAMP
+            F.expr(
+                "CAST((unix_micros(CAST(ts AS TIMESTAMP))"
+                " - unix_micros(CAST(cohort_week AS TIMESTAMP)))"
+                " div 604800000000 AS BIGINT)"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("active_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions (§2.11): dedup, text analysis, similarity, media
 # ---------------------------------------------------------------------------
@@ -1953,6 +2059,105 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack.pack_greedy(
         docs, budget=256, weight_col="n_tok", group_col="lang", shards=4
+    )
+
+
+@query(
+    "docs_epoch_shuffle",
+    oracle="""
+    WITH de AS (SELECT doc_id, i AS epoch
+                FROM documents, unnest(range(0, 3)) r(i)),
+    k AS (SELECT doc_id, epoch,
+                 md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) mk
+          FROM de),
+    s AS (SELECT doc_id, epoch, mk,
+                 ('0x' || substring(mk, 1, 8))::BIGINT % 8 AS shard
+          FROM k)
+    SELECT epoch::BIGINT AS epoch, doc_id, shard,
+           (row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY mk, doc_id) - 1)::BIGINT AS pos
+    FROM s
+    """,
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle into training shards:
+    shard = md5(epoch:id) bucket, pos = md5-rank within (epoch, shard).
+    Reproducible data ordering for multi-epoch training without RNG state —
+    every worker can recompute its own shard's order from the ids alone.
+
+    Scale: shard-FIRST (hash bucket), order WITHIN shard — the window
+    partitions by (epoch, shard) so no global sort exists; one shuffle of
+    (16-byte key + id) rows, each shard sorted independently. The md5
+    bucket is uniform so shards are balanced regardless of id layout."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id", F.explode(F.expr("sequence(0, 2)")).alias("epoch")
+    ).select(
+        F.col("doc_id"),
+        F.col("epoch").cast("long").alias("epoch"),
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))).alias("mk"),
+    )
+    s = e.withColumn(
+        "shard", F.expr("CAST(conv(substring(mk, 1, 8), 16, 10) AS BIGINT) % 8")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("mk", "doc_id")
+    return s.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+@query(
+    "docs_length_buckets",
+    oracle="""
+    WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_tok
+               FROM documents),
+    b AS (SELECT doc_id, n_tok,
+                 length(bin(n_tok))::BIGINT AS bucket,
+                 doc_id % 4 AS shard
+          FROM d),
+    r AS (SELECT doc_id, n_tok, bucket, shard,
+                 row_number() OVER (PARTITION BY bucket, shard
+                                    ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 rn
+          FROM b)
+    SELECT doc_id, n_tok, bucket, shard,
+           (rn // 8)::BIGINT AS batch_id, (rn % 8)::BIGINT AS pos_in_batch
+    FROM r
+    """,
+)
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch construction: docs grouped into power-of-two
+    token-length buckets (bucket = bit-length of n_tok — integer exact, no
+    libm log2), md5-shuffled within (bucket, id-shard), and cut into
+    fixed-size batches of 8. Minimizes padding waste when batching
+    variable-length sequences.
+
+    Scale: like ``pack_greedy``, the window partitions by
+    (bucket, shard) — #buckets × #shards independent batchers, one
+    grouping shuffle, no global order. Batch ids are per-(bucket, shard),
+    which is what a sharded data loader consumes."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tok"),
+    )
+    b = d.select(
+        "doc_id",
+        "n_tok",
+        F.expr("CAST(length(bin(n_tok)) AS BIGINT)").alias("bucket"),
+        F.expr("doc_id % 4").alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("mk"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("mk", "doc_id")
+    r = b.withColumn("rn", F.row_number().over(w) - 1)
+    return r.select(
+        "doc_id",
+        "n_tok",
+        "bucket",
+        "shard",
+        F.expr("CAST(rn div 8 AS BIGINT)").alias("batch_id"),
+        F.expr("CAST(rn % 8 AS BIGINT)").alias("pos_in_batch"),
     )
 
 
