@@ -119,6 +119,9 @@ _VALIDATE_FIRST = [
     "q_events_retention_cohorts",
     "docs_epoch_shuffle",
     "docs_length_buckets",
+    "dedup_tfidf_cosine_pairs",
+    "emb_hard_negatives",
+    "emb_pq_topk",
 ]
 
 

@@ -2312,6 +2312,39 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_tfidf_cosine_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    tok AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') term
+            FROM t, unnest(range(1, greatest(len(w) - 3, 1))) r(i)
+            WHERE len(w) >= 5),
+    tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+    nn AS (SELECT count(*) n_docs FROM documents),
+    dfreq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+    kept AS (SELECT f.doc_id, f.term,
+                    f.tf * ((SELECT n_docs FROM nn) + 1.0) / (d.df + 1.0) w
+             FROM tf f JOIN dfreq d USING (term) WHERE d.df <= 100),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) nr FROM kept GROUP BY 1),
+    dt AS (SELECT a.doc_id id_a, b.doc_id id_b, sum(a.w * b.w) dot
+           FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    c AS (SELECT id_a, id_b,
+                 floor(dot / (na.nr * nb.nr) * 1000000 + 0.5) / 1000000 cosine
+          FROM dt JOIN nrm na ON na.doc_id = dt.id_a
+                  JOIN nrm nb ON nb.doc_id = dt.id_b)
+    SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.5
+    """,
+)
+def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup pairs: TF-IDF cosine over 5-gram terms via capped
+    posting lists (the weighted complement to the set-based jaccard entry;
+    linear idf keeps every per-term op IEEE-exact across engines)."""
+    return dedup.tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.5, df_max=100
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=_SHINGLE_CTE
     + """,
@@ -2660,42 +2693,60 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _lloyd_parts(corpus_where: str, iters: int, dim: int) -> list[str]:
+def _lloyd_parts(
+    corpus_where: str,
+    iters: int,
+    dim: int,
+    vexpr: str = "embedding::DOUBLE[]",
+    k_fixed: int | None = None,
+    prefix: str = "",
+) -> list[str]:
     """CTE chain replaying kmeans_lloyd over ``embeddings WHERE corpus_where``:
     md5-ordered init → ``iters`` assignment/mean rounds (1e-4 / 1e-6 grids,
     cid tiebreak, empty clusters keep their centroid) → final assignment
-    ``af(nid, v, bucket)``.
+    ``{prefix}af(nid, v, bucket)``.
 
-    k is NOT baked into the SQL text: the ``ksel`` CTE derives it from the
-    corpus count with the same max(K_MIN, ceil(n/K_TARGET)) rule as
-    ``_effective_k``, so ONE static oracle string stays value-exact at
-    every SF even though the effective k differs (16 at sf0.01, 32 at
-    sf0.1)."""
+    k is NOT baked into the SQL text by default: the ``ksel`` CTE derives
+    it from the corpus count with the same max(K_MIN, ceil(n/K_TARGET))
+    rule as ``_effective_k``, so ONE static oracle string stays value-exact
+    at every SF even though the effective k differs (16 at sf0.01, 32 at
+    sf0.1). ``k_fixed`` pins k instead — for codebook quantizers (PQ)
+    whose size is a storage-format constant, not corpus-derived.
+    ``vexpr`` selects the clustered vector (e.g. a subvector slice);
+    ``prefix`` namespaces every CTE so several Lloyd replays (one per PQ
+    subspace) can chain in one WITH."""
     dist = _dist_sql
+    p = prefix
+    k_sql = str(k_fixed) if k_fixed is not None else f"(SELECT k FROM {p}ksel)"
     parts = [
-        f"e AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE {corpus_where})",
-        f"ksel AS (SELECT GREATEST({_K_MIN}, "
-        f"CAST(ceil(count(*) / {_K_TARGET}.0) AS INT)) AS k FROM e)",
-        "c0 AS (SELECT cid, cv FROM (SELECT CAST(row_number() OVER "
-        "(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM e) "
-        "WHERE cid < (SELECT k FROM ksel))",
+        f"{p}e AS (SELECT vec_id nid, {vexpr} v FROM embeddings WHERE {corpus_where})",
     ]
+    if k_fixed is None:
+        parts.append(
+            f"{p}ksel AS (SELECT GREATEST({_K_MIN}, "
+            f"CAST(ceil(count(*) / {_K_TARGET}.0) AS INT)) AS k FROM {p}e)"
+        )
+    parts.append(
+        f"{p}c0 AS (SELECT cid, cv FROM (SELECT CAST(row_number() OVER "
+        f"(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM {p}e) "
+        f"WHERE cid < {k_sql})"
+    )
     for t in range(1, iters + 1):
-        prev = f"c{t - 1}"
+        prev = f"{p}c{t - 1}"
         parts += [
-            f"a{t} AS (SELECT nid, v, cid AS bucket FROM ("
+            f"{p}a{t} AS (SELECT nid, v, cid AS bucket FROM ("
             f"SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
-            f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM e, {prev} c) WHERE rn = 1)",
-            f"m{t} AS (SELECT bucket, j, floor(avg(v[j]) * 1000000 + 0.5) / 1000000 mx "
-            f"FROM a{t}, range(1, {dim + 1}) r(j) GROUP BY bucket, j)",
-            f"cl{t} AS (SELECT bucket AS cid, list(mx ORDER BY j) cv FROM m{t} GROUP BY bucket)",
-            f"c{t} AS (SELECT p.cid, COALESCE(n.cv, p.cv) cv "
-            f"FROM {prev} p LEFT JOIN cl{t} n ON n.cid = p.cid)",
+            f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM {p}e e, {prev} c) WHERE rn = 1)",
+            f"{p}m{t} AS (SELECT bucket, j, floor(avg(v[j]) * 1000000 + 0.5) / 1000000 mx "
+            f"FROM {p}a{t}, range(1, {dim + 1}) r(j) GROUP BY bucket, j)",
+            f"{p}cl{t} AS (SELECT bucket AS cid, list(mx ORDER BY j) cv FROM {p}m{t} GROUP BY bucket)",
+            f"{p}c{t} AS (SELECT p.cid, COALESCE(n.cv, p.cv) cv "
+            f"FROM {prev} p LEFT JOIN {p}cl{t} n ON n.cid = p.cid)",
         ]
     parts.append(
-        "af AS (SELECT nid, v, cid AS bucket FROM ("
-        "SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
-        f"ORDER BY {dist('e.v', f'c.cv')}, c.cid) rn FROM e, c{iters} c) WHERE rn = 1)"
+        f"{p}af AS (SELECT nid, v, cid AS bucket FROM ("
+        f"SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
+        f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM {p}e e, {p}c{iters} c) WHERE rn = 1)"
     )
     return parts
 
@@ -2888,6 +2939,110 @@ def emb_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = flags.filter(~F.col("is_dup")).select("vec_id", "bucket")
     return similarity.md5_rank_take(
         kept, "bucket", "vec_id", lambda n: F.ceil(n * F.lit(0.5))
+    )
+
+
+_HARD_NEG_SQL = f"""
+    WITH {_LLOYD_FULL},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    p AS (SELECT a.nid id_a, la.label label_a, b.nid id_b, lb.label label_b,
+                 {_cos_sql('a.v', 'b.v')} AS c
+          FROM af a JOIN af b ON a.bucket = b.bucket AND a.nid != b.nid
+          JOIN lab la ON la.vec_id = a.nid
+          JOIN lab lb ON lb.vec_id = b.nid
+          WHERE la.label != lb.label
+            AND list_dot_product(a.v, a.v) > 0
+            AND list_dot_product(b.v, b.v) > 0),
+    r AS (SELECT id_a, label_a, id_b, label_b, c,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY c DESC, id_b) rn
+          FROM p)
+    SELECT id_a AS vec_id, label_a AS label, id_b AS neg_id,
+           label_b AS neg_label, c AS cosine
+    FROM r WHERE rn = 1
+    """
+
+
+@query("emb_hard_negatives", oracle=_HARD_NEG_SQL)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    most-similar different-label neighbor WITHIN its k-means cluster (the
+    in-batch-negatives upgrade every embedding-model pipeline needs).
+    Reuses the session's shared Lloyd assignment — one clustering feeds
+    dedup, sampling, curation, and mining; the oracle chains the same
+    Lloyd CTE into a (cosine DESC, id) rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = _kmeans16(spark, sf_dir, "full")
+    labeled = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    return similarity.hard_negatives(labeled)
+
+
+def _pq_cte(m: int = 4, dsub: int = 16, iters: int = 2, k: int = 16) -> str:
+    """Oracle CTE chain for PQ/ADC: one prefixed Lloyd replay per subspace
+    over the corpus subvectors, the exact query subvectors, the encoded
+    codes, and the left-associative sum of per-subspace quantized
+    distances (identical IEEE tree to the Spark side)."""
+    dist = _dist_sql
+    parts: list[str] = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts += _lloyd_parts(
+            "vec_id >= 10",
+            iters,
+            dsub,
+            vexpr=f"(embedding::DOUBLE[])[{lo}:{hi}]",
+            k_fixed=k,
+            prefix=f"s{j}_",
+        )
+    qcols = ", ".join(
+        f"(embedding::DOUBLE[])[{j * dsub + 1}:{(j + 1) * dsub}] v{j}"
+        for j in range(m)
+    )
+    parts.append(
+        f"q AS (SELECT vec_id qid, {qcols} FROM embeddings WHERE vec_id < 10)"
+    )
+    code_cols = ", ".join(f"a{j}.bucket b{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN s{j}_af a{j} ON a{j}.nid = a0.nid" for j in range(1, m)
+    )
+    parts.append(
+        f"codes AS (SELECT a0.nid, {code_cols} FROM s0_af a0 {code_joins})"
+    )
+    adc = " + ".join(dist(f"q.v{j}", f"cb{j}.cv") for j in range(m))
+    cb_joins = " ".join(
+        f"JOIN s{j}_c{iters} cb{j} ON cb{j}.cid = c.b{j}" for j in range(m)
+    )
+    parts.append(
+        f"s AS (SELECT q.qid, c.nid, {adc} AS adc_dist FROM q, codes c {cb_joins})"
+    )
+    parts.append(
+        "r AS (SELECT qid, nid, adc_dist, row_number() OVER "
+        "(PARTITION BY qid ORDER BY adc_dist, nid) rank FROM s)"
+    )
+    return ",\n    ".join(parts)
+
+
+_PQ_TOPK_SQL = f"""
+    WITH {_pq_cte()}
+    SELECT qid AS query_id, nid AS neighbor_id, adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """
+
+
+@query("emb_pq_topk", oracle=_PQ_TOPK_SQL)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (4 subspaces × 16-codeword codebooks,
+    asymmetric-distance scoring): the memory-compression tier of the ANN
+    family — 2 bytes per vector instead of 256, scored via broadcast
+    lookup tables with zero shuffle before the final top-k window. Every
+    step is the deterministic Lloyd quantizer, so the oracle replays all
+    four subspace clusterings, the encoding, and the ADC ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        dim=64, m=4, k=16, iters=2, topk=5,
     )
 
 

@@ -196,6 +196,97 @@ def shingle_jaccard_pairs(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    df_max: int | None = 100,
+) -> DataFrame:
+    """Weighted near-duplicate pairs by TF-IDF cosine over n-gram terms,
+    posting-list generated (no all-pairs cross product).
+
+    Terms are word n-grams (NOT distinct — term frequency counts repeats),
+    hashed to 8-byte keys like ``_hashed_shingles``. The weight is the
+    LINEAR inverse-document-frequency ``tf * (N + 1) / (df + 1)`` rather
+    than the log variant: every arithmetic op is IEEE-exact-rounded
+    (*, /, sqrt) so Spark and a SQL oracle agree bit-for-bit per term;
+    only the dot/norm SUMS are order-sensitive, absorbed by the 1e-6
+    cosine grid (same canonicalization as the embedding-cosine entries).
+    The threshold compares the SNAPPED cosine so a boundary ulp cannot
+    select different pairs across engines.
+
+    Scale: the df cap bounds every posting list at df_max before pair
+    emission — one boilerplate n-gram cannot go quadratic (see
+    ``_cap_document_frequency`` semantics; here the cap also drops the
+    term from norms on BOTH sides, keeping cosine consistent). Pair
+    emission is chunked by anchor exactly like ``shingle_jaccard_pairs``;
+    the only shuffles are groupBy(id, h), groupBy(h), and the final
+    groupBy(pair) — all on uniform hashed keys.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine snapped to 1e-6.
+    """
+    toks = f"split({text_col}, ' ')"
+    sh = _spread(df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= {n} THEN "
+                f"transform(sequence(1, size({toks}) - {n - 1}), "
+                f"i -> xxhash64(transform(slice({toks}, i, {n}), t -> xxhash64(t)))) "
+                f"ELSE CAST(array() AS array<bigint>) END"
+            )
+        ).alias("h"),
+    )
+    tf = sh.groupBy("id", "h").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("h").agg(F.count("*").alias("df_"))
+    tot = df.agg(F.count("*").alias("n_docs"))  # 1-row scalar, broadcast
+    cap = F.lit(True) if df_max is None else (F.col("df_") <= df_max)
+    kept = (
+        tf.join(dfreq, "h")
+        .filter(cap)
+        .crossJoin(F.broadcast(tot))
+        # identical parse tree to the oracle: (tf * (N+1.0)) / (df+1.0)
+        .select("id", "h", F.expr("tf * (n_docs + 1.0) / (df_ + 1.0)").alias("w"))
+    )
+    norms = kept.groupBy("id").agg(F.sqrt(F.sum(F.expr("w * w"))).alias("nr"))
+    pairs = (
+        kept.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "w"))).alias("iw"))
+        .filter(F.expr("size(iw) >= 2"))
+        # chunked by anchor — bounds per-row memory at O(df_max), see
+        # shingle_jaccard_pairs for why a flat flatten() is fatal
+        .select("iw", F.explode(F.expr("sequence(0, size(iw) - 2)")).alias("i"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(iw, i + 2, size(iw) - i - 1), "
+                    "y -> struct(iw[i].id AS id_a, y.id AS id_b, "
+                    "(iw[i].w * y.w) AS p))"
+                )
+            ).alias("t")
+        )
+        .select("t.id_a", "t.id_b", "t.p")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("p").alias("dot"))
+    )
+    # renames on the pairs side so both joins share one `norms` subtree
+    # (exchange reuse), mirroring shingle_jaccard_pairs
+    return (
+        pairs.withColumnRenamed("id_a", "id")
+        .join(norms, "id")
+        .select(F.col("id").alias("id_a"), F.col("id_b").alias("id"), "dot", F.col("nr").alias("na"))
+        .join(norms, "id")
+        .select(
+            "id_a",
+            F.col("id").alias("id_b"),
+            F.expr("floor(dot / (na * nr) * 1000000 + 0.5) / 1000000").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

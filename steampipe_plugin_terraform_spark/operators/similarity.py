@@ -379,6 +379,129 @@ def ivf_topk(
     )
 
 
+def pq_codebooks_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization training + encoding: split each vector into
+    ``m`` contiguous subspaces, run the deterministic ``kmeans_lloyd`` per
+    subspace (k is a FIXED codebook size — a storage-format constant, not
+    corpus-derived like IVF's coarse k), and encode every vector as its m
+    nearest-codeword ids.
+
+    Storage contract: m small ints per vector (m·log2(k) bits — here
+    4×4 = 2 bytes) instead of dim×4 bytes; the codebooks are m·k·(dim/m)
+    floats of driver state, same bounded-state shape as IVF centroids.
+
+    Scale: each subspace clustering is one narrow slice projection feeding
+    the shared Lloyd (bounded shuffles, k×dim driver state); the m encode
+    joins are all on the id key and co-partition after the first shuffle.
+    Returns (codes DataFrame (id, code0..code{m-1}), list of m codebooks).
+    """
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    codes: DataFrame | None = None
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, {j * dsub + 1}, {dsub})").alias("subv"),
+        )
+        assigned, cents = kmeans_lloyd(
+            sub, id_col=id_col, vec_col="subv", k=k, iters=iters
+        )
+        books.append(cents)
+        cj = assigned.select(F.col(id_col), F.col("bucket").alias(f"code{j}"))
+        codes = cj if codes is None else codes.join(cj, id_col)
+    return codes, books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    topk: int = 5,
+    dist_digits: int = 4,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: exact query subvectors scored
+    against the corpus's quantized codes via per-query lookup tables.
+
+    The LUT for a query is m×k quantized subspace distances
+    (|q_j|² − 2·q_j·c + |c|², snapped to the ``dist_digits`` grid — the
+    same formula/grid as the Lloyd assigner, so a SQL engine joining the
+    replayed centroid tables computes the identical cells). A corpus
+    item's approximate distance is the LEFT-ASSOCIATIVE sum of its m LUT
+    cells — both engines evaluate the same IEEE addition tree. Ranking is
+    (distance, id), so grid ties cannot reorder across engines.
+
+    Scale: the scored frame is a map-side broadcast cross join (LUTs are
+    |Q|·m·k doubles — broadcast), so scoring is O(N·m) array lookups with
+    NO shuffle; only the final per-query top-k window shuffles, carrying
+    (qid, nid, dist) triples. At billion-N serving, compose with IVF
+    (probe buckets first, ADC within probed buckets) — this operator is
+    the scoring kernel of that pipeline. The query side is collected to
+    build LUTs: |Q| is bounded by contract (same as ``cosine_topk``'s
+    broadcast query side).
+
+    Returns (query_id, neighbor_id, adc_dist, rank), rank <= topk.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    dsub = dim // m
+    qd = 10.0 ** dist_digits
+    id_type = dict(corpus.dtypes)[id_col]
+    codes, books = pq_codebooks_encode(
+        corpus, id_col, vec_col, dim=dim, m=m, k=k, iters=iters
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()  # |Q| bounded by contract
+    data = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype="float64")
+        luts = []
+        for j in range(m):
+            qs = qv[j * dsub : (j + 1) * dsub]
+            C = np.asarray(books[j], dtype="float64")
+            d = (qs * qs).sum() - 2.0 * (C @ qs) + (C * C).sum(axis=1)
+            luts.append([float(x) for x in np.floor(d * qd + 0.5) / qd])
+        data.append((r[id_col], *luts))
+    lut_schema = f"qid {id_type}, " + ", ".join(
+        f"lut{j} array<double>" for j in range(m)
+    )
+    qdf = spark.createDataFrame(data, schema=lut_schema)
+
+    # Spark [] on arrays is 0-based — codes are 0-based cids, direct index
+    adc = " + ".join(f"lut{j}[code{j}]" for j in range(m))
+    scored = codes.crossJoin(F.broadcast(qdf)).select(
+        "qid",
+        F.col(id_col).alias("nid"),
+        F.expr(adc).alias("adc_dist"),
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -716,6 +839,100 @@ def semantic_dedup(
             "left",
         )
         .select(id_col, "bucket", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
+def hard_negatives(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bucket_col: str = "bucket",
+    cos_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector, the
+    most-cosine-similar SAME-CLUSTER vector with a DIFFERENT label.
+
+    Takes a pre-clustered (id, vec, label, bucket) frame (share the
+    deterministic ``kmeans_lloyd`` assignment across entries — one
+    clustering, many consumers). Per cluster, one BLAS matmul scores all
+    pairs (the sanctioned dense-linear-algebra path, same shape as
+    ``semantic_dedup``); cosines snap to the ``cos_digits`` grid BEFORE
+    the argmax and ties break to the smallest candidate id (candidates are
+    id-sorted, argmax takes the first maximum), so a SQL engine replaying
+    grid + (cosine DESC, id) ranking picks identical negatives.
+
+    Anchors with no valid negative in their cluster (no different-label
+    neighbor, or a zero vector on either side — excluded exactly like the
+    oracle's dot(v,v) > 0 predicate) produce no row.
+
+    Scale: per-cluster O((N/k)²) bounded by corpus-sized k (IVF sizing,
+    SCALE.md); one bucket shuffle, no all-pairs, nothing on the driver.
+    Returns (id, label, neg_id, neg_label, cosine).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(assigned.dtypes)[id_col]
+    label_type = dict(assigned.dtypes)[label_col]
+    qc = 10.0 ** cos_digits
+
+    def cluster_negatives(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series([], dtype=pdf["__id"].dtype),
+                "label": pd.Series([], dtype=pdf["__label"].dtype),
+                "neg_id": pd.Series([], dtype=pdf["__id"].dtype),
+                "neg_label": pd.Series([], dtype=pdf["__label"].dtype),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["__id"].to_numpy())
+        ids = pdf["__id"].to_numpy()[order]
+        labels = pdf["__label"].to_numpy()[order]
+        V = np.stack(pdf["__v"].to_numpy())[order].astype("float64")
+        nrm = np.sqrt((V * V).sum(axis=1))
+        valid = nrm > 0.0
+        N = V / np.where(valid, nrm, 1.0)[:, None]
+        S = np.floor(N @ N.T * qc + 0.5) / qc
+        S[~valid, :] = -np.inf
+        S[:, ~valid] = -np.inf
+        S[labels[:, None] == labels[None, :]] = -np.inf  # incl. diagonal
+        best = np.argmax(S, axis=1)
+        score = S[np.arange(len(ids)), best]
+        keep = np.isfinite(score)
+        return pd.DataFrame(
+            {
+                "id": ids[keep],
+                "label": labels[keep],
+                "neg_id": ids[best[keep]],
+                "neg_label": labels[best[keep]],
+                "cosine": score[keep],
+            }
+        )
+
+    out_schema = (
+        f"id {id_type}, label {label_type}, neg_id {id_type}, "
+        f"neg_label {label_type}, cosine double"
+    )
+    return (
+        assigned.select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__label"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(cluster_negatives, schema=out_schema)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("label").alias(label_col),
+            "neg_id",
+            "neg_label",
+            "cosine",
+        )
     )
 
 

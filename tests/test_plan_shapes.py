@@ -171,3 +171,55 @@ def test_minhash_lsh_joins_never_broadcast(spark):
     assert len(bhj) <= 2 and all("LeftOuter" in l for l in bhj)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_pairs_chunked_no_cartesian(spark):
+    """TF-IDF pair emission reuses the chunked anchor-explode shape (two
+    bounded Generate nodes) and must never plan an all-pairs join: the
+    posting-list groupBy is the ONLY pair source. The only permitted
+    nested-loop joins are the Cross builds of the 1-row N-docs scalar
+    total (the repo's sanctioned scalar-broadcast pattern)."""
+    plan = _plan(spark, "dedup_tfidf_cosine_pairs")
+    assert plan.count("Generate explode") >= 2
+    assert "CartesianProduct" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("Cross" in l for l in bnlj)
+
+
+@pytest.mark.parametrize("name", ["q_events_funnel", "q_events_retention_cohorts"])
+def test_event_analytics_equi_joins_only(spark, name):
+    """Funnel stages and cohort joins are plain user-keyed equi-joins —
+    a cartesian/nested-loop fallback (e.g. from rewriting the
+    min-after-predecessor predicate as a theta join) would be quadratic
+    in events at scale."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["docs_epoch_shuffle", "docs_length_buckets"])
+def test_ordering_ops_have_no_global_sort(spark, name):
+    """Epoch shuffle and length-bucket batching order WITHIN hash shards:
+    a single-partition exchange (global row_number) is the scale killer
+    these designs exist to avoid."""
+    plan = _plan(spark, name)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pq_scoring_is_broadcast_cross_join(spark):
+    """PQ/ADC scoring joins the corpus codes against the broadcast LUT
+    table as a map-side broadcast nested-loop cross join (the LUT side is
+    |Q|·m·k doubles — tiny by contract): the scoring stage itself must add
+    no shuffle; only the final top-k window partitions by query."""
+    plan = _plan(spark, "emb_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_no_cartesian(spark):
+    """Hard-negative mining scores pairs inside applyInPandas clusters —
+    the plan must contain no pairwise join at all."""
+    plan = _plan(spark, "emb_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
