@@ -122,6 +122,9 @@ _VALIDATE_FIRST = [
     "dedup_tfidf_cosine_pairs",
     "emb_hard_negatives",
     "emb_pq_topk",
+    "docs_quality_quantile_filter",
+    "q_zorder_pruned_scan",
+    "stream_hourly_append_closed",
 ]
 
 

@@ -1341,6 +1341,66 @@ def q_bucketed_cokey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, corpus-digest) → z-ordered lineitem store path; written
+# once per session+corpus, removed at interpreter exit (same lifecycle as
+# the IVF store)
+_ZORDER_CACHE: dict = {}
+
+
+def _zorder_store(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators import storage
+
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _ZORDER_CACHE:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+        root = tempfile.mkdtemp(prefix="zorder_store_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/lineitem_z"
+        storage.write_zordered(li, path, "l_partkey", "l_suppkey", num_files=16)
+        _ZORDER_CACHE[key] = path
+    return _ZORDER_CACHE[key]
+
+
+@query(
+    "q_zorder_pruned_scan",
+    oracle="""
+    SELECT l_partkey, count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 20 AND 60 AND l_suppkey BETWEEN 2 AND 5
+    GROUP BY 1
+    """,
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D range scan over a Z-ORDER-clustered copy of lineitem (Morton
+    interleave of partkey/suppkey, range-partitioned + sorted by z): both
+    BETWEEN predicates push to the parquet scan and footer min/max stats
+    prune the row groups whose (partkey, suppkey) box misses the query box
+    — the Delta/Iceberg Z-ORDER layout trick, file-format-native. Results
+    equal the plain scan (the oracle); the pruning property is pinned by
+    tests/test_zorder.py on the actual footer stats.
+
+    Store lifecycle matches the bucketed/IVF entries: one z-ordered write
+    per (session, corpus), then every scan serves from the layout —
+    write-time shuffle bought once, row-group pruning on every query."""
+    z = spark.read.parquet(_zorder_store(spark, sf_dir))
+    return (
+        z.filter(
+            F.col("l_partkey").between(20, 60) & F.col("l_suppkey").between(2, 5)
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
 @query(
     "q12_priority_lines",
     oracle="""
@@ -1898,6 +1958,48 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_quality_quantile_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             floor(len(list_filter(string_split(text, ' '),
+                                   w -> w IN ('the','a','of','and','to'))) * 1.0
+                   / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS stopword_ratio
+      FROM documents),
+    q AS (SELECT doc_id,
+                 floor((0.5 * least(n_tokens / 100.0, 1.0)
+                       + 0.5 * least(stopword_ratio * 5.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+          FROM s),
+    r AS (SELECT d.doc_id, d.lang, q.quality,
+                 percent_rank() OVER (PARTITION BY d.lang
+                                      ORDER BY q.quality, d.doc_id) pct
+          FROM documents d JOIN q ON q.doc_id = d.doc_id)
+    SELECT doc_id, lang, quality, pct FROM r WHERE pct >= 0.5
+    """,
+)
+def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-language quantile quality filter: keep each language's top
+    half by quality score (percent_rank >= 0.5) — the distribution-aware
+    upgrade to a global threshold, which over-prunes low-resource
+    languages. percent_rank is (rank-1)/(n-1) over a total order
+    (grid-snapped quality, doc_id tiebreak), so both engines compute the
+    identical rational and the 0.5 cut picks identical rows.
+
+    Scale: one window per language partition — the same single-shuffle
+    shape as the z-score and stratified-sample entries; no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_score(docs)
+    j = docs.select("doc_id", "lang").join(q, "doc_id")
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        j.withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("pct") >= 0.5)
+        .select("doc_id", "lang", "quality", "pct")
+    )
 
 
 @query(
@@ -3131,6 +3233,51 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stream_events_hourly drain exceeded 600s")
     return spark.table("__stream_events_hourly")
+
+
+@query(
+    "stream_hourly_append_closed",
+    # append mode emits ONLY watermark-closed windows: the final watermark
+    # is max(event time) - 2h (Spark tracks event-time stats at millisecond
+    # precision; these hour windows are exact-ms so the truncation cannot
+    # flip the comparison), and a window [h, h+1h) is closed iff
+    # h + 1h <= watermark. The tail windows of the corpus stay open forever
+    # — the semantics this entry exists to pin.
+    oracle="""
+    WITH m AS (SELECT max(ts) mx FROM events)
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT mx FROM m) - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked windows: each hourly window is emitted
+    exactly once, when the watermark passes its end — the sink-friendly
+    mode (files/Kafka can't retract), vs the complete-mode entry that
+    re-emits the whole result every batch. The drain's no-data final
+    micro-batch advances the watermark to max(ts) - 2h and flushes every
+    closed window; the corpus-tail windows correctly never appear. State
+    size is bounded by open windows only (hours within the watermark
+    horizon × event types) — the property that makes append mode the
+    indefinitely-running-pipeline choice."""
+    from .streaming.events import hourly_counts_stream, read_events_stream
+
+    _stop_stream(spark, "__stream_hourly_append")
+    q = (
+        hourly_counts_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("__stream_hourly_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_hourly_append_closed drain exceeded 600s")
+    return spark.table("__stream_hourly_append")
 
 
 @query(
