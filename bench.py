@@ -190,6 +190,15 @@ def main() -> None:
         "q_incident_click_range_join",
         "q_bucketed_cokey_join",
         "q_events_daily_rollup",
+        # round-6 flagships
+        "dedup_tfidf_cosine_pairs",
+        "emb_pq_topk",
+        "emb_hard_negatives",
+        "q_events_funnel",
+        "q_events_retention_cohorts",
+        "docs_epoch_shuffle",
+        "docs_length_buckets",
+        "q_zorder_pruned_scan",
     ]:
         fn = QUERIES[name]
         record(
