@@ -125,6 +125,7 @@ _VALIDATE_FIRST = [
     "docs_quality_quantile_filter",
     "q_zorder_pruned_scan",
     "stream_hourly_append_closed",
+    "q_salted_skew_join",
 ]
 
 

@@ -74,3 +74,41 @@ def test_bucketed_handle_survives_other_corpus_invocation(spark):
     tables = {t.name for t in spark.catalog.listTables("tf_bucketed")}
     for d in digs:
         assert f"orders_b_{d}" in tables and f"lineitem_b_{d}" in tables
+
+
+def test_pq_trained_once_per_corpus(spark, monkeypatch):
+    from steampipe_plugin_terraform_spark.operators import similarity
+
+    calls = []
+    real = similarity.pq_codebooks_encode
+    monkeypatch.setattr(
+        catalog.similarity,
+        "pq_codebooks_encode",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+    for key in [k for k in catalog._PQ_CACHE if k[0] == spark.sparkContext.applicationId]:
+        catalog._PQ_CACHE.pop(key)
+    first = _rows(QUERIES["emb_pq_topk"](spark, SF_A))
+    assert calls == [1], "first invocation trains the codebooks"
+    second = _rows(QUERIES["emb_pq_topk"](spark, SF_A))
+    assert calls == [1], "second invocation must serve from the cache"
+    assert first == second
+
+
+def test_zorder_store_written_once_per_corpus(spark, monkeypatch):
+    from steampipe_plugin_terraform_spark.operators import storage
+
+    writes = []
+    real = storage.write_zordered
+    monkeypatch.setattr(
+        storage,
+        "write_zordered",
+        lambda *a, **k: (writes.append(1), real(*a, **k))[1],
+    )
+    for key in [k for k in catalog._ZORDER_CACHE if k[0] == spark.sparkContext.applicationId]:
+        catalog._ZORDER_CACHE.pop(key)
+    first = _rows(QUERIES["q_zorder_pruned_scan"](spark, SF_A))
+    assert writes == [1], "first invocation writes the layout"
+    second = _rows(QUERIES["q_zorder_pruned_scan"](spark, SF_A))
+    assert writes == [1], "second invocation must scan the existing layout"
+    assert first == second
