@@ -126,6 +126,9 @@ _VALIDATE_FIRST = [
     "q_zorder_pruned_scan",
     "stream_hourly_append_closed",
     "q_salted_skew_join",
+    "q_events_trailing_30min",
+    "stream_foreachbatch_sink",
+    "emb_ivf_pq_topk",
 ]
 
 

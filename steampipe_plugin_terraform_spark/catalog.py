@@ -713,6 +713,44 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_trailing_30min",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_30m,
+           floor(sum(value) OVER w * 10000 + 0.5) / 10000 AS sum_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_trailing_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per event, the user's activity over
+    the trailing 30 minutes — the rows-frame entry's complement (a ROWS
+    frame counts events; a RANGE frame bounds event TIME, the fraud/rate-
+    limit shape). Ordering is integer epoch-µs on both engines, so frame
+    membership is exact integer arithmetic; the FP frame sum hides under
+    the 1e-4 grid.
+
+    Scale: partitioned by user_id — one shuffle, no global sort; the
+    running frame is computed incrementally per partition."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id "
+            "ORDER BY unix_micros(CAST(ts AS TIMESTAMP)) "
+            "RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)"
+        ).alias("n_30m"),
+        F.expr(
+            "floor(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY unix_micros(CAST(ts AS TIMESTAMP)) "
+            "RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) "
+            "* 10000 + 0.5) / 10000"
+        ).alias("sum_30m"),
+    )
+
+
+@query(
     "q_stats_by_returnflag",
     oracle="""
     SELECT l_returnflag,
@@ -3107,12 +3145,10 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(labeled)
 
 
-def _pq_cte(m: int = 4, dsub: int = 16, iters: int = 2, k: int = 16) -> str:
-    """Oracle CTE chain for PQ/ADC: one prefixed Lloyd replay per subspace
-    over the corpus subvectors, the exact query subvectors, the encoded
-    codes, and the left-associative sum of per-subspace quantized
-    distances (identical IEEE tree to the Spark side)."""
-    dist = _dist_sql
+def _pq_code_parts(m: int = 4, dsub: int = 16, iters: int = 2, k: int = 16) -> list[str]:
+    """Shared PQ oracle CTEs: one prefixed Lloyd replay per subspace over
+    the corpus subvectors, the exact query subvectors (q: qid, v0..v{m-1},
+    plus the full vector v for coarse probing), and the encoded codes."""
     parts: list[str] = []
     for j in range(m):
         lo, hi = j * dsub + 1, (j + 1) * dsub
@@ -3129,7 +3165,8 @@ def _pq_cte(m: int = 4, dsub: int = 16, iters: int = 2, k: int = 16) -> str:
         for j in range(m)
     )
     parts.append(
-        f"q AS (SELECT vec_id qid, {qcols} FROM embeddings WHERE vec_id < 10)"
+        f"q AS (SELECT vec_id qid, embedding::DOUBLE[] v, {qcols} "
+        "FROM embeddings WHERE vec_id < 10)"
     )
     code_cols = ", ".join(f"a{j}.bucket b{j}" for j in range(m))
     code_joins = " ".join(
@@ -3138,10 +3175,23 @@ def _pq_cte(m: int = 4, dsub: int = 16, iters: int = 2, k: int = 16) -> str:
     parts.append(
         f"codes AS (SELECT a0.nid, {code_cols} FROM s0_af a0 {code_joins})"
     )
-    adc = " + ".join(dist(f"q.v{j}", f"cb{j}.cv") for j in range(m))
+    return parts
+
+
+def _pq_adc_expr(m: int = 4, iters: int = 2) -> tuple[str, str]:
+    """(left-associative ADC distance expression, codebook joins) — the
+    identical IEEE addition tree the Spark side evaluates."""
+    adc = " + ".join(_dist_sql(f"q.v{j}", f"cb{j}.cv") for j in range(m))
     cb_joins = " ".join(
         f"JOIN s{j}_c{iters} cb{j} ON cb{j}.cid = c.b{j}" for j in range(m)
     )
+    return adc, cb_joins
+
+
+def _pq_cte(m: int = 4, dsub: int = 16, iters: int = 2, k: int = 16) -> str:
+    """Oracle CTE chain for full-corpus PQ/ADC ranking."""
+    parts = _pq_code_parts(m, dsub, iters, k)
+    adc, cb_joins = _pq_adc_expr(m, iters)
     parts.append(
         f"s AS (SELECT q.qid, c.nid, {adc} AS adc_dist FROM q, codes c {cb_joins})"
     )
@@ -3193,6 +3243,47 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         dim=64, m=4, k=16, iters=2, topk=5,
         trained=_pq_trained(spark, sf_dir),
+    )
+
+
+_COARSE_PARTS = ",\n    ".join(_lloyd_parts("vec_id >= 10", 3, 64))
+_PQ_PARTS = ",\n    ".join(_pq_code_parts())
+_ADC, _CB_JOINS = _pq_adc_expr()
+
+_IVF_PQ_SQL = f"""
+    WITH {_COARSE_PARTS},
+    {_PQ_PARTS},
+    pr AS (SELECT qid, cid AS bucket FROM (
+        SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+            ORDER BY {_cos_sql('q.v', 'c.cv')} DESC, c.cid) rn
+        FROM q, c3 c) WHERE rn <= 8),
+    cand AS (SELECT pr.qid, af.nid FROM pr JOIN af ON af.bucket = pr.bucket),
+    s AS (SELECT q.qid, c.nid, {_ADC} AS adc_dist
+          FROM cand x JOIN q ON q.qid = x.qid
+          JOIN codes c ON c.nid = x.nid {_CB_JOINS}),
+    r AS (SELECT qid, nid, adc_dist, row_number() OVER
+          (PARTITION BY qid ORDER BY adc_dist, nid) rank FROM s)
+    SELECT qid AS query_id, nid AS neighbor_id, adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """
+
+
+@query("emb_ivf_pq_topk", oracle=_IVF_PQ_SQL)
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composition (the FAISS-IVFPQ serving shape): coarse-probe
+    the 8 nearest buckets, then PQ/ADC-score only those buckets'
+    candidates from their 2-byte codes. Reuses BOTH session-shared
+    quantizers (one coarse Lloyd, one PQ training, many query sets); the
+    oracle chains the coarse Lloyd replay, all four subspace Lloyd
+    replays, the probe ranking, and the candidate ADC ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = _kmeans16(spark, sf_dir, "ge10")
+    codes, books = _pq_trained(spark, sf_dir)
+    return similarity.ivf_pq_topk(
+        assigned, centroids, codes, books,
+        emb.filter(F.col("vec_id") < 10),
+        nprobe=8, topk=5,
     )
 
 
@@ -3326,6 +3417,68 @@ def stream_hourly_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stream_hourly_append_closed drain exceeded 600s")
     return spark.table("__stream_hourly_append")
+
+
+# (applicationId, corpus-digest) → (sink root, checkpoint) for the
+# foreachBatch entry; reusing the checkpoint across invocations is the
+# POINT — a restarted availableNow drain over committed source offsets
+# must be a no-op (exactly-once restart semantics)
+_FOREACHBATCH_CACHE: dict = {}
+
+
+@query(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch programmatic sink: the escape hatch for sinks Spark
+    has no connector for (JDBC upserts, REST, multi-table fan-out). Each
+    micro-batch overwrites its own `batch_id=<n>` parquet directory — an
+    IDEMPOTENT write, so a batch replayed after a failure lands in the
+    same place and exactly-once falls out of (checkpointed offsets ×
+    idempotent writes). Repeat invocations restart the drain on the SAME
+    checkpoint: committed offsets make it a no-op and the sink is
+    unchanged — the restart contract this entry exists to pin (also
+    pinned by test_entry_caches). The batch aggregate over the sink files
+    equals the direct aggregate (the oracle)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .streaming.events import read_events_stream
+
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _FOREACHBATCH_CACHE:
+        root = tempfile.mkdtemp(prefix="febatch_sink_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _FOREACHBATCH_CACHE[key] = (root + "/data", root + "/ckpt")
+    sink, ckpt = _FOREACHBATCH_CACHE[key]
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_foreachbatch_sink drain exceeded 600s")
+    return (
+        spark.read.option("basePath", sink)
+        .parquet(sink + "/batch_id=*")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
 
 
 @query(

@@ -572,6 +572,101 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 8,
+    topk: int = 5,
+    dist_digits: int = 4,
+    cos_digits: int = 6,
+) -> DataFrame:
+    """The billion-vector serving composition: IVF coarse probe (touch
+    only the ``nprobe`` nearest buckets) + PQ asymmetric-distance scoring
+    of the candidates (2-byte codes instead of raw vectors).
+
+    This is the shape every production ANN service runs (FAISS IVFPQ):
+    the coarse quantizer prunes the corpus to nprobe/k of its buckets,
+    and within them distance comes from LUT lookups over the PQ codes, so
+    the scan reads and computes O(candidates · m) regardless of dim.
+    Both stages reuse the session-shared deterministic quantizers — one
+    coarse Lloyd, one PQ training, many query sets.
+
+    Determinism matches the component entries: probe ranks quantized
+    cosine (``cos_digits`` grid, centroid-id tiebreak) on the driver over
+    the bounded k×dim centroid state; ADC sums ``dist_digits``-snapped
+    LUT cells left-associatively; final rank is (distance, id).
+
+    Scale: candidates = assigned ⋈ broadcast(probe pairs) ⋈ codes — all
+    equi-joins on bucket/id keys (at scale the assigned/codes join is
+    co-partitioned on id, or the codes live IN the bucket-partitioned
+    store like ``ivf_save``); no cross join, and the top-k window
+    shuffles only |Q|·(corpus/k)·nprobe scored triples.
+
+    Returns (query_id, neighbor_id, adc_dist, rank), rank <= topk.
+    """
+    import numpy as np
+
+    spark = assigned.sparkSession
+    m = len(books)
+    dsub = len(books[0][0])
+    qd = 10.0 ** dist_digits
+    qc = 10.0 ** cos_digits
+    id_type = dict(assigned.dtypes)[id_col]
+
+    C = np.asarray(centroids, dtype="float64")
+    q_rows = queries.select(id_col, vec_col).collect()  # |Q| bounded by contract
+    probe_rows, lut_rows = [], []
+    cn = np.sqrt((C * C).sum(axis=1))
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype="float64")
+        qn = np.sqrt((qv * qv).sum())
+        # identical formula to _cos_sql: dot / (sqrt(aa)*sqrt(bb)), snapped
+        cos = np.floor((C @ qv) / (qn * cn) * qc + 0.5) / qc
+        # rank DESC with centroid-id tiebreak: argsort on (-cos, cid)
+        order = np.lexsort((np.arange(len(C)), -cos))[:nprobe]
+        probe_rows.extend((r[id_col], int(b)) for b in order)
+        luts = []
+        for j in range(m):
+            qs = qv[j * dsub : (j + 1) * dsub]
+            Cj = np.asarray(books[j], dtype="float64")
+            d = (qs * qs).sum() - 2.0 * (Cj @ qs) + (Cj * Cj).sum(axis=1)
+            luts.append([float(x) for x in np.floor(d * qd + 0.5) / qd])
+        lut_rows.append((r[id_col], *luts))
+    probe_df = spark.createDataFrame(
+        probe_rows, schema=f"qid {id_type}, bucket int"
+    )
+    lut_schema = f"qid {id_type}, " + ", ".join(
+        f"lut{j} array<double>" for j in range(m)
+    )
+    qdf = spark.createDataFrame(lut_rows, schema=lut_schema)
+
+    adc = " + ".join(f"lut{j}[code{j}]" for j in range(m))
+    cand = (
+        assigned.select(F.col(id_col), "bucket")
+        .join(F.broadcast(probe_df), "bucket")
+        .select("qid", id_col)
+        .join(codes, id_col)
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", F.col(id_col).alias("nid"), F.expr(adc).alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "nid")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -112,3 +112,26 @@ def test_zorder_store_written_once_per_corpus(spark, monkeypatch):
     second = _rows(QUERIES["q_zorder_pruned_scan"](spark, SF_A))
     assert writes == [1], "second invocation must scan the existing layout"
     assert first == second
+
+
+def test_foreachbatch_restart_is_noop(spark):
+    """Restarting the availableNow drain on the same checkpoint must not
+    rewrite the sink (committed offsets → no new batches) and must return
+    identical results — the exactly-once restart contract."""
+    import glob
+    import os
+
+    for key in [k for k in catalog._FOREACHBATCH_CACHE if k[0] == spark.sparkContext.applicationId]:
+        catalog._FOREACHBATCH_CACHE.pop(key)
+    first = _rows(QUERIES["stream_foreachbatch_sink"](spark, SF_A))
+    sink, _ = next(
+        v for k, v in catalog._FOREACHBATCH_CACHE.items()
+        if k[0] == spark.sparkContext.applicationId
+    )
+    files = sorted(glob.glob(sink + "/batch_id=*/*.parquet"))
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    second = _rows(QUERIES["stream_foreachbatch_sink"](spark, SF_A))
+    assert first == second
+    files2 = sorted(glob.glob(sink + "/batch_id=*/*.parquet"))
+    assert files2 == files, "restart must not add or rewrite batch dirs"
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files)

@@ -223,3 +223,15 @@ def test_hard_negatives_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_ivf_pq_scoring_equi_joins_only(spark):
+    """The IVF×PQ composition must stay equi-join-shaped end to end: the
+    probe pairs and LUT tables join broadcast on bucket/qid keys, codes
+    join on the id key — no cross/nested-loop join anywhere (unlike the
+    full-corpus PQ entry, whose broadcast cross against the LUT table is
+    deliberate)."""
+    plan = _plan(spark, "emb_ivf_pq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
