@@ -193,6 +193,7 @@ def main() -> None:
         # round-6 flagships
         "dedup_tfidf_cosine_pairs",
         "emb_pq_topk",
+        "emb_ivf_pq_topk",
         "emb_hard_negatives",
         "q_events_funnel",
         "q_events_retention_cohorts",
