@@ -129,6 +129,7 @@ _VALIDATE_FIRST = [
     "q_events_trailing_30min",
     "stream_foreachbatch_sink",
     "emb_ivf_pq_topk",
+    "q_customer_supplier_pagerank",
 ]
 
 

@@ -1379,6 +1379,56 @@ def q_bucketed_cokey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_cte(iters: int = 3) -> str:
+    """Unrolled PageRank oracle: the same per-iteration snapped update the
+    Spark loop applies (``cluster.pagerank_fixed``), as chained CTEs."""
+    parts = [
+        "e AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR src, "
+        "'s' || l_suppkey::VARCHAR dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "od AS (SELECT src, count(*) d FROM e GROUP BY 1)",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "p0 AS (SELECT node, 1.0 pr FROM n)",
+    ]
+    for t in range(1, iters + 1):
+        parts += [
+            f"c{t} AS (SELECT e.dst AS node, sum(p.pr / od.d) s "
+            f"FROM e JOIN p{t - 1} p ON p.node = e.src "
+            f"JOIN od ON od.src = e.src GROUP BY 1)",
+            f"p{t} AS (SELECT n.node, "
+            f"floor((0.15 + 0.85 * COALESCE(c.s, 0.0)) * 1e+06 + 0.5) / 1e+06 pr "
+            f"FROM n LEFT JOIN c{t} c ON c.node = n.node)",
+        ]
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_customer_supplier_pagerank",
+    oracle=f"""
+    WITH {_pagerank_cte(3)}
+    SELECT node, pr FROM p3
+    """,
+)
+def q_customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the bipartite
+    customer→supplier order graph — the iterative-graph operator family
+    (beyond connected components) in its DataFrame-iterative form. Node
+    ids are namespaced ('c'/'s' prefixes: the two key spaces overlap).
+    Ranks snap to the 1e-6 grid every iteration so the unrolled-CTE
+    oracle stays in lockstep through all three rounds."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.expr("concat('c', CAST(o_custkey AS STRING))").alias("src"),
+            F.expr("concat('s', CAST(l_suppkey AS STRING))").alias("dst"),
+        )
+        .distinct()
+    )
+    return cluster.pagerank_fixed(edges, iters=3, damping=0.85)
+
+
 @query(
     "q_salted_skew_join",
     oracle="""

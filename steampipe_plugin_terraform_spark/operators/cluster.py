@@ -143,3 +143,67 @@ def dedup_clusters(
         F.coalesce("component", "doc_id").alias("cluster_id"),
         (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    digits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, engine-portable:
+    PR_{t+1}(v) = (1-d) + d·Σ_{u→v} PR_t(u)/outdeg(u), each iteration's
+    ranks SNAPPED to the ``digits`` grid so a SQL engine unrolling the
+    same iterations stays in lockstep (the contribution sum is the only
+    order-sensitive op; snapping per iteration stops ulp drift from
+    compounding across iterations). Dangling nodes (no out-edges)
+    contribute nothing — the original simplified formulation; their rank
+    floor is (1-d).
+
+    This is the DataFrame-iterative graph idiom (Spark has no GraphX for
+    Python, and an iterative join/agg loop IS the scalable formulation):
+    per iteration one edges⋈ranks join keyed on src — co-partitioned
+    after the first shuffle since edges are iteration-invariant — and one
+    groupBy(dst) contribution shuffle. Fixed iters keeps the oracle
+    expressible as unrolled CTEs; for convergence-driven runs, loop on an
+    aggregate delta like ``connected_components`` does.
+
+    Scale: per-iteration lineage is truncated with localCheckpoint(eager)
+    (same reason as ``connected_components`` — an un-truncated loop
+    re-executes the whole history every round); edge skew (a hub dst)
+    lands on the contribution groupBy where the sum combiner applies
+    map-side, and AQE splits residual skew.
+
+    Returns (node, pr) for every node appearing as src or dst.
+    """
+    q = 10.0 ** digits
+    teleport = f"{1.0 - damping:g}"
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    out = e.groupBy("src").agg(F.count("*").alias("__odeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pr = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(out, "src")
+            .select(F.col("dst").alias("node"), F.expr("pr / __odeg").alias("c"))
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(s, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"floor(({teleport} + {damping:g} * COALESCE(s, 0.0)) * {q:g} + 0.5) / {q:g}"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

@@ -65,3 +65,28 @@ def test_topologies(spark, shape):
         want_root = 1
     got = _cc(spark, edges)
     assert got == {(n, want_root) for n in nodes}
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    """a→b, b→c, a→c with damping 0.85, one iteration:
+    a (no in-edges) = 0.15; b = 0.15 + 0.85·(1/2) = 0.575;
+    c = 0.15 + 0.85·(1/2 + 1/1) = 1.425."""
+    from steampipe_plugin_terraform_spark.operators.cluster import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], schema="src string, dst string"
+    )
+    got = {r.node: r.pr for r in pagerank_fixed(edges, iters=1).collect()}
+    assert got == {"a": 0.15, "b": 0.575, "c": 1.425}
+
+
+def test_pagerank_dangling_floor(spark):
+    """A sink-only node never contributes; every node's rank floor is the
+    teleport mass (1-d) and ranks stay finite across iterations."""
+    from steampipe_plugin_terraform_spark.operators.cluster import pagerank_fixed
+
+    edges = spark.createDataFrame([("a", "b")], schema="src string, dst string")
+    got = {r.node: r.pr for r in pagerank_fixed(edges, iters=3).collect()}
+    assert got["a"] == 0.15  # nothing points at a after iteration 1
+    # b receives a's full (snapped) rank each round: 0.15 + 0.85·0.15
+    assert got["b"] == 0.2775
