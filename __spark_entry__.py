@@ -130,6 +130,8 @@ _VALIDATE_FIRST = [
     "stream_foreachbatch_sink",
     "emb_ivf_pq_topk",
     "q_customer_supplier_pagerank",
+    "q_events_hourly_gapfill",
+    "q_unpivot_priority_counts",
 ]
 
 

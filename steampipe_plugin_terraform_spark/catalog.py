@@ -685,6 +685,46 @@ def q_pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot_priority_counts",
+    oracle="""
+    WITH w AS (
+      SELECT c.c_mktsegment,
+             sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS p_urgent,
+             sum(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p_low
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT c_mktsegment, 'p_urgent' AS priority, p_urgent AS n FROM w
+    UNION ALL
+    SELECT c_mktsegment, 'p_low', p_low FROM w
+    """,
+)
+def q_unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, `stack`): the inverse of the pivot entry —
+    melt the per-segment priority-count columns back into
+    (segment, priority, n) rows. stack() is a Generate (narrow, no
+    shuffle beyond the feeding aggregation); the wide frame is computed
+    once and each output row references it without re-aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    wide = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("long")
+            .alias("p_urgent"),
+            F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
+            .cast("long")
+            .alias("p_low"),
+        )
+    )
+    return wide.selectExpr(
+        "c_mktsegment",
+        "stack(2, 'p_urgent', p_urgent, 'p_low', p_low) AS (priority, n)",
+    )
+
+
+@query(
     "q_events_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,
@@ -1718,6 +1758,58 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "q_events_hourly_gapfill",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) lo,
+                      date_trunc('hour', max(ts)) hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) n, round(sum(value), 2) tv
+            FROM events GROUP BY 1, 2)
+    SELECT s.hour, ty.event_type,
+           COALESCE(a.n, 0)::BIGINT AS n,
+           COALESCE(a.tv, 0.0) AS total_value
+    FROM spine s CROSS JOIN ty
+    LEFT JOIN agg a ON a.hour = s.hour AND a.event_type = ty.event_type
+    """,
+)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series (the TimescaleDB time_bucket_gapfill
+    analog): a generated hour spine × the event-type dimension, left-joined
+    to the real aggregates with zero fill — dashboards and forecasting
+    models need the EMPTY buckets a plain GROUP BY silently drops.
+
+    Scale: the spine is |hours| rows generated from a 1-row bounds
+    aggregate (broadcast), the type dimension is tiny (broadcast cross),
+    and the left join keys on (hour, type) against the already-aggregated
+    counts — the fact table is scanned once, by the aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("date_trunc('hour', min(CAST(ts AS TIMESTAMP)))").alias("lo"),
+        F.expr("date_trunc('hour', max(CAST(ts AS TIMESTAMP)))").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    ty = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    return (
+        spine.crossJoin(F.broadcast(ty))
+        .join(agg, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        )
     )
 
 
