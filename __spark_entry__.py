@@ -49,7 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the changed _kmeans16/ksel path is exercised in-window by
 # docs_semantic_dedup and emb_ivf_topk), and the entries ADDED in r06
 # (funnel, retention cohorts, epoch shuffle, length buckets, tf-idf
-# pairs, hard negatives, PQ top-k). The r06 window is exactly consumed
+# pairs, hard negatives, PQ top-k, q2/q11, OHLC bars, 3σ anomaly flag,
+# JL random projection, weighted sampling, dyadic EWMA, price histogram,
+# train/val/test split). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -132,6 +134,15 @@ _VALIDATE_FIRST = [
     "q_customer_supplier_pagerank",
     "q_events_hourly_gapfill",
     "q_unpivot_priority_counts",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q_events_ohlc",
+    "q_events_anomaly",
+    "emb_rp_reduce",
+    "docs_weighted_sample",
+    "q_events_ewma",
+    "q_orders_price_histogram",
+    "docs_train_val_test_split",
 ]
 
 

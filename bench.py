@@ -200,6 +200,16 @@ def main() -> None:
         "docs_epoch_shuffle",
         "docs_length_buckets",
         "q_zorder_pruned_scan",
+        # round-6 second wave
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q_events_ohlc",
+        "q_events_anomaly",
+        "emb_rp_reduce",
+        "docs_weighted_sample",
+        "q_events_ewma",
+        "q_orders_price_histogram",
+        "docs_train_val_test_split",
     ]:
         fn = QUERIES[name]
         record(

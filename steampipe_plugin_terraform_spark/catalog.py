@@ -820,6 +820,56 @@ def q_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orders_price_histogram",
+    oracle="""
+    WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+    b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+    SELECT CAST(least(19, ((cents - lo) * 20) // (hi - lo + 1)) AS BIGINT)
+             AS bucket,
+           count(*) AS n,
+           min(cents) / 100.0 AS bucket_min, max(cents) / 100.0 AS bucket_max
+    FROM c CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order totalprice (the
+    width_bucket / profiling shape).
+
+    Prices snap to integer cents; the bucket index is
+    (cents−lo)·20 div (hi−lo+1) — pure integer arithmetic, so no
+    division-ulp can move a price across a bucket edge (width_bucket on
+    raw doubles would have an FP boundary at every edge). Displayed
+    bounds are cents/100.0, identical doubles in both engines.
+
+    Scale: two scans of orders, each pruned to the one price column —
+    the bounds pass aggregates to a single row that broadcast-cross-joins
+    back (no driver collect, no global window). A single-pass version
+    would need a global unbounded window: one partition holding every
+    row, the exact scale-killer the two-pass form avoids."""
+    c = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    b = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # `div` is true integer division (DuckDB's `//`) — Spark's `/` would be
+    # a double division with an FP boundary at every bucket edge
+    bucket = F.least(
+        F.lit(19).cast("long"),
+        F.expr("((cents - lo) * 20) div (hi - lo + 1)"),
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("cents") / 100.0).alias("bucket_min"),
+            (F.max("cents") / 100.0).alias("bucket_max"),
+        )
+    )
+
+
+@query(
     "q_ntile_acctbal_deciles",
     oracle="""
     SELECT c_mktsegment, decile, count(*) AS n,
@@ -1739,6 +1789,143 @@ def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT p_partkey, s_suppkey, s_name, n_name,
+             floor(avg(l_extendedprice / l_quantity) * 100 + 0.5) / 100
+               AS supply_cost
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'STANDARD'
+      GROUP BY p_partkey, s_suppkey, s_name, n_name),
+    m AS (SELECT *, min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+          FROM cost)
+    SELECT p_partkey, s_suppkey, s_name, n_name, supply_cost
+    FROM m WHERE supply_cost = min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated scalar-MIN subquery — for each
+    qualifying part, the supplier(s) in one region offering the minimum
+    supply cost. (No partsupp in this corpus; per-(part, supplier) mean
+    unit price from lineitem stands in for ps_supplycost, preserving the
+    correlated-min structure.) Completes the q1–q22 shape family together
+    with q11.
+
+    TPC-H writes the min as a correlated subquery that re-joins five
+    tables; expressed as a window MIN over the aggregated frame, the join
+    pyramid runs ONCE (same re-scan cure as q15/q20). Cost snaps to the
+    cent grid BEFORE the min comparison, so an engine-ulp in the FP mean
+    cannot select different suppliers.
+
+    Scale: part filter and the region⋈nation⋈supplier pyramid are tiny
+    broadcast sides — lineitem never shuffles for the joins; the single
+    shuffle is the (part, supplier) aggregation, and the window min rides
+    the same partitioning (partkey prefix)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    s_eu = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, n.n_regionkey == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s_eu, li.l_suppkey == s_eu.s_suppkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(
+            (
+                F.floor(F.avg(F.col("l_extendedprice") / F.col("l_quantity")) * 100 + 0.5)
+                / 100
+            ).alias("supply_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "supply_cost")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                  AS BIGINT) AS vc
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey),
+    t AS (SELECT *, sum(vc) OVER () AS tc, count(*) OVER () AS n FROM val)
+    SELECT l_partkey AS partkey, vc / 100.0 AS value
+    FROM t WHERE vc * n > 2 * tc
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value within one nation, HAVING value
+    above a global-aggregate threshold. (No partsupp/availqty; discounted
+    lineitem revenue from that nation's suppliers stands in for
+    supplycost×availqty.) The TPC-H fixed fraction (0.0001/SF) is replaced
+    by the scale-free "above 2× the mean part value", so one catalog
+    definition stays meaningful at every SF.
+
+    Portability: per-part values snap to integer CENTS; the threshold
+    comparison is vc·n > 2·Σvc — pure integer arithmetic, so no FP
+    association order can flip a part across the boundary (q20's
+    half-grid trick, strengthened to exact integers). The displayed value
+    is cents/100.0, the identical double in both engines.
+
+    Scale: nation⋈supplier is a broadcast filter (lineitem never shuffles
+    for it); the single shuffle is the partkey aggregation, and the global
+    threshold is an unbounded window over the aggregated frame — not a
+    scalar subquery that would re-aggregate lineitem twice. At 100 TB the
+    bigint products need DECIMAL(38) headroom (cents ≤ 1e14 there); the
+    integer-exactness argument carries over unchanged."""
+    n3 = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(n3, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5
+            )
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        val.withColumn("tc", F.sum("vc").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .filter(F.col("vc") * F.col("n") > 2 * F.col("tc"))
+        .select(F.col("l_partkey").alias("partkey"), (F.col("vc") / 100.0).alias("value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: time-series / streaming-adjacent shapes (§2.8) + JSON surface
 # ---------------------------------------------------------------------------
@@ -1841,6 +2028,172 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0),
     )
     return ev.groupBy("user_id").agg(F.sum("is_new").alias("n_sessions"))
+
+
+@query(
+    "q_events_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT hour, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM r GROUP BY hour, event_type
+    """,
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the financial-rollup shape
+    (open/high/low/close) that needs BOTH order statistics (min/max) and
+    positional statistics (first/last in time) in one pass.
+
+    First/last are row_number() = 1 under (ts, event_id) — event_id breaks
+    same-microsecond ties identically in both engines, and the values are
+    raw column reads (no arithmetic), so every output is bit-exact.
+
+    Scale: both windows and the final aggregate share the
+    (hour, event_type) partitioning, so Catalyst plans ONE exchange with
+    two sorts over it; the aggregate is partial+final on the same keys. A
+    first()/last() aggregate would be nondeterministic under shuffle
+    order; min_by/max_by over a struct would need engine-matched struct
+    comparison — row_number is the portable form."""
+    # materialize `hour` ONCE and partition both windows and the aggregate
+    # on the same attribute — fresh date_trunc expressions per window get
+    # distinct exprIds and Catalyst would plan three exchanges, not one
+    w_a = Window.partitionBy("hour", "event_type").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("hour", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+    )
+    return ev.groupBy("hour", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+    st AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+                  sum(cnt) OVER (PARTITION BY event_type) AS s,
+                  sum(cnt * cnt) OVER (PARTITION BY event_type) AS ss
+           FROM hc)
+    SELECT event_type, hour, cnt
+    FROM st
+    WHERE (cnt * n - s) * (cnt * n - s) > 9 * (n * ss - s * s)
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count deviates more
+    than 3σ from that type's mean hourly count (population σ).
+
+    |cnt − s/n| > 3·σ is multiplied out to (cnt·n − s)² > 9·(n·ss − s²) —
+    ALL INTEGER arithmetic (counts, their sums, their squares), so the
+    flag is bit-exact across engines with no mean/stddev FP at all. At
+    100 TB the products need DECIMAL(38) headroom (cnt ≤ ~1e9 ⇒ squares
+    ~1e22); the exactness argument is unchanged.
+
+    Scale: one partial+final count aggregation (shuffle carries
+    |hours×types| rows), then an unbounded window per event_type over the
+    tiny aggregated frame — no second pass over raw events."""
+    hc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    st = (
+        hc.withColumn("n", F.count("*").over(w))
+        .withColumn("s", F.sum("cnt").over(w))
+        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
+    )
+    dev = F.col("cnt") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return st.filter(dev * dev > 9 * var_n2).select("event_type", "hour", "cnt")
+
+
+@query(
+    "q_events_ewma",
+    oracle="""
+    WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, hour, cnt,
+    """
+    + ",\n".join(
+        f"lag(cnt, {k}) OVER (PARTITION BY event_type ORDER BY hour) AS c{k}"
+        for k in range(8)
+    )
+    + """
+          FROM hc)
+    SELECT event_type, hour, cnt,
+           ("""
+    + " + ".join(f"coalesce(c{k} * {2 ** (7 - k)}, 0)" for k in range(8))
+    + """)
+           / ("""
+    + " + ".join(
+        f"CASE WHEN c{k} IS NOT NULL THEN {2 ** (7 - k)} ELSE 0 END" for k in range(8)
+    )
+    + """)
+           AS ewma
+    FROM l
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of hourly event volume
+    (α = 1/2, truncated at 8 terms), the time-series smoothing shape.
+
+    α is deliberately dyadic: the weights 2⁻ᵏ make both numerator
+    (Σ cntₖ·2⁷⁻ᵏ) and normalizer (Σ 2⁷⁻ᵏ over available lags) exact
+    INTEGERS, and their single IEEE division is identical in every
+    engine — an EWMA with zero FP portability risk, where a generic α
+    would compound pow() ulps per lag. Series edges renormalize over the
+    lags that exist instead of zero-padding (no warm-up bias).
+
+    Scale: one count aggregation, then 8 lag() reads inside ONE window
+    sort per event_type over the tiny hourly frame — lag is a frame-local
+    buffer, not 8 self-joins."""
+    hc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lags = [F.lag("cnt", k).over(w) for k in range(8)]
+    num = sum(
+        (F.coalesce(c * (2 ** (7 - k)), F.lit(0)) for k, c in enumerate(lags)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(c.isNotNull(), 2 ** (7 - k)).otherwise(0) for k, c in enumerate(lags)),
+        F.lit(0),
+    )
+    return hc.select("event_type", "hour", "cnt", (num / den).alias("ewma"))
 
 
 @query(
@@ -2063,6 +2416,52 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_train_val_test_split",
+    oracle="""
+    WITH r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY md5(doc_id::VARCHAR), doc_id) rn,
+                      count(*) OVER (PARTITION BY lang) n
+               FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                WHEN rn * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 80/10/10 train/val/test split: within each
+    language, documents are md5-rank ordered and cut at the 80 % and 90 %
+    marks — every engine and every rerun assigns the same document to the
+    same split (an RNG split can't be oracle-checked or reproduced).
+
+    The cut is integer (rn·10 vs n·8) — no percent FP anywhere. One
+    window shuffle on lang; at 100 TB the same shape runs with a
+    composite salt key if a single language dominates (SCALE.md
+    temperature-sampling note applies unchanged)."""
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    w_all = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn(
+            "split",
+            F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+            .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+            .otherwise("test"),
+        )
+        .select("doc_id", "lang", "split")
+    )
+
+
+@query(
     "docs_temperature_sample",
     oracle="""
     WITH r AS (SELECT doc_id, lang,
@@ -2087,6 +2486,57 @@ def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "doc_id",
         lambda n: F.ceil(F.floor(F.pow(n, F.lit(0.7)) * 1e9 + 0.5) / 1e9),
+    )
+
+
+_HEX12 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {t + 1}, 1)) - 1) * {16 ** (11 - t)}"
+    for t in range(12)
+)
+
+
+@query(
+    "docs_weighted_sample",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h
+               FROM documents),
+    k AS (SELECT doc_id, n_chars,
+                 floor(ln((({_HEX12}) + 1) / 281474976710656.0)
+                       / n_chars * 1000000000 + 0.5) / 1000000000 AS priority
+          FROM u)
+    SELECT doc_id, n_chars, priority
+    FROM k ORDER BY priority DESC, doc_id LIMIT 100
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    top-100 documents by priority ln(u)/w, u = md5(doc_id)-derived uniform
+    in (0,1], w = n_chars — inclusion probability ∝ document length, the
+    size-weighted corpus subsample used for data-mixture experiments.
+
+    Determinism: u is the first 12 md5 hex digits (exact bigint in both
+    engines) divided by 2^48 (a power of two, so the quotient is EXACT);
+    ln is the only cross-engine FP op and the priority snaps to a 1e-9
+    grid before ranking, with doc_id as the total-order tiebreak (the
+    repo's rounded-rank convention).
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-100 heaps merged on the driver, NO global sort shuffle; the md5
+    key derivation is a narrow JVM-side projection."""
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    priority = (
+        F.floor(
+            F.log((u + 1) / F.lit(float(16**12))) / F.col("n_chars") * 1e9 + 0.5
+        )
+        / 1e9
+    )
+    return (
+        doc.withColumn("priority", priority)
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(100)
     )
 
 
@@ -2942,6 +3392,36 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk(
         emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), num_planes=8, k=5
     )
+
+
+@query(
+    "emb_rp_reduce",
+    oracle=f"""
+    WITH ph AS (SELECT i, j, md5('42:' || i || ':' || j) AS h
+                FROM range(0, 8) r1(i), range(0, 64) r2(j)),
+    p AS (SELECT i, j,
+                 ({_LSH_HI})::DOUBLE / 2147483648.0
+                 + ({_LSH_LO})::DOUBLE / 9223372036854775808.0 - 1.0 AS w
+          FROM ph),
+    pl AS (SELECT i, list(w ORDER BY j) AS wv FROM p GROUP BY i),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, i AS dim_idx,
+           floor(list_dot_product(e.v, pl.wv) / sqrt(8.0) * 1000000 + 0.5)
+             / 1000000 AS coord
+    FROM e, pl
+    """,
+)
+def emb_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→8 (md5-seeded planes,
+    seed 42 — the SAME plane family the LSH entries regenerate), long-form
+    output (vec_id, dim_idx, coord). The dimensionality-reduction front
+    end before clustering/ANN at scale; coords snap to the 1e-6 grid so a
+    matmul-vs-sequential summation ulp cannot change a value. The oracle
+    regenerates the planes from md5 and replays the projection, so the
+    driver hash-checks every coordinate."""
+    return similarity.random_projection(
+        _t(spark, sf_dir, "embeddings"), dim=64, out_dim=8, seed=42
+    ).withColumnRenamed("id", "vec_id")
 
 
 # The deterministic quantizer makes clustering results a pure function of

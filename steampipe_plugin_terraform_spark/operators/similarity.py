@@ -829,6 +829,63 @@ def lsh_bucket_signatures(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 42,
+    grid: float = 1e6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` coordinates.
+
+    The dense counterpart of ``lsh_bucket_signatures``: same md5-seeded
+    plane matrix (regenerable anywhere, so the DuckDB oracle replays it),
+    but keeping the REAL projections r_i = <v, p_i>/sqrt(out_dim) instead
+    of sign bits — the dimensionality-reduction front end for downstream
+    clustering/ANN when 64⊸8 preserves pairwise distances within the JL
+    bound. Output is long form (id, dim_idx, coord), coord snapped to the
+    1/grid grid (floor(x*grid+0.5)/grid) so cross-engine summation-order
+    ulps cannot change the value.
+
+    Scale: one Arrow-batched BLAS matmul per batch against the broadcast
+    (out_dim × dim) plane matrix — a narrow stage, no shuffle; output is
+    out_dim rows per vector but each row is 3 scalars (vs the dim-wide
+    input), so the stage SHRINKS bytes for out_dim < dim/3.
+    """
+    import numpy as np
+
+    planes = np.asarray(_hyperplanes(dim, out_dim, seed), dtype="float64")
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    id_type = dict(df.dtypes)[id_col]
+
+    def project(batches):
+        import pandas as pd
+
+        P = bc.value
+        # divide (not multiply-by-reciprocal): the DuckDB oracle computes
+        # dot/sqrt(k), and x/s vs x*(1/s) differ in the last ulp
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            R = (V @ P.T) / np.sqrt(float(P.shape[0]))
+            R = np.floor(R * grid + 0.5) / grid
+            k = P.shape[0]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy().repeat(k),
+                    "dim_idx": np.tile(np.arange(k, dtype="int32"), len(pdf)),
+                    "coord": R.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"id {id_type}, dim_idx int, coord double"
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

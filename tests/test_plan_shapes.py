@@ -235,3 +235,87 @@ def test_ivf_pq_scoring_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---- round-6 second-wave pins (q2/q11, OHLC, anomaly, RP, weighted sample) ----
+
+
+def test_q2_broadcasts_dims_single_lineitem_scan(spark):
+    """Q2 shape: the part filter and the supplier⋈nation⋈region pyramid
+    broadcast (lineitem never shuffles for a join), and expressing the
+    correlated MIN as a window keeps the plan to ONE lineitem scan —
+    TPC-H's literal form re-runs the five-table join inside the
+    subquery."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q11_single_scan_single_agg_shuffle(spark):
+    """Q11 shape: the global threshold is a window over the aggregated
+    frame, not a scalar subquery — one lineitem scan, one hash-key
+    exchange (the partkey aggregation; the window reuses it or runs on
+    the single-partition frame)."""
+    plan = _plan(spark, "q11_important_parts")
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_windows_and_agg_share_one_exchange(spark):
+    """Both row_number windows and the final aggregate group on
+    (hour, event_type): Catalyst must plan exactly one hash exchange on
+    those keys and sort twice below it, not shuffle per window."""
+    plan = _plan(spark, "q_events_ohlc")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_anomaly_single_events_scan(spark):
+    """The 3σ flag is integer arithmetic over the aggregated hourly frame;
+    the raw events table must be scanned exactly once."""
+    plan = _plan(spark, "q_events_anomaly")
+    assert plan.count("events.parquet") == 1
+
+
+def test_rp_reduce_stays_narrow(spark):
+    """Random projection is one Arrow-batched matmul against a broadcast
+    plane matrix: no key shuffle anywhere (only the gated toy-input
+    round-robin floor from catalog._par_floor is permitted)."""
+    plan = _plan(spark, "emb_rp_reduce")
+    assert "Exchange hashpartitioning" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """A-ES top-100 must compile to TakeOrderedAndProject (per-partition
+    heaps merged on the driver), never a global sort exchange."""
+    plan = _plan(spark, "docs_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_ewma_single_events_scan_one_window_sort(spark):
+    """8-term EWMA is lag() inside ONE window per event_type over the
+    aggregated hourly frame — one raw-events scan, no self-joins."""
+    plan = _plan(spark, "q_events_ewma")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_histogram_bounds_broadcast_no_global_window(spark):
+    """The bounds row must come back as a broadcast nested-loop cross
+    join (1-row side), never a global single-partition WINDOW over the
+    raw rows. (The plan legitimately contains one SinglePartition
+    exchange: the 1-row final step of the global min/max aggregate —
+    partial per-partition aggregation has already reduced each partition
+    to one row before it.)"""
+    plan = _plan(spark, "q_orders_price_histogram")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_split_windows_share_one_exchange(spark):
+    """Rank and count windows both partition on lang: exactly one hash
+    exchange."""
+    plan = _plan(spark, "docs_train_val_test_split")
+    assert plan.count("Exchange hashpartitioning") == 1
