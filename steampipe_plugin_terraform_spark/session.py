@@ -39,6 +39,17 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Pin BLAS to one thread per Python worker: N parallel Arrow-batched
+    # tasks each spawning an ncores-thread OpenBLAS matmul oversubscribes
+    # the box N-fold (measured here: 1-6x run-to-run swings on the numpy
+    # cosine operators under 32 workers x 32 BLAS threads). Parallelism
+    # belongs to Spark's task scheduler, not to per-task BLAS pools —
+    # same rule on a real cluster, where executor cores are already the
+    # unit of parallelism. setdefault honors an explicit override; the
+    # env must be set BEFORE the JVM launches so the forked Python
+    # worker daemon inherits it (executorEnv covers cluster mode).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -7,8 +7,14 @@ FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+
     from pyspark.sql import SparkSession
 
+    # one BLAS thread per Python worker (see session.get_spark): must be
+    # in the env before the JVM launches so worker daemons inherit it
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     spark = (
         SparkSession.builder.appName("tf-spark-tests")
         .master("local[4]")
