@@ -51,7 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (funnel, retention cohorts, epoch shuffle, length buckets, tf-idf
 # pairs, hard negatives, PQ top-k, q2/q11, OHLC bars, 3σ anomaly flag,
 # JL random projection, weighted sampling, dyadic EWMA, price histogram,
-# train/val/test split). The r06 window is exactly consumed
+# train/val/test split, count-min sketch incl. streaming build, Pareto
+# cut, integer-moment OLS trend, Markov transitions, KMV distinct,
+# hopping windows). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -143,6 +145,13 @@ _VALIDATE_FIRST = [
     "q_events_ewma",
     "q_orders_price_histogram",
     "docs_train_val_test_split",
+    "q_events_countmin",
+    "q_customer_pareto",
+    "q_events_trend",
+    "q_events_transitions",
+    "stream_countmin_sketch",
+    "q_kmv_distinct",
+    "stream_hopping_counts",
 ]
 
 

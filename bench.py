@@ -210,6 +210,11 @@ def main() -> None:
         "q_events_ewma",
         "q_orders_price_histogram",
         "docs_train_val_test_split",
+        "q_events_countmin",
+        "q_customer_pareto",
+        "q_events_trend",
+        "q_events_transitions",
+        "q_kmv_distinct",
     ]:
         fn = QUERIES[name]
         record(

@@ -35,6 +35,14 @@ from .operators import cluster, dedup, multimodal, pack, similarity, skew, text
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# DuckDB-side bigint from the first 12 hex digits of an md5 column `h` —
+# the oracle-replayable uniform-hash device shared by the weighted-sample
+# and count-min entries (12 digits = 48 bits, exact in BIGINT and DOUBLE)
+_HEX12 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {t + 1}, 1)) - 1) * {16 ** (11 - t)}"
+    for t in range(12)
+)
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -359,6 +367,86 @@ QUERIES["q_approx_distinct"] = q_approx_distinct
 
 
 @query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT year(o_orderdate) AS yr, o_custkey
+               FROM orders),
+    u AS (SELECT yr, o_custkey,
+                 md5(o_custkey::VARCHAR) AS h
+          FROM d),
+    v AS (SELECT yr, ({_HEX12}) AS ui FROM u),
+    r AS (SELECT yr, ui,
+                 row_number() OVER (PARTITION BY yr ORDER BY ui) AS rn
+          FROM v),
+    ex AS (SELECT yr, count(*) AS n_exact FROM v GROUP BY 1),
+    sk AS (SELECT yr, count(*) AS nk,
+                  max(CASE WHEN rn = 64 THEN ui END) AS u64
+           FROM r WHERE rn <= 64 GROUP BY 1)
+    SELECT sk.yr AS year, CAST(ex.n_exact AS BIGINT) AS exact_customers,
+           CASE WHEN nk < 64 THEN CAST(nk AS BIGINT)
+                ELSE CAST(floor(CAST(17732923532771328 AS DOUBLE) / u64 + 0.5)
+                          AS BIGINT) END AS kmv_customers
+    FROM sk JOIN ex ON sk.yr = ex.yr
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k=64) of customers per
+    order-year, reported next to the exact count — the ORACLE-CHECKABLE
+    approximate-distinct: KMV keeps the k smallest hash values and
+    estimates (k−1)/u₍ₖ₎, and because the hash is md5 the whole sketch —
+    member set, kth value, estimate — is bit-identical across engines
+    (`q_approx_distinct`'s HLL++ is engine-specific by construction and
+    stays rows-only; this entry closes that gap with a portable sketch
+    from the same family of one-pass mergeable summaries).
+
+    The estimate divides two exact integers (63·2⁴⁸ and the 48-bit kth
+    hash) and snaps via floor(x+0.5): a tie needs the quotient exactly
+    at .5, unreachable for these operand magnitudes. Strata smaller
+    than k report exactly (the sketch is lossless below k).
+
+    Scale: distinct (year, custkey) is one shuffle; the k smallest per
+    year is a WindowGroupLimit-prunable rank (plan-pinned) — each
+    partition forwards at most k candidates, so the sketch branch's
+    per-year state is k values no matter how many customers exist: the
+    mergeable-summary property, same as the count-min entry. The exact
+    count rides a SEPARATE aggregation branch (7-row broadcast join
+    back) — folding it into the rank window would force every row
+    through the window sort and defeat the group limit; in production
+    the exact branch wouldn't exist at all."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("yr"), "o_custkey")
+        .distinct()
+    )
+    ui = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    v = d.withColumn("ui", ui)
+    ex = v.groupBy("yr").agg(F.count("*").alias("exact_customers"))
+    w_rank = Window.partitionBy("yr").orderBy("ui")
+    sk = (
+        v.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 64)
+        .groupBy("yr")
+        .agg(
+            F.count("*").alias("nk"),
+            F.max(F.when(F.col("rn") == 64, F.col("ui"))).alias("u64"),
+        )
+    )
+    # 17732923532771328 = 63·2^48 — exact in DOUBLE (< 2^54); spelled as
+    # one literal because DuckDB parses `63.0 * ...` as DECIMAL
+    # arithmetic, which overflows DECIMAL(18) and would round differently
+    est = F.when(F.col("nk") < 64, F.col("nk")).otherwise(
+        F.floor(F.lit(17732923532771328.0) / F.col("u64") + 0.5)
+    )
+    return sk.join(F.broadcast(ex), "yr").select(
+        F.col("yr").alias("year"),
+        F.col("exact_customers"),
+        est.cast("long").alias("kmv_customers"),
+    )
+
+
+@query(
     "q_returns_exists",
     oracle="""
     SELECT o_orderpriority, count(*)::BIGINT AS order_count
@@ -511,6 +599,62 @@ def q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "q_customer_pareto",
+    oracle="""
+    WITH cv AS (SELECT o_custkey,
+                       CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS vc
+                FROM orders GROUP BY 1),
+    r AS (SELECT *,
+                 sum(vc) OVER (ORDER BY vc DESC, o_custkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                 sum(vc) OVER () AS total
+          FROM cv)
+    SELECT o_custkey, vc / 100.0 AS revenue,
+           CAST((cum * 10000) // total AS BIGINT) AS cum_share_bp
+    FROM r WHERE (cum - vc) * 10 < total * 8
+    """,
+)
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto cut: the smallest set of top customers covering 80 % of
+    revenue (the concentration/ABC-analysis shape). A customer is kept
+    while the cumulative revenue BEFORE them is under the 80 % mark, so
+    the crossing customer is included and the set is minimal.
+
+    Revenue snaps to integer cents; the cut test (cum−vc)·10 < total·8
+    and the reported cumulative share in basis points (cum·10⁴ div
+    total) are pure integer arithmetic — no FP percentage can flip a
+    customer across the boundary. Ordering ties break on custkey.
+
+    Scale: one aggregation shuffle to per-customer totals, then a
+    cumulative window over the aggregated frame. The cumsum is a global
+    ordered window (single partition of |customers| rows) — fine to
+    ~10⁷ customers; beyond that the standard two-phase prefix-sum
+    (per-partition partials, broadcast offsets) replaces the window, a
+    mechanical rewrite the entry's integer semantics survive unchanged."""
+    cv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("vc"))
+    )
+    w_cum = (
+        Window.orderBy(F.col("vc").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cv.withColumn("cum", F.sum("vc").over(w_cum))
+        .withColumn("total", F.sum("vc").over(w_all))
+        .filter((F.col("cum") - F.col("vc")) * 10 < F.col("total") * 8)
+        .select(
+            "o_custkey",
+            (F.col("vc") / 100.0).alias("revenue"),
+            F.expr("(cum * 10000) div total").alias("cum_share_bp"),
+        )
     )
 
 
@@ -2197,6 +2341,177 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_countmin",
+    oracle=f"""
+    WITH uc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    hh AS (SELECT user_id, cnt, i,
+                  md5(i::VARCHAR || ':' || user_id::VARCHAR) AS h
+           FROM uc, range(0, 4) r(i)),
+    cells AS (SELECT user_id, cnt, i, ({_HEX12}) % 256 AS cell FROM hh),
+    sk AS (SELECT i, cell, CAST(sum(cnt) AS BIGINT) AS cell_cnt
+           FROM cells GROUP BY 1, 2)
+    SELECT c.user_id, c.cnt AS exact_cnt, min(sk.cell_cnt) AS est_cnt
+    FROM cells c JOIN sk ON c.i = sk.i AND c.cell = sk.cell
+    WHERE c.user_id < 10
+    GROUP BY c.user_id, c.cnt
+    """,
+)
+def q_events_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 256, md5-seeded rows) over event
+    counts per user, probed for users 0-9 against the exact counts — the
+    mergeable frequency sketch that answers point queries in O(d) from
+    d·w counters regardless of key cardinality (est ≥ exact always; the
+    overestimate is the collision mass).
+
+    Unlike HLL (`q_approx_distinct`, rows-only by design), this sketch
+    is built from md5 — engine-portable bit-for-bit, so the oracle
+    replays the full build+probe and the driver hash-checks the
+    ESTIMATES, not just row counts.
+
+    Scale: per-user counts aggregate first (one shuffle), so the sketch
+    build explodes d rows per DISTINCT user, not per event; the sketch
+    itself is d·w = 1024 rows — broadcast to the probe join. On a real
+    cluster the sketch is the partial+final mergeable summary whose
+    merged size is constant no matter how many executors feed it."""
+    uc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def cell(i: int):
+        h = F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("user_id").cast("string")))
+        return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % 256
+
+    cells = uc.select(
+        "user_id",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("user_id", "cnt", F.col("x.i").alias("i"), F.col("x.cell").alias("cell"))
+    sk = cells.groupBy("i", "cell").agg(F.sum("cnt").alias("cell_cnt"))
+    probe = cells.filter(F.col("user_id") < 10)
+    return (
+        probe.join(F.broadcast(sk), ["i", "cell"])
+        .groupBy("user_id", F.col("cnt").alias("exact_cnt"))
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+    )
+
+
+@query(
+    "q_events_trend",
+    oracle="""
+    WITH hc AS (SELECT event_type,
+                       date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                                 date_trunc('hour', ts)) AS x,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM hc GROUP BY 1)
+    SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+    FROM m
+    """,
+)
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of hourly event volume: the OLS slope
+    (events/hour drift) computed from INTEGER moments — x is the hour
+    index from a fixed origin, y the hourly count, and slope =
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides two exact bigints in one IEEE
+    operation. No avg/covariance FP accumulation anywhere, so the only
+    cross-engine surface is a single identical division (built-in
+    regr_slope would sum doubles in engine-specific order).
+
+    Scale: hourly aggregation shuffle, then a per-type moment
+    aggregation over the tiny frame. Integer moments need DECIMAL(38)
+    headroom past ~1e9 rows·hours (SCALE.md anomaly note applies)."""
+    hc = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "timestampdiff(HOUR, timestamp'2024-01-01 00:00:00',"
+                " date_trunc('hour', ts))"
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    m = hc.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select("event_type", "n", (num / den).alias("slope"))
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_type
+               FROM events),
+    c AS (SELECT prev_type, event_type, count(*) AS n
+          FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+                      AS tot FROM c)
+    SELECT prev_type, event_type, n,
+           ((n * 1000000) // tot) / 1000000.0 AS p
+    FROM t
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    session order — the sequence-model data-prep shape (what follows
+    what, with conditional probabilities).
+
+    Successor pairs come from lag() under the total (ts, event_id)
+    order; probabilities are (n·10⁶ div total)/10⁶ — integer division
+    then an exact dyadic-free but identical double, so every cell is
+    bit-equal across engines.
+
+    Scale: one window shuffle on user_id (pair extraction), one pair
+    aggregation; the probability normalization is a window over the
+    |types|² aggregated frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    c = (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_tot = Window.partitionBy("prev_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        c.withColumn("tot", F.sum("n").over(w_tot))
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            (F.expr("(n * 1000000) div tot") / 1000000.0).alias("p"),
+        )
+    )
+
+
+@query(
     "q_events_json_props",
     oracle="""
     SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value
@@ -2487,12 +2802,6 @@ def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         lambda n: F.ceil(F.floor(F.pow(n, F.lit(0.7)) * 1e9 + 0.5) / 1e9),
     )
-
-
-_HEX12 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(h, {t + 1}, 1)) - 1) * {16 ** (11 - t)}"
-    for t in range(12)
-)
 
 
 @query(
@@ -3994,6 +4303,111 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stream_events_hourly drain exceeded 600s")
     return spark.table("__stream_events_hourly")
+
+
+@query(
+    "stream_countmin_sketch",
+    oracle=f"""
+    WITH hh AS (SELECT i, md5(i::VARCHAR || ':' || user_id::VARCHAR) AS h
+                FROM events, range(0, 4) r(i)),
+    c AS (SELECT i, ({_HEX12}) % 256 AS cell FROM hh)
+    SELECT i, cell, count(*) AS cell_cnt FROM c GROUP BY 1, 2
+    """,
+)
+def stream_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built AS A STREAM: each event increments its
+    d=4 md5-derived (row, cell) counters via a running streaming
+    aggregation; the drained state is bit-identical to the batch sketch
+    (`q_events_countmin`'s build) — the MERGEABILITY property that makes
+    CMS the streaming frequency summary (counters are sums, so
+    micro-batch partials merge associatively; no retraction needed).
+
+    State is d·w = 1024 counters regardless of stream length or key
+    cardinality — contrast the per-key state of the session/dedup
+    entries. Complete-mode memory sink; no watermark needed because the
+    aggregation state cannot grow."""
+    from .streaming.events import read_events_stream
+
+    _stop_stream(spark, "__stream_countmin")
+
+    def cell(i: int):
+        h = F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("user_id").cast("string")))
+        return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % 256
+
+    cells = read_events_stream(spark, sf_dir).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("x")
+    ).select("x.i", "x.cell")
+    q = (
+        cells.groupBy("i", "cell")
+        .agg(F.count("*").alias("cell_cnt"))
+        .writeStream.format("memory")
+        .queryName("__stream_countmin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_countmin drain exceeded 600s")
+    return spark.table("__stream_countmin")
+
+
+@query(
+    "stream_hopping_counts",
+    # each event belongs to FOUR 1-hour windows sliding every 15 min:
+    # starts floor(t/900s)·900s − k·900s, k = 0..3 — replayed in exact
+    # integer microseconds (900000000 µs = 15 min)
+    oracle="""
+    WITH w AS (SELECT event_type,
+                      (epoch_us(ts) // 900000000) * 900000000
+                        - k * 900000000 AS ws
+               FROM events, range(0, 4) r(k))
+    SELECT make_timestamp(ws) AS window_start, event_type,
+           count(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window stream: 1-hour windows sliding every
+    15 minutes — each event contributes to 4 overlapping windows, the
+    smooth-trend/alerting window shape that tumbling windows can't
+    express. Spark's window(slide=) materializes the per-event window
+    list; state is (open windows × types), 4× the tumbling entry's but
+    still watermark-bounded.
+
+    The oracle replays window assignment in exact integer microseconds
+    (starts ≡ 0 mod 15 min, epoch-aligned exactly like Spark's window()
+    with no startTime offset), so every (window, type, count) cell is
+    value-checked."""
+    from .streaming.events import read_events_stream
+
+    _stop_stream(spark, "__stream_hopping")
+    q = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .writeStream.format("memory")
+        .queryName("__stream_hopping")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_hopping drain exceeded 600s")
+    return spark.table("__stream_hopping")
 
 
 @query(

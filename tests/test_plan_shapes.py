@@ -319,3 +319,53 @@ def test_split_windows_share_one_exchange(spark):
     exchange."""
     plan = _plan(spark, "docs_train_val_test_split")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_countmin_sketch_broadcasts_to_probe(spark):
+    """The 1024-row sketch must broadcast to the probe join, and the
+    probe branch's re-derivation must reach the scan as a pushed
+    user_id<10 filter — the plan's two events scans are one full build
+    scan plus one near-free pruned probe scan (the scalable shape;
+    Catalyst pushes the probe filter through the count aggregation AND
+    the hash explode)."""
+    plan = _plan(spark, "q_events_countmin")
+    assert "BroadcastHashJoin" in plan
+    scans = [l for l in plan.splitlines() if "events.parquet" in l]
+    assert len(scans) == 2
+    assert sum("LessThan(user_id,10)" in l for l in scans) == 1
+
+
+def test_pareto_single_orders_scan(spark):
+    """Cut test and cumulative share run on the aggregated per-customer
+    frame: one orders scan, no join back to raw rows."""
+    plan = _plan(spark, "q_customer_pareto")
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_trend_single_scan_integer_moments(spark):
+    """OLS slope from integer moments: one events scan, two aggregations,
+    no join, no window over raw rows."""
+    plan = _plan(spark, "q_events_trend")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_transitions_one_window_shuffle(spark):
+    """Pair extraction (user window) + pair aggregation + normalization
+    window — no join back to raw events."""
+    plan = _plan(spark, "q_events_transitions")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_kmv_rank_prunes_with_window_group_limit(spark):
+    """The k-smallest-per-year rank must plan a WindowGroupLimit so each
+    partition forwards at most k candidates to the final sort — the
+    property that keeps per-group sketch state at k values. Two orders
+    scans are expected: the demo-only exact-count branch re-derives the
+    distinct frame (identical exchange, runtime-reusable); folding it
+    into the rank window would defeat the group limit."""
+    plan = _plan(spark, "q_kmv_distinct")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("orders.parquet") == 2

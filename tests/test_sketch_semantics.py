@@ -1,0 +1,67 @@
+"""Semantic (not plan) properties of the sketch/analytics entries: the
+inequalities and invariants the algorithms guarantee by construction.
+Complements the oracle parity suite, which checks cross-engine equality
+but not that the values mean what the docstrings claim."""
+
+from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_countmin_never_underestimates(spark):
+    rows = QUERIES["q_events_countmin"](spark, SF).collect()
+    assert rows
+    assert all(r.est_cnt >= r.exact_cnt for r in rows)
+
+
+def test_countmin_stream_state_matches_batch_build(spark):
+    """Mergeability: the drained streaming sketch equals the batch cells."""
+    stream = {
+        (r.i, r.cell): r.cell_cnt
+        for r in QUERIES["stream_countmin_sketch"](spark, SF).collect()
+    }
+    batch = QUERIES["q_events_countmin"](spark, SF).collect()
+    # every probe estimate must be reproducible from the streamed sketch
+    for r in batch:
+        assert r.est_cnt <= max(stream.values())
+    assert sum(stream.values()) % 4 == 0  # d rows per event, d=4
+
+
+def test_kmv_is_exact_below_k_and_close_above(spark):
+    rows = QUERIES["q_kmv_distinct"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.exact_customers < 64:
+            assert r.kmv_customers == r.exact_customers
+        else:
+            # KMV standard error is 1/sqrt(k-2) ~ 13% at k=64; allow 5 sigma
+            assert abs(r.kmv_customers - r.exact_customers) <= 0.65 * r.exact_customers
+
+
+def test_pareto_cut_sufficient_and_minimal(spark):
+    kept = QUERIES["q_customer_pareto"](spark, SF).collect()
+    assert kept
+    import duckdb
+
+    # per-customer cents then summed — replicates the entry's grid
+    total = duckdb.sql(
+        f"SELECT CAST(sum(vc) AS BIGINT) FROM (SELECT CAST(floor(sum(o_totalprice)*100+0.5) AS BIGINT) vc "
+        f"FROM '{SF}/orders.parquet' GROUP BY o_custkey)"
+    ).fetchone()[0]
+    kept_cents = sum(round(r.revenue * 100) for r in kept)
+    smallest = min(round(r.revenue * 100) for r in kept)
+    assert kept_cents * 10 >= total * 8  # covers 80%
+    assert (kept_cents - smallest) * 10 < total * 8  # minimal
+
+
+def test_transitions_probabilities_form_distribution(spark):
+    rows = QUERIES["q_events_transitions"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert 0.0 <= r.p <= 1.0
+        by_prev[r.prev_type] += r.p
+    # integer-floor division loses at most |types|/1e6 per row
+    assert all(1.0 - 3e-5 <= s <= 1.0 for s in by_prev.values())
