@@ -65,3 +65,25 @@ def test_transitions_probabilities_form_distribution(spark):
         by_prev[r.prev_type] += r.p
     # integer-floor division loses at most |types|/1e6 per row
     assert all(1.0 - 3e-5 <= s <= 1.0 for s in by_prev.values())
+
+
+def test_ohlc_bar_invariants(spark):
+    rows = QUERIES["q_events_ohlc"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+
+
+def test_ewma_bounded_by_per_type_extremes(spark):
+    rows = QUERIES["q_events_ewma"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    lo, hi = defaultdict(lambda: 1 << 60), defaultdict(int)
+    for r in rows:
+        lo[r.event_type] = min(lo[r.event_type], r.cnt)
+        hi[r.event_type] = max(hi[r.event_type], r.cnt)
+    for r in rows:
+        assert lo[r.event_type] <= r.ewma <= hi[r.event_type]
