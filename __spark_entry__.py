@@ -152,6 +152,7 @@ _VALIDATE_FIRST = [
     "stream_countmin_sketch",
     "q_kmv_distinct",
     "stream_hopping_counts",
+    "q_quantile_bottomk_sketch",
 ]
 
 

@@ -215,6 +215,7 @@ def main() -> None:
         "q_events_trend",
         "q_events_transitions",
         "q_kmv_distinct",
+        "q_quantile_bottomk_sketch",
     ]:
         fn = QUERIES[name]
         record(

@@ -447,6 +447,76 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_quantile_bottomk_sketch",
+    oracle="""
+    WITH c AS (SELECT c_mktsegment, c_acctbal, c_custkey FROM customer),
+    ex AS (SELECT c_mktsegment, c_acctbal,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal, c_custkey) AS rn,
+                  count(*) OVER (PARTITION BY c_mktsegment) AS n
+           FROM c),
+    em AS (SELECT c_mktsegment, n, c_acctbal AS exact_median
+           FROM ex WHERE rn = (n + 1) // 2),
+    s AS (SELECT c_mktsegment, c_acctbal, c_custkey,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY md5(c_custkey::VARCHAR),
+                                             c_custkey) AS rs
+          FROM c),
+    sr AS (SELECT c_mktsegment, c_acctbal,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal, c_custkey) AS rn,
+                  count(*) OVER (PARTITION BY c_mktsegment) AS nk
+           FROM s WHERE rs <= 64),
+    sm AS (SELECT c_mktsegment, c_acctbal AS sketch_median
+           FROM sr WHERE rn = (nk + 1) // 2)
+    SELECT em.c_mktsegment, CAST(em.n AS BIGINT) AS n,
+           em.exact_median, sm.sketch_median
+    FROM em JOIN sm ON em.c_mktsegment = sm.c_mktsegment
+    """,
+)
+def q_quantile_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a bottom-k sample (k=64): per segment,
+    the 64 customers with the smallest md5(custkey) form a uniform
+    without-replacement sample — and bottom-k BY A HASH is a MERGEABLE
+    summary (union two samples, keep the 64 smallest hashes: exactly the
+    sample of the union), the property that lets every executor sketch
+    independently. The sketch median sits next to the exact median for
+    error inspection.
+
+    Both medians are ORDER STATISTICS (element at rank ⌈n/2⌉ under
+    (acctbal, custkey)) — no percentile interpolation arithmetic, so
+    every output value is a raw column read, bit-identical across
+    engines. Strata below k are sampled losslessly.
+
+    Scale: the sample branch's rank ≤ k prunes with WindowGroupLimit (k
+    state per group per partition); the exact branch needs the full
+    per-segment sort and exists only for the comparison — production
+    keeps the sketch branch alone."""
+    c = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal", "c_custkey")
+    w_ex = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_n = Window.partitionBy("c_mktsegment").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    em = (
+        c.withColumn("rn", F.row_number().over(w_ex))
+        .withColumn("n", F.count("*").over(w_n))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("c_mktsegment", "n", F.col("c_acctbal").alias("exact_median"))
+    )
+    w_s = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    sample = c.withColumn("rs", F.row_number().over(w_s)).filter(F.col("rs") <= 64)
+    sm = (
+        sample.withColumn("rn", F.row_number().over(w_ex))
+        .withColumn("nk", F.count("*").over(w_n))
+        .filter(F.col("rn") == F.expr("(nk + 1) div 2"))
+        .select("c_mktsegment", F.col("c_acctbal").alias("sketch_median"))
+    )
+    return em.join(F.broadcast(sm), "c_mktsegment")
+
+
+@query(
     "q_returns_exists",
     oracle="""
     SELECT o_orderpriority, count(*)::BIGINT AS order_count

@@ -369,3 +369,9 @@ def test_kmv_rank_prunes_with_window_group_limit(spark):
     plan = _plan(spark, "q_kmv_distinct")
     assert "WindowGroupLimit" in plan
     assert plan.count("orders.parquet") == 2
+
+
+def test_quantile_sketch_sample_prunes(spark):
+    """The bottom-k sample rank must plan a WindowGroupLimit (k-state
+    per group per partition)."""
+    assert "WindowGroupLimit" in _plan(spark, "q_quantile_bottomk_sketch")

@@ -87,3 +87,12 @@ def test_ewma_bounded_by_per_type_extremes(spark):
         hi[r.event_type] = max(hi[r.event_type], r.cnt)
     for r in rows:
         assert lo[r.event_type] <= r.ewma <= hi[r.event_type]
+
+
+def test_quantile_sketch_exact_below_k(spark):
+    """Strata smaller than k are sampled losslessly: at sf0.001 every
+    segment is under 64 customers, so sketch == exact."""
+    rows = QUERIES["q_quantile_bottomk_sketch"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n < 64 and r.sketch_median == r.exact_median
