@@ -153,6 +153,7 @@ _VALIDATE_FIRST = [
     "q_kmv_distinct",
     "stream_hopping_counts",
     "q_quantile_bottomk_sketch",
+    "q_customer_skyline",
 ]
 
 

@@ -216,6 +216,7 @@ def main() -> None:
         "q_events_transitions",
         "q_kmv_distinct",
         "q_quantile_bottomk_sketch",
+        "q_customer_skyline",
     ]:
         fn = QUERIES[name]
         record(

@@ -729,6 +729,65 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_customer_skyline",
+    oracle="""
+    WITH cv AS (SELECT c.c_custkey,
+                       CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+                       CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT)
+                         AS rev_c
+                FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey, c.c_acctbal),
+    s AS (SELECT *,
+                 max(rev_c) OVER (ORDER BY bal_c DESC
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS best_above
+          FROM cv)
+    SELECT c_custkey, bal_c / 100.0 AS acctbal, rev_c / 100.0 AS revenue
+    FROM s WHERE best_above IS NULL OR best_above <= rev_c
+    """,
+)
+def q_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: customers not strictly
+    dominated in (account balance, total revenue) — no other customer
+    has BOTH higher balance and higher revenue. The classic
+    multi-criteria shortlist query (Börzsönyi et al.'s skyline operator),
+    absent from SQL engines as a primitive.
+
+    2-D skyline via one sorted sweep: order by balance descending, keep
+    a point iff max(revenue) over STRICTLY higher balances (a RANGE
+    frame ending 1 PRECEDING on integer cents — peers excluded exactly)
+    does not exceed its revenue. Both dimensions snap to integer cents,
+    so dominance is integer comparison; ties in balance are peers, not
+    dominators, in both engines by the same frame bound.
+
+    Scale: one join-aggregate shuffle to per-customer totals, then the
+    sweep window over the aggregated frame (global order — the same
+    ~1e7-row ceiling and two-phase prefix-max rewrite as the Pareto-cut
+    entry; d>2 skylines switch to block-nested-loop partitioning)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev_c"))
+        .withColumn("bal_c", F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+    )
+    w = (
+        Window.orderBy(F.col("bal_c").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        cv.withColumn("best_above", F.max("rev_c").over(w))
+        .filter(F.col("best_above").isNull() | (F.col("best_above") <= F.col("rev_c")))
+        .select(
+            "c_custkey",
+            (F.col("bal_c") / 100.0).alias("acctbal"),
+            (F.col("rev_c") / 100.0).alias("revenue"),
+        )
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue

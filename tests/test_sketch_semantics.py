@@ -96,3 +96,21 @@ def test_quantile_sketch_exact_below_k(spark):
     assert rows
     for r in rows:
         assert r.n < 64 and r.sketch_median == r.exact_median
+
+
+def test_skyline_no_point_is_dominated(spark):
+    """Brute-force check of the frontier: no kept customer may be
+    strictly dominated by ANY customer (kept or not)."""
+    import duckdb
+
+    allpts = duckdb.sql(
+        f"SELECT c.c_custkey, floor(c.c_acctbal*100+0.5) bal, "
+        f"floor(sum(o.o_totalprice)*100+0.5) rev "
+        f"FROM '{SF}/customer.parquet' c JOIN '{SF}/orders.parquet' o "
+        f"ON o.o_custkey = c.c_custkey GROUP BY 1, c.c_acctbal"
+    ).fetchall()
+    kept = QUERIES["q_customer_skyline"](spark, SF).collect()
+    assert kept
+    for r in kept:
+        kb, kr = round(r.acctbal * 100), round(r.revenue * 100)
+        assert not any(b > kb and v > kr for (_, b, v) in allpts), r
