@@ -154,6 +154,9 @@ _VALIDATE_FIRST = [
     "stream_hopping_counts",
     "q_quantile_bottomk_sketch",
     "q_customer_skyline",
+    "q_orders_open_interval_sweep",
+    "q_events_cusum",
+    "q_events_time_weighted_value",
 ]
 
 

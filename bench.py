@@ -217,6 +217,9 @@ def main() -> None:
         "q_kmv_distinct",
         "q_quantile_bottomk_sketch",
         "q_customer_skyline",
+        "q_orders_open_interval_sweep",
+        "q_events_cusum",
+        "q_events_time_weighted_value",
     ]:
         fn = QUERIES[name]
         record(

@@ -788,6 +788,193 @@ def q_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orders_open_interval_sweep",
+    oracle="""
+    WITH oi AS (SELECT o_orderkey,
+                       date_trunc('day', min(o_orderdate)) AS s,
+                       date_trunc('day', max(l_shipdate)) + INTERVAL 1 DAY AS e
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY o_orderkey),
+    d AS (SELECT s AS day, 1 AS d FROM oi
+          UNION ALL SELECT e AS day, -1 AS d FROM oi),
+    g AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM d GROUP BY day)
+    SELECT day, CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM g
+    """,
+)
+def q_orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many orders are OPEN (placed
+    but not fully shipped) on each day the count changes — the classic
+    intervals→concurrency time series (max-overlap / resource-occupancy
+    query) that naive SQL writes as an interval×calendar join.
+
+    Each order contributes a +1 delta at its order date and a −1 the day
+    after its last line ships; deltas aggregate per day and one running
+    sum over the day spine reconstructs the step function exactly (pure
+    integer counts, no FP anywhere). Days between change points carry
+    the previous value by construction.
+
+    Scale: the ±1 deltas aggregate map-side into |distinct days| rows
+    (~thousands regardless of order count), so the only global-order
+    window runs over the tiny aggregated frame — the same
+    aggregate-then-sweep shape as the Pareto/skyline entries. The
+    interval extraction itself is one orders⋈lineitem shuffle on the
+    order key."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    oi = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.date_trunc("day", F.min("o_orderdate")).alias("s"),
+            (
+                F.date_trunc("day", F.max("l_shipdate")) + F.expr("INTERVAL 1 DAY")
+            ).alias("e"),
+        )
+    )
+    deltas = oi.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
+        oi.select(F.col("e").alias("day"), F.lit(-1).alias("d"))
+    )
+    g = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select("day", F.sum("delta").over(w).alias("open_orders"))
+
+
+@query(
+    "q_events_cusum",
+    oracle="""
+    WITH dc AS (SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, day, cnt,
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS s
+           FROM dc),
+    p AS (SELECT event_type, day,
+                 CAST(sum(n * cnt - s) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+          FROM st)
+    SELECT event_type, day,
+           CAST(pre - min(pre) OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_scaled
+    FROM p
+    """,
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic over daily event volume per type:
+    the cumulative sum of deviations from the series mean, reset at its
+    running minimum — the classic upward-shift detector (Page's CUSUM).
+    A sustained rate increase makes the statistic climb; values near 0
+    mean the rate is at or below its historical baseline.
+
+    The sequential recursion S_i = max(0, S_{i-1} + d_i) is rewritten
+    closed-form as P_i − min_{j≤i} P_j (prefix sum minus running min) —
+    two stock window functions, no iterative loop. Deviations are scaled
+    by n (d_i = n·cnt_i − Σcnt) so the whole computation is INTEGER:
+    no FP mean, bit-exact across engines; cusum_scaled = n·CUSUM.
+
+    Scale: one partial+final count aggregation (|days×types| rows), then
+    windows per event_type over the tiny aggregated frame — the same
+    shape as the anomaly/EWMA entries; the prefix-sum form also makes
+    CUSUM mergeable across partitioned day ranges."""
+    dc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = dc.withColumn("n", F.count("*").over(wall)).withColumn(
+        "s", F.sum("cnt").over(wall)
+    )
+    p = st.withColumn(
+        "pre", F.sum(F.col("n") * F.col("cnt") - F.col("s")).over(wrun)
+    )
+    return p.select(
+        "event_type",
+        "day",
+        (F.col("pre") - F.min("pre").over(wrun)).alias("cusum_scaled"),
+    )
+
+
+@query(
+    "q_events_time_weighted_value",
+    oracle="""
+    WITH e AS (SELECT event_type, ts, event_id,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+               FROM events),
+    l AS (SELECT event_type, vc,
+                 lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dt
+          FROM e)
+    SELECT event_type,
+           CAST(sum(dt) AS BIGINT) AS span_us,
+           floor(CAST(sum(vc * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+                 / 100.0 * 10000 + 0.5) / 10000 AS twa
+    FROM l WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per event type with LOCF
+    (last-observation-carried-forward) semantics — the irregular-series
+    average that plain avg() gets wrong when observations cluster: each
+    value is weighted by how long it was current (until the next event),
+    i.e. the integral of the step function divided by its span, as in
+    hypertable `time_weight('locf')` aggregates.
+
+    All weights are exact integers: values snap to cents, durations are
+    integer microseconds, and Σ vc·dt is bounded by vc_max · span
+    (≈5.6e4 · 2.6e12 ≈ 1.5e17 here) INDEPENDENT of row count — the sum
+    telescopes — so int64 holds it with 60× headroom at any SF. One IEEE
+    division at the end, snapped to the 1e-4 grid; ties in ts contribute
+    dt = 0 under any tiebreak, so the result is deterministic.
+
+    Scale: one window sort per event_type for lead(), then a partial+
+    final integer aggregation — no FP accumulation order dependence
+    anywhere, so partial aggregates merge exactly on any cluster."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # ts may be TIMESTAMP_NTZ (current testdata generation); the cast is
+    # exact because _t pins the session timezone to UTC
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    l = e.select(
+        "event_type",
+        "vc",
+        (F.lead(tus).over(w) - tus).alias("dt"),
+    )
+    return (
+        l.filter(F.col("dt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum("dt").alias("span_us"),
+            (
+                F.floor(
+                    F.sum(F.col("vc") * F.col("dt")).cast("double")
+                    / F.sum("dt").cast("double")
+                    / 100.0
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("twa"),
+        )
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue

@@ -375,3 +375,32 @@ def test_quantile_sketch_sample_prunes(spark):
     """The bottom-k sample rank must plan a WindowGroupLimit (k-state
     per group per partition)."""
     assert "WindowGroupLimit" in _plan(spark, "q_quantile_bottomk_sketch")
+
+
+def test_interval_sweep_aggregates_before_global_window(spark):
+    """The ±1 deltas must combine into per-day rows BEFORE the
+    single-partition window exchange — the aggregate-then-sweep property
+    that keeps the global-order sort over |distinct days|, not |orders|.
+    In the plan string the SinglePartition exchange therefore reads a
+    HashAggregate, never a raw union."""
+    plan = _plan(spark, "q_orders_open_interval_sweep")
+    assert "Exchange SinglePartition" in plan
+    pre = plan.split("Exchange SinglePartition")[-1]
+    assert "HashAggregate" in pre  # aggregated frame feeds the sweep
+
+
+def test_cusum_single_scan_aggregated_windows(spark):
+    """One events scan; both window passes run over the daily aggregate
+    (no window over raw events, no join)."""
+    plan = _plan(spark, "q_events_cusum")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_time_weighted_single_scan_one_window_sort(spark):
+    """lead() is the only window; the integral is a plain partial+final
+    aggregation afterwards — one scan, one window sort per type."""
+    plan = _plan(spark, "q_events_time_weighted_value")
+    assert plan.count("events.parquet") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
