@@ -157,6 +157,8 @@ _VALIDATE_FIRST = [
     "q_orders_open_interval_sweep",
     "q_events_cusum",
     "q_events_time_weighted_value",
+    "q_partition_pruned_join",
+    "dedup_edit_distance_pairs",
 ]
 
 

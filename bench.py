@@ -220,6 +220,8 @@ def main() -> None:
         "q_orders_open_interval_sweep",
         "q_events_cusum",
         "q_events_time_weighted_value",
+        "q_partition_pruned_join",
+        "dedup_edit_distance_pairs",
     ]:
         fn = QUERIES[name]
         record(

@@ -2067,6 +2067,97 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, corpus-digest) → root of the partitioned orders store +
+# months dim; written once per session+corpus, removed at interpreter exit
+# (same lifecycle as the z-order/IVF stores)
+_PARTITIONED_CACHE: dict = {}
+
+
+def _partitioned_store(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators import storage
+
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _PARTITIONED_CACHE:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        )
+        root = tempfile.mkdtemp(prefix="partitioned_store_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        storage.write_partitioned(o, root + "/orders_p", "o_month")
+        # the month dim is its own little table (star-schema shape): the
+        # DPP filter must live on dim ATTRIBUTES, not the partition column
+        (
+            o.select("o_month")
+            .distinct()
+            .select(
+                F.col("o_month").alias("month"),
+                F.substring("o_month", 1, 4).cast("int").alias("yr"),
+                ((F.substring("o_month", 6, 2).cast("int") + 2) / 3)
+                .cast("int")
+                .alias("qtr"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(root + "/months_dim")
+        )
+        _PARTITIONED_CACHE[key] = root
+    return _PARTITIONED_CACHE[key]
+
+
+@query(
+    "q_partition_pruned_join",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1
+    GROUP BY 1
+    """,
+)
+def q_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a Hive-partitioned fact store: the
+    orders fact is persisted partitioned by order month, the month dim
+    carries (yr, qtr) attributes, and a dim-filtered star join makes
+    Spark inject the dim's surviving months into the fact scan's
+    PartitionFilters AT RUNTIME (`dynamicpruning` subquery, pinned by
+    test_plan_shapes) — the fact read touches 3 month directories out of
+    the full history without any literal month predicate in the query.
+    Results equal the unpartitioned filter-join (the oracle).
+
+    This completes the storage-layout trilogy with bucketing (co-located
+    joins) and Z-order (row-group range pruning): partition + DPP is the
+    coarse-grained scan eliminator for star-schema joins, THE dominant
+    scan-cost lever at 100 TB where a date-dim filter must never imply a
+    full fact scan. Store lifecycle matches the others: one partitioned
+    write per (session, corpus), every query serves from the layout.
+
+    Revenue sums integer cents (exact partial+final merge on any
+    cluster); one IEEE division renders the decimal."""
+    root = _partitioned_store(spark, sf_dir)
+    fact = spark.read.parquet(root + "/orders_p")
+    dim = spark.read.parquet(root + "/months_dim").filter(
+        (F.col("yr") == 1995) & (F.col("qtr") == 1)
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_month == dim.month)
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0
+            ).alias("revenue"),
+        )
+    )
+
+
 @query(
     "q12_priority_lines",
     oracle="""
@@ -3694,6 +3785,71 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 5-gram Jaccard (shared-shingle candidates)."""
     pairs = dedup.shingle_jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.6)
     return pairs.select("id_a", "id_b", F.expr("floor(jaccard * 10000 + 0.5) / 10000").alias("jaccard"))
+
+
+@query(
+    "dedup_edit_distance_pairs",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, lang, n_chars,
+                      substr(regexp_replace(text, '[^\x20-\x7e]', '', 'g'),
+                             1, 80) AS p
+               FROM documents),
+    b AS (SELECT *, n_chars // 16 AS nb FROM d),
+    bc AS (SELECT lang, nb, count(*) c FROM b GROUP BY 1, 2),
+    k AS (SELECT b.* FROM b JOIN bc USING (lang, nb) WHERE bc.c <= 256)
+    SELECT a.doc_id AS doc_id1, c.doc_id AS doc_id2,
+           CAST(levenshtein(a.p, c.p) AS BIGINT) AS dist
+    FROM k a JOIN k c ON a.lang = c.lang AND a.nb = c.nb
+                     AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.p, c.p) <= 8
+    """,
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: documents in the same (lang,
+    length-bucket) block whose first 80 characters are within Levenshtein
+    distance 8 — the string-metric member of the dedup family (exact
+    hash / Jaccard / MinHash / SimHash / TF-IDF / semantic), catching
+    small in-place edits that shingle methods dilute.
+
+    Portability: Spark's levenshtein counts CHARACTERS, DuckDB's counts
+    BYTES — they disagree on any non-ASCII text (measured: 'café' vs
+    'cafe' is 1 vs 2). Both sides therefore strip to printable ASCII
+    first, where byte == char, making the distance engine-exact. The
+    80-char prefix bounds per-pair cost to a constant.
+
+    Scale: blocking on (lang, n_chars DIV 16) keeps comparisons within
+    blocks — one shuffle on the block key; blocks larger than 256 docs
+    are dropped entirely (the same deterministic coverage cap as the
+    shingle df-cap — a degenerate block would cost O(c²); the cap is the
+    documented recall bound, not a sampling choice). Per-pair work is
+    O(80²) cells, embarrassingly parallel within blocks."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(
+            F.regexp_replace("text", r"[^\x20-\x7e]", ""), 1, 80
+        ).alias("p"),
+    )
+    b = d.withColumn("nb", F.expr("n_chars DIV 16"))
+    wb = Window.partitionBy("lang", "nb")
+    k = b.withColumn("c", F.count("*").over(wb)).filter(F.col("c") <= 256)
+    a, c = k.alias("a"), k.alias("c")
+    dist = F.levenshtein(F.col("a.p"), F.col("c.p"))
+    return (
+        a.join(
+            c,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.nb") == F.col("c.nb"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(dist <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("c.doc_id").alias("doc_id2"),
+            dist.cast("long").alias("dist"),
+        )
+    )
 
 
 @query(

@@ -129,3 +129,22 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
+    """Persist ``df`` as Hive-style partitioned parquet (one directory per
+    ``part_col`` value) — the layout that makes BOTH static partition
+    pruning (literal predicates on the partition column never open
+    non-matching directories) and DYNAMIC partition pruning work: when the
+    partition column is a join key and the dim side carries a selective
+    filter, Spark injects the dim's surviving keys into the fact scan's
+    PartitionFilters at runtime (``dynamicpruning`` subquery), so a
+    star-schema join reads only the partitions the dim admits — at 100 TB
+    the difference between scanning three months and scanning ten years.
+
+    Partition-column cardinality should stay in the thousands (directory
+    explosion hurts listing and small-files); pick a coarse derived key
+    (month, not day, for multi-year facts) and rely on row-group stats
+    inside each partition for finer pruning.
+    """
+    df.write.partitionBy(part_col).mode("overwrite").parquet(path)

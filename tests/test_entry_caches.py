@@ -135,3 +135,27 @@ def test_foreachbatch_restart_is_noop(spark):
     files2 = sorted(glob.glob(sink + "/batch_id=*/*.parquet"))
     assert files2 == files, "restart must not add or rewrite batch dirs"
     assert all(os.path.getmtime(f) == mtimes[f] for f in files)
+
+
+def test_partitioned_store_written_once_and_corpus_safe(spark, monkeypatch):
+    from steampipe_plugin_terraform_spark.operators import storage
+
+    writes = []
+    real_write = storage.write_partitioned
+    monkeypatch.setattr(
+        storage,
+        "write_partitioned",
+        lambda *a, **k: (writes.append(a[1]), real_write(*a, **k))[1],
+    )
+    app = spark.sparkContext.applicationId
+    for key in [k for k in catalog._PARTITIONED_CACHE if k[0] == app]:
+        catalog._PARTITIONED_CACHE.pop(key)
+    first = _rows(QUERIES["q_partition_pruned_join"](spark, SF_A))
+    assert len(writes) == 1, "first invocation writes the partitioned store"
+    handle_a = QUERIES["q_partition_pruned_join"](spark, SF_A)
+    assert len(writes) == 1, "repeat invocation reuses the store"
+    # corpus isolation: running the entry for corpus B must not redirect
+    # the still-lazy corpus-A handle (per-corpus store roots)
+    QUERIES["q_partition_pruned_join"](spark, SF_B).collect()
+    assert len(writes) == 2
+    assert _rows(handle_a) == first

@@ -404,3 +404,19 @@ def test_time_weighted_single_scan_one_window_sort(spark):
     assert plan.count("events.parquet") == 1
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_partitioned_join_prunes_dynamically(spark):
+    """The fact scan must carry a dynamicpruning expression in its
+    PartitionFilters — the runtime partition eliminator the star-schema
+    layout exists for; without it a dim filter implies a full fact scan."""
+    plan = _plan(spark, "q_partition_pruned_join")
+    assert "dynamicpruning" in plan
+    assert "orders_p" in plan  # serving from the partitioned store
+
+
+def test_edit_distance_pairs_block_join_no_cartesian(spark):
+    """Pair generation must be an equi-join on the block key (lang, nb) —
+    a cartesian/BNL join here means the blocking broke."""
+    plan = _plan(spark, "dedup_edit_distance_pairs")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
