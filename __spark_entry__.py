@@ -159,6 +159,10 @@ _VALIDATE_FIRST = [
     "q_events_time_weighted_value",
     "q_partition_pruned_join",
     "dedup_edit_distance_pairs",
+    "q_kmv_set_ops",
+    "q_events_mad_outliers",
+    "q_user_scd2_segments",
+    "q_events_sliding_distinct_users",
 ]
 
 

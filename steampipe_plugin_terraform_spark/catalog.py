@@ -447,6 +447,134 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_kmv_set_ops",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT year(o_orderdate) AS yr, o_custkey
+               FROM orders),
+    u AS (SELECT yr, o_custkey, md5(o_custkey::VARCHAR) AS h FROM d),
+    v AS (SELECT yr, ({_HEX12}) AS ui FROM u),
+    m AS (SELECT yr AS pair_a, ui, 'a' AS side FROM v
+          UNION ALL SELECT yr - 1, ui, 'b' FROM v),
+    g AS (SELECT pair_a, ui,
+                 max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+          FROM m GROUP BY 1, 2),
+    ex AS (SELECT pair_a, CAST(count(*) AS BIGINT) AS exact_union,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS exact_intersection
+           FROM g GROUP BY 1
+           HAVING max(in_a) = 1 AND max(in_b) = 1),
+    r AS (SELECT *, row_number() OVER (PARTITION BY pair_a ORDER BY ui) rn
+          FROM g),
+    sk AS (SELECT pair_a, count(*) AS nk,
+                  max(CASE WHEN rn = 64 THEN ui END) AS u64,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS c
+           FROM r WHERE rn <= 64 GROUP BY 1),
+    est AS (SELECT pair_a, nk, c,
+                   CASE WHEN nk < 64 THEN CAST(nk AS BIGINT)
+                        ELSE CAST(floor(CAST(17732923532771328 AS DOUBLE)
+                                        / u64 + 0.5) AS BIGINT)
+                   END AS kmv_union
+            FROM sk)
+    SELECT e.pair_a AS year_a, e.pair_a + 1 AS year_b,
+           ex.exact_union, e.kmv_union,
+           ex.exact_intersection,
+           CASE WHEN e.nk < 64 THEN e.c
+                ELSE CAST(floor(e.c * CAST(e.kmv_union AS DOUBLE) / 64 + 0.5)
+                          AS BIGINT)
+           END AS kmv_intersection
+    FROM est e JOIN ex ON e.pair_a = ex.pair_a
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: for each pair
+    of adjacent order-years, the union and intersection of their
+    customer sets estimated purely from k=64-minimum-value summaries —
+    the mergeable-sketch algebra (union = k smallest of the combined
+    sample; intersection = inclusion ratio within it × union estimate)
+    that answers audience-overlap questions from constant state instead
+    of re-scanning either cohort. Exact counts ride alongside for
+    calibration; below k the sketch is lossless and reports exactly.
+
+    md5 hashing makes every intermediate (member sets, kth value, both
+    estimates) bit-identical across engines, so the oracle replays the
+    full sketch algebra — the same portability device as
+    `q_kmv_distinct` and the count-min entries. The intersection
+    estimator reuses the already-FLOORED union estimate, keeping the
+    second rounding deterministic.
+
+    Scale: one distinct shuffle, then each (year, hash) row EXPLODES to
+    its two pair groups (one scan — no self-union, no quadratic pair
+    join); pairs missing either cohort drop out via the aggregate
+    max(in_a)/max(in_b) flags (no separate min/max-year pass). The
+    merged-sketch rank is WindowGroupLimit-prunable, so per-pair state
+    is k values regardless of cohort sizes. The exact branch is the
+    demo calibration — production keeps only the sketch pipeline."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("yr"), "o_custkey")
+        .distinct()
+    )
+    ui = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    v = d.withColumn("ui", ui)
+    m = v.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("yr").alias("pair_a"),
+                    F.col("ui"),
+                    F.lit("a").alias("side"),
+                ),
+                F.struct(
+                    (F.col("yr") - 1).alias("pair_a"),
+                    F.col("ui"),
+                    F.lit("b").alias("side"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.pair_a", "e.ui", "e.side")
+    g = m.groupBy("pair_a", "ui").agg(
+        F.max(F.when(F.col("side") == "a", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("side") == "b", 1).otherwise(0)).alias("in_b"),
+    )
+    ex = (
+        g.groupBy("pair_a")
+        .agg(
+            F.count("*").alias("exact_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersection"),
+            F.max("in_a").alias("any_a"),
+            F.max("in_b").alias("any_b"),
+        )
+        .filter((F.col("any_a") == 1) & (F.col("any_b") == 1))
+        .drop("any_a", "any_b")
+    )
+    r = g.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("pair_a").orderBy("ui"))
+    ).filter(F.col("rn") <= 64)
+    sk = r.groupBy("pair_a").agg(
+        F.count("*").alias("nk"),
+        F.max(F.when(F.col("rn") == 64, F.col("ui"))).alias("u64"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("c"),
+    )
+    kmv_union = F.when(F.col("nk") < 64, F.col("nk")).otherwise(
+        F.floor(F.lit(17732923532771328.0) / F.col("u64") + 0.5)
+    )
+    est = sk.withColumn("kmv_union", kmv_union.cast("long"))
+    kmv_inter = F.when(F.col("nk") < 64, F.col("c")).otherwise(
+        F.floor(F.col("c") * F.col("kmv_union").cast("double") / 64 + 0.5)
+    )
+    return est.join(F.broadcast(ex), "pair_a").select(
+        F.col("pair_a").alias("year_a"),
+        (F.col("pair_a") + 1).alias("year_b"),
+        F.col("exact_union"),
+        F.col("kmv_union"),
+        F.col("exact_intersection"),
+        kmv_inter.cast("long").alias("kmv_intersection"),
+    )
+
+
+@query(
     "q_quantile_bottomk_sketch",
     oracle="""
     WITH c AS (SELECT c_mktsegment, c_acctbal, c_custkey FROM customer),
@@ -971,6 +1099,204 @@ def q_events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 10000
             ).alias("twa"),
         )
+    )
+
+
+@query(
+    "q_events_mad_outliers",
+    oracle="""
+    WITH dc AS (SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+    r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cnt, day) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM dc),
+    wm AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+                       OVER (PARTITION BY event_type) AS med
+           FROM r1),
+    dv AS (SELECT *, abs(cnt - med) AS dev FROM wm),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY dev, day) AS rn2
+           FROM dv),
+    wd AS (SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                       OVER (PARTITION BY event_type) AS mad
+           FROM r2)
+    SELECT event_type, day, cnt, CAST(med AS BIGINT) AS med,
+           CAST(mad AS BIGINT) AS mad
+    FROM wd WHERE dev > 3 * mad
+    """,
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: days whose event count deviates from the
+    per-type MEDIAN by more than 3× the median absolute deviation — the
+    robust-statistics sibling of the 3σ entry (`q_events_anomaly`):
+    median/MAD ignore the outliers themselves, so a single huge spike
+    can't inflate the threshold and mask its neighbors the way it
+    inflates mean/σ.
+
+    Both medians are LOW medians — the value at row_number (n+1) DIV 2
+    under a total (value, day) order — i.e. exact integer order
+    statistics on integer counts: no interpolation, no FP, bit-exact
+    across engines (the same device as the bottom-k quantile sketch).
+
+    Scale: ONE events scan and one count aggregation; both medians are
+    computed as windowed CASE-maxes inside the same per-type partition
+    (no join-back, no branch re-scans — every window shares one
+    exchange on event_type over the tiny |days×types| frame, pinned by
+    test_plan_shapes)."""
+    dc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wn = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mid = F.expr("(n + 1) DIV 2")
+    r1 = dc.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("cnt", "day")),
+    ).withColumn("n", F.count("*").over(wn))
+    wm = r1.withColumn(
+        "med", F.max(F.when(F.col("rn") == mid, F.col("cnt"))).over(wn)
+    )
+    dv = wm.withColumn("dev", F.abs(F.col("cnt") - F.col("med")))
+    r2 = dv.withColumn(
+        "rn2",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("dev", "day")),
+    )
+    wd = r2.withColumn(
+        "mad", F.max(F.when(F.col("rn2") == mid, F.col("dev"))).over(wn)
+    )
+    return wd.filter(F.col("dev") > 3 * F.col("mad")).select(
+        "event_type", "day", "cnt", "med", "mad"
+    )
+
+
+@query(
+    "q_user_scd2_segments",
+    oracle="""
+    WITH dt AS (SELECT user_id, date_trunc('day', ts) AS day, event_type,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2, 3),
+    dom AS (SELECT user_id, day, event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                           ORDER BY c DESC, event_type) rn
+              FROM dt) WHERE rn = 1),
+    ch AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY day) AS prev
+           FROM dom),
+    sc AS (SELECT user_id, event_type AS segment, day AS valid_from
+           FROM ch WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, segment, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to
+    FROM sc
+    """,
+)
+def q_user_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each user's dominant daily
+    event type collapsed into validity intervals [valid_from, valid_to)
+    — a new row only when the dominant type CHANGES, open-ended
+    (valid_to NULL) for the current segment. The dimension-history shape
+    every warehouse maintains, derived here from raw facts in one pass
+    (in production the same plan runs incrementally per day appended).
+
+    Dominance is deterministic: count desc, then event_type asc as the
+    tiebreak, so both engines elect identical winners; interval edges
+    are day timestamps (no FP anywhere).
+
+    Scale: one (user, day, type) count aggregation over raw events; the
+    dominance rank runs on (user, day) and the change/interval windows
+    on (user) — three exchanges total, each over the COLLAPSED daily
+    frame on progressively coarser prefixes of the same key, never over
+    raw events. Incremental runs re-derive only appended days."""
+    dt = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    wdom = Window.partitionBy("user_id", "day").orderBy(
+        F.col("c").desc(), "event_type"
+    )
+    dom = (
+        dt.withColumn("rn", F.row_number().over(wdom))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_type")
+    )
+    wday = Window.partitionBy("user_id").orderBy("day")
+    ch = dom.withColumn("prev", F.lag("event_type").over(wday))
+    sc = ch.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.col("day").alias("valid_from"),
+    )
+    wfrom = Window.partitionBy("user_id").orderBy("valid_from")
+    return sc.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(wfrom).alias("valid_to"),
+    )
+
+
+@query(
+    "q_events_sliding_distinct_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events),
+    mx AS (SELECT max(day) AS mxd FROM ud),
+    sp AS (SELECT user_id,
+                  unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS day
+           FROM ud)
+    SELECT sp.day, CAST(count(DISTINCT sp.user_id) AS BIGINT) AS active_users
+    FROM sp, mx WHERE sp.day <= mx.mxd
+    GROUP BY sp.day
+    """,
+)
+def q_events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding-window
+    COUNT DISTINCT that window frames cannot express (DISTINCT inside a
+    moving frame), rewritten as: collapse to distinct (user, day) pairs,
+    fan each pair out to the ≤7 window-end days it supports, count
+    distinct users per end day. The daily-active/weekly-active metric
+    family, exactly.
+
+    Scale: the fanout runs on the COLLAPSED user-day frame (|users| ×
+    |days| worst case, ~4k rows here), never on raw events, and the
+    factor is the window length — 7 — not data size; the final distinct
+    count is one partial+final aggregation on (day, user). The max-day
+    cap is a 1-row broadcast scalar (same device as the corpus totals in
+    text.py). All integers and timestamps — nothing to round."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    mx = ud.agg(F.max("day").alias("mxd"))
+    sp = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    return (
+        sp.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("mxd"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
     )
 
 

@@ -420,3 +420,41 @@ def test_edit_distance_pairs_block_join_no_cartesian(spark):
     a cartesian/BNL join here means the blocking broke."""
     plan = _plan(spark, "dedup_edit_distance_pairs")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_kmv_set_ops_two_branch_scans_no_pair_join(spark):
+    """Sketch + exact-calibration branches: exactly two scans (production
+    keeps one), WindowGroupLimit prunes the merged-sketch rank, and pair
+    construction is an explode — never a year×year join."""
+    plan = _plan(spark, "q_kmv_set_ops")
+    assert plan.count("orders.parquet") == 2
+    assert "WindowGroupLimit" in plan
+    assert "Generate explode" in plan
+
+
+def test_mad_outliers_single_scan_one_window_exchange(spark):
+    """Median and MAD as windowed CASE-maxes: one events scan, one
+    hash exchange (the count aggregation) feeding every window — a
+    join-back or branch re-scan here would multiply the raw-data cost."""
+    plan = _plan(spark, "q_events_mad_outliers")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_scd2_collapses_before_user_windows(spark):
+    """One events scan; all three window passes run over the collapsed
+    (user, day) frame."""
+    plan = _plan(spark, "q_user_scd2_segments")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_sliding_distinct_fanout_after_collapse(spark):
+    """The 7-day fanout must run on the distinct (user, day) frame —
+    in the plan the explode Generate sits above a HashAggregate, never
+    directly above the scan."""
+    plan = _plan(spark, "q_events_sliding_distinct_users")
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:]  # aggregate below the explode
+    assert "Window" not in plan
