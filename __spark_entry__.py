@@ -163,6 +163,7 @@ _VALIDATE_FIRST = [
     "q_events_mad_outliers",
     "q_user_scd2_segments",
     "q_events_sliding_distinct_users",
+    "stream_click_error_left_join",
 ]
 
 

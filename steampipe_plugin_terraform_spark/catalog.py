@@ -5486,6 +5486,71 @@ def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("__stream_ss_join")
 
 
+@query(
+    "stream_click_error_left_join",
+    # outer rows emit only once the GLOBAL watermark (min of both sides'
+    # max event time, minus the 2 h delay) passes the end of the click's
+    # 10-min match window; clicks whose window is still open when the
+    # stream drains stay in state and never emit — the oracle models that
+    # closure rule exactly. Boundary note: a tie (window end equal to the
+    # watermark to the microsecond) could flip between engines; none exists
+    # in any test corpus (verified at all three SFs) and the comparison
+    # operands are µs-exact otherwise.
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    e AS (SELECT * FROM events WHERE event_type = 'error'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM e))
+                  - INTERVAL 2 HOUR AS w),
+    j AS (SELECT c.event_id AS click_id, e.event_id AS error_id,
+                 c.user_id, c.ts AS cts
+          FROM c LEFT JOIN e
+            ON c.user_id = e.user_id
+           AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE)
+    SELECT click_id, error_id, user_id FROM j, wm
+    WHERE error_id IS NOT NULL OR cts + INTERVAL 10 MINUTE < wm.w
+    """,
+)
+def stream_click_error_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click paired with
+    same-user errors in the next 10 minutes, PLUS a null-error row for
+    each click that provably has none — emitted exactly when the
+    watermark closes its match window (append mode can't retract, so
+    outer rows must wait until no future error can still match). The
+    distinct semantic over the inner variant (`stream_click_error_join`)
+    is this delayed outer emission, the conversion-failure /
+    unanswered-request detector of streaming pipelines.
+
+    The batch oracle replays the closure rule: matched rows are the
+    plain interval left-join; unmatched rows survive only if their
+    window end predates the final global watermark (min of both sides'
+    stream-end watermarks). Drained via availableNow — the no-data
+    final micro-batch advances the watermark and flushes every closed
+    outer row; corpus-tail clicks correctly never appear.
+
+    Scale: join state holds only rows within watermark + interval of
+    the front (both sides evict); outer tracking adds one matched bit
+    per buffered left row. Same state bound as the inner join."""
+    from .streaming.events import interval_join_stream, read_events_stream
+
+    _stop_stream(spark, "__stream_ss_ljoin")
+    q = (
+        interval_join_stream(
+            read_events_stream(spark, sf_dir),
+            read_events_stream(spark, sf_dir),
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("__stream_ss_ljoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_click_error_left_join drain exceeded 600s")
+    return spark.table("__stream_ss_ljoin")
+
+
 # ---------------------------------------------------------------------------
 # Terraform tables (the reference's own surface, §1.4/§2.10) — DuckDB has no
 # terraform views, so the oracles are golden VALUES derived from the fixture

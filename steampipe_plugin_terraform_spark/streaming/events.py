@@ -111,13 +111,20 @@ def interval_join_stream(
     right_type: str = "error",
     within: str = "10 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval: every
+    """Stream-stream join bounded by an event-time interval: every
     ``left_type`` event joined to the same user's ``right_type`` events in
     [ts, ts + within]. Both sides carry watermarks so the join state store
     evicts rows once they age past watermark + interval — the state bound
     that makes stream-stream joins viable at scale (without the time bound
     the state is unbounded and the join is rejected by Spark).
+
+    ``how="left_outer"`` additionally emits each unmatched left event with
+    a NULL right id — but only once the watermark passes the end of its
+    match window (l_ts + within), i.e. once no future right row can still
+    match; left rows whose window is still open when the stream ends are
+    never emitted (they remain in state awaiting a match).
     """
     l = (
         left.filter(F.col("event_type") == left_type)
@@ -142,6 +149,7 @@ def interval_join_stream(
         F.expr(
             f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval {within}"
         ),
+        how,
     ).select(
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("error_id"),
