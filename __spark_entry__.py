@@ -164,6 +164,8 @@ _VALIDATE_FIRST = [
     "q_user_scd2_segments",
     "q_events_sliding_distinct_users",
     "stream_click_error_left_join",
+    "q_events_top_paths",
+    "q_weighted_median_price",
 ]
 
 

@@ -226,6 +226,8 @@ def main() -> None:
         "q_events_mad_outliers",
         "q_user_scd2_segments",
         "q_events_sliding_distinct_users",
+        "q_events_top_paths",
+        "q_weighted_median_price",
     ]:
         fn = QUERIES[name]
         record(

@@ -1301,6 +1301,128 @@ def q_events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "q_events_top_paths",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type, 1) OVER w AS t2,
+                      lead(event_type, 2) OVER w AS t3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE t3 IS NOT NULL GROUP BY 1),
+    r AS (SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rank
+          FROM p)
+    SELECT CAST(rank AS BIGINT) AS rank, path, n FROM r WHERE rank <= 10
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 10 most frequent 3-step event paths across
+    all users (consecutive event-type triples under per-user time order)
+    — the navigation-path / clickstream-motif query behind funnel
+    design, generalizing the first-order transition matrix
+    (`q_events_transitions`) to length-3 patterns.
+
+    Triple extraction is two lead() reads inside ONE window sort per
+    user (deterministic (ts, event_id) order — ties can't reorder the
+    path); the global top-10 ranks the tiny path-count frame (≤ |types|³
+    rows — 125 here — regardless of data size), with (count desc, path
+    asc) as the total tiebreak both engines share.
+
+    Scale: one window shuffle on user_id over raw events, one count
+    aggregation, then a single-partition rank over ≤125 rows — the
+    global sort the rank implies never sees event-scale data."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    p = (
+        s.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    r = p.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), "path")),
+    )
+    return r.filter(F.col("rank") <= 10).select(
+        F.col("rank").cast("long").alias("rank"), "path", "n"
+    )
+
+
+@query(
+    "q_weighted_median_price",
+    oracle="""
+    WITH li AS (SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS price_c,
+                       CAST(l_quantity AS BIGINT) AS w,
+                       l_orderkey, l_linenumber
+                FROM lineitem),
+    c AS (SELECT *,
+                 CAST(sum(w) OVER (PARTITION BY l_returnflag
+                                   ORDER BY price_c, l_orderkey, l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+                 CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS tot
+          FROM li)
+    SELECT l_returnflag, min(price_c) / 100.0 AS weighted_median_price,
+           CAST(min(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median: the quantity-weighted median line price per
+    return flag — the smallest price at which cumulative shipped
+    quantity reaches half the total ("half the units sold at or below
+    this price"), which the unweighted percentile family
+    (`q_value_percentiles`) cannot express.
+
+    Pure integer selection: prices snap to cents, quantities are exact
+    integers, and the defining inequality is 2·cum ≥ total — no
+    division, no interpolation, bit-exact across engines. The
+    cumulative order is totally keyed (price, orderkey, linenumber) so
+    every engine accumulates identically.
+
+    Scale: one hash exchange per flag for the cumulative window, then a
+    partial+final min-aggregate; the candidate filter 2·cum ≥ tot keeps
+    selection inside the window pass (no second scan). Weighted
+    quantiles at other q just change the inequality constant."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = li.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "tot", F.sum("w").over(wall)
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("price_c") / 100.0).alias("weighted_median_price"),
+            F.min("tot").alias("total_weight"),
+        )
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue

@@ -458,3 +458,21 @@ def test_sliding_distinct_fanout_after_collapse(spark):
     gen = plan.index("Generate explode")
     assert "HashAggregate" in plan[gen:]  # aggregate below the explode
     assert "Window" not in plan
+
+
+def test_top_paths_rank_on_aggregated_frame(spark):
+    """Triple extraction + count + global top-10: one events scan, and
+    the global rank runs above the path-count HashAggregate (≤|types|³
+    rows), never over raw triples."""
+    plan = _plan(spark, "q_events_top_paths")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_weighted_median_single_scan_one_exchange(spark):
+    """Cumulative-weight selection entirely inside one per-flag window
+    pass: one lineitem scan, one hash exchange."""
+    plan = _plan(spark, "q_weighted_median_price")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
