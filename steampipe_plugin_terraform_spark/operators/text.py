@@ -404,6 +404,68 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", digits: int = 4
+) -> DataFrame:
+    """Interpolated bigram language-model score: mean
+    ln(½·P(w₂|w₁) + ½·P(w₂)) per document, with the conditional
+    P(w₂|w₁) = c(w₁,w₂)/c(w₁·) estimated from corpus bigram counts and
+    the unigram backoff from token counts — one modeling step beyond
+    ``unigram_logprob``: repetitive but locally-coherent text scores
+    high under unigrams yet exposes itself through improbable
+    transitions, and vice versa. The ½/½ interpolation guarantees a
+    nonzero argument for every observed bigram (both factors are
+    corpus-estimated, so neither is ever zero here).
+
+    Returns (id, n_bigrams, mean_logprob) rounded to ``digits``.
+
+    Scale shape: bigram pairs come from an arrays_zip of the token
+    array against its own tail — pure JVM array ops, NO window sort and
+    no per-token shuffle; the bigram/context/unigram vocabularies
+    aggregate map-side (vocab cardinality crosses the wire, not corpus
+    size), and the two probability joins hit vocab-sized tables (AQE
+    broadcasts them when small). The ln argument is computed with one
+    fixed expression shape, so per-row values are IEEE-identical
+    cross-engine; only the final mean needs the grid snap.
+    """
+    d2 = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    tail = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = d2.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, tail).alias("w1"),
+                F.slice("w", 2, tail).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ctx = bg.groupBy("w1").agg(F.sum("bc").alias("cc"))
+    tok = df.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("uc"))
+    tot = uni.agg(F.sum("uc").alias("tot"))
+    scored = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("t", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    lp = F.expr(
+        "ln(0.5 * CAST(bc AS DOUBLE) / cc + 0.5 * CAST(uc AS DOUBLE) / tot)"
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count("*").alias("n_bigrams"), F.avg(lp).alias("mlp"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_bigrams").cast("long"),
+            F.expr(pround("mlp", digits)).alias("mean_logprob"),
+        )
+    )
+
+
 def source_mix(
     df: DataFrame,
     source_col: str = "source",
