@@ -166,6 +166,9 @@ _VALIDATE_FIRST = [
     "stream_click_error_left_join",
     "q_events_top_paths",
     "q_weighted_median_price",
+    "q_orders_equidepth_histogram",
+    "q_basket_brand_lift",
+    "docs_bigram_logprob",
 ]
 
 

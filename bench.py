@@ -228,6 +228,9 @@ def main() -> None:
         "q_events_sliding_distinct_users",
         "q_events_top_paths",
         "q_weighted_median_price",
+        "q_orders_equidepth_histogram",
+        "q_basket_brand_lift",
+        "docs_bigram_logprob",
     ]:
         fn = QUERIES[name]
         record(

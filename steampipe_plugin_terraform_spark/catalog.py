@@ -1423,6 +1423,176 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orders_equidepth_histogram",
+    oracle="""
+    WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS price_c, o_orderkey
+               FROM orders),
+    b AS (SELECT price_c, ntile(10) OVER (ORDER BY price_c, o_orderkey)
+                   AS bucket
+          FROM o)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           min(price_c) / 100.0 AS lo, max(price_c) / 100.0 AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q_orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 quantile buckets of order totalprice,
+    each with its row count and value range) — the optimizer-statistics
+    histogram flavor that adapts bucket edges to the data where the
+    equi-width entry (`q_orders_price_histogram`) fixes them; bucket
+    boundaries ARE the deciles.
+
+    ntile over a totally keyed order (integer cents, orderkey tiebreak)
+    assigns identical buckets in both engines — bucket populations
+    differ by at most one row by ntile's definition, deterministically
+    placed by the total order.
+
+    Scale: ntile needs the global sort — same aggregated-sweep ceiling
+    as the Pareto/skyline entries (~1e7 rows comfortably; beyond that,
+    two-phase: sample decile boundaries via the bottom-k sketch, then
+    one partitioned bucketing pass — the entry pins the exact
+    semantics the two-phase rewrite must reproduce)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_c"),
+        "o_orderkey",
+    )
+    b = o.select(
+        "price_c",
+        F.ntile(10).over(Window.orderBy("price_c", "o_orderkey")).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.min("price_c") / 100.0).alias("lo"),
+        (F.max("price_c") / 100.0).alias("hi"),
+    ).select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
+
+
+@query(
+    "q_basket_brand_lift",
+    oracle="""
+    WITH lb AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lb),
+    pa AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS na
+           FROM lb GROUP BY 1),
+    pr AS (SELECT a.p_brand AS brand1, b.p_brand AS brand2,
+                  CAST(count(*) AS BIGINT) AS n_both
+           FROM lb a JOIN lb b ON a.l_orderkey = b.l_orderkey
+                              AND a.p_brand < b.p_brand
+           GROUP BY 1, 2)
+    SELECT pr.brand1, pr.brand2, pr.n_both, x.na AS n1, y.na AS n2,
+           floor(CAST(pr.n_both * n.n_orders AS DOUBLE) / (x.na * y.na)
+                 * 10000 + 0.5) / 10000 AS lift
+    FROM pr JOIN pa x ON pr.brand1 = x.p_brand
+            JOIN pa y ON pr.brand2 = y.p_brand
+            CROSS JOIN n
+    WHERE pr.n_both >= 10
+    """,
+)
+def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: lift of every part-brand pair
+    co-occurring in ≥10 orders — lift = P(A∧B)/(P(A)·P(B)) > 1 means
+    the brands are ordered together more than independence predicts;
+    the association-rule primitive behind recommendations and
+    assortment analysis.
+
+    Lift's numerator and denominator are exact integer products
+    (n_both·N and n1·n2, both < 2⁵³ at any realistic SF) with ONE IEEE
+    division, snapped to 1e-4 — no FP probability chains. Pair
+    generation self-joins the DISTINCT (order, brand) frame on the
+    order key: ≤ C(brands-per-order, 2) pairs per order, bounded by
+    basket width, never by catalog size.
+
+    Scale: brand collapse first (the distinct shuffle), then pairs come
+    from an ARRAY comprehension over each order's sorted basket — pure
+    JVM lambdas, no self-join of the order frame, fanout bounded by
+    C(basket width, 2); brand marginals and the order total are
+    separate narrow aggregations broadcast onto ≤ C(|brands|, 2)
+    candidate pairs. A million-SKU catalog swaps the brand collapse for
+    frequent-item pre-pruning (support counts before pairing) — same
+    pipeline shape."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lb = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pa = lb.groupBy("p_brand").agg(F.count("*").alias("na"))
+    baskets = lb.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    )
+    pr = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS brand1, y AS brand2))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.brand1").alias("brand1"), F.col("p.brand2").alias("brand2"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 10)
+    )
+    x = pa.select(F.col("p_brand").alias("brand1"), F.col("na").alias("n1"))
+    y = pa.select(F.col("p_brand").alias("brand2"), F.col("na").alias("n2"))
+    lift = (
+        F.floor(
+            (F.col("n_both") * F.col("n_orders")).cast("double")
+            / (F.col("n1") * F.col("n2"))
+            * 10000
+            + 0.5
+        )
+        / 10000
+    )
+    return (
+        pr.join(F.broadcast(x), "brand1")
+        .join(F.broadcast(y), "brand2")
+        .crossJoin(F.broadcast(n))
+        .select("brand1", "brand2", "n_both", "n1", "n2", lift.alias("lift"))
+    )
+
+
+@query(
+    "docs_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    pairs AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM t, unnest(range(1, greatest(len(w), 1))) r(i)
+              WHERE len(w) >= 2),
+    bg AS (SELECT w1, w2, count(*) AS bc FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS cc FROM bg GROUP BY 1),
+    tok AS (SELECT unnest(w) AS t FROM t),
+    uni AS (SELECT t, count(*) AS uc FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS tot FROM uni)
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(ln(0.5 * CAST(bg.bc AS DOUBLE) / ctx.cc
+                        + 0.5 * CAST(uni.uc AS DOUBLE) / tot.tot))
+                 * 10000 + 0.5) / 10000 AS mean_logprob
+    FROM pairs p
+    JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+    JOIN ctx ON p.w1 = ctx.w1
+    JOIN uni ON p.w2 = uni.t
+    CROSS JOIN tot
+    GROUP BY p.doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per document (mean
+    ln(½·P(w₂|w₁) + ½·P(w₂)), corpus-estimated) — the conditional
+    upgrade of `docs_unigram_logprob`: locally-incoherent text exposes
+    itself through improbable transitions that unigram frequency hides.
+    See operators/text.py:bigram_logprob for the scale shape (JVM
+    array-zip pair extraction, vocab-sized joins)."""
+    return text.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue

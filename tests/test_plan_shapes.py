@@ -476,3 +476,20 @@ def test_weighted_median_single_scan_one_exchange(spark):
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_basket_pairs_from_arrays_not_self_join(spark):
+    """Pair generation must be the basket-array comprehension (Generate
+    over the per-order aggregate), not a self-join of the order frame —
+    the self-join doubles the largest shuffle and re-sorts it."""
+    plan = _plan(spark, "q_basket_brand_lift")
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_equidepth_ntile_on_projected_frame(spark):
+    """One orders scan feeding the global ntile; two-column projection
+    reaches the scan."""
+    plan = _plan(spark, "q_orders_equidepth_histogram")
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
