@@ -180,7 +180,20 @@ def main() -> None:
     # cache, IVF store write, bucketed-table write), so the timed passes
     # measure the SERVING cost — the write-once/probe-many framing those
     # entries exist to demonstrate.
+    # heavy flagships keep 2 timed passes (their spread is the signal the
+    # round-5 variance protocol exists for); the wide tail runs 1 warm +
+    # 1 timed pass so bench wall time grows ~2s per new entry, not ~6s
     extended: dict[str, float] = {}
+    _EXT_HEAVY = {
+        "docs_semantic_dedup",
+        "q_bucketed_cokey_join",
+        "dedup_tfidf_cosine_pairs",
+        "dedup_edit_distance_pairs",
+        "emb_ivf_pq_topk",
+        "q_kmv_distinct",
+        "emb_curation_pipeline",
+        "q_basket_brand_lift",
+    }
     for name in [
         "docs_semantic_dedup",
         "emb_cluster_balanced_sample",
@@ -236,7 +249,7 @@ def main() -> None:
         record(
             name,
             lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
-            2,
+            2 if name in _EXT_HEAVY else 1,
         )
         extended[name] = timings.pop(name)
 
