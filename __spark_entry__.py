@@ -169,6 +169,7 @@ _VALIDATE_FIRST = [
     "q_orders_equidepth_histogram",
     "q_basket_brand_lift",
     "docs_bigram_logprob",
+    "dedup_linkage_clusters",
 ]
 
 

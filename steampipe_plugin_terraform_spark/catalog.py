@@ -4634,6 +4634,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_linkage_clusters",
+    # multi-signal record linkage: Jaccard pairs (shingle CTE) UNION
+    # edit-distance pairs (block CTE), one RECURSIVE transitive closure
+    # over the combined edge set — the oracle replays both signals and
+    # the closure
+    oracle="WITH RECURSIVE "
+    + _SHINGLE_CTE.split("WITH", 1)[1]
+    + r""",
+    jp AS (SELECT s.id_a, s.id_b
+           FROM shared s JOIN sz x ON s.id_a = x.doc_id
+                         JOIN sz y ON s.id_b = y.doc_id
+           WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.6),
+    ld AS (SELECT doc_id, lang, n_chars,
+                  substr(regexp_replace(text, '[^\x20-\x7e]', '', 'g'),
+                         1, 80) AS p
+           FROM documents),
+    lb AS (SELECT *, n_chars // 16 AS nb, substr(p, 1, 2) AS pf FROM ld),
+    lbc AS (SELECT lang, nb, pf, count(*) c FROM lb GROUP BY 1, 2, 3),
+    lk AS (SELECT lb.* FROM lb JOIN lbc USING (lang, nb, pf)
+           WHERE lbc.c <= 256),
+    ep AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM lk a JOIN lk c
+             ON a.lang = c.lang AND a.nb = c.nb AND a.pf = c.pf
+            AND a.doc_id < c.doc_id
+           WHERE levenshtein(a.p, c.p) <= 8),
+    allp AS (SELECT * FROM jp UNION SELECT * FROM ep),
+    edges AS (SELECT id_a u, id_b v FROM allp
+              UNION SELECT id_b, id_a FROM allp),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        WHERE e.v <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal record linkage: duplicate components over the UNION
+    of two independent similarity signals — 5-gram Jaccard pairs (set
+    overlap) and blocked edit-distance pairs (string metric) — closed
+    transitively into cluster assignments. The entity-resolution shape:
+    no single matcher catches every duplicate surface form, so linkage
+    systems merge evidence from several and let the transitive closure
+    stitch partial matches (A≈B by shingles, B≈C by edits ⇒ {A,B,C}).
+
+    Composes three existing devices unchanged: the Jaccard posting-list
+    pipeline, the (lang, length, prefix)-blocked Levenshtein pipeline,
+    and the large-star/small-star connected components — demonstrating
+    that the dedup framework's edge sources are pluggable.
+
+    Scale: each signal keeps its own candidate bound (df-cap / block
+    cap); the union dedupes on (id_a, id_b); components iterate on the
+    pair graph only (nodes appearing in ≥1 pair — a small fraction of
+    the corpus), and the final assignment broadcast-joins the component
+    map back onto the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    jp = dedup.shingle_jaccard_pairs(docs, n=5, threshold=0.6).select(
+        "id_a", "id_b"
+    )
+    ep = dedup_edit_distance_pairs(spark, sf_dir).select(
+        F.col("doc_id1").alias("id_a"), F.col("doc_id2").alias("id_b")
+    )
+    edges = jp.unionAll(ep).distinct()
+    return cluster.dedup_clusters(docs, edges)
+
+
+@query(
     "docs_curation_pipeline",
     # end-to-end corpus curation: the dedup_clusters CTE chain (minhash →
     # LSH → verify → RECURSIVE components) + fused quality/lang heuristics
