@@ -28,9 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ROTATION POLICY (standing, from round 6). The driver's correctness gate
 # checks the first 50 queries() entries in dict order; the catalog holds
-# ~97, so no single round covers everything. The invariant the rotation
-# maintains: EVERY entry has a driver-green row within the last TWO rounds
-# (the 2-round horizon). Window priority each round:
+# ~148, so no single round covers everything. The invariant the rotation
+# maintains: EVERY entry has a driver-green row within the last
+# ceil(catalog/50) rounds (currently 3 — it was 2 when the catalog was
+# 97; the horizon stretches as the catalog grows, never the coverage).
+# Window priority each round:
 #   1. entries changed or added this round (their results could have
 #      moved — a stale green row proves nothing about them);
 #   2. entries whose last driver row is OLDEST (restore horizon currency);
