@@ -172,6 +172,8 @@ _VALIDATE_FIRST = [
     "q_basket_brand_lift",
     "docs_bigram_logprob",
     "dedup_linkage_clusters",
+    "q_events_theil_sen",
+    "q_events_ab_significance",
 ]
 
 

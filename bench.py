@@ -244,6 +244,9 @@ def main() -> None:
         "q_orders_equidepth_histogram",
         "q_basket_brand_lift",
         "docs_bigram_logprob",
+        "dedup_linkage_clusters",
+        "q_events_theil_sen",
+        "q_events_ab_significance",
     ]:
         fn = QUERIES[name]
         record(

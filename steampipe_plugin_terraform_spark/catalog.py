@@ -1593,6 +1593,158 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_theil_sen",
+    oracle="""
+    WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+    hi AS (SELECT event_type, cnt,
+                  CAST(epoch_us(hour) / 3600000000 AS BIGINT) AS h
+           FROM hc),
+    pr AS (SELECT a.event_type,
+                  CAST(b.cnt - a.cnt AS DOUBLE) / (b.h - a.h) AS slope,
+                  a.h AS h1, b.h AS h2
+           FROM hi a JOIN hi b
+             ON a.event_type = b.event_type AND a.h < b.h),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY slope, h1, h2) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM pr)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           floor(slope * 1000000 + 0.5) / 1000000 AS sen_slope
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of
+    hourly event counts per type — the estimator that shrugs off up to
+    ~29 % outlier hours where the OLS entry (`q_events_trend`) lets a
+    single spike tilt the line. The robust-statistics family's
+    regression member, next to MAD (dispersion) and the median sketches.
+
+    Every pairwise slope is ONE IEEE division of two exact integers
+    (count delta / hour delta) — identical in every engine — and the
+    median is the low order statistic under the total (slope, h1, h2)
+    order, so selection is deterministic even among equal slopes. Only
+    the selected value is grid-snapped.
+
+    Scale: the pair self-join is O(H²) per type on the AGGREGATED
+    hourly frame (~720 hours/month → ~260k pairs — never raw events);
+    beyond ~1e4 points the known rewrite samples pairs or uses the
+    O(n log n) Theil–Sen variant, same selection semantics."""
+    hc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    hi = hc.select(
+        "event_type",
+        "cnt",
+        (F.unix_micros(F.col("hour").cast("timestamp")) / 3600000000)
+        .cast("long")
+        .alias("h"),
+    )
+    a, b = hi.alias("a"), hi.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") < F.col("b.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            / (F.col("b.h") - F.col("a.h"))
+        ).alias("slope"),
+        F.col("a.h").alias("h1"),
+        F.col("b.h").alias("h2"),
+    )
+    wn = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = pr.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("slope", "h1", "h2")
+        ),
+    ).withColumn("n", F.count("*").over(wn))
+    return r.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (F.floor(F.col("slope") * 1000000 + 0.5) / 1000000).alias("sen_slope"),
+    )
+
+
+@query(
+    "q_events_ab_significance",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+                      CASE WHEN count(*) FILTER (event_type = 'purchase')
+                                >= 13 THEN 1 ELSE 0 END AS conv
+               FROM events GROUP BY user_id),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(conv) AS BIGINT) AS x
+          FROM u GROUP BY grp),
+    w AS (SELECT max(CASE WHEN grp = 0 THEN n END) AS n1,
+                 max(CASE WHEN grp = 0 THEN x END) AS x1,
+                 max(CASE WHEN grp = 1 THEN n END) AS n2,
+                 max(CASE WHEN grp = 1 THEN x END) AS x2
+          FROM g)
+    SELECT n1, x1, n2, x2,
+           625 * (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2)
+             > 2401 * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)
+             AS significant
+    FROM w
+    """,
+)
+def q_events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance, EXACTLY: does heavy-purchaser
+    conversion (≥13 purchase events) differ between the even/odd user
+    cohorts at α = 0.05? The pooled two-proportion z-test
+    z² = (p₁−p₂)²/(p̂q̂(1/n₁+1/n₂)) cross-multiplies into
+    625·(x₁n₂−x₂n₁)²·N > 2401·n₁n₂·x·(N−x), using z²_crit = 1.96² =
+    2401/625 as an exact rational — the whole test is INTEGER
+    arithmetic: no sqrt, no division, no FP tie anywhere (the same
+    multiply-out device as the 3σ anomaly entry).
+
+    Scale: one per-user count aggregation (map-side combined), then a
+    2-row group frame pivoted to one row. The integer products need
+    DECIMAL(38) headroom once cohorts pass ~10⁶ users ((x₁n₂)² grows
+    as n⁴); the test's exactness argument is unchanged there."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "np"
+            )
+        )
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(F.col("np") >= 13, 1).otherwise(0).alias("conv"),
+        )
+    )
+    g = u.groupBy("grp").agg(F.count("*").alias("n"), F.sum("conv").alias("x"))
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("x2"),
+    )
+    d = F.col("x1") * F.col("n2") - F.col("x2") * F.col("n1")
+    N = F.col("n1") + F.col("n2")
+    x = F.col("x1") + F.col("x2")
+    return w.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        (625 * d * d * N > 2401 * F.col("n1") * F.col("n2") * x * (N - x)).alias(
+            "significant"
+        ),
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
