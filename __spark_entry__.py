@@ -174,6 +174,8 @@ _VALIDATE_FIRST = [
     "dedup_linkage_clusters",
     "q_events_theil_sen",
     "q_events_ab_significance",
+    "dedup_lsh_recall",
+    "emb_dim_stats",
 ]
 
 

@@ -247,6 +247,8 @@ def main() -> None:
         "dedup_linkage_clusters",
         "q_events_theil_sen",
         "q_events_ab_significance",
+        "dedup_lsh_recall",
+        "emb_dim_stats",
     ]:
         fn = QUERIES[name]
         record(

@@ -4859,6 +4859,140 @@ def dedup_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_recall",
+    # LSH quality self-evaluation: ground truth = exact-Jaccard pairs at
+    # the same threshold; found = the banded pipeline's verified pairs.
+    # Precision is 1.0 by construction (pairs are verified), so the one
+    # number that matters is RECALL — pairs whose 8-hash signatures never
+    # collide in any of the 4 bands are the misses.
+    oracle=_SHINGLE_CTE
+    + """,
+    truth AS (SELECT s.id_a, s.id_b
+              FROM shared s JOIN sz x ON s.id_a = x.doc_id
+                            JOIN sz y ON s.id_b = y.doc_id
+              WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8),
+    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh
+            GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             FROM band a JOIN band b
+               ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    hit AS (SELECT t.id_a, t.id_b FROM truth t
+            JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_found,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST((SELECT count(*) FROM hit) * 10000
+                          / (SELECT count(*) FROM truth) AS BIGINT)
+           END AS recall_bp
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall self-evaluation: what fraction of the TRUE near-dup
+    pairs (exact 5-gram Jaccard ≥ 0.8 — the expensive all-candidates
+    ground truth) does the MinHash(8)+LSH(4 bands) pipeline actually
+    find? The quality-measurement leg every approximate-dedup deployment
+    needs (the ANN analog is `emb_ivf_recall`): banding trades recall
+    for candidate count, and this entry makes the trade measurable —
+    recall in exact basis points (integer division, no FP).
+
+    Scale: ground truth reuses the df-capped posting-list pipeline (the
+    O(n·df_max) bound); in production it runs on a SAMPLE of the corpus
+    while LSH runs on all of it — the entry pins the comparison
+    semantics. The hit set is a broadcast-sized semi join of two pair
+    lists."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = dedup.shingle_jaccard_pairs(docs, n=5, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    found = dedup.minhash_lsh_pairs(
+        docs, n=5, num_hashes=8, bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    hit = truth.join(found, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nh = hit.agg(F.count("*").alias("n_found"))
+    return (
+        nt.crossJoin(nh)
+        .select(
+            "n_true",
+            "n_found",
+            F.when(
+                F.col("n_true") > 0,
+                (F.col("n_found") * 10000 / F.col("n_true")).cast("long"),
+            ).alias("recall_bp"),
+        )
+    )
+
+
+@query(
+    "emb_dim_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    x AS (SELECT r.i AS dim,
+                 CAST(floor(embedding[r.i + 1]::DOUBLE * 1000000 + 0.5)
+                      AS BIGINT) AS vq
+          FROM e, unnest(range(0, len(embedding))) r(i)),
+    a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vq) AS BIGINT) AS s,
+                 CAST(sum(vq * vq) AS BIGINT) AS ss
+          FROM x GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           floor(CAST(s AS DOUBLE) / n + 0.5) / 1000000.0 AS mean,
+           floor((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                 / (CAST(n AS DOUBLE) * n) + 0.5) / 1000000000000.0
+             AS variance
+    FROM a
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean, population variance per
+    coordinate) — the drift/health monitor of an embedding pipeline: a
+    collapsed dimension (variance → 0) or shifted mean between corpus
+    versions signals encoder or preprocessing regressions before any
+    downstream metric moves.
+
+    Coordinates quantize to the 1e-6 grid FIRST, so the sums and the
+    variance numerator n·Σx²−(Σx)² are exact integers (the 3σ entry's
+    device applied per dimension); each statistic is then one IEEE
+    division snapped back to its grid. ss stays under ~6e17 at sf0.1 —
+    int64 with headroom; DECIMAL(38) past ~1e9 vectors.
+
+    Scale: posexplode to long form, one |dims|-group aggregation —
+    map-side combine reduces each partition to |dims| partials; no
+    window, no join, one scan."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    x = e.select(
+        "dim", F.floor(F.col("v").cast("double") * 1000000 + 0.5).cast("long").alias("vq")
+    )
+    a = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    return a.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        (F.floor(F.col("s").cast("double") / F.col("n") + 0.5) / 1000000.0).alias(
+            "mean"
+        ),
+        (
+            F.floor(
+                (nd * F.col("ss") - F.col("s").cast("double") * F.col("s"))
+                / (nd * F.col("n"))
+                + 0.5
+            )
+            / 1000000000000.0
+        ).alias("variance"),
+    )
+
+
+@query(
     "docs_curation_pipeline",
     # end-to-end corpus curation: the dedup_clusters CTE chain (minhash →
     # LSH → verify → RECURSIVE components) + fused quality/lang heuristics
