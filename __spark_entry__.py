@@ -176,6 +176,8 @@ _VALIDATE_FIRST = [
     "q_events_ab_significance",
     "dedup_lsh_recall",
     "emb_dim_stats",
+    "q_events_cep_pattern",
+    "q_dq_audit",
 ]
 
 

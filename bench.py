@@ -249,6 +249,8 @@ def main() -> None:
         "q_events_ab_significance",
         "dedup_lsh_recall",
         "emb_dim_stats",
+        "q_events_cep_pattern",
+        "q_dq_audit",
     ]:
         fn = QUERIES[name]
         record(

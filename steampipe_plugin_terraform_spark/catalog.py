@@ -1745,6 +1745,158 @@ def q_events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_cep_pattern",
+    oracle="""
+    WITH w AS (SELECT user_id, event_id, event_type, ts,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS np,
+                 min(CASE WHEN event_type = 'error' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS ne
+               FROM events)
+    SELECT user_id, event_id AS view_id, ts AS view_ts, np AS purchase_ts
+    FROM w
+    WHERE event_type = 'view' AND np IS NOT NULL
+      AND np <= ts + INTERVAL 30 MINUTE
+      AND (ne IS NULL OR ne > np)
+    """,
+)
+def q_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (MATCH_RECOGNIZE-style,
+    which Spark SQL lacks as a primitive): every `view` followed by a
+    `purchase` within 30 minutes with NO `error` in between — the
+    A→B-within-T-without-C motif of fraud/funnel CEP engines, expressed
+    with two conditional forward-looking window minimums: next-purchase
+    and next-error times per event; the pattern holds iff the purchase
+    arrives in window and precedes the next error.
+
+    Both 'next occurrence of type X' columns come from ONE window sort
+    per user (conditional min over the following frame) — no self-join
+    per pattern element, which is how the naive SQL encoding explodes.
+    All comparisons are on integer-µs timestamps: nothing to round.
+
+    Scale: one window exchange on user_id; pattern width adds
+    conditional-min columns, not joins or passes. Running frames would
+    make the following-frame min O(n²) per partition in Spark's
+    unbounded-following implementation — it buffers the partition and
+    scans once reversed, staying O(n)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    np_ = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    ne = F.min(F.when(F.col("event_type") == "error", F.col("ts"))).over(w)
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        np_.alias("np"),
+        ne.alias("ne"),
+    )
+    return e.filter(
+        (F.col("event_type") == "view")
+        & F.col("np").isNotNull()
+        & (F.col("np") <= F.col("ts") + F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("ne").isNull() | (F.col("ne") > F.col("np")))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("np").alias("purchase_ts"),
+    )
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_extendedprice <= 0 OR l_quantity <= 0
+           OR l_discount < 0 OR l_discount > 1)
+        AS lineitem_range_violations,
+      (SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+         FROM events) AS duplicate_event_ids,
+      (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE user_id IS NULL OR ts IS NULL) AS events_null_keys,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE n_chars <> length(text)) AS doc_length_mismatches
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one row of integrity counters across the
+    corpus — referential integrity (orphan lineitems/orders via
+    left-anti joins), range rules (non-positive prices/quantities,
+    discounts outside [0,1]), key uniqueness (duplicate event ids),
+    null keys, and a derived-column consistency check (n_chars vs
+    actual text length). The dbt-test / Deequ-style constraint-audit
+    shape every warehouse runs before publishing a corpus; zeros are
+    the contract, and the entry makes them hash-checked facts instead
+    of assumptions.
+
+    Scale: each rule is one scan-shaped aggregate (anti joins broadcast
+    the key side or shuffle on uniform keys); all counters are exact
+    integers and the six single-row branches cross-join into one
+    summary row — at 100 TB the rules run as partial+final counts, no
+    rule materializes row-level output."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    cust = _t(spark, sf_dir, "customer")
+    orphan_li = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    ranges = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_extendedprice") <= 0)
+                | (F.col("l_quantity") <= 0)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                1,
+            ).otherwise(0)
+        ).alias("lineitem_range_violations")
+    )
+    dup = ev.agg(
+        (F.count("*") - F.countDistinct("event_id")).alias("duplicate_event_ids")
+    )
+    nulls = ev.agg(
+        F.sum(
+            F.when(F.col("user_id").isNull() | F.col("ts").isNull(), 1).otherwise(0)
+        ).alias("events_null_keys")
+    )
+    orphan_o = (
+        o.select("o_custkey")
+        .join(cust.select("c_custkey"), o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
+    lens = docs.agg(
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("doc_length_mismatches")
+    )
+    out = orphan_li
+    for d in [ranges, dup, nulls, orphan_o, lens]:
+        out = out.crossJoin(F.broadcast(d))
+    return out
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue

@@ -493,3 +493,13 @@ def test_equidepth_ntile_on_projected_frame(spark):
     plan = _plan(spark, "q_orders_equidepth_histogram")
     assert plan.count("orders.parquet") == 1
     assert "Join" not in plan
+
+
+def test_cep_pattern_one_window_no_self_join(spark):
+    """Both 'next occurrence' columns come from one window sort per user
+    — a per-pattern-element self-join here is the encoding this entry
+    exists to avoid."""
+    plan = _plan(spark, "q_events_cep_pattern")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
