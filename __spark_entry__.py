@@ -178,6 +178,7 @@ _VALIDATE_FIRST = [
     "emb_dim_stats",
     "q_events_cep_pattern",
     "q_dq_audit",
+    "q_bloom_semi_join",
 ]
 
 

@@ -251,6 +251,7 @@ def main() -> None:
         "emb_dim_stats",
         "q_events_cep_pattern",
         "q_dq_audit",
+        "q_bloom_semi_join",
     ]:
         fn = QUERIES[name]
         record(

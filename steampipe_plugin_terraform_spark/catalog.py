@@ -575,6 +575,98 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bloom_semi_join",
+    oracle=f"""
+    WITH dk AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+    hp AS (SELECT c_custkey, i,
+                  md5(i::VARCHAR || ':' || c_custkey::VARCHAR) AS h
+           FROM dk, range(0, 3) r(i)),
+    bits AS (SELECT DISTINCT ({_HEX12}) % 1024 AS b FROM hp),
+    pk AS (SELECT DISTINCT o_custkey FROM orders),
+    php AS (SELECT o_custkey, i,
+                   md5(i::VARCHAR || ':' || o_custkey::VARCHAR) AS h
+            FROM pk, range(0, 3) r(i)),
+    pb AS (SELECT o_custkey, i, ({_HEX12}) % 1024 AS b FROM php),
+    cand AS (SELECT o_custkey FROM pb JOIN bits USING (b)
+             GROUP BY o_custkey HAVING count(DISTINCT i) = 3),
+    tru AS (SELECT pk.o_custkey FROM pk JOIN dk ON o_custkey = c_custkey)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM dk) AS n_dim_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_true_matches,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand)
+             - (SELECT CAST(count(*) AS BIGINT) FROM tru) AS false_positives
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter, fully portable: a 1024-bit /
+    3-hash Bloom filter built from the selective dim side (rich
+    customers) probes the fact's key set, and the entry reports the
+    filter's whole truth — bits set, candidates passed, true matches,
+    and FALSE POSITIVES — the runtime-filter pattern (Spark's own
+    injected bloom, Parquet bloom filters) with its accuracy made a
+    hash-checked fact. Completes the portable-sketch family: CMS
+    (frequency), KMV (distinct + set algebra), MinHash/SimHash
+    (similarity), bottom-k (quantiles), Bloom (membership).
+
+    md5-seeded bit positions make the filter bit-identical in the
+    oracle, so candidates and FP counts replay exactly — unlike
+    engine-native bloom runtime filters, which are invisible to a
+    cross-engine check. A probe key passes iff ALL 3 positions are set
+    (count of DISTINCT matched hash indexes = 3).
+
+    Scale: the bit set is ≤ m = 1024 rows — broadcast to the probe side
+    (in production it's a bitmask in a broadcast variable / pushed into
+    the scan); the probe explodes k = 3 rows per DISTINCT key, never
+    per fact row. The dim side never shuffles fact-sized data — the
+    point of the pattern: membership pre-pruning for the price of k
+    hashes per key and a constant-size broadcast."""
+    dk = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+
+    def pos(i: int, key):
+        h = F.md5(F.concat(F.lit(str(i)), F.lit(":"), key.cast("string")))
+        return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % 1024
+
+    bits = dk.select(
+        F.explode(
+            F.array(*[pos(i, F.col("c_custkey")) for i in range(3)])
+        ).alias("b")
+    ).distinct()
+    pk = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    pb = pk.select(
+        "o_custkey",
+        F.posexplode(
+            F.array(*[pos(i, F.col("o_custkey")) for i in range(3)])
+        ).alias("i", "b"),
+    )
+    cand = (
+        pb.join(F.broadcast(bits), "b")
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("i").alias("k"))
+        .filter(F.col("k") == 3)
+    )
+    tru = pk.join(F.broadcast(dk), pk.o_custkey == dk.c_custkey, "left_semi")
+    nd = dk.agg(F.count("*").alias("n_dim_keys"))
+    nb = bits.agg(F.count("*").alias("n_bits_set"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = tru.agg(F.count("*").alias("n_true_matches"))
+    out = nd.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nc)).crossJoin(
+        F.broadcast(nt)
+    )
+    return out.select(
+        "n_dim_keys",
+        "n_bits_set",
+        "n_candidates",
+        "n_true_matches",
+        (F.col("n_candidates") - F.col("n_true_matches")).alias("false_positives"),
+    )
+
+
+@query(
     "q_quantile_bottomk_sketch",
     oracle="""
     WITH c AS (SELECT c_mktsegment, c_acctbal, c_custkey FROM customer),
