@@ -426,7 +426,12 @@ def bigram_logprob(
     size), and the two probability joins hit vocab-sized tables (AQE
     broadcasts them when small). The ln argument is computed with one
     fixed expression shape, so per-row values are IEEE-identical
-    cross-engine; only the final mean needs the grid snap.
+    cross-engine; only the final mean needs the grid snap. The declared
+    plan re-derives the token/pair extraction per consumer (5 narrow
+    scans of the text column, like `unigram_logprob`'s 2) — at corpus
+    scale a production run materializes the tokenized frame once and
+    feeds all vocabularies from it; the extraction itself stays the
+    cheapest stage (projection-only, no shuffle).
     """
     d2 = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")

@@ -266,3 +266,53 @@ def test_sessions_stream_under_rocksdb_state_store(spark):
         else:
             spark.conf.set(key, prev)
     assert under_rocks == baseline and len(baseline) > 0
+
+
+def test_progress_recorder_observes_drain(spark):
+    """The ProgressRecorder must see the whole drain: total input rows
+    equal the corpus, the event-time watermark advances past epoch, and
+    the windowed aggregation reports bounded (nonzero) state rows."""
+    import duckdb
+
+    from steampipe_plugin_terraform_spark.streaming.events import (
+        hourly_counts_stream,
+        read_events_stream,
+    )
+    from steampipe_plugin_terraform_spark.streaming.observe import ProgressRecorder
+
+    sf = "/root/testdata/sf0.001"
+    n_events = duckdb.sql(f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    rec = ProgressRecorder().attach(spark)
+    try:
+        # append mode: the drain runs a final no-data micro-batch that
+        # advances the watermark and flushes closed windows — TWO
+        # progress events, the second carrying the advanced watermark
+        q = (
+            hourly_counts_stream(read_events_stream(spark, sf))
+            .writeStream.format("memory")
+            .queryName("__obs_hourly")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        # listener delivery is asynchronous — poll for the progress
+        # events to land before asserting on them
+        import time as _time
+
+        for _ in range(150):
+            wm = rec.final_watermark()
+            if wm is not None and wm > "2000-":
+                break
+            _time.sleep(0.1)
+    finally:
+        rec.detach()
+    assert rec.total_input_rows() == n_events
+    wm = rec.final_watermark()
+    assert wm is not None and wm > "2000-"
+    assert rec.max_state_rows() > 0
+    # the finalization batch must show state EVICTION (closed windows
+    # leave the store): last reported state rows < the batch-0 peak
+    first = max(rec.progress[0]["state_rows_total"], default=0)
+    last = max(rec.progress[-1]["state_rows_total"], default=0)
+    assert last < first
