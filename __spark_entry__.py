@@ -179,6 +179,7 @@ _VALIDATE_FIRST = [
     "q_events_cep_pattern",
     "q_dq_audit",
     "q_bloom_semi_join",
+    "q_orders_interval_merge",
 ]
 
 

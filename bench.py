@@ -252,6 +252,7 @@ def main() -> None:
         "q_events_cep_pattern",
         "q_dq_audit",
         "q_bloom_semi_join",
+        "q_orders_interval_merge",
     ]:
         fn = QUERIES[name]
         record(

@@ -1989,6 +1989,93 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orders_interval_merge",
+    oracle="""
+    WITH oi AS (SELECT o_custkey, o_orderkey,
+                       date_trunc('day', min(o_orderdate)) AS s,
+                       date_trunc('day', max(l_shipdate)) AS e
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY o_custkey, o_orderkey),
+    m AS (SELECT *, max(e) OVER (PARTITION BY o_custkey
+                                 ORDER BY s, e, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max
+          FROM oi),
+    isl AS (SELECT *, CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                                    THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           FROM m),
+    g AS (SELECT o_custkey, island, min(s) AS is_, max(e) AS ie,
+                 count(*) AS n
+          FROM isl GROUP BY o_custkey, island)
+    SELECT o_custkey AS custkey,
+           CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(sum(date_diff('day', is_, ie) + 1) AS BIGINT)
+             AS covered_days
+    FROM g GROUP BY o_custkey
+    """,
+)
+def q_orders_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per key (merge-overlapping-intervals): each
+    customer's order intervals [order date, last ship date] collapsed
+    into disjoint covered spans — how many separate fulfillment
+    episodes the customer had and how many distinct days they had
+    something in flight. The per-key interval-algebra complement of the
+    global sweep entry (`q_orders_open_interval_sweep`): union instead
+    of concurrency.
+
+    Gaps-and-islands in its interval form: an interval starts a new
+    island iff its start exceeds the running MAX of all previous ends
+    (not lag(end) — an earlier long interval can swallow several later
+    ones); the island id is a running sum of those starts. Dates are
+    exact day integers — no FP anywhere.
+
+    Scale: one orders⋈lineitem shuffle to per-order intervals, then
+    every window shares ONE per-customer exchange (same partition key,
+    progressively applied), and the merge is two ordinary aggregations.
+    Per-customer history is small; a hot key with millions of intervals
+    would salt the extraction and merge islands hierarchically."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    oi = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.date_trunc("day", F.min("o_orderdate")).alias("s"),
+            F.date_trunc("day", F.max("l_shipdate")).alias("e"),
+        )
+    )
+    word = Window.partitionBy("o_custkey").orderBy("s", "e", "o_orderkey")
+    m = oi.withColumn(
+        "prev_max",
+        F.max("e").over(word.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(word.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = isl.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie"), F.count("*").alias("n")
+    )
+    return g.groupBy("o_custkey").agg(
+        F.sum("n").alias("n_intervals"),
+        F.count("*").alias("n_merged"),
+        F.sum(F.datediff(F.col("ie"), F.col("is_")) + 1).alias("covered_days"),
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        "n_intervals",
+        "n_merged",
+        "covered_days",
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
