@@ -180,6 +180,7 @@ _VALIDATE_FIRST = [
     "q_dq_audit",
     "q_bloom_semi_join",
     "q_orders_interval_merge",
+    "q_events_autocorr24",
 ]
 
 

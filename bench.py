@@ -253,6 +253,7 @@ def main() -> None:
         "q_dq_audit",
         "q_bloom_semi_join",
         "q_orders_interval_merge",
+        "q_events_autocorr24",
     ]:
         fn = QUERIES[name]
         record(

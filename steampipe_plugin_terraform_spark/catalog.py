@@ -2076,6 +2076,79 @@ def q_orders_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_autocorr24",
+    oracle="""
+    WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, cnt AS x,
+                 lead(cnt, 24) OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS y
+          FROM hc),
+    a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM l WHERE y IS NOT NULL GROUP BY 1)
+    SELECT event_type, n AS n_pairs,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 * 1000000 + 0.5) / 1000000 AS r24
+    FROM a
+    """,
+)
+def q_events_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality detection: lag-24 autocorrelation of the hourly
+    event series per type (Pearson r of (count_t, count_{t+24}) pairs) —
+    r24 near 1 means a strong repeating daily profile, near 0 means the
+    volume has no 24-hour rhythm; the standard first diagnostic before
+    fitting any seasonal model.
+
+    All five moments (Σx, Σy, Σx², Σy², Σxy) are EXACT integer sums
+    (counts are integers, the shuffle merges partials exactly); the
+    final r is one IEEE expression — a division and a sqrt, both
+    correctly-rounded operations, hence bit-identical cross-engine —
+    snapped to the 1e-6 grid. The same integer-moment device as the OLS
+    trend entry, extended to a second series.
+
+    Scale: one count aggregation, one lag window per type over the
+    hourly frame (~720 rows/month), one partial+final moment
+    aggregation — raw events are scanned once."""
+    hc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    l = hc.select(
+        "event_type",
+        F.col("cnt").alias("x"),
+        F.lead("cnt", 24).over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    a = l.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return a.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (F.floor(num / den * 1000000 + 0.5) / 1000000).alias("r24"),
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
