@@ -181,6 +181,8 @@ _VALIDATE_FIRST = [
     "q_bloom_semi_join",
     "q_orders_interval_merge",
     "q_events_autocorr24",
+    "q_user_entropy",
+    "q_customer_gini",
 ]
 
 

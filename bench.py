@@ -254,6 +254,8 @@ def main() -> None:
         "q_bloom_semi_join",
         "q_orders_interval_merge",
         "q_events_autocorr24",
+        "q_user_entropy",
+        "q_customer_gini",
     ]:
         fn = QUERIES[name]
         record(

@@ -2149,6 +2149,115 @@ def q_events_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_user_entropy",
+    oracle="""
+    WITH tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+    a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 sum(c * ln(CAST(c AS DOUBLE))) AS sclnc
+          FROM tc GROUP BY 1)
+    SELECT user_id, n AS n_events,
+           floor((ln(CAST(n AS DOUBLE)) - sclnc / n) * 10000 + 0.5) / 10000
+             AS entropy_nats
+    FROM a
+    """,
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution (nats) — 0 for single-behavior users, ln(5) ≈ 1.609
+    for perfectly mixed ones; the information-theoretic segmentation
+    feature (bot detection: scripted accounts cluster at the extremes).
+
+    Computed as ln(n) − Σc·ln(c)/n from INTEGER counts, so every ln
+    argument is an exact integer and each term is engine-identical;
+    only the per-user sum of ≤|types| such terms is order-sensitive,
+    absorbed by the 1e-4 snap (the same tolerance device as the LM
+    logprob entries).
+
+    Scale: two chained aggregations — (user, type) counts then per-user
+    moments — both map-side combined; no window, no join, one scan."""
+    tc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    a = tc.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sclnc"),
+    )
+    ent = F.log(F.col("n").cast("double")) - F.col("sclnc") / F.col("n")
+    return a.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        (F.floor(ent * 10000 + 0.5) / 10000).alias("entropy_nats"),
+    )
+
+
+@query(
+    "q_customer_gini",
+    oracle="""
+    WITH cr AS (SELECT o_custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS r
+                FROM orders GROUP BY 1),
+    rk AS (SELECT r, CAST(row_number() OVER (ORDER BY r, o_custkey)
+                          AS BIGINT) AS i
+           FROM cr),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r) AS BIGINT) AS sr,
+                 CAST(sum(i * r) AS BIGINT) AS sir
+          FROM rk)
+    SELECT n AS n_customers,
+           floor((2.0 * sir - (n + 1.0) * sr) / (CAST(n AS DOUBLE) * sr)
+                 * 1000000 + 0.5) / 1000000 AS gini
+    FROM a
+    """,
+)
+def q_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as a Gini coefficient: 0 = every customer
+    spends equally, →1 = one customer is the business — the inequality
+    summary behind the Pareto-cut entry (`q_customer_pareto` answers
+    "who is the top 80 %?", this answers "HOW concentrated is it?" in
+    one number comparable across periods and corpora).
+
+    The rank formula G = (2Σi·rᵢ − (n+1)Σrᵢ)/(nΣrᵢ) runs on integer
+    cents and integer ranks (total (r, custkey) order — ties get
+    deterministic distinct ranks, which the formula's mean-of-ranks
+    behavior tolerates identically in both engines), so both Σ terms
+    are exact; ONE IEEE expression at the end, snapped to 1e-6.
+
+    Scale: per-customer totals aggregate first; the rank is the one
+    global-order window, over the aggregated frame (the same ~1e7-row
+    sweep ceiling as Pareto/skyline — beyond that, a two-phase
+    histogram Gini from the equi-depth entry's buckets approximates to
+    any precision)."""
+    cr = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("r")
+        )
+    )
+    rk = cr.select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "o_custkey")).cast("long").alias("i"),
+    )
+    a = rk.agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("i") * F.col("r")).alias("sir"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (2.0 * F.col("sir") - (F.col("n") + F.lit(1.0)) * F.col("sr")) / (
+        nd * F.col("sr")
+    )
+    return a.select(
+        F.col("n").alias("n_customers"),
+        (F.floor(gini * 1000000 + 0.5) / 1000000).alias("gini"),
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
