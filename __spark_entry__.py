@@ -183,6 +183,8 @@ _VALIDATE_FIRST = [
     "q_events_autocorr24",
     "q_user_entropy",
     "q_customer_gini",
+    "q_customer_rfm",
+    "q_nation_share_of_region",
 ]
 
 

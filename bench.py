@@ -256,6 +256,8 @@ def main() -> None:
         "q_events_autocorr24",
         "q_user_entropy",
         "q_customer_gini",
+        "q_customer_rfm",
+        "q_nation_share_of_region",
     ]:
         fn = QUERIES[name]
         record(

@@ -2258,6 +2258,130 @@ def q_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_customer_rfm",
+    oracle="""
+    WITH cr AS (SELECT o_custkey,
+                       max(o_orderdate) AS last_order,
+                       CAST(count(*) AS BIGINT) AS freq,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS money_c
+                FROM orders GROUP BY 1),
+    q AS (SELECT o_custkey,
+                 ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+                 ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+                 ntile(5) OVER (ORDER BY money_c, o_custkey) AS m
+          FROM cr)
+    SELECT o_custkey AS custkey, CAST(r AS BIGINT) AS r,
+           CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+           r::VARCHAR || f::VARCHAR || m::VARCHAR AS rfm
+    FROM q
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency (last
+    order date), Frequency (order count), and Monetary (lifetime spend),
+    concatenated into the classic ' 555 ' style segment code — the
+    marketing-analytics workhorse (5 = most recent / most frequent /
+    highest spend under ascending ntile).
+
+    Each dimension is a keyed ntile over the aggregated per-customer
+    frame with the customer key as tiebreak — identical bucket
+    assignment in both engines (the equi-depth entry's device, applied
+    three ways); spend is integer cents, dates are exact.
+
+    Scale: one per-customer aggregation, then three ntile windows over
+    the SAME single-partition aggregated frame (one exchange, three
+    sorts of |customers| rows — the familiar global-order ceiling;
+    two-phase boundary sampling lifts it like the equi-depth entry)."""
+    cr = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                "money_c"
+            ),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy("freq", "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy("money_c", "o_custkey"))
+    q = cr.select(
+        F.col("o_custkey").alias("custkey"),
+        r.cast("long").alias("r"),
+        f.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    )
+    return q.withColumn(
+        "rfm",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+@query(
+    "q_nation_share_of_region",
+    oracle="""
+    WITH nr AS (SELECT r.r_name AS region, n.n_name AS nation,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                GROUP BY 1, 2)
+    SELECT region, nation, rev_c / 100.0 AS revenue,
+           CAST((rev_c * 10000) // CAST(sum(rev_c) OVER (PARTITION BY region)
+                                        AS BIGINT) AS BIGINT) AS share_bp
+    FROM nr
+    """,
+)
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent: each nation's revenue as basis points of its
+    REGION's total — the hierarchical percent-of-parent measure every
+    OLAP drill-down report carries next to the raw number (and the
+    windowed-ratio shape: aggregate once, normalize inside the parent
+    partition, no second pass).
+
+    Shares are integer basis points via integer division of exact cent
+    sums — no FP ratio; the window total is the only cross-row
+    operation and runs over the tiny (region, nation) frame.
+
+    Scale: dims broadcast onto the orders fact (one fact shuffle for
+    the aggregate); the share window shuffles |nations| rows. The same
+    plan shape as q5 with a windowed normalization appended."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    wr = Window.partitionBy("region")
+    # integer (floor) division on both sides: DuckDB's `/` on integers
+    # yields DOUBLE and its BIGINT cast rounds, Spark's cast truncates —
+    # `DIV` / `//` sidestep the divergence entirely
+    return nr.withColumn("total", F.sum("rev_c").over(wr)).select(
+        "region",
+        "nation",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        F.expr("(rev_c * 10000) DIV total").alias("share_bp"),
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
