@@ -258,6 +258,7 @@ def main() -> None:
         "q_customer_gini",
         "q_customer_rfm",
         "q_nation_share_of_region",
+        "q_events_lateness_profile",
     ]:
         fn = QUERIES[name]
         record(

@@ -2382,6 +2382,70 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_lateness_profile",
+    oracle="""
+    WITH a AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+    r AS (SELECT event_id,
+                 max(tus) OVER (ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) - tus AS late_us
+          FROM a),
+    b AS (SELECT CASE WHEN late_us = 0 THEN 0
+                      WHEN late_us < 60000000 THEN 1
+                      WHEN late_us < 600000000 THEN 2
+                      WHEN late_us < 3600000000 THEN 3
+                      WHEN late_us < 7200000000 THEN 4
+                      ELSE 5 END AS bucket
+          FROM r)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness profile: for each event, how far behind the
+    maximum event time already ARRIVED (event_id is the generation /
+    arrival order) — bucketed into on-time / <1 min / <10 min / <1 h /
+    <2 h / ≥2 h. This is the measurement that JUSTIFIES a watermark
+    delay: the streaming entries all use 2 hours, and this profile
+    shows exactly what fraction of events a smaller delay would drop
+    as late. The batch-side capacity-planning tool for the §2.8
+    pipelines.
+
+    Lateness is running-max(arrival-ordered event time) − event time —
+    exact integer microseconds; bucket edges are integer constants.
+    (The synthetic corpus generates events in time order, so every
+    event lands in bucket 0 — which is itself the finding: a 2 h delay
+    is strictly conservative here. Out-of-order real streams populate
+    the tail buckets.)
+
+    Scale: the running max needs the arrival order — a global-order
+    window over raw events (the one entry where that's inherent,
+    because lateness is a global property of the arrival stream). At
+    cluster scale this is the standard two-phase prefix-max: per-batch
+    maxima first, broadcast the tiny per-batch frame's running max as
+    the carry-in, then a partition-local pass — identical output, no
+    global sort; in production it runs incrementally per ingest batch
+    (which is how the ProgressRecorder sees it live)."""
+    a = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    r = a.select((F.max("tus").over(w) - F.col("tus")).alias("late_us"))
+    bucket = (
+        F.when(F.col("late_us") == 0, 0)
+        .when(F.col("late_us") < 60_000_000, 1)
+        .when(F.col("late_us") < 600_000_000, 2)
+        .when(F.col("late_us") < 3_600_000_000, 3)
+        .when(F.col("late_us") < 7_200_000_000, 4)
+        .otherwise(5)
+    )
+    return (
+        r.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
