@@ -186,6 +186,7 @@ _VALIDATE_FIRST = [
     "q_customer_rfm",
     "q_nation_share_of_region",
     "q_events_lateness_profile",
+    "media_ahash_pairs",
 ]
 
 

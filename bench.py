@@ -259,6 +259,7 @@ def main() -> None:
         "q_customer_rfm",
         "q_nation_share_of_region",
         "q_events_lateness_profile",
+        "media_ahash_pairs",
     ]:
         fn = QUERIES[name]
         record(

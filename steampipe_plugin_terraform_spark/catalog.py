@@ -7151,6 +7151,62 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_ahash_pairs",
+    # pure-ASCII corpus: ord(char) == byte value, so DuckDB replays the
+    # stub decode + the v·64 > Σv bit rule exactly
+    oracle="""
+    WITH d AS (SELECT doc_id, substring(text, 1, 64) AS p
+               FROM documents WHERE n_chars >= 64),
+    b AS (SELECT doc_id, i, ord(substring(p, i, 1)) AS v
+          FROM d, unnest(range(1, 65)) r(i)),
+    s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot FROM b GROUP BY 1),
+    bits AS (SELECT b.doc_id,
+                    string_agg(CASE WHEN v * 64 > tot THEN '1' ELSE '0' END,
+                               '' ORDER BY i) AS h
+             FROM b JOIN s ON b.doc_id = s.doc_id GROUP BY b.doc_id),
+    bc AS (SELECT h, count(*) c FROM bits GROUP BY 1)
+    SELECT a.doc_id AS doc_id1, c.doc_id AS doc_id2, a.h AS ahash
+    FROM bits a JOIN bits c ON a.h = c.h AND a.doc_id < c.doc_id
+    JOIN bc ON bc.h = a.h
+    WHERE bc.c <= 64
+    """,
+)
+def media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over MEDIA payloads: average-hash
+    (aHash) collisions — the multimodal member of the dedup family,
+    joining the text-side signals (Jaccard / MinHash / SimHash / edit
+    distance / semantic). The stub codec grids the first 64 payload
+    bytes 8×8 and thresholds each cell against the integer grid mean
+    (v·64 > Σv — no FP); payloads with identical brightness structure
+    collide on the 64-bit fingerprint even when bytes differ elsewhere.
+
+    The decode+hash step is the inherently-Python media stage
+    (Arrow-batched mapInPandas, 64 bits out per payload); everything
+    after is relational: hash equality groups with the standard
+    deterministic 64-per-bucket cap, pairs within buckets.
+
+    Scale: narrow hash map (no shuffle), then ONE shuffle on the 64-bit
+    hash; bucket sizes are bounded by the cap, so pair output is
+    O(buckets·cap²) worst case — same bound class as the other blocked
+    dedup entries. Hamming-tolerant variants band the 64 bits exactly
+    like `dedup_simhash`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
+    h = multimodal.ahash64(multimodal.documents_as_binary(docs))
+    wb = Window.partitionBy("ahash")
+    k = h.withColumn("c", F.count("*").over(wb)).filter(F.col("c") <= 64)
+    a, c = k.alias("a"), k.alias("c")
+    return a.join(
+        c,
+        (F.col("a.ahash") == F.col("c.ahash"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id1"),
+        F.col("c.doc_id").alias("doc_id2"),
+        F.col("a.ahash").alias("ahash"),
+    )
+
+
+@query(
     "media_frame_sample",
     # the corpus is pure ASCII (verified), so byte-frames == char windows
     # and DuckDB can fingerprint the identical slices

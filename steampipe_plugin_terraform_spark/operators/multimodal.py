@@ -295,3 +295,54 @@ def resize_stub(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         resize, schema=RESIZE_SCHEMA
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.StringType()),
+    ]
+)
+
+
+def ahash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over an opaque payload:
+    the stub codec reads the first 64 bytes as an 8×8 grayscale grid and
+    emits one bit per cell — 1 iff the cell exceeds the grid MEAN — as a
+    64-char bit string. The classic perceptual-dedup primitive: payloads
+    with globally similar "brightness structure" collide even when bytes
+    differ locally. A real pipeline swaps PIL's grayscale-resize into the
+    same per-row spot; the mean comparison is computed as v·64 > Σv so
+    the bits are pure integer decisions (no FP mean).
+
+    Callers must pre-filter payloads ≥ 64 bytes (the stub has no
+    interpolation to upsample smaller ones).
+
+    Scale: narrow Arrow-batched map, no shuffle; 64 bits leave the
+    executor per payload regardless of size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_name, payload_name = id_col, payload_col
+
+    def hsh(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, payload in zip(pdf[id_name], pdf[payload_name]):
+                v = np.frombuffer(bytes(payload)[:64], dtype=np.uint8).astype(
+                    np.int64
+                )
+                tot = int(v.sum())
+                bits = (v * 64 > tot).astype(np.uint8)
+                ids.append(int(i))
+                hs.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hs})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        hsh, schema=AHASH_SCHEMA
+    )
