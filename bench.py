@@ -260,6 +260,8 @@ def main() -> None:
         "q_nation_share_of_region",
         "q_events_lateness_profile",
         "media_ahash_pairs",
+        "q_fulfillment_latency",
+        "q_events_duplicate_payments",
     ]:
         fn = QUERIES[name]
         record(

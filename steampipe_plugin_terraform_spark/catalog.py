@@ -2446,6 +2446,143 @@ def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fulfillment_latency",
+    oracle="""
+    WITH ol AS (SELECT o.o_orderkey, o.o_orderpriority,
+                       date_diff('day', date_trunc('day', min(o.o_orderdate)),
+                                 date_trunc('day', max(l.l_shipdate)))
+                         AS days
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                GROUP BY o.o_orderkey, o.o_orderpriority),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY days, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM ol)
+    SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS BIGINT)
+             AS p50_days,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END)
+                AS BIGINT) AS p90_days,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN days END)
+                AS BIGINT) AS p99_days
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency SLA report: p50/p90/p99 days from order
+    placement to LAST line shipped, per order priority — the
+    operational percentile dashboard (does '1-URGENT' actually ship
+    faster, and at which tail?). Latencies are exact integer day
+    counts; every percentile is the low order statistic at
+    rn = ⌈q·n⌉ = (q_num·n + q_num) DIV q_den under a (days, orderkey)
+    total order — no interpolation, bit-exact cross-engine (the
+    rank-selection device generalized from the median entries to
+    arbitrary q).
+
+    Scale: one orders⋈lineitem shuffle to per-order latencies, one
+    rank window per priority over the per-order frame, one final
+    aggregation — the three-percentile read shares a single window
+    pass (CASE on rank, not three sorts)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ol = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.datediff(
+                F.date_trunc("day", F.max("l_shipdate")),
+                F.date_trunc("day", F.min("o_orderdate")),
+            ).alias("days")
+        )
+    )
+    wn = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = ol.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy("days", "o_orderkey")
+        ),
+    ).withColumn("n", F.count("*").over(wn))
+    pick = lambda num, den: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({num} * n + {num}) DIV {den}"), F.col("days"))
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        pick(1, 2).cast("long").alias("p50_days"),
+        pick(9, 10).cast("long").alias("p90_days"),
+        pick(99, 100).cast("long").alias("p99_days"),
+    )
+
+
+@query(
+    "q_events_duplicate_payments",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts,
+                      CAST(floor(value + 0.5) AS BIGINT) AS vd
+               FROM events WHERE event_type = 'purchase'),
+    l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id, vd
+                                  ORDER BY ts, event_id) AS prev_ts,
+                 lag(event_id) OVER (PARTITION BY user_id, vd
+                                     ORDER BY ts, event_id) AS prev_id
+          FROM p)
+    SELECT prev_id AS first_event_id, event_id AS dup_event_id,
+           user_id, vd AS amount_dollars,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM l
+    WHERE prev_ts IS NOT NULL AND ts <= prev_ts + INTERVAL 1 HOUR
+    """,
+)
+def q_events_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction detection: consecutive purchases by the
+    SAME user for the SAME whole-dollar amount within 1 hour — the
+    double-charge / double-click fraud-ops rule, expressed as a lag()
+    within (user, amount) partitions instead of the naive self-join
+    (which explodes on users with many equal-amount purchases). The
+    amount bucket and window are the rule's tunables; whole dollars +
+    1 h is the sensitivity at which this corpus fires.
+
+    Amounts snap to integer dollars before partitioning, so 'same
+    amount' is an exact key in both engines; gaps are integer
+    microseconds. Consecutive-pair semantics (lag, not all-pairs) is
+    the deliberate rule shape: a burst of k rapid duplicates flags k−1
+    pairs, not O(k²).
+
+    Scale: one shuffle on (user, amount-bucket) — a finer key than
+    user alone, so hot users spread across partitions; state per group
+    is one lag row. The same plan runs streaming with
+    dropDuplicatesWithinWatermark's state model."""
+    p = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.floor(F.col("value") + 0.5).cast("long").alias("vd"),
+        )
+    )
+    w = Window.partitionBy("user_id", "vd").orderBy("ts", "event_id")
+    l = p.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "prev_id", F.lag("event_id").over(w)
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    ptus = F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    return l.filter(
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 1 HOUR"))
+    ).select(
+        F.col("prev_id").alias("first_event_id"),
+        F.col("event_id").alias("dup_event_id"),
+        "user_id",
+        F.col("vd").alias("amount_dollars"),
+        (tus - ptus).alias("gap_us"),
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
