@@ -189,6 +189,7 @@ _VALIDATE_FIRST = [
     "media_ahash_pairs",
     "q_fulfillment_latency",
     "q_events_duplicate_payments",
+    "q_customer_activity_reconciliation",
 ]
 
 

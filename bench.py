@@ -262,6 +262,7 @@ def main() -> None:
         "media_ahash_pairs",
         "q_fulfillment_latency",
         "q_events_duplicate_payments",
+        "q_customer_activity_reconciliation",
     ]:
         fn = QUERIES[name]
         record(

@@ -2583,6 +2583,67 @@ def q_events_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_customer_activity_reconciliation",
+    oracle="""
+    WITH oc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_o
+                FROM orders GROUP BY 1),
+    ec AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_e
+           FROM events GROUP BY 1),
+    f AS (SELECT coalesce(oc.k, ec.k) AS k,
+                 CASE WHEN oc.k IS NOT NULL AND ec.k IS NOT NULL THEN 'both'
+                      WHEN oc.k IS NOT NULL THEN 'orders_only'
+                      ELSE 'events_only' END AS status,
+                 coalesce(n_o, 0) AS n_o, coalesce(n_e, 0) AS n_e
+          FROM oc FULL OUTER JOIN ec ON oc.k = ec.k)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_o) AS BIGINT) AS n_orders,
+           CAST(sum(n_e) AS BIGINT) AS n_events
+    FROM f GROUP BY status
+    """,
+)
+def q_customer_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation via FULL OUTER join — the one join
+    type the rest of the catalog doesn't exercise: the order system's
+    customer keys against the event system's user keys, every key
+    classified `both` / `orders_only` / `events_only` with record
+    volumes on each side. The data-integration audit that finds silent
+    key-space drift between two pipelines (this corpus: events cover a
+    strict subset of customers — `events_only` is empty and that
+    absence is part of the hash-checked answer).
+
+    Scale: both sides collapse to per-key counts BEFORE the full outer
+    join (the join carries |keys| rows, not raw records), then a 3-row
+    aggregation. Full outer plans as SMJ on the shared key — both
+    sides' aggregates already hash-partitioned on it, so the join
+    reuses their exchanges."""
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    ec = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("n_e"))
+    )
+    f = oc.join(ec, "k", "full_outer").select(
+        F.when(
+            F.col("n_o").isNotNull() & F.col("n_e").isNotNull(), "both"
+        )
+        .when(F.col("n_o").isNotNull(), "orders_only")
+        .otherwise("events_only")
+        .alias("status"),
+        F.coalesce("n_o", F.lit(0)).alias("n_o"),
+        F.coalesce("n_e", F.lit(0)).alias("n_e"),
+    )
+    return f.groupBy("status").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_o").alias("n_orders"),
+        F.sum("n_e").alias("n_events"),
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT r.r_name, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue
