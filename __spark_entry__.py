@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # JL random projection, weighted sampling, dyadic EWMA, price histogram,
 # train/val/test split, count-min sketch incl. streaming build, Pareto
 # cut, integer-moment OLS trend, Markov transitions, KMV distinct,
-# hopping windows). The r06 window is exactly consumed
+# hopping windows, BM25 top-k, RAG chunking, part triangles, stream
+# full-outer join). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -190,6 +191,10 @@ _VALIDATE_FIRST = [
     "q_fulfillment_latency",
     "q_events_duplicate_payments",
     "q_customer_activity_reconciliation",
+    "docs_bm25_topk",
+    "docs_chunk_overlap",
+    "q_part_triangles",
+    "stream_click_error_full_join",
 ]
 
 

@@ -7421,3 +7421,185 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(
         multimodal.documents_as_binary(docs), every=4, frame_bytes=256
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: retrieval, chunking, graph triangles, stream full-outer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_chunk_overlap",
+    # DuckDB's w[i:j] slice is 1-based inclusive, so [1+k*15 : k*15+20]
+    # is exactly Spark's slice(w, 1+k*15, 20); both clamp at the tail.
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    d AS (SELECT doc_id, w, len(w) dl FROM t),
+    n AS (SELECT doc_id, w,
+                 CAST(1 + floor((greatest(dl - 20, 0) + 14) / 15) AS BIGINT) nch
+          FROM d),
+    c AS (SELECT doc_id, k AS chunk_idx, w[1 + k*15 : k*15 + 20] cw
+          FROM n, unnest(range(0, nch)) r(k))
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(cw) AS BIGINT) AS n_words,
+           md5(array_to_string(cw, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 20-word windows advancing by 15 (5 words of shared
+    context), final short chunk kept; md5 of each chunk body value-checks
+    the exact boundaries. Zero-shuffle narrow fan-out (split/sequence/
+    posexplode/slice) — the text-side front half of an embed-and-index
+    pipeline."""
+    return text.chunk_overlap(_t(spark, sf_dir, "documents"), size=20, stride=15)
+
+
+@query(
+    "docs_bm25_topk",
+    oracle="""
+    WITH q(term) AS (SELECT unnest(['dup', 'vector', 'spark'])),
+    t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    d AS (SELECT doc_id, CAST(len(w) AS BIGINT) dl, w FROM t),
+    sc AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(dl) AS BIGINT) s FROM d),
+    tok AS (SELECT doc_id, unnest(w) term FROM d),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+           FROM tok JOIN q USING (term) GROUP BY 1, 2),
+    dfr AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+    s4 AS (SELECT f.doc_id,
+                  CAST((2 * (22 * sc.s * f.tf * (sc.n + 1)) * 10000
+                        + ((r.df + 1) * (10 * f.tf * sc.s + 3 * sc.s + 9 * dd.dl * sc.n)))
+                       // (2 * ((r.df + 1) * (10 * f.tf * sc.s + 3 * sc.s + 9 * dd.dl * sc.n)))
+                       AS BIGINT) v
+           FROM tf f JOIN dfr r USING (term) JOIN d dd USING (doc_id), sc),
+    ps AS (SELECT doc_id, CAST(sum(v) AS BIGINT) score_x1e4 FROM s4 GROUP BY 1)
+    SELECT doc_id, score_x1e4,
+           CAST(row_number() OVER (ORDER BY score_x1e4 DESC, doc_id) AS BIGINT) AS rank
+    FROM ps ORDER BY score_x1e4 DESC, doc_id LIMIT 10
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval for ['dup','vector','spark'] (one rare, two
+    common terms), scored all-integer (see operators.text.bm25_topk) so
+    the per-term snap and the document-score SUM are bit-identical across
+    engines — the ranking can never be reordered by an ulp. The isin
+    pushes to the token stream, so only query-term postings shuffle."""
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"), query_terms=("dup", "vector", "spark"), k=10
+    )
+
+
+@query(
+    "q_part_triangles",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+                WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+    e AS (SELECT DISTINCT x.p a, y.p b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+    deg AS (SELECT n, count(*) d
+            FROM (SELECT a n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END src,
+                 CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END dst
+          FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+    w AS (SELECT x.src c, x.dst v, y.dst u
+          FROM o x JOIN o y ON x.src = y.src AND x.dst < y.dst),
+    tri AS (SELECT c, v, u FROM w JOIN e ON least(v, u) = e.a AND greatest(v, u) = e.b),
+    pc AS (SELECT node, CAST(count(*) AS BIGINT) triangles
+           FROM (SELECT c node FROM tri UNION ALL SELECT v FROM tri
+                 UNION ALL SELECT u FROM tri) GROUP BY 1)
+    SELECT node AS l_partkey, triangles,
+           CAST(row_number() OVER (ORDER BY triangles DESC, node) AS BIGINT) AS rank
+    FROM pc ORDER BY triangles DESC, node LIMIT 20
+    """,
+)
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle count in the 1995 co-order graph (parts
+    are adjacent when some order ships both): degree-ordered-orientation
+    triangle counting (operators.cluster.triangle_counts) — the classic
+    skew-proof distributed graph kernel. All-integer, rank tiebroken on
+    the part key; the date slice pushes to the lineitem scan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            on=F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    tri = cluster.triangle_counts(e)
+    topk = tri.orderBy(F.col("triangles").desc(), F.col("node")).limit(20)
+    return topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("triangles").desc(), F.col("node")))
+        .cast("long"),
+    ).select(F.col("node").alias("l_partkey"), "triangles", "rank")
+
+
+@query(
+    "stream_click_error_full_join",
+    # closure rule for BOTH outer sides: a click's null-error row emits
+    # once the global watermark passes its match-window end (cts + 10 min);
+    # an error's null-click row emits once the watermark passes its OWN
+    # event time (a matching click must satisfy c.ts <= e.ts, and any
+    # future click below the watermark is dropped). Same µs-exact boundary
+    # caveat as the left-outer entry; no tie exists at any test SF.
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    e AS (SELECT * FROM events WHERE event_type = 'error'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM e))
+                  - INTERVAL 2 HOUR AS w),
+    j AS (SELECT c.event_id AS click_id, e.event_id AS error_id,
+                 coalesce(c.user_id, e.user_id) AS user_id,
+                 c.ts AS cts, e.ts AS ets
+          FROM c FULL JOIN e
+            ON c.user_id = e.user_id
+           AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE)
+    SELECT click_id, error_id, user_id FROM j, wm
+    WHERE (click_id IS NOT NULL AND error_id IS NOT NULL)
+       OR (error_id IS NULL AND cts + INTERVAL 10 MINUTE < wm.w)
+       OR (click_id IS NULL AND ets < wm.w)
+    """,
+)
+def stream_click_error_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join family (inner / left_outer / full_outer): matched click-error
+    pairs, plus a null-error row per provably-unanswered click AND a
+    null-click row per provably-spontaneous error, each emitted exactly
+    when the watermark closes the respective side's match window.
+
+    The batch oracle replays both closure rules (left: window end below
+    the final global watermark; right: own event time below it — a
+    matching click cannot arrive once the watermark passes e.ts because
+    the condition requires c.ts <= e.ts). Drained via availableNow; the
+    final no-data micro-batch flushes every closed outer row on both
+    sides.
+
+    Scale: state bound identical to the inner join (watermark + interval
+    eviction on both sides) plus one matched bit per buffered row on
+    EACH side — full-outer costs no more state than left-outer here."""
+    from .streaming.events import interval_join_stream, read_events_stream
+
+    _stop_stream(spark, "__stream_ss_fjoin")
+    q = (
+        interval_join_stream(
+            read_events_stream(spark, sf_dir),
+            read_events_stream(spark, sf_dir),
+            how="full_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("__stream_ss_fjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_click_error_full_join drain exceeded 600s")
+    return spark.table("__stream_ss_fjoin")

@@ -207,3 +207,57 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (canonical
+    a < b, no self-loops), by DEGREE-ORDERED ORIENTATION — the device that
+    makes distributed triangle counting tractable: orient every edge from
+    its lower-(degree, id) endpoint to the higher one, enumerate wedges
+    only from each node's oriented out-neighborhood, and close them
+    against the canonical edge set. Out-degrees under this orientation
+    are bounded by O(sqrt(|E|)) regardless of raw degree skew (a
+    20M-follower hub has huge in-degree but tiny oriented out-degree), so
+    the wedge join fans out O(|E|^1.5) worst-case instead of Σ deg² —
+    the difference between feasible and not on a power-law graph.
+
+    Returns (node, triangles) for nodes in ≥1 triangle, all-integer.
+
+    Scale shape: two groupBy shuffles (degree, final count) plus two
+    equi-joins (orientation lookup, wedge closure) on uniform hashed
+    keys; no cartesian anywhere and the wedge set — not the raw
+    adjacency square — is the largest intermediate.
+    """
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    o = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b")),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    w = (
+        o.alias("x")
+        .join(o.alias("y"), on=F.expr("x.src = y.src AND x.dst < y.dst"))
+        .select(F.col("x.src").alias("c"), F.col("x.dst").alias("v"), F.col("y.dst").alias("u"))
+    )
+    tri = w.join(
+        e, on=F.expr("least(v, u) = a AND greatest(v, u) = b")
+    ).select("c", "v", "u")
+    return (
+        tri.select(F.explode(F.array("c", "v", "u")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )

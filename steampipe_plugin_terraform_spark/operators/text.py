@@ -512,3 +512,110 @@ def source_mix(
         F.expr(pround("mq", 4)).alias("mean_quality"),
         F.expr(pround("sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt", digits)).alias("mix_weight"),
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 20,
+    stride: int = 15,
+) -> DataFrame:
+    """RAG-style overlapping chunking: split each document's token stream
+    into windows of ``size`` words advancing by ``stride`` (so consecutive
+    chunks share ``size - stride`` words of context). Chunk count per doc
+    is 1 + ceil(max(dl - size, 0) / stride) — a short document yields one
+    (possibly short) chunk, and the final chunk is allowed to be shorter
+    than ``size`` rather than re-reading the tail twice.
+
+    Returns (id, chunk_idx, n_words, chunk_md5) — the md5 of the
+    re-joined chunk text stands in for the chunk body so the result stays
+    narrow while still value-checking the exact chunk boundaries.
+
+    Scale shape: pure narrow per-row array ops (split / sequence /
+    posexplode / slice) — zero shuffles, fan-out bounded by dl/stride per
+    document; the embedding/index stages downstream consume the chunks
+    with their own partitioning.
+    """
+    w = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    ).withColumn("dl", F.size("w"))
+    nch = F.expr(f"1 + CAST(floor((greatest(dl - {size}, 0) + {stride} - 1) / {stride}) AS INT)")
+    return (
+        w.withColumn("k", F.explode(F.sequence(F.lit(0), nch - 1)))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("k").cast("long").alias("chunk_idx"),
+            F.expr(f"slice(w, 1 + k * {stride}, {size})").alias("cw"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("cw").cast("long").alias("n_words"),
+            F.md5(F.concat_ws(" ", "cw")).alias("chunk_md5"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval (k1 = 1.2, b = 0.75) with a linear idf
+    ((N+1)/(df+1), the same rational device as the tf-idf entry), scored
+    ENTIRELY in integer arithmetic so the ranking is bit-identical across
+    engines: with S = Σ document lengths and dl the doc's length,
+
+        score_term = [22·S·tf·(N+1)] / [(df+1)·(10·tf·S + 3·S + 9·dl·N)]
+
+    is the classic BM25 term formula with both sides multiplied out by
+    10·S·N (k1+1 = 2.2 → 22, k1·(1-b) = 0.3 → 3, k1·b = 0.9 → 9) —
+    numerator and denominator are exact BIGINTs to sf1 (≈3e17 worst case;
+    beyond that widen to DECIMAL(38,0)). Each term score is snapped to a
+    1e-4 grid by INTEGER division round-half-up ((2·num·10⁴ + den) DIV
+    (2·den)), and the document score is the exact integer sum of the
+    snapped term scores — no IEEE addition anywhere, so top-k selection
+    on (score_x1e4 DESC, id) can never be reordered by an ulp.
+
+    Returns the top ``k`` rows (id, score_x1e4, rank).
+
+    Scale shape: the isin filter keeps only query-term postings (|terms|
+    small, broadcast as a literal), so the tf aggregation shuffles at most
+    |terms|·N rows; df and the (N, S) scalars are one-row/|terms|-row
+    aggregates broadcast back; the final top-k is a rank over a
+    |terms|·N-bounded scored set, not the corpus.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    ).withColumn("dl", F.size("w").cast("long"))
+    scal = base.agg(
+        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
+    )
+    tok = base.select("id", F.explode("w").alias("term")).filter(
+        F.col("term").isin(*query_terms)
+    )
+    tf = tok.groupBy("id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dls = base.select("id", "dl")
+    scored = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dls, "id")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("num", F.expr("22 * s * tf * (n + 1)"))
+        .withColumn("den", F.expr("(df + 1) * (10 * tf * s + 3 * s + 9 * dl * n)"))
+        .withColumn("s4", F.expr("(2 * num * 10000 + den) DIV (2 * den)"))
+    )
+    per_doc = scored.groupBy("id").agg(F.sum("s4").cast("long").alias("score_x1e4"))
+    from pyspark.sql.window import Window
+
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    # merged on one reducer over k rows) — not a global sort; the window
+    # that assigns ranks then runs over just k rows.
+    topk = per_doc.orderBy(F.col("score_x1e4").desc(), F.col("id")).limit(k)
+    win = Window.orderBy(F.col("score_x1e4").desc(), F.col("id"))
+    return topk.withColumn("rank", F.row_number().over(win).cast("long")).select(
+        F.col("id").alias(id_col), "score_x1e4", "rank"
+    )

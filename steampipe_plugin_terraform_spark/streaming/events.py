@@ -125,6 +125,14 @@ def interval_join_stream(
     match window (l_ts + within), i.e. once no future right row can still
     match; left rows whose window is still open when the stream ends are
     never emitted (they remain in state awaiting a match).
+
+    ``how="full_outer"`` adds the symmetric right-side rule: an unmatched
+    right event emits with a NULL left id once the watermark passes its
+    OWN event time (the condition requires l_ts <= r_ts, so any
+    still-to-arrive left row below the watermark would be dropped). The
+    ``user_id`` output coalesces the two sides — identical to the left
+    column for inner/left joins, populated from the right side for
+    right-outer rows.
     """
     l = (
         left.filter(F.col("event_type") == left_type)
@@ -153,7 +161,7 @@ def interval_join_stream(
     ).select(
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("error_id"),
-        F.col("l_user").alias("user_id"),
+        F.coalesce("l_user", "r_user").alias("user_id"),
     )
 
 

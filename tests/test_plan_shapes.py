@@ -503,3 +503,35 @@ def test_cep_pattern_one_window_no_self_join(spark):
     assert plan.count("events.parquet") == 1
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_triangles_no_cartesian_all_equi_joins(spark):
+    # degree-ordered triangle counting: the wedge and closure joins must
+    # stay equi-joins (hash/SMJ on computed keys) — a CartesianProduct or
+    # BroadcastNestedLoopJoin here is the O(V^2) failure mode the
+    # orientation device exists to prevent
+    plan = _plan(spark, "q_part_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the 1995 date slice reaches the lineitem scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_bm25_topk_take_ordered_and_posting_filter(spark):
+    # top-k must be TakeOrderedAndProject (distributed per-partition top-k),
+    # never a global row_number window over the whole scored set
+    plan = _plan(spark, "docs_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    # only query-term postings survive into the tf aggregation
+    assert "dup" in plan and "vector" in plan
+
+
+def test_chunk_overlap_stays_narrow(spark):
+    # RAG chunking is pure per-row fan-out: no key shuffle anywhere (the
+    # round-robin floor from catalog._par_floor is permitted on toy input)
+    assert "Exchange hashpartitioning" not in _plan(spark, "docs_chunk_overlap")
+    from steampipe_plugin_terraform_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(8)
+    plan = _plan_df(text.chunk_overlap(docs))
+    assert plan.count("Exchange") == 1  # only the explicit repartition above
