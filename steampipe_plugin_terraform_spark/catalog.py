@@ -7603,3 +7603,201 @@ def stream_click_error_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stream_click_error_full_join drain exceeded 600s")
     return spark.table("__stream_ss_fjoin")
+
+
+@query(
+    "q_session_incident_overlap",
+    # session interval = [first event, last event + 30 min linger);
+    # incident window = [error ts, +10 min). Overlap duration in exact
+    # integer microseconds — no FP anywhere.
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+            FROM g),
+    s AS (SELECT user_id, sid, min(ts) AS s_start,
+                 max(ts) + INTERVAL 30 MINUTE AS s_end
+          FROM sid GROUP BY 1, 2),
+    i AS (SELECT event_id AS incident_id, ts AS i_start,
+                 ts + INTERVAL 10 MINUTE AS i_end
+          FROM events WHERE event_type = 'error')
+    SELECT s.user_id, s.s_start, i.incident_id,
+           CAST(least(epoch_us(s.s_end), epoch_us(i.i_end))
+                - greatest(epoch_us(s.s_start), epoch_us(i.i_start)) AS BIGINT)
+             AS overlap_us
+    FROM s JOIN i ON s.s_start < i.i_end AND i.i_start < s.s_end
+    """,
+)
+def q_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — the both-sides-are-ranges
+    generalization of the range-join entry: which error incidents
+    (10-minute windows) overlapped ANY user's activity session (first
+    event → last event + 30-min linger), with the overlap duration in
+    exact integer microseconds. No equi-key exists, so a naive Spark
+    join is a BroadcastNestedLoopJoin; operators/rangejoin.py explodes
+    both sides into coarse hour buckets, equi-joins, and dedups
+    shared-bucket pairs with a FREE filter (keep the pair only in the
+    bucket containing the overlap start) instead of a global DISTINCT.
+
+    Scale: both sides shuffle once on the bucket key; fan-out is
+    interval_length/bucket copies per row; AQE splits hot buckets."""
+    from .operators.rangejoin import range_join_interval_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sid = (
+        ev.withColumn(
+            "is_new",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+                    > 1800
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("is_new").over(w))
+    )
+    sessions = sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("i_end"),
+    )
+    joined = range_join_interval_overlap(
+        sessions, incidents, "s_start", "s_end", "i_start", "i_end",
+        bucket_seconds=3600,
+    )
+    return joined.select(
+        "user_id",
+        "s_start",
+        "incident_id",
+        # cast through TIMESTAMP: the source column may be NTZ (this
+        # generation) or µs-instant; the session tz offset cancels in the
+        # subtraction either way
+        F.expr(
+            "CAST(least(unix_micros(CAST(s_end AS TIMESTAMP)),"
+            " unix_micros(CAST(i_end AS TIMESTAMP)))"
+            " - greatest(unix_micros(CAST(s_start AS TIMESTAMP)),"
+            " unix_micros(CAST(i_start AS TIMESTAMP))) AS BIGINT)"
+        ).alias("overlap_us"),
+    )
+
+
+@query(
+    "q_orders_checksum",
+    # canonical row text: pipe-joined key/cust/integer-cents/date — every
+    # piece renders identically in Spark and DuckDB; 48-bit md5 prefixes
+    # sum exactly (DuckDB promotes to HUGEINT, Spark uses DECIMAL(38,0) —
+    # good to ~1e23 rows) and ONE final mod 2^61-1 lands in BIGINT
+    oracle=f"""
+    WITH r AS (SELECT o_orderpriority,
+                      md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                                         CAST(o_custkey AS VARCHAR),
+                                         CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                                         CAST(o_orderdate AS VARCHAR))) h
+               FROM orders),
+    v AS (SELECT o_orderpriority, {_HEX12} hv FROM r)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) % 2305843009213693951 AS BIGINT) AS digest
+    FROM v GROUP BY o_orderpriority
+    """,
+)
+def q_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum per priority class — the
+    cross-system data-reconciliation primitive (detect divergence between
+    two copies of a table WITHOUT moving rows): digest = Σ 48-bit md5
+    prefixes of a canonical row serialization, mod 2^61-1. Addition is
+    commutative, so the digest is row-order- and partitioning-independent
+    and two engines agree bit-for-bit; a single changed row flips it with
+    probability 1 - 2^-48 per class.
+
+    Scale: one map-side-combined groupBy on a 5-value key; the sum
+    accumulates in DECIMAL(38,0) (exact to ~1e23 rows) with one final
+    mod — each partition contributes one partial, nothing collects."""
+    o = _t(spark, sf_dir, "orders")
+    h = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', CAST(o_orderkey AS STRING), "
+        "CAST(o_custkey AS STRING), "
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING), "
+        "CAST(o_orderdate AS STRING))), 1, 12), 16, 10) AS DECIMAL(38,0))"
+    )
+    return (
+        o.select("o_orderpriority", h.alias("hv"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("CAST(sum(hv) % 2305843009213693951 AS BIGINT)").alias("digest"),
+        )
+    )
+
+
+# k-core oracle: unrolled peeling rounds generated from the same (k, iters)
+# as operators.cluster.kcore_peel — round i computes degrees d{i} over edge
+# set e{i}, keeps nodes with d >= k, and filters e{i+1} to kept endpoints;
+# the report is the final degree set filtered >= k.
+def _kcore_parts(k: int, iters: int) -> str:
+    parts = []
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT n, count(*) d FROM "
+            f"(SELECT a n FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY 1)"
+        )
+        parts.append(f"k{i} AS (SELECT n FROM d{i} WHERE d >= {k})")
+        parts.append(
+            f"e{i + 1} AS (SELECT a, b FROM e{i} "
+            f"WHERE a IN (SELECT n FROM k{i}) AND b IN (SELECT n FROM k{i}))"
+        )
+    parts.append(
+        f"d{iters} AS (SELECT n, count(*) d FROM "
+        f"(SELECT a n FROM e{iters} UNION ALL SELECT b FROM e{iters}) GROUP BY 1)"
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_part_kcore",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+                WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+    e0 AS (SELECT DISTINCT x.p a, y.p b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+    {_kcore_parts(3, 3)}
+    SELECT n AS l_partkey, CAST(d AS BIGINT) AS degree
+    FROM d3 WHERE d >= 3
+    """,
+)
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 3-core of the 1995 part co-order graph by THREE fixed
+    peeling rounds (drop degree-<3 nodes, drop their edges, repeat) —
+    the dense-subgraph extraction kernel next to the triangle entry;
+    fixed rounds keep the oracle an unrolled-CTE replay, the same trade
+    as the PageRank entry. Survivors with residual degree, all-integer."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            on=F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    res = cluster.kcore_peel(e, k=3, iters=3)
+    return res.select(F.col("node").alias("l_partkey"), "degree")

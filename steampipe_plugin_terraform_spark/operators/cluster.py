@@ -261,3 +261,55 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("triangles"))
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    iters: int = 3,
+    a: str = "a",
+    b: str = "b",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list (canonical
+    a < b): each round drops every node whose CURRENT degree is < k, then
+    drops edges touching a dropped node. After ``iters`` rounds the
+    survivors are an upper bound on the true k-core (full convergence
+    loops until no node drops — fixed rounds keep the oracle expressible
+    as unrolled CTEs, same trade as ``pagerank_fixed``; peeling converges
+    geometrically in practice, so a few rounds remove the bulk).
+
+    Returns (node, degree) — survivors with their residual degree after
+    the final round. All-integer.
+
+    Scale shape: per round one map-side-combined degree groupBy plus two
+    semi-joins filtering the edge list (AQE broadcasts the survivor set
+    once it shrinks); lineage is truncated per round with
+    localCheckpoint(eager) so round N doesn't re-execute rounds 1..N-1
+    (``checkpoint=False`` keeps the full declared plan — for plan tests
+    and engines that prefer one lazy composition).
+    """
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+
+    def deg(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("n"))
+            .union(ed.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+
+    for _ in range(iters):
+        keep = deg(e).filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+    return (
+        deg(e)
+        .filter(F.col("d") >= k)
+        .select(F.col("n").alias("node"), F.col("d").cast("long").alias("degree"))
+    )

@@ -59,3 +59,59 @@ def range_join_point_in_interval(
         .filter((F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("__bkt")
     )
+
+
+def range_join_interval_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair of
+    half-open intervals with ``l_start < r_end AND r_start < l_end`` —
+    the both-sides-are-ranges generalization of
+    ``range_join_point_in_interval`` (sessions × incident windows,
+    maintenance windows × order lifetimes, …), which Spark would
+    otherwise plan as a BroadcastNestedLoopJoin.
+
+    Both sides explode into the coarse buckets they cover and equi-join
+    on the bucket; the exact overlap predicate then filters. An
+    overlapping pair can share MANY buckets — instead of a global
+    DISTINCT (a second shuffle over the pair set), each pair is kept
+    only in the bucket containing the overlap's START
+    (``greatest(l_start, r_start)``): exactly one bucket qualifies, so
+    the dedup is a free per-row filter.
+
+    Returns all columns of both inputs. Empty intervals match nothing.
+    """
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        if "__bkt" in cols:
+            raise ValueError(f"{side} input already has a __bkt column")
+    bw = int(bucket_seconds) * 1_000_000
+
+    def us(col: str) -> str:
+        return f"unix_micros(cast({col} AS timestamp))"
+
+    def burst(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.filter(F.expr(f"{start} < {end}")).withColumn(
+            "__bkt",
+            F.explode(
+                F.expr(f"sequence({us(start)} div {bw}, ({us(end)} - 1) div {bw})")
+            ),
+        )
+
+    lb = burst(left, l_start, l_end)
+    rb = burst(right, r_start, r_end).withColumnRenamed("__bkt", "__bkt_r")
+    return (
+        lb.join(rb, F.expr("__bkt = __bkt_r"))
+        .filter(
+            F.expr(
+                f"{l_start} < {r_end} AND {r_start} < {l_end} "
+                f"AND __bkt = greatest({us(l_start)}, {us(r_start)}) div {bw}"
+            )
+        )
+        .drop("__bkt", "__bkt_r")
+    )

@@ -535,3 +535,49 @@ def test_chunk_overlap_stays_narrow(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(8)
     plan = _plan_df(text.chunk_overlap(docs))
     assert plan.count("Exchange") == 1  # only the explicit repartition above
+
+
+def test_interval_overlap_join_no_nested_loop_no_distinct(spark):
+    # interval×interval overlap: must plan as a bucket equi-join (never
+    # BroadcastNestedLoopJoin/cartesian), and the shared-bucket dedup must
+    # be the free overlap-start filter — an Aggregate/Distinct above the
+    # join would be the second shuffle the device exists to avoid
+    plan = _plan(spark, "q_session_incident_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bkt" in plan  # joined on the burst bucket key
+
+
+def test_orders_checksum_single_scan_partial_agg(spark):
+    # one scan, map-side partial aggregation: the digest sum combines
+    # per-partition before the 5-group shuffle
+    plan = _plan(spark, "q_orders_checksum")
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan.lower()
+
+
+def test_kcore_semi_join_filtering_no_cartesian(spark):
+    # each peel round filters edges by survivor membership — must plan as
+    # semi joins on the node key, never a nested-loop/cartesian. The
+    # catalog entry checkpoints per round (lineage truncation hides the
+    # joins from the final declared plan), so inspect the un-checkpointed
+    # composition of the same operator.
+    from steampipe_plugin_terraform_spark.operators import cluster
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    plan = _plan_df(cluster.kcore_peel(e, k=3, iters=3, checkpoint=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
