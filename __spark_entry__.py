@@ -56,7 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # train/val/test split, count-min sketch incl. streaming build, Pareto
 # cut, integer-moment OLS trend, Markov transitions, KMV distinct,
 # hopping windows, BM25 top-k, RAG chunking, part triangles, stream
-# full-outer join, interval-overlap join, table checksum, k-core). The r06 window is exactly consumed
+# full-outer join, interval-overlap join, table checksum, k-core,
+# nearest-centroid confusion). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -198,6 +199,7 @@ _VALIDATE_FIRST = [
     "q_session_incident_overlap",
     "q_orders_checksum",
     "q_part_kcore",
+    "emb_nearest_centroid_label",
 ]
 
 

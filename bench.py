@@ -263,6 +263,14 @@ def main() -> None:
         "q_fulfillment_latency",
         "q_events_duplicate_payments",
         "q_customer_activity_reconciliation",
+        # round-6 third wave
+        "docs_bm25_topk",
+        "docs_chunk_overlap",
+        "q_part_triangles",
+        "q_part_kcore",
+        "q_session_incident_overlap",
+        "q_orders_checksum",
+        "emb_nearest_centroid_label",
     ]:
         fn = QUERIES[name]
         record(

@@ -7801,3 +7801,34 @@ def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = cluster.kcore_peel(e, k=3, iters=3)
     return res.select(F.col("node").alias("l_partkey"), "degree")
+
+
+@query(
+    "emb_nearest_centroid_label",
+    # integer-exact end to end: quantized coordinates, offset-positive
+    # integer-mean centroids (truncation==floor once positive — Spark DIV
+    # and DuckDB // agree there and NOT on negatives), integer squared
+    # distances, label-tiebroken argmin
+    oracle="""
+    WITH x AS (SELECT vec_id, label, i - 1 AS pos,
+                      CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) xq
+               FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+    c AS (SELECT label AS clabel, pos,
+                 CAST((sum(xq) + count(*) * 10000000) // count(*) - 10000000 AS BIGINT) cq
+          FROM x GROUP BY 1, 2),
+    d AS (SELECT x.vec_id, x.label, c.clabel,
+                 CAST(sum((x.xq - c.cq) * (x.xq - c.cq)) AS BIGINT) d2
+          FROM x JOIN c USING (pos) GROUP BY 1, 2, 3),
+    a AS (SELECT vec_id, label, clabel,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn
+          FROM d)
+    SELECT label, clabel AS assigned, CAST(count(*) AS BIGINT) AS n
+    FROM a WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def emb_nearest_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid pseudo-labeling confusion matrix over the labeled
+    embeddings — the label-quality audit (off-diagonal mass = label noise
+    or entangled classes). All-integer scoring; see
+    operators.similarity.nearest_centroid_confusion."""
+    return similarity.nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))

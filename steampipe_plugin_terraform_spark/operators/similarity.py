@@ -1204,3 +1204,62 @@ def cluster_balanced_sample(
         id_col,
         lambda n: F.ceil(n * F.lit(frac)),
     )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+    offset: int = 10_000_000,
+) -> DataFrame:
+    """Nearest-centroid classification self-evaluation: assign every
+    vector to the closest per-label centroid and return the confusion
+    matrix (label, assigned, n) — the pseudo-labeling / label-quality
+    audit of embedding pipelines (off-diagonal mass = label noise or
+    entangled classes), ENTIRELY in integer arithmetic:
+
+    - coordinates quantize to the 1/``scale`` grid (xq = ⌊x·scale+½⌋);
+    - the centroid coordinate is the integer mean ⌊Σxq / n⌋ computed as
+      ``(Σxq + n·offset) DIV n − offset`` — the offset keeps the
+      numerator positive, where integer division is truncation==floor in
+      BOTH Spark and DuckDB (they disagree on negatives: Spark DIV and
+      DuckDB // both truncate toward zero, so a negative Σxq would
+      otherwise round differently than a floor-based engine);
+    - squared distance is an exact integer sum Σ(xq−cq)²;
+    - argmin tiebreaks on the candidate label.
+
+    No IEEE addition anywhere, so the assignment can never flip by an
+    ulp across engines.
+
+    Scale shape: centroids are one map-side-combined groupBy (|labels|·dim
+    rows) broadcast back; each vector scores all |labels| candidates via
+    that broadcast join — fan-out |labels|·dim per vector, one final
+    count groupBy. No all-pairs, no collect.
+    """
+    x = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "xv"),
+    ).withColumn("xq", F.expr(f"CAST(floor(CAST(xv AS DOUBLE) * {scale} + 0.5) AS BIGINT)"))
+    cent = (
+        x.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.sum("xq").alias("s"), F.count("*").alias("n"))
+        .select(
+            "clabel",
+            "pos",
+            F.expr(f"CAST((s + n * {offset}) DIV n - {offset} AS BIGINT)").alias("cq"),
+        )
+    )
+    d2 = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("id", "label", "clabel")
+        .agg(F.sum(F.expr("(xq - cq) * (xq - cq)")).alias("d2"))
+    )
+    w = Window.partitionBy("id").orderBy("d2", "clabel")
+    assigned = d2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        assigned.groupBy("label", F.col("clabel").alias("assigned"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

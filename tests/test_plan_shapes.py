@@ -581,3 +581,11 @@ def test_kcore_semi_join_filtering_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_nearest_centroid_broadcasts_centroids(spark):
+    # |labels|·dim centroid table must broadcast — a shuffle join keyed on
+    # pos would move the whole exploded corpus twice
+    plan = _plan(spark, "emb_nearest_centroid_label")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

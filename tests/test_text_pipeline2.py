@@ -79,3 +79,38 @@ def test_source_mix_weights_normalize(docs):
     assert by["s1"].n_tokens == 20 and by["s2"].n_tokens == 21
     # sub-linear: s2 has 3 of 5 docs but weight ~sqrt share, not doc share
     assert by["s2"].mix_weight < 3 / 5
+
+
+def test_chunk_overlap_invariants(spark):
+    # every word position must be covered; consecutive chunks share
+    # size - stride words; the final chunk may be short but never empty
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate([1, 5, 20, 21, 35, 36, 50, 64])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.chunk_overlap(df, size=20, stride=15).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for (doc_id, text_s), _ in zip(rows, rows):
+        n = len(text_s.split(" "))
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        # chunk count = 1 + ceil(max(n - 20, 0) / 15)
+        import math
+        assert len(chunks) == 1 + math.ceil(max(n - 20, 0) / 15)
+        # indices contiguous from 0; last word covered; no empty chunk
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.n_words >= 1 for c in chunks)
+        last = chunks[-1]
+        assert last.chunk_idx * 15 + last.n_words == n  # tail reaches the end
+        for c in chunks[:-1]:
+            assert c.n_words == 20  # all non-final chunks are full
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # a doc containing the rare query term must outrank docs with only
+    # common terms: idf (N+1)/(df+1) dominates when df is tiny
+    rows = [(0, "rare " + "common " * 30)] + [
+        (i, ("common " * 25).strip()) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    top = text.bm25_topk(df, query_terms=("rare", "common"), k=3).collect()
+    assert top[0].doc_id == 0 and top[0].rank == 1
