@@ -209,7 +209,9 @@ def pagerank_fixed(
     return pr
 
 
-def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, a: str = "a", b: str = "b", checkpoint: bool = True
+) -> DataFrame:
     """Per-node triangle counts over an undirected edge list (canonical
     a < b, no self-loops), by DEGREE-ORDERED ORIENTATION — the device that
     makes distributed triangle counting tractable: orient every edge from
@@ -226,9 +228,15 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Scale shape: two groupBy shuffles (degree, final count) plus two
     equi-joins (orientation lookup, wedge closure) on uniform hashed
     keys; no cartesian anywhere and the wedge set — not the raw
-    adjacency square — is the largest intermediate.
+    adjacency square — is the largest intermediate. The edge set feeds
+    THREE consumers (degree count, orientation join, wedge closure), so
+    it is materialized once with localCheckpoint(eager) instead of
+    re-deriving its upstream (often a self-join) per consumer
+    (``checkpoint=False`` keeps the fully lazy plan for plan tests).
     """
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("n"))
         .union(e.select(F.col("b").alias("n")))

@@ -90,3 +90,44 @@ def test_pagerank_dangling_floor(spark):
     assert got["a"] == 0.15  # nothing points at a after iteration 1
     # b receives a's full (snapped) rank each round: 0.15 + 0.85·0.15
     assert got["b"] == 0.2775
+
+
+def test_triangle_counts_known_topologies(spark):
+    """K4: C(4,3)=4 triangles, every node in exactly 3; a path has none;
+    a triangle with a pendant leaves the pendant out of the result."""
+    from steampipe_plugin_terraform_spark.operators.cluster import triangle_counts
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], schema="a long, b long"
+    )
+    got = {r.node: r.triangles for r in triangle_counts(k4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], schema="a long, b long")
+    assert triangle_counts(path).count() == 0
+
+    pendant = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], schema="a long, b long"
+    )
+    got = {r.node: r.triangles for r in triangle_counts(pendant).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}  # node 3 is in no triangle
+
+
+def test_kcore_peel_known_topologies(spark):
+    """K4 survives 3-core peeling intact (every degree 3); a star peels to
+    nothing; K4 plus a pendant chain peels the chain then keeps K4."""
+    from steampipe_plugin_terraform_spark.operators.cluster import kcore_peel
+
+    k4_edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4 = spark.createDataFrame(k4_edges, schema="a long, b long")
+    got = {r.node: r.degree for r in kcore_peel(k4, k=3, iters=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], schema="a long, b long")
+    assert kcore_peel(star, k=2, iters=2).count() == 0
+
+    chained = spark.createDataFrame(
+        k4_edges + [(3, 4), (4, 5)], schema="a long, b long"
+    )
+    got = {r.node: r.degree for r in kcore_peel(chained, k=3, iters=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # chain gone, core intact

