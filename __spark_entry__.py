@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     missing = [k for k in _VALIDATE_FIRST if k not in QUERIES]
     assert not missing, f"_VALIDATE_FIRST names unknown entries: {missing}"
+    # a duplicate would dedupe in the ordered dict and silently pull a
+    # later entry into the driver's 50-slot window, breaking the rotation
+    assert len(set(_VALIDATE_FIRST)) == len(_VALIDATE_FIRST), "duplicate in _VALIDATE_FIRST"
     ordered = {k: QUERIES[k] for k in _VALIDATE_FIRST}
     ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
     return ordered
