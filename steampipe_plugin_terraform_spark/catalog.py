@@ -7832,3 +7832,68 @@ def emb_nearest_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     or entangled classes). All-integer scoring; see
     operators.similarity.nearest_centroid_confusion."""
     return similarity.nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "tf_resource_provider_join",
+    # golden rows from the fixture corpus: app_server/empty fall back to
+    # the type-prefix default provider (alias NULL → the unaliased aws
+    # block, no version); b pins ${aws.east} → the aliased block ~> 4.0
+    oracle="""
+    SELECT * FROM (VALUES
+      ('app_server', 'aws_instance',  'aws', NULL,   NULL),
+      ('b',          'aws_s3_bucket', 'aws', 'east', '~> 4.0'),
+      ('empty',      'aws_sqs_queue', 'aws', NULL,   NULL)
+    ) t(name, type, provider_name, provider_alias, provider_version)
+    """,
+)
+def tf_resource_provider_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented HOST-ENGINE query shape over the seven tables
+    (reference docs join terraform_resource to terraform_provider to
+    audit provider pinning; e.g. docs/tables/terraform_provider.md): each
+    CONFIG resource resolved to its provider block — an explicit
+    ``${name.alias}`` meta-argument wins, otherwise terraform's default
+    rule (the resource type's prefix selects the unaliased block). A
+    null-safe equi-join on (name, alias); broadcastable — provider blocks
+    are O(files), not O(resources)."""
+    eng = _tf_engine(spark)
+    res = (
+        eng.table("terraform_resource")
+        .filter(F.col("path").endswith(".tf"))
+        .select(
+            "name",
+            "type",
+            F.coalesce(
+                F.regexp_extract("provider", r"^\$\{([A-Za-z0-9_-]+)(\.[A-Za-z0-9_-]+)?\}$", 1),
+                F.lit(""),
+            ).alias("p_raw"),
+            F.regexp_extract("provider", r"^\$\{[A-Za-z0-9_-]+\.([A-Za-z0-9_-]+)\}$", 1).alias("a_raw"),
+        )
+        .select(
+            "name",
+            "type",
+            F.when(F.col("p_raw") != "", F.col("p_raw"))
+            .otherwise(F.split("type", "_")[0])
+            .alias("provider_name"),
+            F.when(F.col("a_raw") != "", F.col("a_raw")).alias("provider_alias"),
+        )
+    )
+    prov = eng.table("terraform_provider").select(
+        F.col("name").alias("provider_name"),
+        F.col("alias").alias("provider_alias"),
+        F.col("version").alias("provider_version"),
+    )
+    return res.join(
+        F.broadcast(prov),
+        on=[
+            res["provider_name"] == prov["provider_name"],
+            res["provider_alias"].eqNullSafe(prov["provider_alias"]),
+        ],
+        how="left",
+    ).select(
+        "name",
+        "type",
+        res["provider_name"],
+        res["provider_alias"],
+        "provider_version",
+    )
