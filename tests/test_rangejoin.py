@@ -103,3 +103,53 @@ def test_range_join_property_random_cases(spark):
             ).collect()
         }
         assert got == naive, f"bucket={bucket}"
+
+
+def test_interval_overlap_matches_naive_across_buckets(spark):
+    """Overlap join ≡ naive predicate join (half-open semantics) for
+    several bucket widths — incl. pairs sharing MANY buckets (the
+    free-filter dedup must keep exactly one copy), touching intervals
+    (end == start → NO overlap), and containment."""
+    import random
+
+    from steampipe_plugin_terraform_spark.operators.rangejoin import (
+        range_join_interval_overlap,
+    )
+
+    rng = random.Random(7)
+    base = _ts("2024-01-01 00:00:00").timestamp()
+    lrows = []
+    for i in range(40):
+        s = base + rng.randrange(0, 72 * 3600)
+        lrows.append((i, datetime.fromtimestamp(s), datetime.fromtimestamp(s + rng.randrange(0, 8 * 3600))))
+    rrows = []
+    for j in range(40):
+        s = base + rng.randrange(0, 72 * 3600)
+        rrows.append((j, datetime.fromtimestamp(s), datetime.fromtimestamp(s + rng.randrange(1, 3 * 3600))))
+    # hand-built edge cases: touching (no overlap), containment, identical
+    lrows += [
+        (100, _ts("2024-01-05 00:00:00"), _ts("2024-01-05 01:00:00")),
+        (101, _ts("2024-01-06 00:00:00"), _ts("2024-01-06 10:00:00")),
+    ]
+    rrows += [
+        (100, _ts("2024-01-05 01:00:00"), _ts("2024-01-05 02:00:00")),  # touches 100
+        (101, _ts("2024-01-06 02:00:00"), _ts("2024-01-06 03:00:00")),  # inside 101
+    ]
+    ldf = spark.createDataFrame(lrows, "lid long, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, rs timestamp, re timestamp")
+    naive = {
+        (r.lid, r.rid)
+        for r in ldf.join(
+            rdf, (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+        ).collect()
+    }
+    assert (100, 100) not in naive and (101, 101) in naive
+    for bucket in (600, 3600, 86_400):
+        got = [
+            (r.lid, r.rid)
+            for r in range_join_interval_overlap(
+                ldf, rdf, "ls", "le", "rs", "re", bucket_seconds=bucket
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicate pairs at bucket={bucket}"
+        assert set(got) == naive, f"bucket={bucket}"

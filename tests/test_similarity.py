@@ -131,3 +131,27 @@ def test_semantic_dedup_prunes_only_within_cluster(spark):
     assert len({r["bucket"] for r in fam_a}) == 1
     assert len({r["bucket"] for r in fam_b}) == 1
     assert {r["bucket"] for r in fam_a} != {r["bucket"] for r in fam_b}
+
+
+def test_nearest_centroid_confusion_separable_and_noisy(spark):
+    """Two well-separated clusters classify perfectly (diagonal matrix);
+    a mislabeled point lands off-diagonal; argmin ties break on the
+    smaller candidate label."""
+    from steampipe_plugin_terraform_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    rows = []
+    for i in range(10):  # label 0 around (0, 0), label 1 around (1, 1)
+        rows.append((i, [0.0 + 0.001 * i, 0.0], 0))
+        rows.append((100 + i, [1.0, 1.0 - 0.001 * i], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.label, r.assigned): r.n for r in nearest_centroid_confusion(df).collect()}
+    assert got == {(0, 0): 10, (1, 1): 10}
+
+    # one point labeled 0 but sitting on cluster 1 → off-diagonal
+    noisy = df.union(
+        spark.createDataFrame([(200, [1.0, 1.0], 0)], "vec_id long, embedding array<float>, label int")
+    )
+    got = {(r.label, r.assigned): r.n for r in nearest_centroid_confusion(noisy).collect()}
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 10
