@@ -7897,3 +7897,37 @@ def tf_resource_provider_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         res["provider_alias"],
         "provider_version",
     )
+
+
+@query(
+    "docs_k_anonymity",
+    # quasi-identifier classes = (lang, source, 100-char length bucket);
+    # a class with fewer than k=5 members re-identifies its documents
+    # under linkage attacks — the privacy-audit complement of the
+    # PII-redaction entry. The bucket is positive integer division
+    # (exact both engines); counts are integers.
+    oracle="""
+    WITH c AS (SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1, 2, 3)
+    SELECT lang, source, len_bucket, n, n < 5 AS at_risk FROM c
+    """,
+)
+def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier classes (lang, source,
+    100-char length bucket): every equivalence class with its size and an
+    at-risk flag (n < k=5 — documents a linkage attack could single
+    out). The privacy-governance leg of the curation family, next to PII
+    redaction.
+
+    Scale: one map-side-combined groupBy on a low-cardinality composite
+    key — class count, not corpus size, crosses the wire; suppression/
+    generalization downstream consumes the flagged classes as a
+    broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", "source", F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("at_risk", F.col("n") < 5)
+    )
