@@ -57,7 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # cut, integer-moment OLS trend, Markov transitions, KMV distinct,
 # hopping windows, BM25 top-k, RAG chunking, part triangles, stream
 # full-outer join, interval-overlap join, table checksum, k-core,
-# nearest-centroid confusion, resource-provider join, k-anonymity). The r06 window is exactly consumed
+# nearest-centroid confusion, resource-provider join, k-anonymity,
+# record highs). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -202,6 +203,7 @@ _VALIDATE_FIRST = [
     "emb_nearest_centroid_label",
     "tf_resource_provider_join",
     "docs_k_anonymity",
+    "stream_record_highs",
 ]
 
 

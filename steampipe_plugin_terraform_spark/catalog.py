@@ -7931,3 +7931,48 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .withColumn("at_risk", F.col("n") < 5)
     )
+
+
+@query(
+    "stream_record_highs",
+    # emission rule: an event emits iff its value STRICTLY exceeds every
+    # same-user value that is earlier under the (ts, event_id) total
+    # order — pure comparisons on the stored doubles, no FP arithmetic,
+    # so the streamed result is bit-identical to the window replay.
+    oracle="""
+    WITH w AS (SELECT event_id, user_id, value,
+                      max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pmax
+               FROM events)
+    SELECT event_id, user_id, value FROM w WHERE pmax IS NULL OR value > pmax
+    """,
+)
+def stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user record-high detection — the anomaly/alerting shape of
+    keyed stateful streaming: each user's running maximum lives in ONE
+    double of keyed state; an event emits only when it STRICTLY beats
+    it. Runs on applyInPandasWithState here; the Spark 4
+    transformWithStateInPandas variant with a typed ValueState handle
+    (`streaming/stateful.record_breaking_events`) is semantics-identical
+    and covered by an import-gated test (its driver worker needs
+    google.protobuf, which this container does not ship).
+
+    Scale: state is 8 bytes per user regardless of event volume; the
+    only shuffle is the groupBy(user_id) into the stateful operator."""
+    from .streaming.events import read_events_stream
+    from .streaming.stateful import record_breaking_events_awps
+
+    _stop_stream(spark, "__stream_record_highs")
+    q = (
+        record_breaking_events_awps(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("__stream_record_highs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_record_highs drain exceeded 600s")
+    return spark.table("__stream_record_highs")

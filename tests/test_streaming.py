@@ -316,3 +316,49 @@ def test_progress_recorder_observes_drain(spark):
     first = max(rec.progress[0]["state_rows_total"], default=0)
     last = max(rec.progress[-1]["state_rows_total"], default=0)
     assert last < first
+
+
+def test_transform_with_state_variant_gated(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas record-high variant: runs
+    (and must agree with the portable applyInPandasWithState path) where
+    its driver worker's protobuf dependency exists; skipped where not."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not shipped in this container")
+    from steampipe_plugin_terraform_spark.session import ROCKSDB_STATE_PROVIDER
+    from steampipe_plugin_terraform_spark.streaming.events import read_events_stream
+    from steampipe_plugin_terraform_spark.streaming.stateful import (
+        record_breaking_events,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+    )
+    try:
+        q = (
+            record_breaking_events(read_events_stream(spark, "/root/testdata/sf0.001"))
+            .writeStream.format("memory")
+            .queryName("__tws_record_highs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        got = {
+            (r.event_id, r.user_id, r.value)
+            for r in spark.table("__tws_record_highs").collect()
+        }
+        from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+        want = {
+            (r.event_id, r.user_id, r.value)
+            for r in QUERIES["stream_record_highs"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
