@@ -49,7 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # composition entries whose sf0.01 behavior is provably identical to r05
 # (effective k stays 16 there — pinned by tests/test_k_scaling.py — and
 # the changed _kmeans16/ksel path is exercised in-window by
-# docs_semantic_dedup and emb_ivf_topk), and the entries ADDED in r06
+# docs_semantic_dedup and emb_ivf_topk; likewise the interval-join
+# user_id coalesce added for the full-outer variant is value-identical
+# for the inner/left entries — their left side is never null — and both
+# are parity-green at sf0.01 this round), and the entries ADDED in r06
 # (funnel, retention cohorts, epoch shuffle, length buckets, tf-idf
 # pairs, hard negatives, PQ top-k, q2/q11, OHLC bars, 3σ anomaly flag,
 # JL random projection, weighted sampling, dyadic EWMA, price histogram,
