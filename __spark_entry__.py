@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # hopping windows, BM25 top-k, RAG chunking, part triangles, stream
 # full-outer join, interval-overlap join, table checksum, k-core,
 # nearest-centroid confusion, resource-provider join, k-anonymity,
-# record highs). The r06 window is exactly consumed
+# record highs, seasonal anomaly, shingle novelty). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -207,6 +207,8 @@ _VALIDATE_FIRST = [
     "tf_resource_provider_join",
     "docs_k_anonymity",
     "stream_record_highs",
+    "q_events_seasonal_anomaly",
+    "docs_novelty",
 ]
 
 

@@ -7976,3 +7976,111 @@ def stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stream_record_highs drain exceeded 600s")
     return spark.table("__stream_record_highs")
+
+
+@query(
+    "q_events_seasonal_anomaly",
+    # the integer 3σ inequality from q_events_anomaly, stratified by
+    # HOUR-OF-DAY: each (type, day, hod) cell is tested against the
+    # baseline of the SAME clock hour across days — catching the "this
+    # 3 AM is weird for a 3 AM" deviations a diurnal cycle hides from
+    # (and falsely triggers in) a flat per-type mean.
+    oracle="""
+    WITH hc AS (SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(hour(ts) AS BIGINT) AS hod, count(*) AS cnt
+                FROM events GROUP BY 1, 2, 3),
+    st AS (SELECT *, count(*) OVER (PARTITION BY event_type, hod) AS n,
+                  sum(cnt) OVER (PARTITION BY event_type, hod) AS s,
+                  sum(cnt * cnt) OVER (PARTITION BY event_type, hod) AS ss
+           FROM hc)
+    SELECT event_type, day, hod, CAST(cnt AS BIGINT) AS cnt
+    FROM st
+    WHERE (cnt * n - s) * (cnt * n - s) > 9 * (n * ss - s * s)
+    """,
+)
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline volume anomaly: (type, day, clock-hour) cells
+    deviating >3σ from their OWN hour-of-day's cross-day baseline — the
+    diurnal-aware sibling of `q_events_anomaly` (a flat mean both hides
+    night-time anomalies and false-alarms every busy afternoon). Same
+    all-integer deviation test, stratified partitions.
+
+    Scale: one scan, one map-side-combined (type, day, hod) count, one
+    window exchange over the tiny |types×days×24| frame."""
+    hc = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type", "hod").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    st = (
+        hc.withColumn("n", F.count("*").over(w))
+        .withColumn("s", F.sum("cnt").over(w))
+        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
+    )
+    return st.filter(
+        (F.col("cnt") * F.col("n") - F.col("s")) * (F.col("cnt") * F.col("n") - F.col("s"))
+        > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    ).select("event_type", "day", "hod", F.col("cnt").cast("long").alias("cnt"))
+
+
+@query(
+    "docs_novelty",
+    # novelty = fraction of a doc's distinct 5-gram shingles whose FIRST
+    # corpus occurrence (min doc_id) is this doc. The Spark side keys
+    # shingles by xxhash64 (collision-free at these corpora — same
+    # argument as the jaccard entries); min/count are hash-key-invariant
+    # under an injective hash, so raw-string DuckDB replays match.
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') s
+           FROM t, unnest(range(1, greatest(len(w) - 3, 1))) r(i)
+           WHERE len(w) >= 5),
+    fo AS (SELECT s, min(doc_id) first_doc FROM sh GROUP BY 1),
+    pd AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) n_shingles,
+                  CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT) n_novel
+           FROM sh JOIN fo USING (s) GROUP BY 1)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST((2 * n_novel * 10000 + n_shingles) // (2 * n_shingles) AS BIGINT)
+             AS novelty_x1e4
+    FROM pd
+    """,
+)
+def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty score: the fraction of each document's
+    distinct 5-gram shingles that it INTRODUCES to the corpus (first
+    occurrence under doc_id order) — the curriculum/diversity signal
+    (late near-duplicates score ~0, genuinely fresh text ~1), the
+    per-document complement of the pairwise dedup family. Ratio snapped
+    by positive-integer division — bit-exact.
+
+    Scale: one shingle explode + one min-aggregation per shingle key
+    (uniform hashed) + one join back on the same key; no pair
+    generation at all, so cost is O(corpus shingles), not O(pairs)."""
+    sh = dedup._hashed_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", 5)
+    fo = sh.groupBy("h").agg(F.min("id").alias("first_doc"))
+    pd_ = (
+        sh.join(fo, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return pd_.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        F.expr("CAST((2 * n_novel * 10000 + n_shingles) DIV (2 * n_shingles) AS BIGINT)").alias(
+            "novelty_x1e4"
+        ),
+    )

@@ -114,3 +114,21 @@ def test_bm25_rare_term_outranks_common(spark):
     df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
     top = text.bm25_topk(df, query_terms=("rare", "common"), k=3).collect()
     assert top[0].doc_id == 0 and top[0].rank == 1
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Empty corpora and no-match queries return empty results, not
+    errors: bm25 with absent terms, chunking an empty frame, triangles
+    and k-core on an empty edge list."""
+    from steampipe_plugin_terraform_spark.operators import cluster
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text.chunk_overlap(empty_docs).count() == 0
+    assert text.bm25_topk(empty_docs, query_terms=("x",), k=5).count() == 0
+
+    some_docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert text.bm25_topk(some_docs, query_terms=("zzz",), k=5).count() == 0
+
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    assert cluster.triangle_counts(empty_edges).count() == 0
+    assert cluster.kcore_peel(empty_edges, k=3, iters=2).count() == 0
