@@ -61,7 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # hopping windows, BM25 top-k, RAG chunking, part triangles, stream
 # full-outer join, interval-overlap join, table checksum, k-core,
 # nearest-centroid confusion, resource-provider join, k-anonymity,
-# record highs, seasonal anomaly, shingle novelty). The r06 window is exactly consumed
+# record highs, seasonal anomaly, shingle novelty, CMS join-size
+# estimate). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -209,6 +210,7 @@ _VALIDATE_FIRST = [
     "stream_record_highs",
     "q_events_seasonal_anomaly",
     "docs_novelty",
+    "q_join_size_cms_estimate",
 ]
 
 

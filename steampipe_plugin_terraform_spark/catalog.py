@@ -8084,3 +8084,98 @@ def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_x1e4"
         ),
     )
+
+
+@query(
+    "q_join_size_cms_estimate",
+    # the optimizer-statistics application of the count-min family: for
+    # each md5 row i, Σ_cell skA[i,cell]·skB[i,cell] upper-bounds the
+    # true join size Σ_k fA(k)·fB(k) (collisions only ADD mass); min
+    # over rows is the classic inner-product estimator. All counters and
+    # products are integers; the relative overestimate snaps by
+    # positive-integer division.
+    oracle=f"""
+    WITH fa AS (SELECT user_id AS k, count(*) c FROM events GROUP BY 1),
+    fb AS (SELECT o_custkey AS k, count(*) c FROM orders GROUP BY 1),
+    ha AS (SELECT k, c, i, md5(i::VARCHAR || ':' || k::VARCHAR) h
+           FROM fa, range(0, 4) r(i)),
+    hb AS (SELECT k, c, i, md5(i::VARCHAR || ':' || k::VARCHAR) h
+           FROM fb, range(0, 4) r(i)),
+    ca AS (SELECT i, ({_HEX12}) % 256 AS cell, CAST(sum(c) AS BIGINT) s
+           FROM ha GROUP BY 1, 2),
+    cb AS (SELECT i, ({_HEX12}) % 256 AS cell, CAST(sum(c) AS BIGINT) s
+           FROM hb GROUP BY 1, 2),
+    dot AS (SELECT ca.i, CAST(sum(ca.s * cb.s) AS BIGINT) d
+            FROM ca JOIN cb ON ca.i = cb.i AND ca.cell = cb.cell GROUP BY 1),
+    est AS (SELECT CAST(min(d) AS BIGINT) e FROM dot),
+    ex AS (SELECT CAST(count(*) AS BIGINT) x
+           FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+    SELECT x AS exact_pairs, e AS est_pairs,
+           CAST((2 * (e - x) * 10000 + x) // (2 * x) AS BIGINT) AS overest_x1e4
+    FROM ex, est
+    """,
+)
+def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches — the
+    cost-based-optimizer statistic: |A ⋈ B| on a key is Σ_k fA(k)·fB(k),
+    and the per-row dot product of two CMS rows estimates it from d·w
+    counters per side WITHOUT scanning either table at planning time
+    (min over the d md5 rows; ≥ exact always, collisions only add).
+    Checked here against the exact join size with the overestimate in
+    basis points — the self-evaluation pattern of `dedup_lsh_recall` /
+    `emb_ivf_recall` applied to the sketch family.
+
+    Scale: each side reduces to |distinct keys| frequency rows, then to
+    a d·w=1024-counter summary (mergeable sums — partials combine on
+    any cluster); the estimate itself touches only the two summaries."""
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+
+    def sketch(freq: DataFrame) -> DataFrame:
+        def cell(i: int):
+            h = F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("k").cast("string")))
+            return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % 256
+
+        return (
+            freq.select(
+                "k",
+                "c",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
+                            for i in range(4)
+                        ]
+                    )
+                ).alias("x"),
+            )
+            .select(F.col("x.i").alias("i"), F.col("x.cell").alias("cell"), "c")
+            .groupBy("i", "cell")
+            .agg(F.sum("c").alias("s"))
+        )
+
+    fa = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("c"))
+    fb = od.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("c"))
+    ca, cb = sketch(fa), sketch(fb).withColumnRenamed("s", "s_b")
+    dot = (
+        ca.join(cb, ["i", "cell"])
+        .groupBy("i")
+        .agg(F.sum(F.col("s") * F.col("s_b")).alias("d"))
+    )
+    est = dot.agg(F.min("d").cast("long").alias("est_pairs"))
+    exact = (
+        ev.select(F.col("user_id").alias("k"))
+        .join(od.select(F.col("o_custkey").alias("k")), "k")
+        .agg(F.count("*").cast("long").alias("exact_pairs"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_pairs",
+            "est_pairs",
+            F.expr(
+                "CAST((2 * (est_pairs - exact_pairs) * 10000 + exact_pairs)"
+                " DIV (2 * exact_pairs) AS BIGINT)"
+            ).alias("overest_x1e4"),
+        )
+    )
