@@ -8179,3 +8179,87 @@ def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overest_x1e4"),
         )
     )
+
+
+@query(
+    "dedup_golden_record",
+    # survivorship rule on top of the full dedup-cluster chain: per
+    # multi-member cluster, majority-vote each attribute with (count
+    # DESC, value ASC) tiebreak — the MDM consolidation step, distinct
+    # from canonical-ROW selection (is_canonical keeps one row; this
+    # synthesizes one record from all members' fields).
+    oracle="WITH RECURSIVE "
+    + _SHINGLE_CTE.split("WITH", 1)[1]
+    + """,
+    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    pairs AS (SELECT c.id_a, c.id_b
+              FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+              JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+              WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8),
+    edges AS (SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    asg AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.lang, d.source
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+    mem AS (SELECT cluster_id, CAST(count(*) AS BIGINT) n_members
+            FROM asg GROUP BY 1 HAVING count(*) > 1),
+    lv AS (SELECT cluster_id, lang, count(*) n FROM asg GROUP BY 1, 2),
+    lm AS (SELECT cluster_id, lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n DESC, lang) rn FROM lv)
+           WHERE rn = 1),
+    sv AS (SELECT cluster_id, source, count(*) n FROM asg GROUP BY 1, 2),
+    sm AS (SELECT cluster_id, source FROM (
+             SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n DESC, source) rn FROM sv)
+           WHERE rn = 1)
+    SELECT mem.cluster_id, lm.lang AS golden_lang, sm.source AS golden_source,
+           mem.n_members
+    FROM mem JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)
+    """,
+)
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation over the duplicate clusters: for every
+    multi-member cluster, each attribute is majority-voted across the
+    members ((count DESC, value ASC) tiebreak) — the MDM survivorship
+    rule that SYNTHESIZES one record per entity, as opposed to
+    `dedup_clusters`' is_canonical flag which merely KEEPS one row.
+
+    Scale: the cluster map is the CC output; the votes are two
+    map-side-combined groupBys on (cluster, attr) plus one window over
+    the (clusters × distinct values) frame — never the raw corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=5, num_hashes=8, bands=4, threshold=0.8)
+    asg = cluster.dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    attrs = asg.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    mem = (
+        attrs.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+    def vote(col: str, out: str) -> DataFrame:
+        v = attrs.groupBy("cluster_id", col).agg(F.count("*").alias("n"))
+        w = Window.partitionBy("cluster_id").orderBy(F.col("n").desc(), F.col(col))
+        return (
+            v.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col(col).alias(out))
+        )
+
+    return (
+        mem.join(vote("lang", "golden_lang"), "cluster_id")
+        .join(vote("source", "golden_source"), "cluster_id")
+        .select("cluster_id", "golden_lang", "golden_source", "n_members")
+    )
