@@ -271,6 +271,10 @@ def main() -> None:
         "q_session_incident_overlap",
         "q_orders_checksum",
         "emb_nearest_centroid_label",
+        "q_events_seasonal_anomaly",
+        "docs_novelty",
+        "q_join_size_cms_estimate",
+        "dedup_golden_record",
     ]:
         fn = QUERIES[name]
         record(
