@@ -159,3 +159,27 @@ def test_partitioned_store_written_once_and_corpus_safe(spark, monkeypatch):
     QUERIES["q_partition_pruned_join"](spark, SF_B).collect()
     assert len(writes) == 2
     assert _rows(handle_a) == first
+
+
+def test_cluster_map_computed_once_per_corpus(spark, monkeypatch):
+    """dedup_clusters / docs_curation_pipeline / dedup_golden_record share
+    one per-corpus minhash→CC chain: the second consumer must reuse the
+    persisted map, never re-run the pair mining."""
+    import steampipe_plugin_terraform_spark.catalog as cat
+    from steampipe_plugin_terraform_spark.operators import dedup
+
+    cat._CLUSTER_MAP_CACHE.clear()
+    calls = {"n": 0}
+    real = dedup.minhash_lsh_pairs
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_lsh_pairs", counting)
+    sf = "/root/testdata/sf0.001"
+    n1 = cat.QUERIES["dedup_clusters"](spark, sf).count()
+    n2 = cat.QUERIES["dedup_golden_record"](spark, sf).count()
+    n3 = cat.QUERIES["docs_curation_pipeline"](spark, sf).count()
+    assert n1 > 0 and n2 >= 0 and n3 >= 0
+    assert calls["n"] == 1, f"pair mining ran {calls['n']} times, want 1"
