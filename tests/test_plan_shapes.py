@@ -607,3 +607,33 @@ def test_nearest_centroid_broadcasts_centroids(spark):
     plan = _plan(spark, "emb_nearest_centroid_label")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seasonal_anomaly_single_scan_one_window_family(spark):
+    # one events scan; the three windowed moments share one
+    # (event_type, hod) exchange over the tiny cells frame
+    plan = _plan(spark, "q_events_seasonal_anomaly")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_novelty_no_pair_join(spark):
+    # novelty is O(shingles): one min-aggregation + one join back on the
+    # shingle key — never a doc×doc pair join or cartesian
+    plan = _plan(spark, "docs_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only join keys are the shingle hash, not doc-id pairs
+    assert "id_a" not in plan and "id_b" not in plan
+
+
+def test_join_size_estimate_joins_only_summaries(spark):
+    # the estimator's join is sketch-row × sketch-row on (i, cell) —
+    # 1024-counter frames — plus the exact-count key join. The ONE
+    # nested-loop node allowed is the deliberate 1-row × 1-row scalar
+    # cross join combining the two aggregates (the repo's broadcast
+    # scalar-total pattern); anything more is a regression.
+    plan = _plan(spark, "q_join_size_cms_estimate")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
