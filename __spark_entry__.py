@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ROTATION POLICY (standing, from round 6). The driver's correctness gate
 # checks the first 50 queries() entries in dict order; the catalog holds
-# ~148, so no single round covers everything. The invariant the rotation
+# ~181, so no single round covers everything. The invariant the rotation
 # maintains: EVERY entry has a driver-green row within the last
 # ceil(catalog/50) rounds (currently 3 — it was 2 when the catalog was
 # 97; the horizon stretches as the catalog grows, never the coverage).
