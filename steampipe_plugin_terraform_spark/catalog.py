@@ -8280,3 +8280,75 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vote("source", "golden_source"), "cluster_id")
         .select("cluster_id", "golden_lang", "golden_source", "n_members")
     )
+
+
+@query(
+    "docs_leakage_safe_split",
+    # split assignment keyed on the duplicate CLUSTER, not the document:
+    # near-duplicates of a training doc in the eval split are test-set
+    # leakage — every member inherits its cluster's md5 bucket, so a
+    # whole near-dup family lands on one side of the fence. 80/10/10 via
+    # the md5 bucket of the cluster id (uniform, engine-portable).
+    oracle="WITH RECURSIVE "
+    + _SHINGLE_CTE.split("WITH", 1)[1]
+    + """,
+    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    pairs AS (SELECT c.id_a, c.id_b
+              FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+              JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+              WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8),
+    edges AS (SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    asg AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+    bk AS (SELECT doc_id, cluster_id, h,
+                  ({_HEX12_CL}) % 10 AS bucket
+           FROM (SELECT doc_id, cluster_id, md5(cluster_id::VARCHAR) h FROM asg))
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bk
+    """.replace("{_HEX12_CL}", _HEX12),
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the 80/10/10 assignment hashes
+    the duplicate CLUSTER id, so every near-duplicate family lands
+    wholly on one side — the fix for the classic evaluation bug where a
+    random doc-level split (`docs_train_val_test_split`) puts paraphrases
+    of training text into the test set. Reuses the session-cached
+    cluster map; the md5-bucket rule is the engine-portable uniform
+    hash.
+
+    Scale: one broadcast-sized join against the cluster map + a narrow
+    hash projection; no extra shuffles beyond the (cached) CC chain."""
+    docs = _t(spark, sf_dir, "documents")
+    asg = _dedup_cluster_map(spark, sf_dir).select("doc_id", "cluster_id")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT) % 10"
+    )
+    return (
+        docs.select("doc_id")
+        .join(asg, "doc_id")
+        .withColumn("bucket", bucket)
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(F.col("bucket") < 8, "train")
+            .when(F.col("bucket") == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

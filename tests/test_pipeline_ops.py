@@ -75,3 +75,23 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     deq = [q * rows[1]["scale"] for q in rows[1]["q"]]
     for a, b in zip(deq, [0.5, -1.0, 0.25]):
         assert abs(a - b) <= rows[1]["scale"] / 2 + 1e-9
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """The defining invariant: no duplicate cluster may straddle a split
+    fence (that straddle IS the leakage the entry exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+    df = QUERIES["docs_leakage_safe_split"](spark, "/root/testdata/sf0.001")
+    straddlers = (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert straddlers == 0
+    sizes = {r.split: r["count"] for r in df.groupBy("split").count().collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
