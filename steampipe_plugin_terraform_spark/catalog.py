@@ -8352,3 +8352,50 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@query(
+    "q_user_segment_asof_snapshot",
+    # point-in-time (time-travel) read over the SCD2 dimension: the
+    # segment row valid at T satisfies valid_from <= T < valid_to (open
+    # current rows have NULL valid_to). T = 2024-01-15 12:00 is mid-
+    # corpus, so both closed and open intervals are exercised.
+    oracle="""
+    WITH dt AS (SELECT user_id, date_trunc('day', ts) AS day, event_type,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2, 3),
+    dom AS (SELECT user_id, day, event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                           ORDER BY c DESC, event_type) rn
+              FROM dt) WHERE rn = 1),
+    ch AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY day) AS prev
+           FROM dom),
+    sc AS (SELECT user_id, event_type AS segment, day AS valid_from
+           FROM ch WHERE prev IS NULL OR prev <> event_type),
+    dim AS (SELECT user_id, segment, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                     AS valid_to
+            FROM sc)
+    SELECT user_id, segment, valid_from
+    FROM dim
+    WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+    """,
+)
+def q_user_segment_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (the time-travel query every SCD2
+    table exists to answer): each user's segment AS OF 2024-01-15 12:00,
+    selected by the half-open validity predicate over the
+    `q_user_scd2_segments` build — users whose history starts after T
+    correctly have no row.
+
+    Scale: the snapshot filter is a narrow predicate over the collapsed
+    dimension (|users × segment-changes| rows), pushable to a
+    valid_from-partitioned store; nothing touches raw facts twice."""
+    dim = QUERIES["q_user_scd2_segments"](spark, sf_dir)
+    t = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "segment", "valid_from")
