@@ -62,7 +62,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # full-outer join, interval-overlap join, table checksum, k-core,
 # nearest-centroid confusion, resource-provider join, k-anonymity,
 # record highs, seasonal anomaly, shingle novelty, CMS join-size
-# estimate, golden record, leakage-safe split, SCD2 snapshot). The r06 window is exactly consumed
+# estimate, golden record, leakage-safe split, SCD2 snapshot,
+# cohort LTV). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -214,6 +215,7 @@ _VALIDATE_FIRST = [
     "dedup_golden_record",
     "docs_leakage_safe_split",
     "q_user_segment_asof_snapshot",
+    "q_orders_cohort_ltv",
 ]
 
 

@@ -8399,3 +8399,72 @@ def q_user_segment_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "segment", "valid_from")
+
+
+@query(
+    "q_orders_cohort_ltv",
+    # revenue LTV curve by acquisition cohort: customers cohorted by the
+    # month of their FIRST order; revenue accumulated per cohort over
+    # month offsets. Month arithmetic is integer (year*12+month) and
+    # revenue is integer cents, so the running sums are exact. Spark's
+    # trunc() and DuckDB's date_trunc('month') both yield DATE.
+    oracle="""
+    WITH fo AS (SELECT o_custkey, min(date_trunc('month', o_orderdate)) m0
+                FROM orders GROUP BY 1),
+    om AS (SELECT o_custkey, date_trunc('month', o_orderdate) m,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) cents
+           FROM orders),
+    j AS (SELECT fo.m0,
+                 (year(om.m) * 12 + month(om.m))
+                   - (year(fo.m0) * 12 + month(fo.m0)) AS k,
+                 cents
+          FROM om JOIN fo USING (o_custkey)),
+    g AS (SELECT m0 AS cohort_month, CAST(k AS BIGINT) AS month_k,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS rev
+          FROM j GROUP BY 1, 2)
+    SELECT cohort_month, month_k, n_orders,
+           CAST(sum(rev) OVER (PARTITION BY cohort_month
+                               ORDER BY month_k) AS BIGINT) AS cum_revenue_cents
+    FROM g
+    """,
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, cohort revenue accumulated across month offsets — the
+    acquisition-quality report beside `q_events_retention_cohorts`
+    (that one counts users; this one compounds integer-cents revenue).
+
+    Scale: one min-aggregation per customer (map-side combined), one
+    equi-join back on the customer key, one (cohort, offset) aggregation,
+    and a running window over the tiny cohorts×offsets frame."""
+    od = _t(spark, sf_dir, "orders")
+    fo = od.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("m0")
+    )
+    om = od.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    j = om.join(fo, "o_custkey").select(
+        "m0",
+        (
+            (F.year("m") * 12 + F.month("m")) - (F.year("m0") * 12 + F.month("m0"))
+        ).alias("k"),
+        "cents",
+    )
+    g = (
+        j.groupBy(F.col("m0").alias("cohort_month"), F.col("k").cast("long").alias("month_k"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev"),
+        )
+    )
+    w = Window.partitionBy("cohort_month").orderBy("month_k")
+    return g.select(
+        "cohort_month",
+        "month_k",
+        "n_orders",
+        F.sum("rev").over(w).cast("long").alias("cum_revenue_cents"),
+    )
