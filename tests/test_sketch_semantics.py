@@ -114,3 +114,84 @@ def test_skyline_no_point_is_dominated(spark):
     for r in kept:
         kb, kr = round(r.acctbal * 100), round(r.revenue * 100)
         assert not any(b > kb and v > kr for (_, b, v) in allpts), r
+
+
+def test_countmin_partials_merge_exactly(spark):
+    """THE scale property: CMS counters are sums, so sketches built on
+    disjoint halves of the corpus merge (cell-wise add) into exactly the
+    full-corpus sketch — partial aggregation on any cluster topology."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def cms(df):
+        uc = df.groupBy("user_id").agg(F.count("*").alias("cnt"))
+        cells = uc.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(
+                                            F.concat(
+                                                F.lit(str(i)),
+                                                F.lit(":"),
+                                                F.col("user_id").cast("string"),
+                                            )
+                                        ),
+                                        1,
+                                        12,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % 256
+                            ).alias("cell"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("x"),
+        ).select(F.col("x.i").alias("i"), F.col("x.cell").alias("cell"), "cnt")
+        return cells.groupBy("i", "cell").agg(F.sum("cnt").alias("s"))
+
+    full = {(r.i, r.cell): r.s for r in cms(ev).collect()}
+    a = cms(ev.filter("event_id % 2 = 0"))
+    b = cms(ev.filter("event_id % 2 = 1"))
+    merged = {
+        (r.i, r.cell): r.s
+        for r in a.unionByName(b).groupBy("i", "cell").agg(F.sum("s").alias("s")).collect()
+    }
+    assert merged == full
+
+
+def test_kmv_partials_merge_exactly(spark):
+    """Bottom-k of the union of two bottom-k summaries equals bottom-k of
+    the union — the KMV merge rule that lets distinct-count sketches
+    combine across partitions/datasets without rescanning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    K = 64
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def hashes(df):
+        return df.select(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h")
+        ).distinct()
+
+    def bottomk(df):
+        w = Window.orderBy("h")
+        return [r.h for r in df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).collect()]
+
+    full = bottomk(hashes(ev))
+    a = bottomk(hashes(ev.filter("event_id % 2 = 0")))
+    b = bottomk(hashes(ev.filter("event_id % 2 = 1")))
+    merged = sorted(set(a) | set(b))[:K]
+    assert merged == full
