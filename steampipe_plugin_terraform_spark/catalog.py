@@ -8468,3 +8468,67 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("rev").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+@query(
+    "q_events_stickiness",
+    # DAU / trailing-7-day-AU stickiness in basis points: both counts are
+    # exact distincts over the collapsed (user, day) frame (the window AU
+    # via the same ≤7-day fanout as the sliding-distinct entry), and the
+    # ratio snaps by positive-integer division — no FP anywhere.
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events),
+    mx AS (SELECT max(day) AS mxd FROM ud),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    sp AS (SELECT user_id,
+                  unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS day
+           FROM ud),
+    wau AS (SELECT sp.day, CAST(count(DISTINCT sp.user_id) AS BIGINT) AS wau
+            FROM sp, mx WHERE sp.day <= mx.mxd GROUP BY sp.day)
+    SELECT d.day, d.dau, w.wau,
+           CAST((2 * d.dau * 10000 + w.wau) // (2 * w.wau) AS BIGINT)
+             AS stickiness_bp
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: DAU over trailing-7-day active users per
+    day, in basis points — the DAU/WAU product-health metric, built from
+    two exact distinct counts over the collapsed (user, day) frame (the
+    weekly side reuses the sliding-distinct fanout rewrite). A ratio of
+    counts, so the integer-division snap makes it bit-exact.
+
+    Scale: identical frame bounds to `q_events_sliding_distinct_users`
+    — fanout factor 7 over |users|×|days|, raw events scanned once."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    mx = ud.agg(F.max("day").alias("mxd"))
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    sp = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("day"),
+    )
+    wau = (
+        sp.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("mxd"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("CAST((2 * dau * 10000 + wau) DIV (2 * wau) AS BIGINT)").alias(
+                "stickiness_bp"
+            ),
+        )
+    )
