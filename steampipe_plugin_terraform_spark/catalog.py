@@ -8532,3 +8532,43 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "emb_intra_class_outliers",
+    # one-sided integer 3σ on the squared-distance-to-own-centroid
+    # distribution per label; moment products reach ~1e33, so DuckDB
+    # computes them in HUGEINT (int128) and Spark in DECIMAL(38,0) —
+    # both exact, compared without any FP.
+    oracle="""
+    WITH x AS (SELECT vec_id, label, i - 1 AS pos,
+                      CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) xq
+               FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+    c AS (SELECT label, pos,
+                 CAST((sum(xq) + count(*) * 10000000) // count(*) - 10000000
+                      AS BIGINT) cq
+          FROM x GROUP BY 1, 2),
+    d AS (SELECT x.vec_id, x.label,
+                 CAST(sum((x.xq - c.cq) * (x.xq - c.cq)) AS BIGINT) d2
+          FROM x JOIN c ON c.label = x.label AND c.pos = x.pos
+          GROUP BY 1, 2),
+    st AS (SELECT *, CAST(count(*) OVER (PARTITION BY label) AS HUGEINT) n,
+                  CAST(sum(d2) OVER (PARTITION BY label) AS HUGEINT) s,
+                  CAST(sum(CAST(d2 AS HUGEINT) * d2) OVER (PARTITION BY label)
+                       AS HUGEINT) ss
+           FROM d)
+    SELECT vec_id, label, d2
+    FROM st
+    WHERE CAST(d2 AS HUGEINT) * n - s > 0
+      AND (CAST(d2 AS HUGEINT) * n - s) * (CAST(d2 AS HUGEINT) * n - s)
+          > 9 * (n * ss - s * s)
+    """,
+)
+def emb_intra_class_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label mining: vectors whose squared distance to their OWN
+    label centroid sits more than 3σ above the class mean — the
+    re-annotation candidates before contrastive training (the confusion
+    entry asks which class is closest; this asks whether the vector even
+    belongs where it is). All-integer; see
+    operators.similarity.intra_class_outliers."""
+    return similarity.intra_class_outliers(_t(spark, sf_dir, "embeddings"))

@@ -1263,3 +1263,69 @@ def nearest_centroid_confusion(
         assigned.groupBy("label", F.col("clabel").alias("assigned"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def intra_class_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+    offset: int = 10_000_000,
+) -> DataFrame:
+    """Noisy-label mining: vectors whose squared distance to their OWN
+    label's centroid deviates more than 3σ ABOVE the class mean — the
+    candidates to re-annotate or drop before contrastive training
+    (`nearest_centroid_confusion` asks "which class is closest"; this
+    asks "does it even belong where it is").
+
+    Same integer machinery as the confusion entry (quantized coords,
+    offset-positive integer-mean centroids, exact integer d²) plus the
+    one-sided integer 3σ test (d²·n − s) > 0 ∧ (d²·n − s)² > 9(n·ss − s²)
+    — the moment products reach ~1e32 at d² ≈ 2.6e14, so the test runs
+    in DECIMAL(38,0) on both engines (exact; DuckDB promotes to HUGEINT
+    natively).
+
+    Returns flagged (id, label, d2) rows.
+
+    Scale shape: centroid build and the per-label moment window both run
+    over |labels|·dim / |labels| frames; the per-vector work is one
+    broadcast join + one groupBy — identical bounds to the confusion
+    operator.
+    """
+    x = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "xv"),
+    ).withColumn("xq", F.expr(f"CAST(floor(CAST(xv AS DOUBLE) * {scale} + 0.5) AS BIGINT)"))
+    cent = (
+        x.groupBy("label", "pos")
+        .agg(F.sum("xq").alias("sx"), F.count("*").alias("nx"))
+        .select(
+            "label",
+            "pos",
+            F.expr(f"CAST((sx + nx * {offset}) DIV nx - {offset} AS BIGINT)").alias("cq"),
+        )
+    )
+    d2 = (
+        x.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("id", "label")
+        .agg(F.sum(F.expr("(xq - cq) * (xq - cq)")).cast("decimal(38,0)").alias("d2"))
+    )
+    w = Window.partitionBy("label").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    st = (
+        d2.withColumn("n", F.count("*").over(w).cast("decimal(38,0)"))
+        .withColumn("s", F.sum("d2").over(w))
+        .withColumn("ss", F.sum(F.col("d2") * F.col("d2")).over(w))
+    )
+    return st.filter(
+        (F.col("d2") * F.col("n") - F.col("s") > 0)
+        & (
+            (F.col("d2") * F.col("n") - F.col("s")) * (F.col("d2") * F.col("n") - F.col("s"))
+            > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        )
+    ).select(
+        F.col("id").alias(id_col), "label", F.col("d2").cast("long").alias("d2")
+    )
