@@ -8572,3 +8572,43 @@ def emb_intra_class_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     belongs where it is). All-integer; see
     operators.similarity.intra_class_outliers."""
     return similarity.intra_class_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "docs_lang_confusion",
+    # the text-side classifier audit (sibling of emb_nearest_centroid_
+    # label): stored language vs the n-gram heuristic's prediction,
+    # aggregated to a confusion matrix — off-diagonal mass localizes
+    # which languages the stopword lists confuse. Pure integer counts
+    # over the same deterministic predictor the per-doc entry replays.
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))  AS en,
+             len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que')))   AS es,
+             len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu'))) AS de,
+             len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les')))  AS fr
+      FROM documents),
+    p AS (SELECT lang,
+                 CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+                      WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                      WHEN es >= de AND es >= fr THEN 'es'
+                      WHEN de >= fr THEN 'de'
+                      ELSE 'fr' END AS pred_lang
+          FROM c)
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: stored language × heuristic
+    prediction with counts — the aggregate quality audit of the lang-id
+    operator (per-doc predictions: `docs_lang_id`; this localizes WHICH
+    languages the stopword lists mix up). One map-side-combined groupBy
+    over a fused scan projection; |langs|² rows out."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_pred_expr("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
