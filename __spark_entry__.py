@@ -64,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # record highs, seasonal anomaly, shingle novelty, CMS join-size
 # estimate, golden record, leakage-safe split, SCD2 snapshot,
 # cohort LTV, DAU/WAU stickiness, intra-class outliers, lang
-# confusion). The r06 window is exactly consumed
+# confusion, untagged-resources audit). The r06 window is exactly consumed
 # by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
 # which have no stale driver row to invalidate and are value-checked by
 # the local parity replica at sf0.001 AND sf0.01 — take the r07 front
@@ -220,6 +220,7 @@ _VALIDATE_FIRST = [
     "q_events_stickiness",
     "emb_intra_class_outliers",
     "docs_lang_confusion",
+    "tf_untagged_resources",
 ]
 
 

@@ -8612,3 +8612,33 @@ def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@query(
+    "tf_untagged_resources",
+    # the canonical steampipe governance shape (JSON-member audit over
+    # `arguments` — docs/tables/terraform_resource.md's `->` queries):
+    # config resources with no tags argument. Golden rows from the
+    # fixture corpus: only aws_instance.app_server carries tags.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('b',     'aws_s3_bucket', CAST(NULL AS VARCHAR)),
+      ('empty', 'aws_sqs_queue', CAST(NULL AS VARCHAR))
+    ) t(name, type, tags)
+    """,
+)
+def tf_untagged_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untagged-resource compliance report — the documented host-engine
+    JSON audit (``arguments -> 'tags' IS NULL``; cf. reference
+    docs/tables/terraform_resource.md JSON-member examples): every
+    CONFIG resource whose arguments carry no tags object, including
+    resources with no arguments at all. Exercises get_json_object over
+    the canonical JSON-string column in the driver-validated surface."""
+    eng = _tf_engine(spark)
+    return (
+        eng.table("terraform_resource")
+        .filter(F.col("path").endswith(".tf"))
+        .withColumn("tags", F.get_json_object("arguments", "$.tags"))
+        .filter(F.col("tags").isNull())
+        .select("name", "type", "tags")
+    )
