@@ -26,110 +26,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# ROTATION POLICY (standing, from round 6). The driver's correctness gate
-# checks the first 50 queries() entries in dict order; the catalog holds
-# ~181, so no single round covers everything. The invariant the rotation
-# maintains: EVERY entry has a driver-green row within the last
-# ceil(catalog/50) rounds (currently 3 — it was 2 when the catalog was
-# 97; the horizon stretches as the catalog grows, never the coverage).
-# Window priority each round:
-#   1. entries changed or added this round (their results could have
-#      moved — a stale green row proves nothing about them);
-#   2. entries whose last driver row is OLDEST (restore horizon currency);
-#   3. everything else, oldest-first.
-# Entries past the window are still value-checked locally every round by
-# tests/test_oracle_parity.py (all oracled entries, order-independent),
-# and anything placed just past the window rotates to the FRONT next
-# round. Round-6 window: the 4 entries with r06 behavior deltas
-# (daily-rollup cent-grid partials + two-level oracle, bucketed-join
-# per-corpus tables, IVF-store caching, semantic-dedup corpus-sized k),
-# then ALL 46 entries that had no r05 row (the 5 r03-stale first).
-# Positions 51+ (r07 front-of-window): q_approx_distinct (rows-only by
-# design — its driver row carries no hash), the two k-sizing
-# composition entries whose sf0.01 behavior is provably identical to r05
-# (effective k stays 16 there — pinned by tests/test_k_scaling.py — and
-# the changed _kmeans16/ksel path is exercised in-window by
-# docs_semantic_dedup and emb_ivf_topk; likewise the interval-join
-# user_id coalesce added for the full-outer variant is value-identical
-# for the inner/left entries — their left side is never null — and both
-# are parity-green at sf0.01 this round), and the entries ADDED in r06
-# (funnel, retention cohorts, epoch shuffle, length buckets, tf-idf
-# pairs, hard negatives, PQ top-k, q2/q11, OHLC bars, 3σ anomaly flag,
-# JL random projection, weighted sampling, dyadic EWMA, price histogram,
-# train/val/test split, count-min sketch incl. streaming build, Pareto
-# cut, integer-moment OLS trend, Markov transitions, KMV distinct,
-# hopping windows, BM25 top-k, RAG chunking, part triangles, stream
-# full-outer join, interval-overlap join, table checksum, k-core,
-# nearest-centroid confusion, resource-provider join, k-anonymity,
-# record highs, seasonal anomaly, shingle novelty, CMS join-size
-# estimate, golden record, leakage-safe split, SCD2 snapshot,
-# cohort LTV, DAU/WAU stickiness, intra-class outliers, lang
-# confusion, untagged-resources audit). The r06 window is exactly consumed
-# by horizon repair (46 stale + 4 changed = 50), so brand-new entries —
-# which have no stale driver row to invalidate and are value-checked by
-# the local parity replica at sf0.001 AND sf0.01 — take the r07 front
-# instead of displacing horizon repair.
+# ROTATION POLICY (standing, from round 6; see round-6 comment in git
+# history for the full rationale). The driver's correctness gate checks
+# the first 50 queries() entries in dict order; the catalog holds 188, so
+# the horizon is ceil(188/50) = 4 rounds. Invariant: EVERY entry gets a
+# driver-green row within the horizon; window priority each round:
+#   1. entries changed or added this round (a stale green row proves
+#      nothing about them);
+#   2. entries that have NEVER had a driver row (the r6 wave);
+#   3. entries whose last driver row is oldest.
+# Entries past the window are value-checked locally every round by
+# tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
+# the sf0.01 sweep (`make parity-sf001 parity-sf01`).
+#
+# Round-7 window: docs_bm25_topk (BIGINT->DECIMAL(38,0) snap widening —
+# value-identical at tested SFs but the arithmetic path changed) and
+# q_events_theil_sen (O(H log H) median-of-slopes guard) first, then the
+# r6 wave exactly as queued last round (q_approx_distinct, the two
+# k-sizing compositions, then the r6 additions in order). The round-7
+# kmeans_lloyd scale work (md5-rank-capped training sample, k-row
+# distributed means, sqrt-N k cap) is value-preserving at EVERY tested
+# SF by construction — train_cap=65536 exceeds all test corpora (<= 2000
+# vectors) and the sqrt cap binds only above 4096 vectors — pinned by
+# tests/test_k_scaling.py and the oracle's mirrored tr/ksel CTEs, so
+# kmeans-backed entries keep their r06 rows and the in-window entries
+# (emb_curation_pipeline, emb_ivf_pq_topk, ...) exercise the new path
+# against unchanged oracles. Positions 51-94: the remaining 44
+# never-checked r6 entries (r08 window, with 6 slots left for oldest
+# rows). Then: the 44 entries whose last row is r05-or-older, then the
+# r06-green window (newest rows last).
 _VALIDATE_FIRST = [
-    # -- changed in r06 (behavior deltas at the driver SF) --
-    "docs_semantic_dedup",
-    "emb_ivf_store_topk",
-    "q_events_daily_rollup",
-    "q_bucketed_cokey_join",
-    # -- no driver row since r03 (oldest — horizon priority) --
-    "docs_zscore_by_lang",
-    "emb_near_dup_pairs",
-    "docs_bpe_tokens",
-    "docs_top_bigrams",
-    "docs_redact_pii",
-    # -- no r05 row AND touched in r06 (merge hints / ksel oracle chain) --
-    "dedup_minhash_lsh",
-    "docs_curation_pipeline",
-    "emb_ivf_topk",
-    "emb_ivf_recall",
-    # -- remaining 37 entries without an r05 row (last green r04) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q_top3_orders_per_segment",
-    "q_rollup_revenue",
-    "q_cube_revenue",
-    "q_distinct_nations_per_segment",
-    "q_big_spenders_semi",
-    "q_value_percentiles",
-    "q_returns_exists",
-    "q_promo_revenue_ratio",
-    "q_small_quantity_revenue",
-    "q_customers_without_orders",
-    "q_custkeys_set_difference",
-    "q_brand_revenue",
-    "q_orders_running_total",
-    "q_grouping_sets",
-    "q_custkeys_intersect",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q_pivot_priority_by_segment",
-    "docs_pack_sequences",
-    "docs_repetition",
-    "docs_span_dedup",
-    "docs_unigram_logprob",
-    "docs_source_mix",
-    "emb_quantize_int8",
-    "docs_winnow_fingerprint",
-    "dedup_clusters",
-    "emb_cosine_topk",
-    "emb_lsh_topk",
-    "emb_lang_centroids",
-    "tf_resource_count_by_type",
-    "tf_resources",
-    "tf_outputs",
-    "media_metadata",
-    "media_frame_sample",
-    # ---- 50-entry window boundary ----
-    # positions 51+: r07 front-of-window (see policy comment above)
+    # -- changed in r07 (arithmetic-path deltas; first driver rows) --
+    "docs_bm25_topk",
+    "q_events_theil_sen",
+    # -- r6 wave, first driver rows (queued as r07 front last round) --
     "q_approx_distinct",
     "emb_cluster_balanced_sample",
     "emb_curation_pipeline",
-    # -- added in r06 (first driver rows land r07; parity-green at two SFs) --
     "q_events_funnel",
     "q_events_retention_cohorts",
     "docs_epoch_shuffle",
@@ -175,13 +108,14 @@ _VALIDATE_FIRST = [
     "q_user_scd2_segments",
     "q_events_sliding_distinct_users",
     "stream_click_error_left_join",
+    # ---- 50-entry window boundary ----
+    # positions 51+: r08 front — remaining never-driver-checked r6 wave
     "q_events_top_paths",
     "q_weighted_median_price",
     "q_orders_equidepth_histogram",
     "q_basket_brand_lift",
     "docs_bigram_logprob",
     "dedup_linkage_clusters",
-    "q_events_theil_sen",
     "q_events_ab_significance",
     "dedup_lsh_recall",
     "emb_dim_stats",
@@ -199,7 +133,6 @@ _VALIDATE_FIRST = [
     "q_fulfillment_latency",
     "q_events_duplicate_payments",
     "q_customer_activity_reconciliation",
-    "docs_bm25_topk",
     "docs_chunk_overlap",
     "q_part_triangles",
     "stream_click_error_full_join",
@@ -221,6 +154,102 @@ _VALIDATE_FIRST = [
     "emb_intra_class_outliers",
     "docs_lang_confusion",
     "tf_untagged_resources",
+    # -- last driver row r05-or-older (horizon repair after the r6 wave) --
+    "q_events_moving_avg",
+    "q_stats_by_returnflag",
+    "q_ntile_acctbal_deciles",
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q_incident_click_range_join",
+    "q12_priority_lines",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_quantity_suppliers",
+    "q_events_hourly",
+    "q_events_sessions",
+    "q_events_json_props",
+    "q_events_last_order_asof",
+    "dedup_first_event",
+    "docs_stratified_sample",
+    "docs_temperature_sample",
+    "docs_contamination_screen",
+    "docs_fingerprint",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_lang_id",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "stream_events_hourly",
+    "stream_segment_enriched",
+    "stream_sessions_per_user",
+    "stream_user_running_totals",
+    "stream_deduped_events",
+    "stream_click_error_join",
+    "tf_modules",
+    "tf_variables",
+    "tf_locals",
+    "tf_providers",
+    "tf_data_sources",
+    "media_resize",
+    "media_byte_histogram",
+    # -- r06-green (newest rows; recheck last) --
+    "docs_semantic_dedup",
+    "emb_ivf_store_topk",
+    "q_events_daily_rollup",
+    "q_bucketed_cokey_join",
+    "docs_zscore_by_lang",
+    "emb_near_dup_pairs",
+    "docs_bpe_tokens",
+    "docs_top_bigrams",
+    "docs_redact_pii",
+    "dedup_minhash_lsh",
+    "docs_curation_pipeline",
+    "emb_ivf_topk",
+    "emb_ivf_recall",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_top3_orders_per_segment",
+    "q_rollup_revenue",
+    "q_cube_revenue",
+    "q_distinct_nations_per_segment",
+    "q_big_spenders_semi",
+    "q_value_percentiles",
+    "q_returns_exists",
+    "q_promo_revenue_ratio",
+    "q_small_quantity_revenue",
+    "q_customers_without_orders",
+    "q_custkeys_set_difference",
+    "q_brand_revenue",
+    "q_orders_running_total",
+    "q_grouping_sets",
+    "q_custkeys_intersect",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q_pivot_priority_by_segment",
+    "docs_pack_sequences",
+    "docs_repetition",
+    "docs_span_dedup",
+    "docs_unigram_logprob",
+    "docs_source_mix",
+    "emb_quantize_int8",
+    "docs_winnow_fingerprint",
+    "dedup_clusters",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+    "emb_lang_centroids",
+    "tf_resource_count_by_type",
+    "tf_resources",
+    "tf_outputs",
+    "media_metadata",
+    "media_frame_sample",
 ]
 
 
