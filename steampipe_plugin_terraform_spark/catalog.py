@@ -1684,15 +1684,29 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "q_events_theil_sen",
-    oracle="""
+# Theil–Sen pair-explosion guard: above this many hours per type, the
+# estimator runs on the md5-rank-smallest _THEIL_SEN_MAX_HOURS hours
+# (deterministic, oracle-replayable point sampling — pairs stay bounded at
+# S(S-1)/2 ≈ 2.1M per type regardless of time span). 720 hours/type at
+# every tested SF, so the exact all-pairs path is what the driver checks;
+# the sampled path is pinned by tests/test_theil_sen_guard.py with a
+# mirrored small-S oracle.
+_THEIL_SEN_MAX_HOURS = 2048
+
+
+def _theil_sen_sql(max_hours: int) -> str:
+    """Oracle builder for q_events_theil_sen: all-pairs median slope over
+    the md5-rank-smallest ``max_hours`` hourly points per type (a no-op
+    at every tested SF — see _THEIL_SEN_MAX_HOURS)."""
+    return f"""
     WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
                        CAST(count(*) AS BIGINT) AS cnt
                 FROM events GROUP BY 1, 2),
     hi AS (SELECT event_type, cnt,
                   CAST(epoch_us(hour) / 3600000000 AS BIGINT) AS h
-           FROM hc),
+           FROM hc
+           QUALIFY row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(event_type || ':' || h::VARCHAR), h) <= {max_hours}),
     pr AS (SELECT a.event_type,
                   CAST(b.cnt - a.cnt AS DOUBLE) / (b.h - a.h) AS slope,
                   a.h AS h1, b.h AS h2
@@ -1705,7 +1719,12 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
            floor(slope * 1000000 + 0.5) / 1000000 AS sen_slope
     FROM r WHERE rn = (n + 1) // 2
-    """,
+    """
+
+
+@query(
+    "q_events_theil_sen",
+    oracle=_theil_sen_sql(_THEIL_SEN_MAX_HOURS),
 )
 def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of
@@ -1721,9 +1740,14 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the selected value is grid-snapped.
 
     Scale: the pair self-join is O(H²) per type on the AGGREGATED
-    hourly frame (~720 hours/month → ~260k pairs — never raw events);
-    beyond ~1e4 points the known rewrite samples pairs or uses the
-    O(n log n) Theil–Sen variant, same selection semantics."""
+    hourly frame (~720 hours/month → ~260k pairs — never raw events).
+    Past _THEIL_SEN_MAX_HOURS points per type (a multi-year span, never
+    reached at tested SFs), the estimator runs on the md5-rank-smallest
+    S hours — a deterministic uniform point sample that caps pairs at
+    S(S-1)/2 ≈ 2.1M per type regardless of span, with the identical
+    selection semantics on the sample (the textbook sampled Theil–Sen;
+    the oracle replays the same QUALIFY rank rule). Pinned with a
+    mirrored small-S oracle by tests/test_theil_sen_guard.py."""
     hc = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
@@ -1735,6 +1759,20 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("hour").cast("timestamp")) / 3600000000)
         .cast("long")
         .alias("h"),
+    )
+    # md5-rank hour sampling past the pair-explosion threshold (module
+    # constant read at call time so the guard test can shrink it)
+    hi = (
+        hi.withColumn(
+            "__hr",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.md5(F.concat_ws(":", F.col("event_type"), F.col("h"))), F.col("h")
+                )
+            ),
+        )
+        .filter(F.col("__hr") <= _THEIL_SEN_MAX_HOURS)
+        .drop("__hr")
     )
     a, b = hi.alias("a"), hi.alias("b")
     pr = a.join(
@@ -7485,9 +7523,11 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tok JOIN q USING (term) GROUP BY 1, 2),
     dfr AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
     s4 AS (SELECT f.doc_id,
-                  CAST((2 * (22 * sc.s * f.tf * (sc.n + 1)) * 10000
-                        + ((r.df + 1) * (10 * f.tf * sc.s + 3 * sc.s + 9 * dd.dl * sc.n)))
-                       // (2 * ((r.df + 1) * (10 * f.tf * sc.s + 3 * sc.s + 9 * dd.dl * sc.n)))
+                  CAST((2::HUGEINT * (22::HUGEINT * sc.s * f.tf * (sc.n + 1)) * 10000
+                        + ((r.df + 1)::HUGEINT * (10::HUGEINT * f.tf * sc.s
+                            + 3::HUGEINT * sc.s + 9::HUGEINT * dd.dl * sc.n)))
+                       // (2::HUGEINT * ((r.df + 1)::HUGEINT * (10::HUGEINT * f.tf * sc.s
+                            + 3::HUGEINT * sc.s + 9::HUGEINT * dd.dl * sc.n)))
                        AS BIGINT) v
            FROM tf f JOIN dfr r USING (term) JOIN d dd USING (doc_id), sc),
     ps AS (SELECT doc_id, CAST(sum(v) AS BIGINT) score_x1e4 FROM s4 GROUP BY 1)
@@ -7498,10 +7538,12 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval for ['dup','vector','spark'] (one rare, two
-    common terms), scored all-integer (see operators.text.bm25_topk) so
-    the per-term snap and the document-score SUM are bit-identical across
-    engines — the ranking can never be reordered by an ulp. The isin
-    pushes to the token stream, so only query-term postings shuffle."""
+    common terms), scored all-integer in DECIMAL(38,0)/HUGEINT (see
+    operators.text.bm25_topk — the snap product exceeds int64 past sf0.5)
+    so the per-term snap and the document-score SUM are bit-identical
+    across engines — the ranking can never be reordered by an ulp. The
+    isin pushes to the token stream, so only query-term postings
+    shuffle."""
     return text.bm25_topk(
         _t(spark, sf_dir, "documents"), query_terms=("dup", "vector", "spark"), k=10
     )

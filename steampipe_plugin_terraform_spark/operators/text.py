@@ -572,13 +572,19 @@ def bm25_topk(
         score_term = [22·S·tf·(N+1)] / [(df+1)·(10·tf·S + 3·S + 9·dl·N)]
 
     is the classic BM25 term formula with both sides multiplied out by
-    10·S·N (k1+1 = 2.2 → 22, k1·(1-b) = 0.3 → 3, k1·b = 0.9 → 9) —
-    numerator and denominator are exact BIGINTs to sf1 (≈3e17 worst case;
-    beyond that widen to DECIMAL(38,0)). Each term score is snapped to a
-    1e-4 grid by INTEGER division round-half-up ((2·num·10⁴ + den) DIV
-    (2·den)), and the document score is the exact integer sum of the
-    snapped term scores — no IEEE addition anywhere, so top-k selection
-    on (score_x1e4 DESC, id) can never be reordered by an ulp.
+    10·S·N (k1+1 = 2.2 → 22, k1·(1-b) = 0.3 → 3, k1·b = 0.9 → 9).
+    Numerator, denominator, and the snap product 2·num·10⁴ are computed
+    in DECIMAL(38,0) — the snap multiplier alone pushes the worst case
+    to ≈6e21 at sf1, past int64, and non-ANSI Spark would wrap silently
+    (round-6 advisory); decimal keeps every product exact up to 1e38 (a
+    ~3e8× margin over the 100 TB design point, where S ≈ 1e13 tokens and
+    num·2·10⁴ ≈ 4e30). Each term score is snapped to a 1e-4 grid by
+    INTEGER division round-half-up ((2·num·10⁴ + den) DIV (2·den) —
+    Spark's DIV truncates DECIMAL operands to a BIGINT quotient, matching
+    DuckDB's ``//`` on HUGEINT for these all-positive operands), and the
+    document score is the exact integer sum of the snapped term scores —
+    no IEEE addition anywhere, so top-k selection on (score_x1e4 DESC,
+    id) can never be reordered by an ulp.
 
     Returns the top ``k`` rows (id, score_x1e4, rank).
 
@@ -604,8 +610,14 @@ def bm25_topk(
         tf.join(F.broadcast(dfr), "term")
         .join(dls, "id")
         .crossJoin(F.broadcast(scal))
-        .withColumn("num", F.expr("22 * s * tf * (n + 1)"))
-        .withColumn("den", F.expr("(df + 1) * (10 * tf * s + 3 * s + 9 * dl * n)"))
+        .withColumn("num", F.expr("CAST(22 AS DECIMAL(38,0)) * s * tf * (n + 1)"))
+        .withColumn(
+            "den",
+            F.expr(
+                "CAST(df + 1 AS DECIMAL(38,0)) * (CAST(10 AS DECIMAL(38,0)) * tf * s"
+                " + CAST(3 AS DECIMAL(38,0)) * s + CAST(9 AS DECIMAL(38,0)) * dl * n)"
+            ),
+        )
         .withColumn("s4", F.expr("(2 * num * 10000 + den) DIV (2 * den)"))
     )
     per_doc = scored.groupBy("id").agg(F.sum("s4").cast("long").alias("score_x1e4"))
