@@ -24,6 +24,7 @@ the full pipeline in DuckDB.
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -6164,9 +6165,28 @@ _K_TARGET = 64
 
 
 def _effective_k(n: int) -> int:
-    """max(K_MIN, ceil(n / K_TARGET)) — mirrored verbatim by the oracle's
-    ``ksel`` CTE; the two MUST stay in lockstep."""
-    return max(_K_MIN, -(-n // _K_TARGET))
+    """max(K_MIN, min(ceil(n / K_TARGET), ceil(sqrt(n)))) — mirrored
+    verbatim by the oracle's ``ksel`` CTE; the two MUST stay in lockstep.
+
+    The sqrt cap (round-7, from the round-6 Lloyd scale finding) binds
+    only above K_TARGET² = 4096 vectors — i.e. never at a tested SF — and
+    bounds single-level Lloyd's two scale killers: the assignment matmul
+    (N·k·d ≤ N^1.5·d) and the k×dim centroid broadcast (≤ √N·dim
+    doubles ≈ 16 MB at N=1e9, d=64). The cost is cluster sizes growing as
+    √N instead of staying at K_TARGET, so per-cluster quadratic work
+    (SemDeDup) grows N per cluster — at the true 100 TB design point the
+    answer is a two-level coarse quantizer (k₁ ≈ k₂ ≈ √k total cells =
+    N/K_TARGET, each level's Lloyd trained under this same cap; SCALE.md
+    "IVF at 100 TB"), for which this single-level rule is the per-level
+    building block.
+
+    ceil(sqrt(n)) via isqrt is integer-exact; DuckDB's ceil(sqrt(n))
+    agrees because IEEE sqrt is correctly rounded — for non-squares the
+    result can only collide with an integer when n > 2^52, far past any
+    count(*) here."""
+    n_div = -(-n // _K_TARGET)
+    n_sqrt = math.isqrt(n - 1) + 1 if n > 0 else 0
+    return max(_K_MIN, min(n_div, n_sqrt))
 
 
 def _kmeans16(spark: SparkSession, sf_dir: str, kind: str):
@@ -6209,35 +6229,48 @@ def _lloyd_parts(
     vexpr: str = "embedding::DOUBLE[]",
     k_fixed: int | None = None,
     prefix: str = "",
+    train_cap: int | None = None,
 ) -> list[str]:
     """CTE chain replaying kmeans_lloyd over ``embeddings WHERE corpus_where``:
-    md5-ordered init → ``iters`` assignment/mean rounds (1e-4 / 1e-6 grids,
-    cid tiebreak, empty clusters keep their centroid) → final assignment
-    ``{prefix}af(nid, v, bucket)``.
+    md5-rank training sample ``{prefix}tr`` → md5-ordered init → ``iters``
+    assignment/mean rounds over the sample (1e-4 / 1e-6 grids, cid
+    tiebreak, empty clusters keep their centroid) → final assignment of
+    the FULL corpus ``{prefix}af(nid, v, bucket)``.
+
+    ``train_cap`` (default similarity.TRAIN_CAP) mirrors the Spark side's
+    training-sample rule: init and every Lloyd round see only the
+    train_cap rows with smallest (md5(nid), nid) — a provable no-op at
+    every tested SF (corpora ≤ 2000 rows) that the lockstep test forces
+    to bind with a small cap.
 
     k is NOT baked into the SQL text by default: the ``ksel`` CTE derives
-    it from the corpus count with the same max(K_MIN, ceil(n/K_TARGET))
-    rule as ``_effective_k``, so ONE static oracle string stays value-exact
-    at every SF even though the effective k differs (16 at sf0.01, 32 at
-    sf0.1). ``k_fixed`` pins k instead — for codebook quantizers (PQ)
-    whose size is a storage-format constant, not corpus-derived.
-    ``vexpr`` selects the clustered vector (e.g. a subvector slice);
-    ``prefix`` namespaces every CTE so several Lloyd replays (one per PQ
-    subspace) can chain in one WITH."""
+    it from the corpus count with the same max(K_MIN, min(ceil(n/K_TARGET),
+    ceil(sqrt(n)))) rule as ``_effective_k``, so ONE static oracle string
+    stays value-exact at every SF even though the effective k differs (16
+    at sf0.01, 32 at sf0.1; the sqrt cap never binds below 4096 rows).
+    ``k_fixed`` pins k instead — for codebook quantizers (PQ) whose size
+    is a storage-format constant, not corpus-derived. ``vexpr`` selects
+    the clustered vector (e.g. a subvector slice); ``prefix`` namespaces
+    every CTE so several Lloyd replays (one per PQ subspace) can chain in
+    one WITH."""
     dist = _dist_sql
     p = prefix
+    cap = similarity.TRAIN_CAP if train_cap is None else train_cap
     k_sql = str(k_fixed) if k_fixed is not None else f"(SELECT k FROM {p}ksel)"
     parts = [
         f"{p}e AS (SELECT vec_id nid, {vexpr} v FROM embeddings WHERE {corpus_where})",
+        f"{p}tr AS (SELECT nid, v FROM {p}e QUALIFY row_number() OVER "
+        f"(ORDER BY md5(nid::VARCHAR), nid) <= {cap})",
     ]
     if k_fixed is None:
         parts.append(
-            f"{p}ksel AS (SELECT GREATEST({_K_MIN}, "
-            f"CAST(ceil(count(*) / {_K_TARGET}.0) AS INT)) AS k FROM {p}e)"
+            f"{p}ksel AS (SELECT GREATEST({_K_MIN}, LEAST("
+            f"CAST(ceil(count(*) / {_K_TARGET}.0) AS INT), "
+            f"CAST(ceil(sqrt(count(*))) AS INT))) AS k FROM {p}e)"
         )
     parts.append(
         f"{p}c0 AS (SELECT cid, cv FROM (SELECT CAST(row_number() OVER "
-        f"(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM {p}e) "
+        f"(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM {p}tr) "
         f"WHERE cid < {k_sql})"
     )
     for t in range(1, iters + 1):
@@ -6245,7 +6278,7 @@ def _lloyd_parts(
         parts += [
             f"{p}a{t} AS (SELECT nid, v, cid AS bucket FROM ("
             f"SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
-            f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM {p}e e, {prev} c) WHERE rn = 1)",
+            f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM {p}tr e, {prev} c) WHERE rn = 1)",
             f"{p}m{t} AS (SELECT bucket, j, floor(avg(v[j]) * 1000000 + 0.5) / 1000000 mx "
             f"FROM {p}a{t}, range(1, {dim + 1}) r(j) GROUP BY bucket, j)",
             f"{p}cl{t} AS (SELECT bucket AS cid, list(mx ORDER BY j) cv FROM {p}m{t} GROUP BY bucket)",

@@ -161,6 +161,15 @@ def build_ivf(
     return assigned, centroids
 
 
+# Training-sample cap shared by kmeans_lloyd / pq_codebooks_encode and
+# mirrored by the oracle's `tr` CTE (catalog._lloyd_parts) — the three MUST
+# stay in lockstep. 65536 exceeds every test corpus (≤ 2000 vectors), so
+# the cap is a provable no-op at every tested SF; at scale it bounds the
+# per-iteration assignment to cap·k·d FLOPs and the training scan to cap
+# rows, independent of corpus size (the round-6 review's Lloyd finding).
+TRAIN_CAP = 65536
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -169,15 +178,23 @@ def kmeans_lloyd(
     iters: int = 3,
     dist_digits: int = 4,
     mean_digits: int = 6,
+    train_cap: int | None = TRAIN_CAP,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic distributed Lloyd k-means — the engine-PORTABLE coarse
     quantizer behind the oracle-checked IVF entries.
 
     Every step is defined so a SQL engine can replay it bit-for-bit:
 
-    - init: the k corpus vectors with smallest ``(md5(id), id)`` — a
-      distributed TakeOrdered (no RNG state, no driver scan); cid = rank
-      in that order.
+    - training set: the ``train_cap`` corpus vectors with smallest
+      ``(md5(id), id)`` — a distributed TakeOrdered, persisted across the
+      iteration loop. Init, every assignment round, and every mean run on
+      this sample; only the FINAL assignment scans the full corpus. The
+      cap is a no-op below ``train_cap`` rows (every tested SF) and at
+      scale bounds training to cap·k·d FLOPs per iteration instead of
+      N·k·d (see TRAIN_CAP).
+    - init: the k training vectors with smallest ``(md5(id), id)`` (a
+      prefix of the same ordering, so seeds ⊂ sample by construction);
+      cid = rank in that order.
     - assignment: argmin over squared distances QUANTIZED to
       ``dist_digits`` with centroid-id tiebreak. Distances are computed
       |v|² - 2v·c + |c|² with one BLAS matmul per Arrow batch (the
@@ -186,11 +203,16 @@ def kmeans_lloyd(
       sequential fold.
     - update: element-wise means via posexplode + groupBy(bucket, pos) —
       map-side combined, so the shuffle carries k·dim partial rows
-      regardless of corpus size — QUANTIZED to ``mean_digits``. Empty
-      clusters keep their previous centroid.
+      regardless of training-set size — re-packed JVM-side into k rows of
+      dim-arrays (collect_list sorted by pos) so the driver collects k
+      ROWS, not k·dim; QUANTIZED to ``mean_digits``. Empty clusters keep
+      their previous centroid.
 
     The driver holds only the k×dim centroid matrix between iterations
-    (the IVF contract); vectors never leave the executors. Returns
+    (the IVF contract); vectors never leave the executors. With the
+    sqrt-N cap on k (catalog._effective_k) that matrix is ≤ √N·dim
+    doubles; past broadcast-comfortable sizes the design point is a
+    two-level coarse quantizer (SCALE.md "IVF at 100 TB"). Returns
     (assigned (id, vec, bucket) DataFrame, final centroids).
 
     vs ``build_ivf`` (spark.ml KMeans): ML's kmeans|| init converges a
@@ -212,13 +234,17 @@ def kmeans_lloyd(
         F.col(vec_col).alias("vec"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    seeds = (
-        base.withColumn("__mk", F.md5(F.col("id").cast("string")))
-        .orderBy("__mk", "id")
-        .limit(k)
-        .select("v")
-        .collect()
-    )
+    ranked = base.withColumn("__mk", F.md5(F.col("id").cast("string")))
+    persisted = None
+    if train_cap is not None:
+        # TakeOrdered prefix of the same (md5, id) order the seeds use;
+        # persisted so the 1 + iters training passes don't re-sort the
+        # corpus (at scale: one sort, then cap-row scans)
+        train = ranked.orderBy("__mk", "id").limit(int(train_cap))
+        persisted = train.persist()
+    else:
+        train = ranked
+    seeds = train.orderBy("__mk", "id").limit(k).select("v").collect()
     C = np.asarray([r.v for r in seeds], dtype="float64")
 
     def assigner(Cm):
@@ -250,17 +276,28 @@ def kmeans_lloyd(
 
     schema = f"id {id_type}, vec {vec_type}, v array<double>, bucket int"
     for _ in range(iters):
-        assigned = base.mapInPandas(assigner(C), schema)
+        assigned = train.mapInPandas(assigner(C), schema)
+        # two-stage mean: (bucket, pos) partials map-side combine, then a
+        # k-row re-pack into dim-arrays so the driver collects k ROWS of
+        # arrays, not k·dim scalar rows
         means = (
             assigned.select("bucket", F.posexplode("v").alias("pos", "x"))
             .groupBy("bucket", "pos")
             .agg(F.avg("x").alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("mv")
+            )
             .collect()
         )
         newC = C.copy()
         for r in means:
-            newC[r.bucket][r.pos] = np.floor(r.m * qm + 0.5) / qm
+            newC[r.bucket] = np.floor(np.asarray(r.mv, dtype="float64") * qm + 0.5) / qm
         C = newC
+    if persisted is not None:
+        persisted.unpersist()
     final = base.mapInPandas(assigner(C), schema).select(
         F.col("id").alias(id_col), F.col("vec").alias(vec_col), "bucket"
     )
@@ -387,12 +424,15 @@ def pq_codebooks_encode(
     m: int = 4,
     k: int = 16,
     iters: int = 2,
+    train_cap: int | None = TRAIN_CAP,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Product-quantization training + encoding: split each vector into
     ``m`` contiguous subspaces, run the deterministic ``kmeans_lloyd`` per
     subspace (k is a FIXED codebook size — a storage-format constant, not
     corpus-derived like IVF's coarse k), and encode every vector as its m
-    nearest-codeword ids.
+    nearest-codeword ids. Codebooks train on the md5-rank-smallest
+    ``train_cap`` vectors (same sample rule and no-op threshold as
+    ``kmeans_lloyd`` — see TRAIN_CAP); every vector is ENCODED regardless.
 
     Storage contract: m small ints per vector (m·log2(k) bits — here
     4×4 = 2 bytes) instead of dim×4 bytes; the codebooks are m·k·(dim/m)
@@ -424,15 +464,17 @@ def pq_codebooks_encode(
         F.col(id_col).alias("id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    # same seed rule as kmeans_lloyd: the k corpus vectors with smallest
-    # (md5(id), id); every subspace's seed j is the slice of the same rows
-    seeds = (
-        base.withColumn("__mk", F.md5(F.col("id").cast("string")))
-        .orderBy("__mk", "id")
-        .limit(k)
-        .select("v")
-        .collect()
-    )
+    # same sample + seed rule as kmeans_lloyd: training runs on the
+    # train_cap vectors with smallest (md5(id), id); every subspace's
+    # seed j is the slice of the same first-k rows of that order
+    ranked = base.withColumn("__mk", F.md5(F.col("id").cast("string")))
+    persisted = None
+    if train_cap is not None:
+        train = ranked.orderBy("__mk", "id").limit(int(train_cap))
+        persisted = train.persist()
+    else:
+        train = ranked
+    seeds = train.orderBy("__mk", "id").limit(k).select("v").collect()
     S = np.asarray([r.v for r in seeds], dtype="float64")
     C = [S[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
 
@@ -461,7 +503,7 @@ def pq_codebooks_encode(
     code_cols = ", ".join(f"code{j} int" for j in range(m))
     schema = f"id {id_type}, v array<double>, {code_cols}"
     for _ in range(iters):
-        assigned = base.mapInPandas(assigner(C), schema)
+        assigned = train.mapInPandas(assigner(C), schema)
         # one long-form mean over ALL subspaces: bucket = the position's
         # subspace code; groups are (pos, bucket) — k·dim partial rows
         bucket_of_pos = "CASE " + " ".join(
@@ -483,6 +525,8 @@ def pq_codebooks_encode(
             j = r.pos // dsub
             newC[j][r.bucket][r.pos % dsub] = np.floor(r.mval * qm + 0.5) / qm
         C = newC
+    if persisted is not None:
+        persisted.unpersist()
     codes = base.mapInPandas(assigner(C), schema).select(
         F.col("id").alias(id_col), *[f"code{j}" for j in range(m)]
     )

@@ -28,7 +28,30 @@ def test_effective_k_rule():
     assert catalog._effective_k(16 * 64) == 16          # exactly at the floor
     assert catalog._effective_k(16 * 64 + 1) == 17      # first scaled value
     assert catalog._effective_k(2000) == 32
-    assert catalog._effective_k(10**9) == 15625000      # rule is unbounded
+    # round-7 sqrt cap: binds only above K_TARGET² = 4096 (never at a
+    # tested SF); bounds assignment FLOPs and the centroid broadcast
+    assert catalog._effective_k(4096) == 64             # crossover: both rules agree
+    assert catalog._effective_k(4097) == 65             # sqrt cap takes over
+    assert catalog._effective_k(10**6) == 1000          # was 15625 uncapped
+    assert catalog._effective_k(10**9) == 31623         # was 15625000 uncapped
+
+
+def test_effective_k_matches_duckdb_ksel():
+    """The python rule and the oracle's ksel SQL expression must agree —
+    including around perfect squares, where ceil(sqrt(n)) is the risky
+    spot (IEEE sqrt of a perfect square ≤ 2^52 is exact, so no ulp
+    divergence is possible)."""
+    import duckdb
+
+    probe = [1, 500, 2000, 4095, 4096, 4097, 10**6 - 1, 10**6, 10**6 + 1,
+             31622**2, 31622**2 + 1, 10**9]
+    for n in probe:
+        sql_k = duckdb.sql(
+            f"SELECT GREATEST({catalog._K_MIN}, LEAST("
+            f"CAST(ceil({n} / {catalog._K_TARGET}.0) AS INT), "
+            f"CAST(ceil(sqrt({n})) AS INT)))"
+        ).fetchone()[0]
+        assert sql_k == catalog._effective_k(n), n
 
 
 def test_sf_families_differ_in_effective_k(spark):
@@ -57,3 +80,40 @@ def test_lloyd_entries_parity_at_scaled_k(spark, name):
         QUERIES[name](spark, SF_LARGE), duckdb_con(SF_LARGE), ORACLES[name]
     )
     assert ok, f"{name} @ {SF_LARGE}: {msg}"
+
+
+def test_train_cap_binding_lockstep(spark):
+    """Force the round-7 training-sample cap to BIND (cap=32 over the
+    500-vector corpus) and check the Spark pipeline still matches the
+    DuckDB replay bucket-for-bucket: init + every Lloyd round on the
+    md5-rank sample, final assignment over the FULL corpus."""
+    from steampipe_plugin_terraform_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    assigned, _ = similarity.kmeans_lloyd(emb, k=16, iters=3, train_cap=32)
+    sdf = (
+        assigned.select("vec_id", "bucket")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sql = (
+        "WITH "
+        + ",\n".join(catalog._lloyd_parts("TRUE", 3, 64, k_fixed=16, train_cap=32))
+        + " SELECT nid AS vec_id, bucket FROM af ORDER BY vec_id"
+    )
+    odf = duckdb_con(SF_SMALL).execute(sql).fetchdf()
+    assert len(sdf) == len(odf) == 500
+    assert (sdf["bucket"].to_numpy() == odf["bucket"].to_numpy()).all()
+
+
+def test_train_cap_default_is_noop_at_tested_sizes(spark):
+    """TRAIN_CAP (65536) exceeds every test corpus, so the default-capped
+    run must produce exactly the centroids of uncapped training."""
+    from steampipe_plugin_terraform_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    assert similarity.TRAIN_CAP > emb.count()
+    _, c_capped = similarity.kmeans_lloyd(emb, k=16, iters=2)
+    _, c_uncapped = similarity.kmeans_lloyd(emb, k=16, iters=2, train_cap=None)
+    assert c_capped == c_uncapped
