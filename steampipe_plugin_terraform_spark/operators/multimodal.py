@@ -96,13 +96,81 @@ def decode_image_pil(payload: bytes) -> dict | None:
         return None
 
 
+def decode_image_headers(payload: bytes) -> dict | None:
+    """REAL image metadata with no dependencies: dimensions/channels from
+    the container headers — PNG IHDR, JPEG SOFn, GIF logical screen
+    descriptor — without decoding pixel data (the classic "image probe"
+    every ingest pipeline runs before deciding to decode). Returns None
+    for anything that isn't one of the three containers.
+
+    This is a header parse, not a decode: corrupt pixel data still yields
+    metadata (exactly what a 100 TB triage scan wants — full decode is
+    the expensive second pass, via PIL where installed)."""
+    n = len(payload)
+    # PNG: 8-byte signature, then the IHDR chunk (always first): 4-byte
+    # length, "IHDR", width/height as 4-byte big-endian, bit depth, color
+    # type (0 gray, 2 rgb, 3 palette, 4 gray+alpha, 6 rgba)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and n >= 26 and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            return None
+        return {"n_bytes": n, "width": w, "height": h,
+                "channels": channels, "format": "image/png"}
+    # JPEG: SOI then marker segments; dimensions live in the first SOFn
+    # (C0-CF except C4 DHT / C8 JPG / CC DAC): precision, height, width
+    # (big-endian), component count
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 > n:
+                    return None
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return {"n_bytes": n, "width": w, "height": h,
+                        "channels": payload[i + 9],
+                        "format": "image/jpeg"}
+            i += 2 + seg_len
+        return None
+    # GIF: logical screen descriptor right after the 6-byte version tag;
+    # width/height little-endian (GIF pixels are palette-indexed → 1 chan)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return {"n_bytes": n, "width": w, "height": h,
+                "channels": 1, "format": "image/gif"}
+    return None
+
+
 def decode_payload_auto(payload: bytes) -> dict:
-    """Real-codec dispatcher: WAV via stdlib wave, images via PIL where
-    installed, deterministic stub for everything else. The catalog entries
-    keep ``codec="stub"`` (the oracle replays the stub's arithmetic); a
-    production pipeline flips ``extract_media_metadata(codec="auto")`` and
-    nothing else changes — same schema, same batching, same plan."""
-    return decode_wav(payload) or decode_image_pil(payload) or decode_image_stub(payload)
+    """Real-codec dispatcher: WAV via stdlib wave, full image decode via
+    PIL where installed, header-parsed image metadata (PNG/JPEG/GIF —
+    dependency-free, real in THIS container) otherwise, deterministic
+    stub for everything else. The catalog entries keep ``codec="stub"``
+    (the oracle replays the stub's arithmetic); a production pipeline
+    flips ``extract_media_metadata(codec="auto")`` and nothing else
+    changes — same schema, same batching, same plan."""
+    return (
+        decode_wav(payload)
+        or decode_image_pil(payload)
+        or decode_image_headers(payload)
+        or decode_image_stub(payload)
+    )
 
 
 _CODECS = {"stub": decode_image_stub, "auto": decode_payload_auto}
