@@ -237,10 +237,14 @@ def kmeans_lloyd(
     ranked = base.withColumn("__mk", F.md5(F.col("id").cast("string")))
     persisted = None
     if train_cap is not None:
-        # TakeOrdered prefix of the same (md5, id) order the seeds use;
-        # persisted so the 1 + iters training passes don't re-sort the
-        # corpus (at scale: one sort, then cap-row scans)
-        train = ranked.orderBy("__mk", "id").limit(int(train_cap))
+        # TakeOrdered prefix of the same (md5, id) order the seeds use.
+        # The global limit lands the sample in ONE partition — re-spread
+        # it by id hash (deterministic) so the 1 + iters training passes
+        # stay executor-parallel; persisted so they don't re-sort the
+        # corpus (at scale: one sort + one tiny shuffle, then cap-row
+        # cached scans)
+        n_part = max(2, spark.sparkContext.defaultParallelism)
+        train = ranked.orderBy("__mk", "id").limit(int(train_cap)).repartition(n_part, "id")
         persisted = train.persist()
     else:
         train = ranked
@@ -470,7 +474,9 @@ def pq_codebooks_encode(
     ranked = base.withColumn("__mk", F.md5(F.col("id").cast("string")))
     persisted = None
     if train_cap is not None:
-        train = ranked.orderBy("__mk", "id").limit(int(train_cap))
+        # same single-partition-limit re-spread as kmeans_lloyd
+        n_part = max(2, spark.sparkContext.defaultParallelism)
+        train = ranked.orderBy("__mk", "id").limit(int(train_cap)).repartition(n_part, "id")
         persisted = train.persist()
     else:
         train = ranked

@@ -362,3 +362,95 @@ def test_transform_with_state_variant_gated(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+class _FakeValueState:
+    """Stubbed TWS ValueState handle: exists()/get()/update() with the
+    tuple-row convention of the real runtime."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, row):
+        self._v = tuple(row)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        self.states[name] = _FakeValueState()
+        return self.states[name]
+
+
+def test_record_high_processor_logic_with_stubbed_runtime():
+    """transformWithStateInPandas can't run in this container (its driver
+    worker imports google.protobuf), so exercise RecordHighProcessor's
+    handle logic directly against a stubbed runtime: state carried across
+    micro-batches, intra-batch (ts, event_id) ordering, strict-> emission,
+    and exact agreement with the portable applyInPandasWithState updater
+    on the same batch sequence."""
+    import pandas as pd
+
+    from steampipe_plugin_terraform_spark.streaming.stateful import (
+        RecordHighProcessor,
+        _record_high_update,
+    )
+
+    batches = [
+        # batch 0 arrives out of ts order: must sort before scanning
+        pd.DataFrame({"event_id": [3, 1, 2], "ts": [30, 10, 20],
+                      "user_id": [7, 7, 7], "value": [5.0, 1.0, 5.0]}),
+        # batch 1: 4.0 below running max 5.0 (no emit), 6.0 breaks it
+        pd.DataFrame({"event_id": [4, 5], "ts": [40, 50],
+                      "user_id": [7, 7], "value": [4.0, 6.0]}),
+        # batch 2: ties never emit (strictly-greater rule)
+        pd.DataFrame({"event_id": [6], "ts": [60], "user_id": [7], "value": [6.0]}),
+    ]
+
+    proc = RecordHighProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    tws_emitted = []
+    for b in batches:
+        for out in proc.handleInputRows((7,), [b], None):
+            tws_emitted += list(zip(out["event_id"], out["value"]))
+    proc.close()
+
+    # event 1 (first seen after sort), event 3 (5.0 > 1.0; event 2 tied
+    # at 5.0 but sorted earlier, so 2 emits and 3 does not)... the sort
+    # makes it deterministic: 1 -> emit, 2 (5.0) -> emit, 3 (5.0) -> tie
+    assert tws_emitted == [(1, 1.0), (2, 5.0), (5, 6.0)]
+    assert handle.states["running_max"].get() == (6.0,)
+
+    # the portable AWPS updater must emit the identical sequence given
+    # the same batches through a stubbed GroupState
+    class _FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, row):
+            self._v = tuple(row)
+
+    gs = _FakeGroupState()
+    awps_emitted = []
+    for b in batches:
+        for out in _record_high_update((7,), [b], gs):
+            awps_emitted += list(zip(out["event_id"], out["value"]))
+    assert awps_emitted == tws_emitted
+    assert gs.get == (6.0,)
