@@ -47,6 +47,97 @@ HEADLINE = [
 ]
 
 
+# extension flagships timed into the BENCH_EXTENDED.json side file
+# (never summed into the driver-parsed headline total)
+EXTENDED = [
+    "docs_semantic_dedup",
+    "emb_cluster_balanced_sample",
+    "emb_curation_pipeline",
+    "docs_temperature_sample",
+    "media_byte_histogram",
+    "q_incident_click_range_join",
+    "q_bucketed_cokey_join",
+    "q_events_daily_rollup",
+    "dedup_tfidf_cosine_pairs",
+    "emb_pq_topk",
+    "emb_hard_negatives",
+    "q_events_funnel",
+    "q_events_retention_cohorts",
+    "docs_epoch_shuffle",
+    "docs_length_buckets",
+    "q_zorder_pruned_scan",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q_events_ohlc",
+    "q_events_anomaly",
+    "emb_rp_reduce",
+    "docs_weighted_sample",
+    "q_events_ewma",
+    "q_orders_price_histogram",
+    "docs_train_val_test_split",
+    "q_events_countmin",
+    "q_customer_pareto",
+    "q_events_trend",
+    "q_events_transitions",
+    "q_kmv_distinct",
+    "q_quantile_bottomk_sketch",
+    "q_customer_skyline",
+    "q_orders_open_interval_sweep",
+    "q_events_cusum",
+    "q_events_time_weighted_value",
+    "dedup_edit_distance_pairs",
+    "q_kmv_set_ops",
+    "q_events_mad_outliers",
+    "q_user_scd2_segments",
+    "q_events_sliding_distinct_users",
+    "q_events_top_paths",
+    "q_weighted_median_price",
+    "q_orders_equidepth_histogram",
+    "q_basket_brand_lift",
+    "docs_bigram_logprob",
+    "q_events_theil_sen",
+    "q_events_ab_significance",
+    "dedup_lsh_recall",
+    "emb_dim_stats",
+    "q_events_cep_pattern",
+    "q_dq_audit",
+    "q_bloom_semi_join",
+    "q_orders_interval_merge",
+    "q_events_autocorr24",
+    "q_user_entropy",
+    "q_customer_gini",
+    "q_customer_rfm",
+    "q_nation_share_of_region",
+    "q_events_lateness_profile",
+    "media_ahash_pairs",
+    "q_fulfillment_latency",
+    "q_events_duplicate_payments",
+    "q_customer_activity_reconciliation",
+    "docs_chunk_overlap",
+    "q_part_triangles",
+    "q_part_kcore",
+    "q_session_incident_overlap",
+    "q_orders_checksum",
+    "emb_nearest_centroid_label",
+    "q_events_seasonal_anomaly",
+    "docs_novelty",
+    "q_join_size_cms_estimate",
+    "dedup_golden_record",
+]
+
+# heavy flagships get 2 timed passes (spread = the round-5 variance
+# protocol's signal); the wide tail runs 1 warm + 1 timed pass
+_EXT_HEAVY = {
+    "docs_semantic_dedup",
+    "q_bucketed_cokey_join",
+    "dedup_tfidf_cosine_pairs",
+    "dedup_edit_distance_pairs",
+    "q_kmv_distinct",
+    "emb_curation_pipeline",
+    "q_basket_brand_lift",
+}
+
+
 def _tf_corpus(n_files: int) -> str:
     """Deterministic synthetic .tf corpus (~n_files files, 3 resources +
     1 variable + 1 output each) for the parse-throughput benchmark."""
@@ -192,94 +283,7 @@ def main() -> None:
     # round-5 variance protocol exists for); the wide tail runs 1 warm +
     # 1 timed pass so bench wall time grows ~2s per new entry, not ~6s
     extended: dict[str, float] = {}
-    _EXT_HEAVY = {
-        "docs_semantic_dedup",
-        "q_bucketed_cokey_join",
-        "dedup_tfidf_cosine_pairs",
-        "dedup_edit_distance_pairs",
-        "emb_ivf_pq_topk",
-        "q_kmv_distinct",
-        "emb_curation_pipeline",
-        "q_basket_brand_lift",
-    }
-    for name in [
-        "docs_semantic_dedup",
-        "emb_cluster_balanced_sample",
-        "emb_curation_pipeline",
-        "docs_temperature_sample",
-        "media_byte_histogram",
-        "q_incident_click_range_join",
-        "q_bucketed_cokey_join",
-        "q_events_daily_rollup",
-        # round-6 flagships
-        "dedup_tfidf_cosine_pairs",
-        "emb_pq_topk",
-        "emb_hard_negatives",
-        "q_events_funnel",
-        "q_events_retention_cohorts",
-        "docs_epoch_shuffle",
-        "docs_length_buckets",
-        "q_zorder_pruned_scan",
-        # round-6 second wave
-        "q2_min_cost_supplier",
-        "q11_important_parts",
-        "q_events_ohlc",
-        "q_events_anomaly",
-        "emb_rp_reduce",
-        "docs_weighted_sample",
-        "q_events_ewma",
-        "q_orders_price_histogram",
-        "docs_train_val_test_split",
-        "q_events_countmin",
-        "q_customer_pareto",
-        "q_events_trend",
-        "q_events_transitions",
-        "q_kmv_distinct",
-        "q_quantile_bottomk_sketch",
-        "q_customer_skyline",
-        "q_orders_open_interval_sweep",
-        "q_events_cusum",
-        "q_events_time_weighted_value",
-        "dedup_edit_distance_pairs",
-        "q_kmv_set_ops",
-        "q_events_mad_outliers",
-        "q_user_scd2_segments",
-        "q_events_sliding_distinct_users",
-        "q_events_top_paths",
-        "q_weighted_median_price",
-        "q_orders_equidepth_histogram",
-        "q_basket_brand_lift",
-        "docs_bigram_logprob",
-        "q_events_theil_sen",
-        "q_events_ab_significance",
-        "dedup_lsh_recall",
-        "emb_dim_stats",
-        "q_events_cep_pattern",
-        "q_dq_audit",
-        "q_bloom_semi_join",
-        "q_orders_interval_merge",
-        "q_events_autocorr24",
-        "q_user_entropy",
-        "q_customer_gini",
-        "q_customer_rfm",
-        "q_nation_share_of_region",
-        "q_events_lateness_profile",
-        "media_ahash_pairs",
-        "q_fulfillment_latency",
-        "q_events_duplicate_payments",
-        "q_customer_activity_reconciliation",
-        # round-6 third wave
-        "docs_chunk_overlap",
-        "q_part_triangles",
-        "q_part_kcore",
-        "q_session_incident_overlap",
-        "q_orders_checksum",
-        "emb_nearest_centroid_label",
-        "q_events_seasonal_anomaly",
-        "docs_novelty",
-        "q_join_size_cms_estimate",
-        "dedup_golden_record",
-    ]:
+    for name in EXTENDED:
         fn = QUERIES[name]
         record(
             name,

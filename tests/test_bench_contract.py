@@ -1,0 +1,40 @@
+"""Driver-contract guards for bench.py — the round-6 failure mode was the
+single stdout JSON line silently outgrowing the driver's tail capture.
+These tests bound the line size STATICALLY (no Spark run) and pin the
+name lists against the catalog so a rename can't silently bench nothing.
+"""
+
+import json
+
+import bench
+from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+
+def test_headline_and_extended_name_catalog_entries():
+    unknown = [n for n in bench.HEADLINE + bench.EXTENDED if n not in QUERIES]
+    assert not unknown, f"bench names not in catalog: {unknown}"
+
+
+def test_headline_extended_disjoint_and_unique():
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert len(set(bench.EXTENDED)) == len(bench.EXTENDED)
+    overlap = set(bench.HEADLINE) & set(bench.EXTENDED)
+    assert not overlap, f"double-timed entries: {overlap}"
+    assert bench._EXT_HEAVY <= set(bench.EXTENDED)
+
+
+def test_driver_line_stays_small():
+    """Reconstruct the driver-parsed line with worst-case-width timings;
+    it must stay far below the ~8 KB capture limit that truncated
+    BENCH_r06 (samples/spread/extended belong in BENCH_EXTENDED.json)."""
+    timings = {name: 9999.999 for name in bench.HEADLINE + ["tf_parse_500_files"]}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": 0.1,
+        }
+    )
+    assert len(line) < 4096, f"driver line would be {len(line)} bytes"
