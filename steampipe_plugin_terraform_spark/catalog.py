@@ -6293,6 +6293,54 @@ def _lloyd_parts(
     return parts
 
 
+def _lloyd2_parts(
+    iters: int,
+    dim: int,
+    k2: int,
+    src: str = "af",
+    prefix: str = "g",
+) -> list[str]:
+    """Grouped Lloyd CTE chain replaying ``similarity.kmeans_two_level``'s
+    level-2 pass over ``src(nid, v, bucket)`` (a level-1 final assignment,
+    e.g. ``_lloyd_parts``'s ``af``): an INDEPENDENT Lloyd inside every
+    bucket — seeds are each cell's min(k2, |cell|) md5-rank-smallest
+    vectors, assignment ranks within (bucket, nid), means group by
+    (bucket, cid), empty sub-clusters keep their centroid. Chain after a
+    ``_lloyd_parts`` call in one WITH; yields
+    ``{prefix}af(cell1, nid, cell2)``. Not yet behind a catalog entry
+    (round-7 catalog freeze) — lockstep with the Spark implementation is
+    pinned by tests/test_two_level.py."""
+    dist = _dist_sql
+    p = prefix
+    parts = [
+        f"{p}c0 AS (SELECT bucket, cid, cv FROM (SELECT bucket, "
+        f"CAST(row_number() OVER (PARTITION BY bucket "
+        f"ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM {src}) "
+        f"WHERE cid < {k2})",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"{p}c{t - 1}"
+        parts += [
+            f"{p}a{t} AS (SELECT bucket, nid, v, cid AS c2 FROM ("
+            f"SELECT e.bucket, e.nid, e.v, c.cid, row_number() OVER "
+            f"(PARTITION BY e.bucket, e.nid ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn "
+            f"FROM {src} e JOIN {prev} c ON c.bucket = e.bucket) WHERE rn = 1)",
+            f"{p}m{t} AS (SELECT bucket, c2, j, floor(avg(v[j]) * 1000000 + 0.5) / 1000000 mx "
+            f"FROM {p}a{t}, range(1, {dim + 1}) r(j) GROUP BY 1, 2, 3)",
+            f"{p}cl{t} AS (SELECT bucket, c2 AS cid, list(mx ORDER BY j) cv "
+            f"FROM {p}m{t} GROUP BY 1, 2)",
+            f"{p}c{t} AS (SELECT p.bucket, p.cid, COALESCE(n.cv, p.cv) cv "
+            f"FROM {prev} p LEFT JOIN {p}cl{t} n ON n.bucket = p.bucket AND n.cid = p.cid)",
+        ]
+    parts.append(
+        f"{p}af AS (SELECT bucket AS cell1, nid, cid AS cell2 FROM ("
+        f"SELECT e.bucket, e.nid, c.cid, row_number() OVER "
+        f"(PARTITION BY e.bucket, e.nid ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn "
+        f"FROM {src} e JOIN {p}c{iters} c ON c.bucket = e.bucket) WHERE rn = 1)"
+    )
+    return parts
+
+
 def _ivf_cte(iters: int = 3, nprobe: int = 8, dim: int = 64) -> str:
     cos = _cos_sql
 

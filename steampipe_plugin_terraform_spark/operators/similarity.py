@@ -308,6 +308,109 @@ def kmeans_lloyd(
     return final, [row.tolist() for row in C]
 
 
+def kmeans_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 16,
+    k2: int = 16,
+    iters: int = 2,
+    dist_digits: int = 4,
+    mean_digits: int = 6,
+    train_cap: int | None = TRAIN_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level deterministic coarse quantizer — the 100 TB design point
+    SCALE.md names for corpus-derived cell counts past what single-level
+    Lloyd can train (k = N/K_TARGET ≈ 120k-500k cells).
+
+    Level 1 is ``kmeans_lloyd`` (k1 cells, TRAIN_CAP-sampled training);
+    level 2 runs an INDEPENDENT deterministic Lloyd inside every level-1
+    cell (k2 sub-cells each, or |cell| when smaller) as one
+    ``applyInPandas`` over the cell groups — per-cell local numpy with
+    exactly the single-level rules (md5-rank seeds, 1e-``dist_digits``
+    quantized distances with first-min = smallest-cid tiebreak,
+    1e-``mean_digits`` quantized means, empty clusters keep their
+    centroid), so a SQL engine replays both levels (grouped Lloyd CTEs:
+    ``catalog._lloyd2_parts``; lockstep forced by
+    tests/test_two_level.py).
+
+    Why this shape at scale: k1·k2 total cells, but no pass ever scores a
+    vector against more than k1 + k2 centroids (vs k1·k2 for single-level
+    — at k=250k cells, 1000 vs 250k per vector), driver/broadcast state
+    is (k1 + k1·k2_row)·dim held as DataFrames not matrices, and each
+    level-2 group is one cell (~N/k1 rows — choose k1 ≈ √(N/K_TARGET) so
+    cells fit an executor task; the group NEVER leaves the executor).
+
+    Returns ``(assigned, centroids)``: assigned(id, cell1, cell2) —
+    cell ids compose as (cell1, cell2); centroids(cell1, cell2, centroid)
+    — the trained level-2 codebook, k1·k2 rows, emitted from the same
+    per-cell pass that assigns (no second Lloyd run).
+    """
+    import numpy as np
+
+    qd = 10.0 ** dist_digits
+    qm = 10.0 ** mean_digits
+    id_type = dict(df.dtypes)[id_col]
+
+    level1, _ = kmeans_lloyd(
+        df, id_col, vec_col, k=k1, iters=iters,
+        dist_digits=dist_digits, mean_digits=mean_digits, train_cap=train_cap,
+    )
+    cells = level1.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col("bucket").alias("cell1"),
+        F.md5(F.col(id_col).cast("string")).alias("__mk"),
+    )
+
+    def cell_lloyd(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__mk", "id"], kind="mergesort")
+        V = np.stack(pdf["v"].to_numpy()).astype("float64")
+        ids = pdf["id"].to_numpy()
+        cell1 = int(pdf["cell1"].iloc[0])
+        k_eff = min(k2, len(V))
+        C = V[:k_eff].copy()  # md5-rank seeds = first rows of the sort
+
+        def assign(Cm):
+            c2 = (Cm * Cm).sum(axis=1)
+            D = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + c2[None, :]
+            D = np.floor(D * qd + 0.5) / qd
+            return np.argmin(D, axis=1)  # first min == smallest cid
+
+        for _ in range(iters):
+            b = assign(C)
+            newC = C.copy()
+            for cid in np.unique(b):
+                m = V[b == cid].mean(axis=0)
+                newC[cid] = np.floor(m * qm + 0.5) / qm
+            C = newC
+        b = assign(C)
+        member = pd.DataFrame(
+            {"id": ids, "cell1": cell1, "cell2": b.astype("int32"), "centroid": None}
+        )
+        cent = pd.DataFrame(
+            {
+                "id": None,
+                "cell1": cell1,
+                "cell2": np.arange(k_eff, dtype="int32"),
+                "centroid": list(C),
+            }
+        )
+        return pd.concat([member, cent], ignore_index=True)
+
+    out_schema = f"id {id_type}, cell1 int, cell2 int, centroid array<double>"
+    both = cells.groupBy("cell1").applyInPandas(cell_lloyd, out_schema)
+    assigned = both.filter(F.col("id").isNotNull()).select(
+        F.col("id").alias(id_col), "cell1", "cell2"
+    )
+    centroids = both.filter(F.col("id").isNull()).select("cell1", "cell2", "centroid")
+    return assigned, centroids
+
+
 def ivf_save(
     assigned: DataFrame,
     centroids: list[list[float]],
