@@ -637,3 +637,36 @@ def test_join_size_estimate_joins_only_summaries(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+
+
+# ---- round-7 pins: promoted headline entries + the new scale guards ----
+
+
+def test_theil_sen_hash_join_with_presampled_sides(spark):
+    # pair generation must be a HASH join on event_type (the h1 < h2
+    # range is a join condition, not a nested-loop driver), and the
+    # round-7 hour-sampling guard (__hr <= S) must filter BOTH sides
+    # BELOW the join so the pair count is capped before any pairing work
+    plan = _plan(spark, "q_events_theil_sen")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin [event_type" in plan) or ("SortMergeJoin [event_type" in plan)
+    assert plan.count("__hr") >= 2  # guard present on both join inputs
+    # hourly aggregation reads only (ts, event_type) — column pruning
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans
+    for s in scans:
+        cols = {c.split("#")[0] for c in s.split(",") if c}
+        assert cols <= {"ts", "event_type"}, f"unpruned scan columns: {cols}"
+
+
+def test_linkage_clusters_blocked_joins_only(spark):
+    # both candidate-pair pipelines (Jaccard posting lists + blocked
+    # Levenshtein) and the iterative connected-components loop must stay
+    # equi-join shaped; a cartesian or nested-loop anywhere in this
+    # composition is the classic all-pairs regression
+    plan = _plan(spark, "dedup_linkage_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
