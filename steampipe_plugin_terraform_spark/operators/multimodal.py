@@ -69,7 +69,11 @@ def decode_wav(payload: bytes) -> dict | None:
                 "channels": w.getnchannels(),
                 "format": "audio/wav",
             }
-    except wave.Error:
+    except (wave.Error, EOFError, RuntimeError):
+        # stdlib chunk/wave raise bare EOFError/RuntimeError (not just
+        # wave.Error) on truncated or corrupt RIFF structure — found by
+        # the hypothesis totality test; a corrupt payload must fall
+        # through to the stub, never kill the executor task
         return None
 
 

@@ -180,3 +180,30 @@ def test_png_bytes_fixture_is_decodable_where_pil_exists():
 
     im = Image.open(io.BytesIO(_png_bytes(48, 32)))
     assert im.size == (48, 32)
+
+
+def test_header_parser_total_on_arbitrary_bytes():
+    """decode_payload_auto must be TOTAL: any byte string — including
+    adversarially truncated container prefixes — yields a complete
+    metadata dict (falling through to the stub), never an exception.
+    At 100 TB the decode stage sees every corruption that exists."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from steampipe_plugin_terraform_spark.operators.multimodal import (
+        MEDIA_META_SCHEMA,
+        decode_payload_auto,
+    )
+
+    keys = {f.name for f in MEDIA_META_SCHEMA.fields} - {"doc_id"}
+    prefixes = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"\xff\xd8\xff\xe0",
+                b"GIF89a", b"GIF87a", b"RIFF", b"RIFFxxxxWAVE"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(pre=st.sampled_from(prefixes), tail=st.binary(max_size=64))
+    def check(pre, tail):
+        meta = decode_payload_auto(pre + tail)
+        assert keys <= set(meta)
+        assert meta["n_bytes"] == len(pre + tail)
+
+    check()
