@@ -341,10 +341,12 @@ def kmeans_two_level(
     level-2 group is one cell (~N/k1 rows — choose k1 ≈ √(N/K_TARGET) so
     cells fit an executor task; the group NEVER leaves the executor).
 
-    Returns ``(assigned, centroids)``: assigned(id, cell1, cell2) —
-    cell ids compose as (cell1, cell2); centroids(cell1, cell2, centroid)
-    — the trained level-2 codebook, k1·k2 rows, emitted from the same
-    per-cell pass that assigns (no second Lloyd run).
+    Returns ``(assigned, centroids, l1_centroids)``: assigned(id, cell1,
+    cell2) — cell ids compose as (cell1, cell2); centroids(cell1, cell2,
+    centroid) — the trained level-2 codebook, ≤ k1·k2 rows, emitted from
+    the same per-cell pass that assigns (no second Lloyd run);
+    l1_centroids — the k1 level-1 centroids (the two-stage probe's first
+    routing table, see ``two_level_topk``).
     """
     import numpy as np
 
@@ -352,7 +354,7 @@ def kmeans_two_level(
     qm = 10.0 ** mean_digits
     id_type = dict(df.dtypes)[id_col]
 
-    level1, _ = kmeans_lloyd(
+    level1, l1_centroids = kmeans_lloyd(
         df, id_col, vec_col, k=k1, iters=iters,
         dist_digits=dist_digits, mean_digits=mean_digits, train_cap=train_cap,
     )
@@ -408,7 +410,90 @@ def kmeans_two_level(
         F.col("id").alias(id_col), "cell1", "cell2"
     )
     centroids = both.filter(F.col("id").isNull()).select("cell1", "cell2", "centroid")
-    return assigned, centroids
+    return assigned, centroids, l1_centroids
+
+
+def two_level_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    l1_centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe1: int = 4,
+    nprobe2: int = 4,
+) -> DataFrame:
+    """Two-stage probe over a ``kmeans_two_level`` index — the serving
+    shape that makes k1·k2 total cells affordable: stage 1 ranks the k1
+    LEVEL-1 centroids per query (rounded cosine desc, cell asc — the same
+    deterministic rank device as ``ivf_topk``) and keeps ``nprobe1``
+    cells; stage 2 ranks only the probed cells' level-2 sub-centroids
+    (≤ nprobe1·k2 instead of k1·k2) and keeps ``nprobe2`` per cell;
+    candidates are the vectors assigned to the probed (cell1, cell2)
+    pairs, scored exactly. ``nprobe1=k1, nprobe2=k2`` degrades to exact
+    brute force (pinned by test_two_level).
+
+    Scale: a query touches nprobe1·nprobe2/(k1·k2) of the corpus; the
+    routing state per stage is k1 + nprobe1·k2 centroid dot products —
+    never k1·k2. The level-2 codebook joins as a (broadcastable) ≤ k1·k2
+    row DataFrame; vectors come from an equi-join back to the corpus on
+    (cell1, cell2)-pruned assignment rows, so at scale the assignment
+    store partitioned by (cell1) prunes files exactly like ``ivf_save``'s
+    single-level store.
+    """
+    spark = queries.sparkSession
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    l1 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(l1_centroids)], "cell1 int, c1 array<double>"
+    )
+    # stage 1: route to nprobe1 level-1 cells
+    s1 = q.crossJoin(F.broadcast(l1)).withColumn(
+        "cos1",
+        F.floor(_dot("qv", "c1") / (_norm("qv") * _norm("c1")) * 1e6 + 0.5) / 1e6,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("cos1").desc(), F.col("cell1"))
+    p1 = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= nprobe1)
+        .select("query_id", "qv", "cell1")
+    )
+    # stage 2: rank only the probed cells' sub-centroids
+    s2 = p1.join(F.broadcast(centroids), "cell1").withColumn(
+        "cos2",
+        F.floor(
+            _dot("qv", "centroid") / (_norm("qv") * _norm("centroid")) * 1e6 + 0.5
+        )
+        / 1e6,
+    )
+    w2 = Window.partitionBy("query_id", "cell1").orderBy(
+        F.col("cos2").desc(), F.col("cell2")
+    )
+    p2 = (
+        s2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= nprobe2)
+        .select("query_id", "qv", "cell1", "cell2")
+    )
+    # candidates: probed (cell1, cell2) members, vectors from the corpus
+    cand = p2.join(assigned, ["cell1", "cell2"]).join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        F.col(id_col) == F.col("neighbor_id"),
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.floor(_dot("qv", "cv") / (_norm("qv") * _norm("cv")) * 1e6 + 0.5) / 1e6,
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def ivf_save(
