@@ -51,7 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_k_scaling.py and the oracle's mirrored tr/ksel CTEs, so
 # kmeans-backed entries keep their r06 rows and the in-window entries
 # (emb_curation_pipeline, emb_ivf_pq_topk, ...) exercise the new path
-# against unchanged oracles. Positions 51-94: the remaining 44
+# against unchanged oracles. The round-7 int64-headroom audit widened
+# seven more entries to DECIMAL(38,0)/HUGEINT (anomaly, seasonal
+# anomaly, A/B significance, CMS join-size, trend, autocorr24, gini) —
+# same integers in wider containers, value-identical by construction
+# and parity-verified at sf0.001 AND sf0.01 this round; anomaly and
+# trend are in-window anyway, the rest queue at the r08 front.
+# Positions 51-94: the remaining 44
 # never-checked r6 entries (r08 window, with 6 slots left for oldest
 # rows). Then: the 44 entries whose last row is r05-or-older, then the
 # r06-green window (newest rows last).

@@ -1821,8 +1821,9 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                  max(CASE WHEN grp = 1 THEN x END) AS x2
           FROM g)
     SELECT n1, x1, n2, x2,
-           625 * (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2)
-             > 2401 * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)
+           625::HUGEINT * (x1::HUGEINT * n2 - x2::HUGEINT * n1)
+             * (x1::HUGEINT * n2 - x2::HUGEINT * n1) * (n1 + n2)
+             > 2401::HUGEINT * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)
              AS significant
     FROM w
     """,
@@ -1838,9 +1839,13 @@ def q_events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-out device as the 3σ anomaly entry).
 
     Scale: one per-user count aggregation (map-side combined), then a
-    2-row group frame pivoted to one row. The integer products need
-    DECIMAL(38) headroom once cohorts pass ~10⁶ users ((x₁n₂)² grows
-    as n⁴); the test's exactness argument is unchanged there."""
+    2-row group frame pivoted to one row. Round 7: the products run in
+    DECIMAL(38,0)/HUGEINT — 625·(x₁n₂−x₂n₁)²·N grows as N⁵ and wraps
+    int64 at only ~3000 users per arm (i.e. at sf1 of THIS corpus);
+    decimal is exact to ~2·10⁷ per arm. Past that, pre-scale the counts
+    (divide both cohorts by a common factor) — at 10⁷+ users any
+    detectable difference is significant and the inequality is decided
+    in the leading digits the rescale preserves."""
     u = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -1861,7 +1866,9 @@ def q_events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n2"),
         F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("x2"),
     )
-    d = F.col("x1") * F.col("n2") - F.col("x2") * F.col("n1")
+    d = F.col("x1").cast("decimal(38,0)") * F.col("n2") - F.col("x2").cast(
+        "decimal(38,0)"
+    ) * F.col("n1")
     N = F.col("n1") + F.col("n2")
     x = F.col("x1") + F.col("x2")
     return w.select(
@@ -1869,9 +1876,14 @@ def q_events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x1",
         "n2",
         "x2",
-        (625 * d * d * N > 2401 * F.col("n1") * F.col("n2") * x * (N - x)).alias(
-            "significant"
-        ),
+        (
+            F.lit(625).cast("decimal(38,0)") * d * d * N
+            > F.lit(2401).cast("decimal(38,0)")
+            * F.col("n1")
+            * F.col("n2")
+            * x
+            * (N - x)
+        ).alias("significant"),
     )
 
 
@@ -2125,10 +2137,10 @@ def q_orders_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY hour) AS y
           FROM hc),
     a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                 CAST(sum(x * x) AS BIGINT) AS sxx,
-                 CAST(sum(y * y) AS BIGINT) AS syy,
-                 CAST(sum(x * y) AS BIGINT) AS sxy
+                 sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                 sum(x::HUGEINT * x) AS sxx,
+                 sum(y::HUGEINT * y) AS syy,
+                 sum(x::HUGEINT * y) AS sxy
           FROM l WHERE y IS NOT NULL GROUP BY 1)
     SELECT event_type, n AS n_pairs,
            floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -2166,13 +2178,18 @@ def q_events_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("x"),
         F.lead("cnt", 24).over(w).alias("y"),
     ).filter(F.col("y").isNotNull())
+    # DECIMAL(38,0)/HUGEINT moments (Σcnt² passes int64 past ~1e10-1e11
+    # events/type); both engines cast the same exact integers to double
+    # for the one r expression, so parity is unchanged
+    xq = F.col("x").cast("decimal(38,0)")
+    yq = F.col("y").cast("decimal(38,0)")
     a = l.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xq).alias("sx"),
+        F.sum(yq).alias("sy"),
+        F.sum(xq * F.col("x")).alias("sxx"),
+        F.sum(yq * F.col("y")).alias("syy"),
+        F.sum(xq * F.col("y")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
@@ -2243,8 +2260,8 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS BIGINT) AS i
            FROM cr),
     a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(r) AS BIGINT) AS sr,
-                 CAST(sum(i * r) AS BIGINT) AS sir
+                 sum(r::HUGEINT) AS sr,
+                 sum(i::HUGEINT * r) AS sir
           FROM rk)
     SELECT n AS n_customers,
            floor((2.0 * sir - (n + 1.0) * sr) / (CAST(n AS DOUBLE) * sr)
@@ -2281,10 +2298,13 @@ def q_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         F.row_number().over(Window.orderBy("r", "o_custkey")).cast("long").alias("i"),
     )
+    # DECIMAL(38,0)/HUGEINT sums: Σi·rᵢ has an i ≤ n rank factor, so it
+    # crosses int64 around ~1e7 customers; the gini expression consumes
+    # the exact sums as identically-rounded doubles on both engines
     a = rk.agg(
         F.count("*").alias("n"),
-        F.sum("r").alias("sr"),
-        F.sum(F.col("i") * F.col("r")).alias("sir"),
+        F.sum(F.col("r").cast("decimal(38,0)")).alias("sr"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r")).alias("sir"),
     )
     nd = F.col("n").cast("double")
     gini = (2.0 * F.col("sir") - (F.col("n") + F.lit(1.0)) * F.col("sr")) / (
@@ -4362,7 +4382,8 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM hc)
     SELECT event_type, hour, cnt
     FROM st
-    WHERE (cnt * n - s) * (cnt * n - s) > 9 * (n * ss - s * s)
+    WHERE (cnt::HUGEINT * n - s) * (cnt::HUGEINT * n - s)
+          > 9::HUGEINT * (n::HUGEINT * ss - s::HUGEINT * s)
     """,
 )
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4371,9 +4392,11 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     |cnt − s/n| > 3·σ is multiplied out to (cnt·n − s)² > 9·(n·ss − s²) —
     ALL INTEGER arithmetic (counts, their sums, their squares), so the
-    flag is bit-exact across engines with no mean/stddev FP at all. At
-    100 TB the products need DECIMAL(38) headroom (cnt ≤ ~1e9 ⇒ squares
-    ~1e22); the exactness argument is unchanged.
+    flag is bit-exact across engines with no mean/stddev FP at all.
+    Round 7: the comparison runs in DECIMAL(38,0) / HUGEINT — s² wraps
+    int64 once a type passes ~3e9 events, well inside the 100 TB point
+    (s ≈ 1e10 ⇒ s² ≈ 1e20); decimal keeps it exact to 1e19 events per
+    type. Value-identical at every tested SF.
 
     Scale: one partial+final count aggregation (shuffle carries
     |hours×types| rows), then an unbounded window per event_type over the
@@ -4391,8 +4414,10 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s", F.sum("cnt").over(w))
         .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
     )
-    dev = F.col("cnt") * F.col("n") - F.col("s")
-    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    dev = F.col("cnt").cast("decimal(38,0)") * F.col("n") - F.col("s")
+    var_n2 = F.col("n").cast("decimal(38,0)") * F.col("ss") - F.col(
+        "s"
+    ).cast("decimal(38,0)") * F.col("s")
     return st.filter(dev * dev > 9 * var_n2).select("event_type", "hour", "cnt")
 
 
@@ -4528,12 +4553,13 @@ def q_events_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
                        count(*) AS y
                 FROM events GROUP BY 1, 2),
     m AS (SELECT event_type, count(*) AS n,
-                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                 CAST(sum(x * y) AS BIGINT) AS sxy,
-                 CAST(sum(x * x) AS BIGINT) AS sxx
+                 sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                 sum(x::HUGEINT * y) AS sxy,
+                 sum(x::HUGEINT * x) AS sxx
           FROM hc GROUP BY 1)
     SELECT event_type, n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             AS slope
     FROM m
     """,
 )
@@ -4547,8 +4573,11 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_slope would sum doubles in engine-specific order).
 
     Scale: hourly aggregation shuffle, then a per-type moment
-    aggregation over the tiny frame. Integer moments need DECIMAL(38)
-    headroom past ~1e9 rows·hours (SCALE.md anomaly note applies)."""
+    aggregation over the tiny frame. Round 7: moments and their cross
+    products run in DECIMAL(38,0)/HUGEINT — n·Σxy reaches ~1e18 at the
+    100 TB point and wraps int64 on longer spans; both engines cast the
+    SAME exact integers to double for the one division (round-to-nearest
+    is deterministic), so parity is unchanged."""
     hc = (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -4560,16 +4589,21 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("y"))
     )
+    xd = F.col("x").cast("decimal(38,0)")
     m = hc.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return m.select("event_type", "n", (num / den).alias("slope"))
+    return m.select(
+        "event_type",
+        "n",
+        (num.cast("double") / den.cast("double")).alias("slope"),
+    )
 
 
 @query(
@@ -8136,7 +8170,8 @@ def stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM hc)
     SELECT event_type, day, hod, CAST(cnt AS BIGINT) AS cnt
     FROM st
-    WHERE (cnt * n - s) * (cnt * n - s) > 9 * (n * ss - s * s)
+    WHERE (cnt::HUGEINT * n - s) * (cnt::HUGEINT * n - s)
+          > 9::HUGEINT * (n::HUGEINT * ss - s::HUGEINT * s)
     """,
 )
 def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8165,10 +8200,15 @@ def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s", F.sum("cnt").over(w))
         .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
     )
-    return st.filter(
-        (F.col("cnt") * F.col("n") - F.col("s")) * (F.col("cnt") * F.col("n") - F.col("s"))
-        > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
-    ).select("event_type", "day", "hod", F.col("cnt").cast("long").alias("cnt"))
+    # DECIMAL(38,0)/HUGEINT comparison — same int64 headroom note as
+    # q_events_anomaly; value-identical at every tested SF
+    dev = F.col("cnt").cast("decimal(38,0)") * F.col("n") - F.col("s")
+    var_n2 = F.col("n").cast("decimal(38,0)") * F.col("ss") - F.col(
+        "s"
+    ).cast("decimal(38,0)") * F.col("s")
+    return st.filter(dev * dev > 9 * var_n2).select(
+        "event_type", "day", "hod", F.col("cnt").cast("long").alias("cnt")
+    )
 
 
 @query(
@@ -8246,13 +8286,14 @@ def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM ha GROUP BY 1, 2),
     cb AS (SELECT i, ({_HEX12}) % 256 AS cell, CAST(sum(c) AS BIGINT) s
            FROM hb GROUP BY 1, 2),
-    dot AS (SELECT ca.i, CAST(sum(ca.s * cb.s) AS BIGINT) d
+    dot AS (SELECT ca.i, sum(ca.s::HUGEINT * cb.s) d
             FROM ca JOIN cb ON ca.i = cb.i AND ca.cell = cb.cell GROUP BY 1),
     est AS (SELECT CAST(min(d) AS BIGINT) e FROM dot),
     ex AS (SELECT CAST(count(*) AS BIGINT) x
            FROM events e JOIN orders o ON e.user_id = o.o_custkey)
     SELECT x AS exact_pairs, e AS est_pairs,
-           CAST((2 * (e - x) * 10000 + x) // (2 * x) AS BIGINT) AS overest_x1e4
+           CAST((2::HUGEINT * (e - x) * 10000 + x) // (2::HUGEINT * x) AS BIGINT)
+             AS overest_x1e4
     FROM ex, est
     """,
 )
@@ -8298,10 +8339,14 @@ def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("c"))
     fb = od.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("c"))
     ca, cb = sketch(fa), sketch(fb).withColumnRenamed("s", "s_b")
+    # DECIMAL(38,0)/HUGEINT: counter dot products reach Σ(E/w)² ≈ 4e17 at
+    # 1e10 events and wrap int64 soon after; the ×2·10⁴ snap multiplier
+    # wraps even earlier (~3e8 events) — same trap the BM25 advisory
+    # flagged. Value-identical at every tested SF.
     dot = (
         ca.join(cb, ["i", "cell"])
         .groupBy("i")
-        .agg(F.sum(F.col("s") * F.col("s_b")).alias("d"))
+        .agg(F.sum(F.col("s").cast("decimal(38,0)") * F.col("s_b")).alias("d"))
     )
     est = dot.agg(F.min("d").cast("long").alias("est_pairs"))
     exact = (
@@ -8315,8 +8360,9 @@ def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_pairs",
             "est_pairs",
             F.expr(
-                "CAST((2 * (est_pairs - exact_pairs) * 10000 + exact_pairs)"
-                " DIV (2 * exact_pairs) AS BIGINT)"
+                "CAST((CAST(2 AS DECIMAL(38,0)) * (est_pairs - exact_pairs) * 10000"
+                " + exact_pairs) DIV (CAST(2 AS DECIMAL(38,0)) * exact_pairs)"
+                " AS BIGINT)"
             ).alias("overest_x1e4"),
         )
     )
