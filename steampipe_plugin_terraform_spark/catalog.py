@@ -1097,7 +1097,11 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial+final count aggregation (|days×types| rows), then
     windows per event_type over the tiny aggregated frame — the same
     shape as the anomaly/EWMA entries; the prefix-sum form also makes
-    CUSUM mergeable across partitioned day ranges."""
+    CUSUM mergeable across partitioned day ranges. int64 headroom
+    (round-7 audit): |n·cnt − s| ≤ n·E_type and the prefix sum of n
+    deviations is ≤ n²·E_type ≈ 1e18 at n=1e4 days, 1e10 events/type —
+    inside int64 at the design point, unlike the squared-product entries
+    the audit widened; revisit past ~3e4 days."""
     dc = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
