@@ -1748,11 +1748,17 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly frame (~720 hours/month → ~260k pairs — never raw events).
     Past _THEIL_SEN_MAX_HOURS points per type (a multi-year span, never
     reached at tested SFs), the estimator runs on the md5-rank-smallest
-    S hours — a deterministic uniform point sample that caps pairs at
-    S(S-1)/2 ≈ 2.1M per type regardless of span, with the identical
+    S hours — a deterministic uniform point sample that HARD-caps pairs
+    at S(S-1)/2 ≈ 2.1M per type regardless of span, with the identical
     selection semantics on the sample (the textbook sampled Theil–Sen;
     the oracle replays the same QUALIFY rank rule). Pinned with a
-    mirrored small-S oracle by tests/test_theil_sen_guard.py."""
+    mirrored small-S oracle by tests/test_theil_sen_guard.py. Cost of
+    the guard: one rank window per join side — two exchanges+sorts of
+    the AGGREGATED hourly frame (≤ |types|·S rows), i.e. ~1s of fixed
+    task overhead at sf0.1's 3.6k-row noise floor and milliseconds of
+    real work at any scale; the hard cap is worth the fixed cost (a
+    modulo-thinning variant would be overhead-free but only bounds the
+    EXPECTED sample size)."""
     hc = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
