@@ -274,7 +274,10 @@ def main() -> None:
         )
 
     # extension flagships: reported under "extended", NOT summed into
-    # "value" — the headline total stays comparable across rounds. The warm
+    # "value". NOTE on cross-round comparability: round 7 promoted five
+    # entries into HEADLINE (adding ~14s to "value" by construction) —
+    # compare totals across that boundary on the shared query subset via
+    # the per-query dict, not the headline sum. The warm
     # pass here also absorbs the entries' one-time builds (kmeans session
     # cache, IVF store write, bucketed-table write), so the timed passes
     # measure the SERVING cost — the write-once/probe-many framing those

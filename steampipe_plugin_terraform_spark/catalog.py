@@ -6273,7 +6273,7 @@ def _lloyd_parts(
     vexpr: str = "embedding::DOUBLE[]",
     k_fixed: int | None = None,
     prefix: str = "",
-    train_cap: int | None = None,
+    train_cap: int | None = similarity.TRAIN_CAP,
 ) -> list[str]:
     """CTE chain replaying kmeans_lloyd over ``embeddings WHERE corpus_where``:
     md5-rank training sample ``{prefix}tr`` → md5-ordered init → ``iters``
@@ -6281,7 +6281,9 @@ def _lloyd_parts(
     tiebreak, empty clusters keep their centroid) → final assignment of
     the FULL corpus ``{prefix}af(nid, v, bucket)``.
 
-    ``train_cap`` (default similarity.TRAIN_CAP) mirrors the Spark side's
+    ``train_cap`` (default similarity.TRAIN_CAP; None disables the cap —
+    the SAME convention as ``kmeans_lloyd``, so a value passed to both
+    sides always means the same thing) mirrors the Spark side's
     training-sample rule: init and every Lloyd round see only the
     train_cap rows with smallest (md5(nid), nid) — a provable no-op at
     every tested SF (corpora ≤ 2000 rows) that the lockstep test forces
@@ -6299,13 +6301,16 @@ def _lloyd_parts(
     one WITH."""
     dist = _dist_sql
     p = prefix
-    cap = similarity.TRAIN_CAP if train_cap is None else train_cap
     k_sql = str(k_fixed) if k_fixed is not None else f"(SELECT k FROM {p}ksel)"
     parts = [
         f"{p}e AS (SELECT vec_id nid, {vexpr} v FROM embeddings WHERE {corpus_where})",
-        f"{p}tr AS (SELECT nid, v FROM {p}e QUALIFY row_number() OVER "
-        f"(ORDER BY md5(nid::VARCHAR), nid) <= {cap})",
     ]
+    if train_cap is not None:
+        parts.append(
+            f"{p}tr AS (SELECT nid, v FROM {p}e QUALIFY row_number() OVER "
+            f"(ORDER BY md5(nid::VARCHAR), nid) <= {train_cap})"
+        )
+    trn = f"{p}tr" if train_cap is not None else f"{p}e"
     if k_fixed is None:
         parts.append(
             f"{p}ksel AS (SELECT GREATEST({_K_MIN}, LEAST("
@@ -6314,7 +6319,7 @@ def _lloyd_parts(
         )
     parts.append(
         f"{p}c0 AS (SELECT cid, cv FROM (SELECT CAST(row_number() OVER "
-        f"(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM {p}tr) "
+        f"(ORDER BY md5(nid::VARCHAR), nid) - 1 AS INT) cid, v cv FROM {trn}) "
         f"WHERE cid < {k_sql})"
     )
     for t in range(1, iters + 1):
@@ -6322,7 +6327,7 @@ def _lloyd_parts(
         parts += [
             f"{p}a{t} AS (SELECT nid, v, cid AS bucket FROM ("
             f"SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
-            f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM {p}tr e, {prev} c) WHERE rn = 1)",
+            f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM {trn} e, {prev} c) WHERE rn = 1)",
             f"{p}m{t} AS (SELECT bucket, j, floor(avg(v[j]) * 1000000 + 0.5) / 1000000 mx "
             f"FROM {p}a{t}, range(1, {dim + 1}) r(j) GROUP BY bucket, j)",
             f"{p}cl{t} AS (SELECT bucket AS cid, list(mx ORDER BY j) cv FROM {p}m{t} GROUP BY bucket)",

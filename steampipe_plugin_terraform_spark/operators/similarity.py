@@ -318,7 +318,7 @@ def kmeans_two_level(
     dist_digits: int = 4,
     mean_digits: int = 6,
     train_cap: int | None = TRAIN_CAP,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, list[list[float]]]:
     """Two-level deterministic coarse quantizer — the 100 TB design point
     SCALE.md names for corpus-derived cell counts past what single-level
     Lloyd can train (k = N/K_TARGET ≈ 120k-500k cells).
@@ -366,8 +366,6 @@ def kmeans_two_level(
     )
 
     def cell_lloyd(pdf):
-        import hashlib
-
         import pandas as pd
 
         pdf = pdf.sort_values(["__mk", "id"], kind="mergesort")
