@@ -305,6 +305,9 @@ def main() -> None:
     # per-headline-query/sf — ~1.2 KB); the full diagnostics (raw samples,
     # spread, extended per-entry timings) go to BENCH_EXTENDED.json next to
     # this script, which the judge reads directly and the driver ignores.
+    # Git policy (CLAUDE.md): the committed copy is refreshed only by a
+    # deliberate SOLO run when a bench-relevant change lands; checkout the
+    # file after ad-hoc runs instead of committing contended numbers.
     side = {
         "samples": all_samples,
         "spread": spreads,

@@ -6287,7 +6287,11 @@ def _lloyd_parts(
     training-sample rule: init and every Lloyd round see only the
     train_cap rows with smallest (md5(nid), nid) — a provable no-op at
     every tested SF (corpora ≤ 2000 rows) that the lockstep test forces
-    to bind with a small cap.
+    to bind with a small cap. Seeds are a PREFIX of that sample, so an
+    effective k above train_cap is impossible here (the init CTE would
+    silently emit only train_cap seeds while ksel reported k); the Spark
+    side raises on k > train_cap for exactly this reason — keep any
+    k_fixed ≤ train_cap.
 
     k is NOT baked into the SQL text by default: the ``ksel`` CTE derives
     it from the corpus count with the same max(K_MIN, min(ceil(n/K_TARGET),
@@ -8825,4 +8829,181 @@ def tf_untagged_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tags", F.get_json_object("arguments", "$.tags"))
         .filter(F.col("tags").isNull())
         .select("name", "type", "tags")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R9-STAGED ENTRIES (r7 verdict items #3/#4) — drafted behind the round-6
+# catalog-entry freeze. These are FULL entries (Spark implementation +
+# DuckDB oracle) registered into STAGED_QUERIES/STAGED_ORACLES instead of
+# QUERIES/ORACLES, so the driver surface stays frozen at 188 while the
+# code is already parity-tested (tests/test_staged_entries.py runs the
+# exact driver compare at sf0.001, and at sf0.01 under
+# SPARK_GRAFT_TEST_SF_DIR like the main sweep). Promotion in r9 (only if
+# CORRECTNESS_r08 lands green): change ``@staged_query`` to ``@query``,
+# add the names to the FRONT of ``__spark_entry__._VALIDATE_FIRST`` (new
+# entries sort before all checked ones — enforced by tests/test_rotation)
+# and a row each to docs/OPERATORS.md.
+# ---------------------------------------------------------------------------
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged_query(name: str, oracle: str | None = None):
+    def deco(fn):
+        assert name not in QUERIES, f"{name} already promoted — use @query"
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TWO_LEVEL_CACHE: dict = {}
+
+
+def _two_level44(spark: SparkSession, sf_dir: str):
+    """Session-cached two-level quantizer over the vec_id >= 10 corpus —
+    k1 = k2 = 4 are CODEBOOK constants like PQ's k_fixed (the oracle
+    bakes them into the grouped-Lloyd CTEs), not corpus-derived: at the
+    100 TB design point the same build runs with k1 ≈ k2 ≈
+    √(N/K_TARGET) under the per-level √N cap (SCALE.md "IVF at 100 TB");
+    the entry pins the MECHANISM (two-stage routing, grouped cell Lloyd,
+    (cell1, cell2) candidate pruning), which is k-independent."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TWO_LEVEL_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 10)
+        _TWO_LEVEL_CACHE[key] = similarity.kmeans_two_level(
+            corpus, k1=4, k2=4, iters=2
+        )
+    return _TWO_LEVEL_CACHE[key]
+
+
+def _two_level_topk_cte() -> str:
+    """Two-stage probe replay: level-1 route (rank c2 centroids per
+    query, keep nprobe1=2 cells), level-2 route (rank ONLY the probed
+    cells' gc2 sub-centroids, keep nprobe2=4 per cell), candidates =
+    gaf members of probed (cell1, cell2) pairs, exact rounded-cosine
+    scoring with nid tiebreak — CTE-for-stage the same shapes
+    ``similarity.two_level_topk`` builds as DataFrames."""
+    cos = _cos_sql
+    parts = ["q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)"]
+    parts += _lloyd_parts("vec_id >= 10", 2, 64, k_fixed=4)
+    parts += _lloyd2_parts(2, 64, 4, src="af", prefix="g")
+    parts += [
+        "p1 AS (SELECT qid, cell1 FROM ("
+        "SELECT q.qid, c.cid cell1, row_number() OVER (PARTITION BY q.qid "
+        f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c2 c) WHERE rn <= 2)",
+        "p2 AS (SELECT qid, cell1, cell2 FROM ("
+        "SELECT p1.qid, g.bucket cell1, g.cid cell2, row_number() OVER "
+        f"(PARTITION BY p1.qid, g.bucket ORDER BY {cos('q.v', 'g.cv')} DESC, g.cid) rn "
+        "FROM p1 JOIN q ON q.qid = p1.qid JOIN gc2 g ON g.bucket = p1.cell1) "
+        "WHERE rn <= 4)",
+        f"s AS (SELECT q.qid, gaf.nid, {cos('q.v', 'af.v')} AS cosine "
+        "FROM p2 JOIN q ON q.qid = p2.qid "
+        "JOIN gaf ON gaf.cell1 = p2.cell1 AND gaf.cell2 = p2.cell2 "
+        "JOIN af ON af.nid = gaf.nid)",
+        "r AS (SELECT qid, nid, cosine, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) rank FROM s)",
+    ]
+    return ",\n    ".join(parts)
+
+
+@staged_query(
+    "emb_two_level_topk",
+    oracle=f"""
+    WITH {_two_level_topk_cte()}
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def emb_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF top-k — the 100 TB ANN capstone (SCALE.md "IVF at
+    100 TB"): a ``kmeans_two_level`` index (grouped per-cell Lloyd, k1·k2
+    cells, no pass scores a vector against more than k1+k2 centroids) and
+    the ``two_level_topk`` two-stage probe (route to nprobe1 level-1
+    cells, rank only their sub-centroids, prune candidates to probed
+    (cell1, cell2) pairs). Partial probe (2 of 4 cells × 4 sub-cells)
+    so the pruning path — not the brute-force degenerate case — is what
+    the driver validates; the full-probe ≡ brute-force identity stays
+    pinned by tests/test_two_level.py. Fully oracle-checked: DuckDB
+    replays both Lloyd levels and both probe stages as chained CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    assigned, centroids, l1 = _two_level44(spark, sf_dir)
+    return similarity.two_level_topk(
+        queries_df, corpus, assigned, centroids, l1, k=5, nprobe1=2, nprobe2=4
+    )
+
+
+@staged_query(
+    "tf_config_state_drift",
+    # golden rows from the fixture corpus: app_server (count=2 in config,
+    # 2 state instances) and b (1 instance) are applied; aws_sqs_queue.empty
+    # is declared in main.tf but absent from terraform.tfstate — the
+    # "declared but never applied" drift every terraform audit asks about.
+    # No state resource lacks a config block in this corpus, so the
+    # applied_not_declared direction yields zero rows (the query still
+    # carries it — a full outer join, both directions live).
+    oracle="""
+    SELECT address, declared, CAST(applied_instances AS BIGINT) AS applied_instances, status
+    FROM (VALUES
+      ('aws_instance.app_server', true, 2, 'in_sync'),
+      ('aws_s3_bucket.b',         true, 1, 'in_sync'),
+      ('aws_sqs_queue.empty',     true, 0, 'declared_not_applied')
+    ) t(address, declared, applied_instances, status)
+    """,
+)
+def tf_config_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-vs-state drift report — the reference-faithful composite the
+    catalog lacked (r7 verdict #4): a full outer join of
+    ``terraform_resource`` rows from CONFIG files vs STATE files on the
+    resource address ("what's declared but not applied / applied but not
+    declared" — the question every terraform user asks of the seven
+    tables; builds on the file-kind routing matrix, SURVEY.md §1.4).
+
+    State rows explode per instance with ``[index]``-suffixed addresses
+    (tfcore/rows.py index_key reformat), so the state side strips the
+    index suffix and counts instances per base address; the config side
+    is the distinct declared addresses. Both sides are O(config files),
+    not O(data) — resource metadata stays tiny at any corpus scale, and
+    the full outer join (which Spark cannot broadcast) is over those two
+    tiny keyed sets, never over data tables."""
+    eng = _tf_engine(spark)
+    res = eng.table("terraform_resource")
+    declared = (
+        res.filter(F.col("path").endswith(".tf"))
+        .select("address")
+        .distinct()
+        .withColumn("declared", F.lit(True))
+    )
+    applied = (
+        res.filter(F.col("path").endswith(".tfstate"))
+        .filter(F.col("mode") == "managed")
+        .select(
+            F.regexp_replace("address", r"\[[^\]]*\]$", "").alias("address")
+        )
+        .groupBy("address")
+        .agg(F.count("*").cast("long").alias("applied_instances"))
+    )
+    return (
+        declared.join(applied, "address", "full_outer")
+        .select(
+            "address",
+            F.coalesce("declared", F.lit(False)).alias("declared"),
+            F.coalesce("applied_instances", F.lit(0).cast("long")).alias(
+                "applied_instances"
+            ),
+            F.when(
+                F.col("declared").isNotNull() & F.col("applied_instances").isNotNull(),
+                F.lit("in_sync"),
+            )
+            .when(F.col("declared").isNotNull(), F.lit("declared_not_applied"))
+            .otherwise(F.lit("applied_not_declared"))
+            .alias("status"),
+        )
     )

@@ -135,6 +135,12 @@ def decode_image_headers(payload: bytes) -> dict | None:
             if marker == 0xFF:  # fill byte
                 i += 1
                 continue
+            if marker == 0xD9:
+                # EOI: end of stream with no SOFn seen — not a parseable
+                # image (EOI carries no length field; reading one past it
+                # was harmless-but-sloppy: whatever trailing bytes follow
+                # are not segment data)
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone marker, no length field
                 continue

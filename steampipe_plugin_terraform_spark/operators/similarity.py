@@ -194,7 +194,14 @@ def kmeans_lloyd(
       N·k·d (see TRAIN_CAP).
     - init: the k training vectors with smallest ``(md5(id), id)`` (a
       prefix of the same ordering, so seeds ⊂ sample by construction);
-      cid = rank in that order.
+      cid = rank in that order. Because seeds are drawn FROM the capped
+      sample, ``k`` cannot exceed ``train_cap`` — the sample would
+      silently truncate the codebook to train_cap centroids while the
+      caller (and the oracle's ``ksel`` CTE) still believed in k, so this
+      raises instead. With the √N cap (``catalog._effective_k``) k passes
+      65536 only around N ≈ 4.3e9 vectors, which is past this function's
+      design point anyway: use ``kmeans_two_level`` there (SCALE.md
+      "IVF at 100 TB").
     - assignment: argmin over squared distances QUANTIZED to
       ``dist_digits`` with centroid-id tiebreak. Distances are computed
       |v|² - 2v·c + |c|² with one BLAS matmul per Arrow batch (the
@@ -223,6 +230,13 @@ def kmeans_lloyd(
     """
     import numpy as np
 
+    if train_cap is not None and k > train_cap:
+        raise ValueError(
+            f"k={k} exceeds train_cap={train_cap}: seeds are a prefix of the "
+            "capped training sample, so the codebook would silently truncate "
+            "to train_cap centroids. Raise train_cap or use kmeans_two_level "
+            "(the design point for k past broadcast-comfortable sizes)."
+        )
     qd = 10.0 ** dist_digits
     qm = 10.0 ** mean_digits
     spark = df.sparkSession
@@ -385,6 +399,15 @@ def kmeans_two_level(
             b = assign(C)
             newC = C.copy()
             for cid in np.unique(b):
+                # Same accepted cross-engine boundary risk as the level-1
+                # means (F.avg vs DuckDB avg): numpy's pairwise-summation
+                # mean and DuckDB's sequential-fold avg can differ by
+                # summation-order ulps, so a true mean landing within
+                # ~1e-15 of a 0.5·10^-mean_digits snap boundary could
+                # round apart and flip a centroid. No tested corpus sits
+                # on a boundary (test_two_level pins lockstep end-to-end);
+                # the exposure is one boundary per grid cell, identical to
+                # every other snapped mean in this module.
                 m = V[b == cid].mean(axis=0)
                 newC[cid] = np.floor(m * qm + 0.5) / qm
             C = newC

@@ -138,6 +138,12 @@ def test_jpeg_header_parse_walks_markers():
     assert decode_image_headers(_jpeg_bytes(640, 480, 1))["channels"] == 1
     assert decode_image_headers(b"\xff\xd8\xff") is None  # truncated
     assert decode_image_headers(b"not an image") is None
+    # EOI before any SOFn ends the walk — the bytes after 0xFFD9 are not
+    # segment data and must not be read as a length field (r7 advice)
+    assert decode_image_headers(b"\xff\xd8\xff\xd9" + b"\xff\xc0\x00\x0b") is None
+    # an APPn whose declared length would also swallow a following EOI
+    # still parses fine up to the EOI stop
+    assert decode_image_headers(b"\xff\xd8\xff\xe0\x00\x02\xff\xd9\x00\x00\x00\x00") is None
 
 
 def test_gif_header_parse():

@@ -18,7 +18,7 @@ parse inside mapInPandas and are covered by the same scan.
 
 import pytest
 
-from steampipe_plugin_terraform_spark.catalog import QUERIES
+from steampipe_plugin_terraform_spark.catalog import QUERIES, STAGED_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
@@ -26,13 +26,17 @@ SF = "/root/testdata/sf0.001"
 # plan-only scan covers everything else
 _SKIP_PREFIXES = ("stream_",)
 
+# staged (pre-promotion) entries are held to the same bar from day one —
+# an anti-pattern caught at staging time never reaches the driver surface
+_ALL = {**QUERIES, **STAGED_QUERIES}
+
 _BATCH = sorted(
-    n for n in QUERIES if not n.startswith(_SKIP_PREFIXES)
+    n for n in _ALL if not n.startswith(_SKIP_PREFIXES)
 )
 
 
 @pytest.mark.parametrize("name", _BATCH)
 def test_no_cartesian_no_python_udf(spark, name):
-    plan = QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    plan = _ALL[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: non-broadcast cross join"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"

@@ -670,3 +670,36 @@ def test_linkage_clusters_blocked_joins_only(spark):
     plan = _plan(spark, "dedup_linkage_clusters")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- round-8 pins: r9-staged entries (pinned at staging time so the
+# ---- promotion diff is a decorator flip with plan properties already held)
+
+
+def test_two_level_topk_broadcast_routing_only(spark):
+    # the two-stage probe's ONLY nested-loop node is the deliberate
+    # k1-row level-1 routing table cross join (the repo's broadcast
+    # scalar/dim pattern); the codebook, the (cell1, cell2) candidate
+    # prune, and the corpus-vector lookup must all be broadcast HASH
+    # joins — an SMJ or cartesian here is the all-pairs regression the
+    # two-level design exists to avoid
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_two_level_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_config_state_drift_single_full_outer(spark):
+    # drift is ONE full outer join on address over two O(config-files)
+    # keyed sets (Spark cannot broadcast a full outer — SMJ is the right
+    # physical shape); any second join or a cartesian is a regression
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_config_state_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan
