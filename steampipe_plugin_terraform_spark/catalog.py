@@ -31,7 +31,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators import cluster, dedup, multimodal, pack, similarity, skew, text
+from .operators import (
+    cluster,
+    dedup,
+    merge,
+    multimodal,
+    pack,
+    similarity,
+    sketch,
+    skew,
+    text,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -8833,7 +8843,9 @@ def tf_untagged_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R9-STAGED ENTRIES (r7 verdict items #3/#4) — drafted behind the round-6
+# R9-STAGED ENTRIES (r7 verdict items #3/#4, plus the #8 stretch
+# families: incremental SCD2 MERGE and the mergeable log-scale quantile
+# sketch) — drafted behind the round-6
 # catalog-entry freeze. These are FULL entries (Spark implementation +
 # DuckDB oracle) registered into STAGED_QUERIES/STAGED_ORACLES instead of
 # QUERIES/ORACLES, so the driver surface stays frozen at 188 while the
@@ -9006,4 +9018,123 @@ def tf_config_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("applied_not_declared"))
             .alias("status"),
         )
+    )
+
+
+def _scd2_merge_at(spark: SparkSession, sf_dir: str, days_back: int) -> DataFrame:
+    """Body of q_user_scd2_merge with the split horizon (max day −
+    ``days_back`` days) as a parameter, so tests can pin the merge ≡
+    rebuild identity at horizons other than the entry's own."""
+    dt = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    wdom = Window.partitionBy("user_id", "day").orderBy(F.col("c").desc(), "event_type")
+    dom = (
+        dt.withColumn("rn", F.row_number().over(wdom))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_type")
+    )
+    # bounded 1-row collect (the repo's allowed class: seed/footer-stat
+    # scalars): a literal cutoff keeps the base/batch/merge branches from
+    # each re-expanding a scalar cross join's lineage — with the
+    # crossJoin(broadcast(agg)) device here the three references to the
+    # split frame each re-planned BOTH the dom scan and the horizon scan
+    # (6 events scans total, measured); the literal halves that. In
+    # production the horizon is config (yesterday), not data-derived.
+    cut = dom.agg(F.expr(f"max(day) - INTERVAL {days_back} DAY").alias("cut")).collect()[0].cut
+    base_dom = dom.filter(F.col("day") < F.lit(cut))
+    batch = dom.filter(F.col("day") >= F.lit(cut))
+    wday = Window.partitionBy("user_id").orderBy("day")
+    sc = (
+        base_dom.withColumn("prev", F.lag("event_type").over(wday))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("segment"),
+            F.col("day").alias("valid_from"),
+        )
+    )
+    wfrom = Window.partitionBy("user_id").orderBy("valid_from")
+    base = sc.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(wfrom).alias("valid_to"),
+    )
+    return merge.scd2_merge(base, batch, val_col="event_type")
+
+
+@staged_query(
+    # The oracle IS the full-rebuild SQL (shared verbatim with
+    # q_user_scd2_segments): the entry's correctness claim is exactly the
+    # incremental-maintenance identity "MERGE(base store, change batch)
+    # == rebuild over all facts", so the strongest possible check is the
+    # rebuild itself.
+    "q_user_scd2_merge",
+    oracle=ORACLES["q_user_scd2_segments"],
+)
+def q_user_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 MERGE/upsert (r7 verdict #8's CDC-shaped stretch
+    family): split the collapsed (user, day, dominant-type) frame at a
+    deterministic horizon (max day − 6 days, so the "change batch" is the
+    last week of CDC rows), build the dimension store ONLY from the older
+    half, then ``merge.scd2_merge`` the batch into it — closed segments
+    pass through untouched, each user's open segment extends or closes,
+    batch-only users insert. The driver validates the maintenance
+    identity: the merged store hash-equals the full rebuild
+    (tests/test_scd2_merge.py additionally pins it at a second horizon
+    and per-rule on hand-built frames).
+
+    Scale: the dominance collapse is the same three-exchange pipeline as
+    the rebuild entry; the merge itself adds ONE key-shuffle over (#open
+    segments + #batch rows) — closed history is union-only, never
+    shuffled or rewritten. In production the batch side is yesterday's
+    partition and base never re-reads facts; here both derive from one
+    events scan so the oracle can replay the identity at any SF."""
+    return _scd2_merge_at(spark, sf_dir, 6)
+
+
+@staged_query(
+    "q_quantile_logsketch",
+    # the sketch side of the oracle embeds sketch.logbucket_expr
+    # verbatim — bin()/shifts are bit-identical in both engines (the
+    # whole point of the integer restatement; see operators/sketch.py)
+    oracle=f"""
+    WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) v
+               FROM lineitem),
+    b AS (SELECT {sketch.logbucket_expr('v', 5)} AS lb,
+                 CAST(count(*) AS BIGINT) cnt
+          FROM c GROUP BY 1),
+    cu AS (SELECT lb, CAST(sum(cnt) OVER (ORDER BY lb) AS BIGINT) cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) n FROM b)
+    SELECT q_pct, min(lb) AS est_cents
+    FROM cu, (VALUES (50), (90), (99)) qs(q_pct)
+    WHERE cum * 100 >= q_pct * n
+    GROUP BY q_pct
+    """,
+)
+def q_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-scale quantile sketch over price cents (r7 verdict
+    #8's second stretch family — the t-digest ROLE in exact integer form;
+    a true t-digest's FP centroids are engine-opaque, this is the
+    checkable alternative, as KMV is to HLL). Buckets keep a value's top
+    6 significant bits (`operators/sketch.py`), so p50/p90/p99 estimates
+    carry a < 2^-5 = 3.125 % relative-error guarantee (pinned against
+    exact quantiles in tests/test_sketch.py) while the exchange carries
+    only ~1.9k bucket rows per partition regardless of N — the
+    bounded-error escape from the exact path's global sort. Map-side
+    partial aggregation IS the per-partition sketch build + merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("v")
+    )
+    sk = sketch.logsketch(cents, "v", m=5)
+    return sketch.logsketch_quantiles(sk, [50, 90, 99]).select(
+        "q_pct", F.col("est").alias("est_cents")
     )

@@ -703,3 +703,40 @@ def test_config_state_drift_single_full_outer(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") == 1
     assert "FullOuter" in plan
+
+
+def test_scd2_merge_no_scalar_lineage_blowup(spark):
+    # the literal-cutoff device caps the entry at its three inherent
+    # branches (closed store, open store, change batch = 3 scans of the
+    # collapsed source) with no scalar cross joins; the 6-scan
+    # crossJoin(broadcast(horizon)) variant is the pinned-against
+    # regression. Scan columns must stay pruned to the collapse inputs.
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_user_scd2_merge"](spark, SF))
+    assert plan.count("Scan parquet") <= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for s in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
+        cols = {c.split("#")[0] for c in s.split(",") if c}
+        assert cols <= {"ts", "user_id", "event_type"}, f"unpruned: {cols}"
+
+
+def test_logsketch_single_scan_sketch_sized_tail(spark):
+    # one scan (cum and total come from one two-frame window pass, not a
+    # second aggregation branch), pruned to the price column; the single
+    # nested-loop node is the deliberate 3-row quantile-spec broadcast —
+    # everything after the partial aggregate is sketch-sized
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_quantile_logsketch"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    cols = {c.split("#")[0] for c in scans[0].split(",") if c}
+    assert cols <= {"l_extendedprice"}, f"unpruned: {cols}"
