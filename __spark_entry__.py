@@ -45,12 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # last driver row is oldest (r05). CORRECTNESS_r08 green on this window
 # closes the horizon — every one of the 188 entries then has a driver
 # row, and the r6 catalog-entry freeze can lift in r9. No catalog entry's
-# arithmetic changed in r8 (freeze holds; the only code change touching a
-# catalog path is the JPEG EOI marker-walk fix in multimodal.py, which is
-# value-preserving on every fixture — it only alters behavior on
-# malformed streams that already fell through to the stub — so
-# media_metadata keeps its r06 row and media_ahash_pairs, in-window
-# anyway, exercises the fixed path against an unchanged oracle).
+# arithmetic changed in r8 (freeze holds; two code changes touch catalog
+# paths, both value-preserving: the JPEG EOI marker-walk fix in
+# multimodal.py only alters behavior on malformed streams that already
+# fell through to the stub — media_metadata keeps its r06 row and
+# media_ahash_pairs, in-window anyway, exercises the fixed path against
+# an unchanged oracle — and q_user_scd2_segments' body was extracted
+# into shared helpers (_scd2_daily_dominant/_scd2_segments_from, reused
+# by the staged merge entry) with the identical operator sequence, so
+# its plan and values are unchanged — re-pinned by oracle parity at
+# sf0.001 and sf0.01 this round; its r07 row stands).
 # After the window: the rest of the r05-or-older block, then r06-green,
 # then the r07 window (newest rows last).
 _VALIDATE_FIRST = [

@@ -1281,6 +1281,57 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_daily_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, day, event_type) frame of each user's dominant daily
+    event type — the collapse SHARED by ``q_user_scd2_segments`` (full
+    rebuild) and the staged ``q_user_scd2_merge`` (incremental MERGE,
+    whose oracle IS the rebuild SQL): one implementation, so the two
+    entries cannot silently diverge on the dominance tiebreak or day
+    truncation. Dominance is deterministic: count desc, then event_type
+    asc."""
+    dt = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    wdom = Window.partitionBy("user_id", "day").orderBy(
+        F.col("c").desc(), "event_type"
+    )
+    return (
+        dt.withColumn("rn", F.row_number().over(wdom))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_type")
+    )
+
+
+def _scd2_segments_from(dom: DataFrame) -> DataFrame:
+    """Run-length-encode a (user_id, day, event_type) dominant frame into
+    SCD2 validity segments (lag change filter + lead valid_to; open
+    segment has valid_to NULL). Shared by the rebuild entry and the
+    merge entry's base-store construction — see
+    ``_scd2_daily_dominant``."""
+    wday = Window.partitionBy("user_id").orderBy("day")
+    ch = dom.withColumn("prev", F.lag("event_type").over(wday))
+    sc = ch.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.col("day").alias("valid_from"),
+    )
+    wfrom = Window.partitionBy("user_id").orderBy("valid_from")
+    return sc.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(wfrom).alias("valid_to"),
+    )
+
+
 @query(
     "q_user_scd2_segments",
     oracle="""
@@ -1319,39 +1370,7 @@ def q_user_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (user) — three exchanges total, each over the COLLAPSED daily
     frame on progressively coarser prefixes of the same key, never over
     raw events. Incremental runs re-derive only appended days."""
-    dt = (
-        _t(spark, sf_dir, "events")
-        .groupBy(
-            "user_id",
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            "event_type",
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    wdom = Window.partitionBy("user_id", "day").orderBy(
-        F.col("c").desc(), "event_type"
-    )
-    dom = (
-        dt.withColumn("rn", F.row_number().over(wdom))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "day", "event_type")
-    )
-    wday = Window.partitionBy("user_id").orderBy("day")
-    ch = dom.withColumn("prev", F.lag("event_type").over(wday))
-    sc = ch.filter(
-        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
-    ).select(
-        "user_id",
-        F.col("event_type").alias("segment"),
-        F.col("day").alias("valid_from"),
-    )
-    wfrom = Window.partitionBy("user_id").orderBy("valid_from")
-    return sc.select(
-        "user_id",
-        "segment",
-        "valid_from",
-        F.lead("valid_from").over(wfrom).alias("valid_to"),
-    )
+    return _scd2_segments_from(_scd2_daily_dominant(spark, sf_dir))
 
 
 @query(
@@ -8952,46 +8971,34 @@ def emb_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
-    "tf_config_state_drift",
-    # golden rows from the fixture corpus: app_server (count=2 in config,
-    # 2 state instances) and b (1 instance) are applied; aws_sqs_queue.empty
-    # is declared in main.tf but absent from terraform.tfstate — the
-    # "declared but never applied" drift every terraform audit asks about.
-    # No state resource lacks a config block in this corpus, so the
-    # applied_not_declared direction yields zero rows (the query still
-    # carries it — a full outer join, both directions live).
-    oracle="""
-    SELECT address, declared, CAST(applied_instances AS BIGINT) AS applied_instances, status
-    FROM (VALUES
-      ('aws_instance.app_server', true, 2, 'in_sync'),
-      ('aws_s3_bucket.b',         true, 1, 'in_sync'),
-      ('aws_sqs_queue.empty',     true, 0, 'declared_not_applied')
-    ) t(address, declared, applied_instances, status)
-    """,
-)
-def tf_config_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Config-vs-state drift report — the reference-faithful composite the
-    catalog lacked (r7 verdict #4): a full outer join of
-    ``terraform_resource`` rows from CONFIG files vs STATE files on the
-    resource address ("what's declared but not applied / applied but not
-    declared" — the question every terraform user asks of the seven
-    tables; builds on the file-kind routing matrix, SURVEY.md §1.4).
-
-    State rows explode per instance with ``[index]``-suffixed addresses
-    (tfcore/rows.py index_key reformat), so the state side strips the
-    index suffix and counts instances per base address; the config side
-    is the distinct declared addresses. Both sides are O(config files),
-    not O(data) — resource metadata stays tiny at any corpus scale, and
-    the full outer join (which Spark cannot broadcast) is over those two
-    tiny keyed sets, never over data tables."""
-    eng = _tf_engine(spark)
-    res = eng.table("terraform_resource")
+def _config_state_drift_frame(res: DataFrame) -> DataFrame:
+    """Drift report over a ``terraform_resource`` frame (config + state
+    rows) — factored out of the entry so tests can run the identical
+    logic over a synthetic corpus and exercise the branches the fixture
+    corpus cannot (``count_drift`` from a partial apply,
+    ``applied_not_declared`` from an orphaned state resource)."""
     declared = (
         res.filter(F.col("path").endswith(".tf"))
-        .select("address")
-        .distinct()
-        .withColumn("declared", F.lit(True))
+        .groupBy("address")
+        .agg(
+            F.max("count").cast("long").alias("cnt"),
+            F.max(
+                F.col("count_src").isNotNull() | F.col("for_each").isNotNull()
+            ).alias("dynamic"),
+        )
+        .select(
+            "address",
+            F.lit(True).alias("declared"),
+            # statically-known expected instance count: a literal count
+            # meta-arg wins; a count EXPRESSION or for_each is unknowable
+            # without evaluation (NULL — includes the NullIfZero quirk's
+            # literal count = 0, which survives only in count_src); no
+            # meta-arg at all means exactly one instance
+            F.when(F.col("cnt").isNotNull(), F.col("cnt"))
+            .when(F.col("dynamic"), F.lit(None).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("expected_instances"),
+        )
     )
     applied = (
         res.filter(F.col("path").endswith(".tfstate"))
@@ -9007,39 +9014,86 @@ def tf_config_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "address",
             F.coalesce("declared", F.lit(False)).alias("declared"),
+            "expected_instances",
             F.coalesce("applied_instances", F.lit(0).cast("long")).alias(
                 "applied_instances"
             ),
-            F.when(
-                F.col("declared").isNotNull() & F.col("applied_instances").isNotNull(),
-                F.lit("in_sync"),
+            F.when(F.col("declared").isNull(), F.lit("applied_not_declared"))
+            .when(
+                F.col("applied_instances").isNull(), F.lit("declared_not_applied")
             )
-            .when(F.col("declared").isNotNull(), F.lit("declared_not_applied"))
-            .otherwise(F.lit("applied_not_declared"))
+            # both sides present: a knowable declared count that the
+            # state's instance count misses is the partial-apply drift
+            # (NULL expected — dynamic count/for_each — can't drift
+            # statically, so it stays in_sync)
+            .when(
+                F.col("expected_instances").isNotNull()
+                & (F.col("expected_instances") != F.col("applied_instances")),
+                F.lit("count_drift"),
+            )
+            .otherwise(F.lit("in_sync"))
             .alias("status"),
         )
+    )
+
+
+@staged_query(
+    "tf_config_state_drift",
+    # golden rows from the fixture corpus: app_server (count=2 in config,
+    # 2 state instances) and b (1 instance, count = local.cost_center so
+    # expected is statically unknowable → NULL) are applied;
+    # aws_sqs_queue.empty is declared in main.tf but absent from
+    # terraform.tfstate — the "declared but never applied" drift every
+    # terraform audit asks about. The corpus has no orphaned state
+    # resource and no partial apply, so applied_not_declared and
+    # count_drift yield zero rows HERE; both branches are live in the
+    # same full outer join and pinned on a synthetic corpus by
+    # tests/test_config_state_drift.py.
+    oracle="""
+    SELECT address, declared,
+           CAST(expected_instances AS BIGINT) AS expected_instances,
+           CAST(applied_instances AS BIGINT) AS applied_instances, status
+    FROM (VALUES
+      ('aws_instance.app_server', true, 2,    2, 'in_sync'),
+      ('aws_s3_bucket.b',         true, NULL, 1, 'in_sync'),
+      ('aws_sqs_queue.empty',     true, 1,    0, 'declared_not_applied')
+    ) t(address, declared, expected_instances, applied_instances, status)
+    """,
+)
+def tf_config_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-vs-state drift report — the reference-faithful composite the
+    catalog lacked (r7 verdict #4): a full outer join of
+    ``terraform_resource`` rows from CONFIG files vs STATE files on the
+    resource address ("what's declared but not applied / applied but not
+    declared / applied the wrong number of times" — the questions every
+    terraform user asks of the seven tables; builds on the file-kind
+    routing matrix, SURVEY.md §1.4).
+
+    State rows explode per instance with ``[index]``-suffixed addresses
+    (tfcore/rows.py index_key reformat), so the state side strips the
+    index suffix and counts instances per base address; the config side
+    carries the statically-knowable expected instance count (literal
+    ``count`` meta-arg, 1 when absent, NULL for count expressions /
+    for_each) so a partial apply — declared count=3, two instances in
+    state — surfaces as ``count_drift`` instead of masquerading as
+    in_sync. Both sides are O(config files), not O(data) — resource
+    metadata stays tiny at any corpus scale, and the full outer join
+    (which Spark cannot broadcast) is over those two tiny keyed sets,
+    never over data tables."""
+    return _config_state_drift_frame(
+        _tf_engine(spark).table("terraform_resource")
     )
 
 
 def _scd2_merge_at(spark: SparkSession, sf_dir: str, days_back: int) -> DataFrame:
     """Body of q_user_scd2_merge with the split horizon (max day −
     ``days_back`` days) as a parameter, so tests can pin the merge ≡
-    rebuild identity at horizons other than the entry's own."""
-    dt = (
-        _t(spark, sf_dir, "events")
-        .groupBy(
-            "user_id",
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            "event_type",
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    wdom = Window.partitionBy("user_id", "day").orderBy(F.col("c").desc(), "event_type")
-    dom = (
-        dt.withColumn("rn", F.row_number().over(wdom))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "day", "event_type")
-    )
+    rebuild identity at horizons other than the entry's own. Collapse
+    and segment build come from the SAME helpers the rebuild entry uses
+    (``_scd2_daily_dominant`` / ``_scd2_segments_from``) — the oracle is
+    the rebuild SQL, so a shared implementation is what keeps the
+    identity unbreakable by a one-sided edit."""
+    dom = _scd2_daily_dominant(spark, sf_dir)
     # bounded 1-row collect (the repo's allowed class: seed/footer-stat
     # scalars): a literal cutoff keeps the base/batch/merge branches from
     # each re-expanding a scalar cross join's lineage — with the
@@ -9050,23 +9104,7 @@ def _scd2_merge_at(spark: SparkSession, sf_dir: str, days_back: int) -> DataFram
     cut = dom.agg(F.expr(f"max(day) - INTERVAL {days_back} DAY").alias("cut")).collect()[0].cut
     base_dom = dom.filter(F.col("day") < F.lit(cut))
     batch = dom.filter(F.col("day") >= F.lit(cut))
-    wday = Window.partitionBy("user_id").orderBy("day")
-    sc = (
-        base_dom.withColumn("prev", F.lag("event_type").over(wday))
-        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        .select(
-            "user_id",
-            F.col("event_type").alias("segment"),
-            F.col("day").alias("valid_from"),
-        )
-    )
-    wfrom = Window.partitionBy("user_id").orderBy("valid_from")
-    base = sc.select(
-        "user_id",
-        "segment",
-        "valid_from",
-        F.lead("valid_from").over(wfrom).alias("valid_to"),
-    )
+    base = _scd2_segments_from(base_dom)
     return merge.scd2_merge(base, batch, val_col="event_type")
 
 

@@ -55,7 +55,16 @@ def scd2_merge(
     The open segment re-enters change detection as a virtual change row
     at its own ``valid_from`` — so "batch continues the segment" and
     "batch changes it on day one" both fall out of the ordinary lag
-    comparison, with no special cases."""
+    comparison, with no special cases.
+
+    The batch contract is ONE row per (key, day) — a CDC frame collapsed
+    per day, like the dominance frame the catalog entry feeds it. Both
+    windows still carry a value tiebreak so contract-violating duplicate
+    (key, day) rows degrade to a DETERMINISTIC result (value-ordered:
+    the earlier value survives as a zero-length [day, day) segment, the
+    later one wins the day) instead of a shuffle-order-dependent one —
+    every window in this repo orders on a total key for exactly this
+    reason."""
     closed = base.filter(F.col(to_col).isNotNull())
     virtual_open = base.filter(F.col(to_col).isNull()).select(
         F.col(key_col),
@@ -65,7 +74,7 @@ def scd2_merge(
     live = virtual_open.unionByName(
         batch.select(F.col(key_col), F.col(day_col), F.col(val_col))
     )
-    w = Window.partitionBy(key_col).orderBy(day_col)
+    w = Window.partitionBy(key_col).orderBy(day_col, val_col)
     changes = (
         live.withColumn("__prev", F.lag(val_col).over(w))
         .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(val_col)))
@@ -75,7 +84,7 @@ def scd2_merge(
             F.col(day_col).alias(from_col),
         )
     )
-    wf = Window.partitionBy(key_col).orderBy(from_col)
+    wf = Window.partitionBy(key_col).orderBy(from_col, seg_col)
     tail = changes.select(
         key_col,
         seg_col,

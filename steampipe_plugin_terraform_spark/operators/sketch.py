@@ -63,7 +63,8 @@ def logsketch_quantiles(sketch: DataFrame, q_pcts: list[int]) -> DataFrame:
     """Answer integer-percent quantiles from a (lb, cnt) sketch: for each
     q the estimate is the lower bound of the bucket holding rank
     ceil(q·N/100) — selected by the integer test ``100·cum >= q·N`` (no
-    division, exact to N ≈ 9.2e16/100 rows). Returns (q_pct, est) rows.
+    division; ``100·cum`` stays in int64 to N ≈ 2^63/100 ≈ 9.2e16 rows).
+    Returns (q_pct, est) rows.
 
     The running and total counts come from ONE pass of two window frames
     over the bucket frame (a deliberate single-partition window — the

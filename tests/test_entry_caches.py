@@ -183,3 +183,28 @@ def test_cluster_map_computed_once_per_corpus(spark, monkeypatch):
     n3 = cat.QUERIES["docs_curation_pipeline"](spark, sf).count()
     assert n1 > 0 and n2 >= 0 and n3 >= 0
     assert calls["n"] == 1, f"pair mining ran {calls['n']} times, want 1"
+
+
+def test_two_level_index_built_once_per_corpus(spark, monkeypatch):
+    """The staged emb_two_level_topk entry's _TWO_LEVEL_CACHE must reuse
+    the grouped-Lloyd index on repeat invocations — a regression that
+    drops the cache check would silently re-run both Lloyd levels every
+    driver/parity call (r8 review finding: this was the one session
+    cache without a reuse pin)."""
+    import steampipe_plugin_terraform_spark.catalog as cat
+    from steampipe_plugin_terraform_spark.operators import similarity
+
+    cat._TWO_LEVEL_CACHE.clear()
+    calls = {"n": 0}
+    real = similarity.kmeans_two_level
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(similarity, "kmeans_two_level", counting)
+    sf = "/root/testdata/sf0.001"
+    n1 = cat.STAGED_QUERIES["emb_two_level_topk"](spark, sf).count()
+    n2 = cat.STAGED_QUERIES["emb_two_level_topk"](spark, sf).count()
+    assert n1 > 0 and n1 == n2
+    assert calls["n"] == 1, f"two-level build ran {calls['n']} times, want 1"

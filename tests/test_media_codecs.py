@@ -141,8 +141,12 @@ def test_jpeg_header_parse_walks_markers():
     # EOI before any SOFn ends the walk — the bytes after 0xFFD9 are not
     # segment data and must not be read as a length field (r7 advice)
     assert decode_image_headers(b"\xff\xd8\xff\xd9" + b"\xff\xc0\x00\x0b") is None
-    # an APPn whose declared length would also swallow a following EOI
-    # still parses fine up to the EOI stop
+    # an APPn whose declared length (4 = length field + 2 payload bytes)
+    # swallows a following EOI as payload: the walk never sees the EOI
+    # marker, lands on the non-FF byte after it, and fails cleanly
+    assert decode_image_headers(b"\xff\xd8\xff\xe0\x00\x04\xff\xd9\x00\x00\x00\x00") is None
+    # ...and a zero-payload APPn (length exactly 2) that stops right AT
+    # the EOI takes the explicit EOI stop
     assert decode_image_headers(b"\xff\xd8\xff\xe0\x00\x02\xff\xd9\x00\x00\x00\x00") is None
 
 

@@ -140,3 +140,19 @@ def test_merge_equals_rebuild_at_two_horizons(spark):
     for days_back in (6, 13):
         merged = {tuple(r) for r in _scd2_merge_at(spark, sf, days_back).collect()}
         assert merged == rebuild, f"merge != rebuild at horizon -{days_back}d"
+
+
+def test_duplicate_key_day_batch_rows_are_deterministic(spark):
+    # CONTRACT-VIOLATING input (two batch rows for one (key, day)) must
+    # degrade deterministically, not shuffle-order-dependently: both
+    # windows tiebreak on the value, so the value-earlier row survives
+    # as a zero-length [day, day) segment and the value-later row wins
+    # the day. Pinned so a future window edit can't silently reintroduce
+    # run-to-run nondeterminism (r8 review finding).
+    expected = {
+        (1, "x", _d(5), _d(5)),  # zero-length loser segment
+        (1, "y", _d(5), None),
+    }
+    for _ in range(3):
+        got = _merged(spark, [], [(1, _d(5), "x"), (1, _d(5), "y")])
+        assert got == expected
