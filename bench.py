@@ -13,7 +13,7 @@ import re
 import sys
 import time
 
-from steampipe_plugin_terraform_spark.catalog import QUERIES
+from steampipe_plugin_terraform_spark.catalog import QUERIES, STAGED_QUERIES
 from steampipe_plugin_terraform_spark.session import get_spark
 
 HEADLINE = [
@@ -123,6 +123,13 @@ EXTENDED = [
     "docs_novelty",
     "q_join_size_cms_estimate",
     "dedup_golden_record",
+    # r9-staged entries (behind the r6 catalog freeze, resolved from
+    # STAGED_QUERIES): timed here so their promotion in r9 lands with a
+    # round-over-round perf baseline instead of a cold first number
+    "emb_two_level_topk",
+    "tf_config_state_drift",
+    "q_user_scd2_merge",
+    "q_quantile_logsketch",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance
@@ -287,7 +294,7 @@ def main() -> None:
     # 1 timed pass so bench wall time grows ~2s per new entry, not ~6s
     extended: dict[str, float] = {}
     for name in EXTENDED:
-        fn = QUERIES[name]
+        fn = QUERIES.get(name) or STAGED_QUERIES[name]
         record(
             name,
             lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),

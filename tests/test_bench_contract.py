@@ -7,12 +7,18 @@ name lists against the catalog so a rename can't silently bench nothing.
 import json
 
 import bench
-from steampipe_plugin_terraform_spark.catalog import QUERIES
+from steampipe_plugin_terraform_spark.catalog import QUERIES, STAGED_QUERIES
 
 
 def test_headline_and_extended_name_catalog_entries():
-    unknown = [n for n in bench.HEADLINE + bench.EXTENDED if n not in QUERIES]
-    assert not unknown, f"bench names not in catalog: {unknown}"
+    # HEADLINE resolves from the driver surface only; EXTENDED may also
+    # time r9-staged entries (perf baseline ahead of promotion)
+    unknown = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not unknown, f"headline names not in catalog: {unknown}"
+    unknown = [
+        n for n in bench.EXTENDED if n not in QUERIES and n not in STAGED_QUERIES
+    ]
+    assert not unknown, f"extended names not in catalog or staged: {unknown}"
 
 
 def test_headline_extended_disjoint_and_unique():
