@@ -8903,7 +8903,10 @@ def _two_level44(spark: SparkSession, sf_dir: str):
     √(N/K_TARGET) under the per-level √N cap (SCALE.md "IVF at 100 TB");
     the entry pins the MECHANISM (two-stage routing, grouped cell Lloyd,
     (cell1, cell2) candidate pruning), which is k-independent."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # keyed on the corpus digest like every other session cache (bucketed
+    # tables, IVF store, PQ training): a same-session corpus change under
+    # a reused path must rebuild, identical corpora at new paths must not
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
     if key not in _TWO_LEVEL_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
         corpus = emb.filter(F.col("vec_id") >= 10)
@@ -8915,8 +8918,10 @@ def _two_level44(spark: SparkSession, sf_dir: str):
 
 def _two_level_topk_cte() -> str:
     """Two-stage probe replay: level-1 route (rank c2 centroids per
-    query, keep nprobe1=2 cells), level-2 route (rank ONLY the probed
-    cells' gc2 sub-centroids, keep nprobe2=4 per cell), candidates =
+    query, keep nprobe1=2 of 4 cells), level-2 route (rank ONLY the probed
+    cells' gc2 sub-centroids, keep nprobe2=2 of 4 per cell — strictly
+    fewer than k2, so the level-2 prune BINDS and the driver validates
+    the two-stage path, not a degenerate full sub-probe), candidates =
     gaf members of probed (cell1, cell2) pairs, exact rounded-cosine
     scoring with nid tiebreak — CTE-for-stage the same shapes
     ``similarity.two_level_topk`` builds as DataFrames."""
@@ -8932,7 +8937,7 @@ def _two_level_topk_cte() -> str:
         "SELECT p1.qid, g.bucket cell1, g.cid cell2, row_number() OVER "
         f"(PARTITION BY p1.qid, g.bucket ORDER BY {cos('q.v', 'g.cv')} DESC, g.cid) rn "
         "FROM p1 JOIN q ON q.qid = p1.qid JOIN gc2 g ON g.bucket = p1.cell1) "
-        "WHERE rn <= 4)",
+        "WHERE rn <= 2)",
         f"s AS (SELECT q.qid, gaf.nid, {cos('q.v', 'af.v')} AS cosine "
         "FROM p2 JOIN q ON q.qid = p2.qid "
         "JOIN gaf ON gaf.cell1 = p2.cell1 AND gaf.cell2 = p2.cell2 "
@@ -8957,17 +8962,18 @@ def emb_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, no pass scores a vector against more than k1+k2 centroids) and
     the ``two_level_topk`` two-stage probe (route to nprobe1 level-1
     cells, rank only their sub-centroids, prune candidates to probed
-    (cell1, cell2) pairs). Partial probe (2 of 4 cells × 4 sub-cells)
-    so the pruning path — not the brute-force degenerate case — is what
-    the driver validates; the full-probe ≡ brute-force identity stays
-    pinned by tests/test_two_level.py. Fully oracle-checked: DuckDB
+    (cell1, cell2) pairs). Partial probe at BOTH levels (2 of 4 cells ×
+    2 of 4 sub-cells — nprobe2 < k2 so the level-2 prune binds) so the
+    pruning path — not a brute-force or full-sub-probe degenerate case —
+    is what the driver validates; the full-probe ≡ brute-force identity
+    stays pinned by tests/test_two_level.py. Fully oracle-checked: DuckDB
     replays both Lloyd levels and both probe stages as chained CTEs."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     assigned, centroids, l1 = _two_level44(spark, sf_dir)
     return similarity.two_level_topk(
-        queries_df, corpus, assigned, centroids, l1, k=5, nprobe1=2, nprobe2=4
+        queries_df, corpus, assigned, centroids, l1, k=5, nprobe1=2, nprobe2=2
     )
 
 
@@ -8978,22 +8984,37 @@ def _config_state_drift_frame(res: DataFrame) -> DataFrame:
     corpus cannot (``count_drift`` from a partial apply,
     ``applied_not_declared`` from an orphaned state resource)."""
     declared = (
-        res.filter(F.col("path").endswith(".tf"))
-        .groupBy("address")
-        .agg(
-            F.max("count").cast("long").alias("cnt"),
-            F.max(
-                F.col("count_src").isNotNull() | F.col("for_each").isNotNull()
-            ).alias("dynamic"),
+        # kind comes from the wide frame's file_kind (the engine's routing
+        # decision, stamped at parse time) — never re-derived from path
+        # suffixes, so *.tf.json configs and renamed state files land on
+        # the right side of the audit
+        res.filter(F.col("file_kind") == "config")
+        .select(
+            "address",
+            # statically-known per-declaration instance count: a literal
+            # count meta-arg wins; the NullIfZero quirk nulls a literal
+            # count = 0 (it survives only as count_src '0'), so recover it
+            # — an intentionally zero-instance declaration is expected_0,
+            # not dynamic; a count EXPRESSION or for_each stays unknowable
+            F.coalesce(
+                F.col("count").cast("long"),
+                F.when(F.col("count_src") == "0", F.lit(0).cast("long")),
+            ).alias("lit_cnt"),
+            (
+                (
+                    F.col("count").isNull()
+                    & F.col("count_src").isNotNull()
+                    & (F.col("count_src") != "0")
+                )
+                | F.col("for_each").isNotNull()
+            ).alias("dyn"),
         )
+        .groupBy("address")
+        .agg(F.max("lit_cnt").alias("cnt"), F.max("dyn").alias("dynamic"))
         .select(
             "address",
             F.lit(True).alias("declared"),
-            # statically-known expected instance count: a literal count
-            # meta-arg wins; a count EXPRESSION or for_each is unknowable
-            # without evaluation (NULL — includes the NullIfZero quirk's
-            # literal count = 0, which survives only in count_src); no
-            # meta-arg at all means exactly one instance
+            # no meta-arg at all means exactly one instance
             F.when(F.col("cnt").isNotNull(), F.col("cnt"))
             .when(F.col("dynamic"), F.lit(None).cast("long"))
             .otherwise(F.lit(1).cast("long"))
@@ -9001,7 +9022,7 @@ def _config_state_drift_frame(res: DataFrame) -> DataFrame:
         )
     )
     applied = (
-        res.filter(F.col("path").endswith(".tfstate"))
+        res.filter(F.col("file_kind") == "state")
         .filter(F.col("mode") == "managed")
         .select(
             F.regexp_replace("address", r"\[[^\]]*\]$", "").alias("address")
@@ -9019,6 +9040,14 @@ def _config_state_drift_frame(res: DataFrame) -> DataFrame:
                 "applied_instances"
             ),
             F.when(F.col("declared").isNull(), F.lit("applied_not_declared"))
+            # expected 0 with applied 0 (including absent-from-state, the
+            # only way a joined state row can be NULL at 0) is the
+            # declaration working as written, not drift
+            .when(
+                (F.col("expected_instances") == 0)
+                & (F.coalesce("applied_instances", F.lit(0)) == 0),
+                F.lit("in_sync"),
+            )
             .when(
                 F.col("applied_instances").isNull(), F.lit("declared_not_applied")
             )
@@ -9079,9 +9108,18 @@ def tf_config_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_sync. Both sides are O(config files), not O(data) — resource
     metadata stays tiny at any corpus scale, and the full outer join
     (which Spark cannot broadcast) is over those two tiny keyed sets,
-    never over data tables."""
+    never over data tables.
+
+    Reads the engine's wide frame (terraform_resource rows plus the
+    parse-time ``file_kind`` stamp) rather than the public table
+    projection: kind is the engine's own routing decision, never
+    re-derived from path suffixes, so *.tf.json configs and
+    custom-named state files stay in the audit."""
+    wide = _tf_engine(spark).wide()
     return _config_state_drift_frame(
-        _tf_engine(spark).table("terraform_resource")
+        wide.filter(F.col("tf_table") == "terraform_resource").select(
+            "address", "count", "count_src", "for_each", "mode", "file_kind"
+        )
     )
 
 

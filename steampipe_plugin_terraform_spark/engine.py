@@ -442,6 +442,12 @@ class TerraformEngine:
     def load_canonical(cls, spark: SparkSession, path: str) -> "TerraformEngine":
         """Engine over a previously saved canonical store (no parsing)."""
         eng = cls(spark, cache=False)
+        df = spark.read.parquet(path)
+        # stores written before file_kind joined the wide layout load with
+        # the column NULL (kind is unrecoverable post-parse; only the
+        # drift audit reads it, and it documents the NULL as "unknown")
+        if "file_kind" not in df.columns:
+            df = df.withColumn("file_kind", F.lit(None).cast("string"))
         # partition column comes back; reorder to the wide layout
-        eng._wide = spark.read.parquet(path).select(*WIDE_COLUMNS)
+        eng._wide = df.select(*WIDE_COLUMNS)
         return eng

@@ -71,6 +71,10 @@ WIDE_COLUMNS = [
     "end_line",
     "source",
     "path",
+    # effective parse branch ("config" | "plan" | "state", with sniffed
+    # plans stamped "plan") — carried for engine-internal audits (e.g.
+    # config-vs-state drift); NOT projected into the seven public tables
+    "file_kind",
 ]
 
 _VAR_TYPE_RE = re.compile(r"^\$\{(.+)\}$", re.DOTALL)
@@ -509,7 +513,11 @@ def build_rows_for_file(path: str, kind: str, text: str) -> list[dict[str, Any]]
     terraform_resource.
     """
     if kind == "state":
-        return list(_state_rows(path, text))
-    if kind == "plan" or is_terraform_plan(text):
-        return list(_plan_rows(path, text))
-    return list(_config_rows(path, text))
+        rows, eff = list(_state_rows(path, text)), "state"
+    elif kind == "plan" or is_terraform_plan(text):
+        rows, eff = list(_plan_rows(path, text)), "plan"
+    else:
+        rows, eff = list(_config_rows(path, text)), "config"
+    for r in rows:
+        r["file_kind"] = eff
+    return rows
