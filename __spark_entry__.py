@@ -39,79 +39,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
 # the sf0.01 sweep (`make parity-sf001 parity-sf01`).
 #
-# Round-8 window (executes the r7 verdict's staged rotation verbatim):
-# positions 1-44 are the final 44 never-driver-checked r6-wave entries
-# (previously staged at 51-94); positions 45-50 are the six entries whose
-# last driver row is oldest (r05). CORRECTNESS_r08 green on this window
-# closes the horizon — every one of the 188 entries then has a driver
-# row, and the r6 catalog-entry freeze can lift in r9. No catalog entry's
-# arithmetic changed in r8 (freeze holds; two code changes touch catalog
-# paths, both value-preserving: the JPEG EOI marker-walk fix in
-# multimodal.py only alters behavior on malformed streams that already
-# fell through to the stub — media_metadata keeps its r06 row and
-# media_ahash_pairs, in-window anyway, exercises the fixed path against
-# an unchanged oracle — and q_user_scd2_segments' body was extracted
-# into shared helpers (_scd2_daily_dominant/_scd2_segments_from, reused
-# by the staged merge entry) with the identical operator sequence, so
-# its plan and values are unchanged — re-pinned by oracle parity at
-# sf0.001 and sf0.01 this round; its r07 row stands).
-# After the window: the rest of the r05-or-older block, then r06-green,
-# then the r07 window (newest rows last).
+# Round-9 window (executes the r8 verdict's arithmetically-forced
+# rotation): positions 1-4 are the four entries promoted from the r8
+# staging area (emb_two_level_topk, tf_config_state_drift,
+# q_user_scd2_merge, q_quantile_logsketch) — never driver-checked, so
+# rule 2 puts them first; positions 5-42 are ALL 38 entries whose last
+# driver row is r05 (the catalog is 192 after promotion, horizon stays
+# ceil(192/50) = 4, so r05 rows fall outside it at r9 — the exact
+# condition tests/test_rotation.py::test_horizon_holds red-flagged the
+# moment CORRECTNESS_r08 landed); positions 43-50 are the eight oldest
+# r06 rows. After the window: the remaining 42 r06 rows (the forced r10
+# rotation — r10 promotions must stay ≤ 8 to leave them room), then
+# r07-green, then the r08 window (newest rows last).
 _VALIDATE_FIRST = [
-    # -- r08 window: remaining never-driver-checked r6 wave (44) --
-    "q_events_top_paths",
-    "q_weighted_median_price",
-    "q_orders_equidepth_histogram",
-    "q_basket_brand_lift",
-    "docs_bigram_logprob",
-    "dedup_linkage_clusters",
-    "q_events_ab_significance",
-    "dedup_lsh_recall",
-    "emb_dim_stats",
-    "q_events_cep_pattern",
-    "q_dq_audit",
-    "q_bloom_semi_join",
-    "q_orders_interval_merge",
-    "q_events_autocorr24",
-    "q_user_entropy",
-    "q_customer_gini",
-    "q_customer_rfm",
-    "q_nation_share_of_region",
-    "q_events_lateness_profile",
-    "media_ahash_pairs",
-    "q_fulfillment_latency",
-    "q_events_duplicate_payments",
-    "q_customer_activity_reconciliation",
-    "docs_chunk_overlap",
-    "q_part_triangles",
-    "stream_click_error_full_join",
-    "q_session_incident_overlap",
-    "q_orders_checksum",
-    "q_part_kcore",
-    "emb_nearest_centroid_label",
-    "tf_resource_provider_join",
-    "docs_k_anonymity",
-    "stream_record_highs",
-    "q_events_seasonal_anomaly",
-    "docs_novelty",
-    "q_join_size_cms_estimate",
-    "dedup_golden_record",
-    "docs_leakage_safe_split",
-    "q_user_segment_asof_snapshot",
-    "q_orders_cohort_ltv",
-    "q_events_stickiness",
-    "emb_intra_class_outliers",
-    "docs_lang_confusion",
-    "tf_untagged_resources",
-    # -- r08 window: six oldest driver rows (r05) fill slots 45-50 --
-    "q_events_moving_avg",
-    "q_stats_by_returnflag",
-    "q_ntile_acctbal_deciles",
-    "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r05 (recheck order: oldest first) --
+    # -- r09 window: the four entries promoted from the r8 staging area
+    # (never driver-checked; rotation rule 2 puts them first) --
+    "emb_two_level_topk",
+    "tf_config_state_drift",
+    "q_user_scd2_merge",
+    "q_quantile_logsketch",
+    # -- r09 window: all 38 entries whose last driver row is r05 (the
+    # 4-round horizon forces them this round: floor = r06) --
     "q9_profit_by_nation",
     "q13_order_count_distribution",
     "q18_large_volume_customers",
@@ -150,7 +98,7 @@ _VALIDATE_FIRST = [
     "tf_data_sources",
     "media_resize",
     "media_byte_histogram",
-    # -- r06-green (newest rows; recheck last) --
+    # -- r09 window: eight oldest r06 rows fill slots 43-50 --
     "docs_semantic_dedup",
     "emb_ivf_store_topk",
     "q_events_daily_rollup",
@@ -159,6 +107,9 @@ _VALIDATE_FIRST = [
     "emb_near_dup_pairs",
     "docs_bpe_tokens",
     "docs_top_bigrams",
+    # ---- 50-entry window boundary ----
+    # -- last driver row r06 (recheck order: oldest first; the 42
+    # remaining r06 rows are the forced r10 rotation) --
     "docs_redact_pii",
     "dedup_minhash_lsh",
     "docs_curation_pipeline",
@@ -201,7 +152,7 @@ _VALIDATE_FIRST = [
     "tf_outputs",
     "media_metadata",
     "media_frame_sample",
-    # -- r07-green (newest rows; recheck last) --
+    # -- last driver row r07 --
     "docs_bm25_topk",
     "q_events_theil_sen",
     "q_approx_distinct",
@@ -252,6 +203,57 @@ _VALIDATE_FIRST = [
     "q_user_scd2_segments",
     "q_events_sliding_distinct_users",
     "stream_click_error_left_join",
+    # -- last driver row r08 (newest rows; recheck last) --
+    "q_events_top_paths",
+    "q_weighted_median_price",
+    "q_orders_equidepth_histogram",
+    "q_basket_brand_lift",
+    "docs_bigram_logprob",
+    "dedup_linkage_clusters",
+    "q_events_ab_significance",
+    "dedup_lsh_recall",
+    "emb_dim_stats",
+    "q_events_cep_pattern",
+    "q_dq_audit",
+    "q_bloom_semi_join",
+    "q_orders_interval_merge",
+    "q_events_autocorr24",
+    "q_user_entropy",
+    "q_customer_gini",
+    "q_customer_rfm",
+    "q_nation_share_of_region",
+    "q_events_lateness_profile",
+    "media_ahash_pairs",
+    "q_fulfillment_latency",
+    "q_events_duplicate_payments",
+    "q_customer_activity_reconciliation",
+    "docs_chunk_overlap",
+    "q_part_triangles",
+    "stream_click_error_full_join",
+    "q_session_incident_overlap",
+    "q_orders_checksum",
+    "q_part_kcore",
+    "emb_nearest_centroid_label",
+    "tf_resource_provider_join",
+    "docs_k_anonymity",
+    "stream_record_highs",
+    "q_events_seasonal_anomaly",
+    "docs_novelty",
+    "q_join_size_cms_estimate",
+    "dedup_golden_record",
+    "docs_leakage_safe_split",
+    "q_user_segment_asof_snapshot",
+    "q_orders_cohort_ltv",
+    "q_events_stickiness",
+    "emb_intra_class_outliers",
+    "docs_lang_confusion",
+    "tf_untagged_resources",
+    "q_events_moving_avg",
+    "q_stats_by_returnflag",
+    "q_ntile_acctbal_deciles",
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q8_market_share",
 ]
 
 

@@ -123,9 +123,9 @@ EXTENDED = [
     "docs_novelty",
     "q_join_size_cms_estimate",
     "dedup_golden_record",
-    # r9-staged entries (behind the r6 catalog freeze, resolved from
-    # STAGED_QUERIES): timed here so their promotion in r9 lands with a
-    # round-over-round perf baseline instead of a cold first number
+    # staged in r8, promoted in r9 — timed since staging so promotion
+    # landed with a round-over-round perf baseline instead of a cold
+    # first number
     "emb_two_level_topk",
     "tf_config_state_drift",
     "q_user_scd2_merge",

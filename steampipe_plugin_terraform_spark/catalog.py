@@ -8862,19 +8862,21 @@ def tf_untagged_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R9-STAGED ENTRIES (r7 verdict items #3/#4, plus the #8 stretch
-# families: incremental SCD2 MERGE and the mergeable log-scale quantile
-# sketch) — drafted behind the round-6
-# catalog-entry freeze. These are FULL entries (Spark implementation +
-# DuckDB oracle) registered into STAGED_QUERIES/STAGED_ORACLES instead of
-# QUERIES/ORACLES, so the driver surface stays frozen at 188 while the
-# code is already parity-tested (tests/test_staged_entries.py runs the
-# exact driver compare at sf0.001, and at sf0.01 under
-# SPARK_GRAFT_TEST_SF_DIR like the main sweep). Promotion in r9 (only if
-# CORRECTNESS_r08 lands green): change ``@staged_query`` to ``@query``,
-# add the names to the FRONT of ``__spark_entry__._VALIDATE_FIRST`` (new
-# entries sort before all checked ones — enforced by tests/test_rotation)
-# and a row each to docs/OPERATORS.md.
+# STAGING AREA (standing workflow since r8): new entries are drafted as
+# FULL entries (Spark implementation + DuckDB oracle) registered into
+# STAGED_QUERIES/STAGED_ORACLES instead of QUERIES/ORACLES, so the driver
+# surface only grows deliberately while the code is already parity-tested
+# (tests/test_staged_entries.py runs the exact driver compare at sf0.001,
+# and at sf0.01 under SPARK_GRAFT_TEST_SF_DIR like the main sweep), plan-
+# pinned (tests/test_plan_shapes.py), and covered by the anti-pattern
+# scan. Promotion = change ``@staged_query`` to ``@query``, add the name
+# to the FRONT of ``__spark_entry__._VALIDATE_FIRST`` (new entries sort
+# before all checked ones — enforced by tests/test_rotation) and a row to
+# docs/OPERATORS.md's main table. Keep net-new promotions per round ≤
+# 50 − forced-rotation slots so the validation horizon never reopens.
+# The four r8-staged entries (emb_two_level_topk, tf_config_state_drift,
+# q_user_scd2_merge, q_quantile_logsketch) were promoted in r9 after
+# CORRECTNESS_r08 landed 50/50 green; they live below under @query.
 # ---------------------------------------------------------------------------
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -8948,7 +8950,7 @@ def _two_level_topk_cte() -> str:
     return ",\n    ".join(parts)
 
 
-@staged_query(
+@query(
     "emb_two_level_topk",
     oracle=f"""
     WITH {_two_level_topk_cte()}
@@ -9066,7 +9068,7 @@ def _config_state_drift_frame(res: DataFrame) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_config_state_drift",
     # golden rows from the fixture corpus: app_server (count=2 in config,
     # 2 state instances) and b (1 instance, count = local.cost_center so
@@ -9146,7 +9148,7 @@ def _scd2_merge_at(spark: SparkSession, sf_dir: str, days_back: int) -> DataFram
     return merge.scd2_merge(base, batch, val_col="event_type")
 
 
-@staged_query(
+@query(
     # The oracle IS the full-rebuild SQL (shared verbatim with
     # q_user_scd2_segments): the entry's correctness claim is exactly the
     # incremental-maintenance identity "MERGE(base store, change batch)
@@ -9176,7 +9178,7 @@ def q_user_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2_merge_at(spark, sf_dir, 6)
 
 
-@staged_query(
+@query(
     "q_quantile_logsketch",
     # the sketch side of the oracle embeds sketch.logbucket_expr
     # verbatim — bin()/shifts are bit-identical in both engines (the

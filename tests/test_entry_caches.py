@@ -204,7 +204,7 @@ def test_two_level_index_built_once_per_corpus(spark, monkeypatch):
 
     monkeypatch.setattr(similarity, "kmeans_two_level", counting)
     sf = "/root/testdata/sf0.001"
-    n1 = cat.STAGED_QUERIES["emb_two_level_topk"](spark, sf).count()
-    n2 = cat.STAGED_QUERIES["emb_two_level_topk"](spark, sf).count()
+    n1 = cat.QUERIES["emb_two_level_topk"](spark, sf).count()
+    n2 = cat.QUERIES["emb_two_level_topk"](spark, sf).count()
     assert n1 > 0 and n1 == n2
     assert calls["n"] == 1, f"two-level build ran {calls['n']} times, want 1"

@@ -672,8 +672,9 @@ def test_linkage_clusters_blocked_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-# ---- round-8 pins: r9-staged entries (pinned at staging time so the
-# ---- promotion diff is a decorator flip with plan properties already held)
+# ---- round-8 pins: entries staged in r8, promoted in r9 (pinned at
+# ---- staging time so the promotion diff was a decorator flip with plan
+# ---- properties already held)
 
 
 def test_two_level_topk_broadcast_routing_only(spark):
@@ -683,9 +684,7 @@ def test_two_level_topk_broadcast_routing_only(spark):
     # prune, and the corpus-vector lookup must all be broadcast HASH
     # joins — an SMJ or cartesian here is the all-pairs regression the
     # two-level design exists to avoid
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["emb_two_level_topk"](spark, SF))
+    plan = _plan(spark, "emb_two_level_topk")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
@@ -697,9 +696,7 @@ def test_config_state_drift_single_full_outer(spark):
     # drift is ONE full outer join on address over two O(config-files)
     # keyed sets (Spark cannot broadcast a full outer — SMJ is the right
     # physical shape); any second join or a cartesian is a regression
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["tf_config_state_drift"](spark, SF))
+    plan = _plan(spark, "tf_config_state_drift")
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") == 1
     assert "FullOuter" in plan
@@ -711,9 +708,7 @@ def test_scd2_merge_no_scalar_lineage_blowup(spark):
     # collapsed source) with no scalar cross joins; the 6-scan
     # crossJoin(broadcast(horizon)) variant is the pinned-against
     # regression. Scan columns must stay pruned to the collapse inputs.
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["q_user_scd2_merge"](spark, SF))
+    plan = _plan(spark, "q_user_scd2_merge")
     assert plan.count("Scan parquet") <= 3
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -729,9 +724,7 @@ def test_logsketch_single_scan_sketch_sized_tail(spark):
     # second aggregation branch), pruned to the price column; the single
     # nested-loop node is the deliberate 3-row quantile-spec broadcast —
     # everything after the partial aggregate is sketch-sized
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["q_quantile_logsketch"](spark, SF))
+    plan = _plan(spark, "q_quantile_logsketch")
     assert plan.count("Scan parquet") == 1
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan

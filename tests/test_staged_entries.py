@@ -1,11 +1,13 @@
-"""R9-staged catalog entries ↔ DuckDB oracle parity (r7 verdict #3/#4).
+"""Staged catalog entries ↔ DuckDB oracle parity (standing workflow
+since r8: new entries draft in catalog.STAGED_QUERIES, outside the
+driver surface, until deliberately promoted).
 
-The round-6 catalog-entry freeze holds through r8, so `emb_two_level_topk`
-and `tf_config_state_drift` live in catalog.STAGED_QUERIES instead of the
-driver surface. This runs the EXACT driver compare on them (same
+This runs the EXACT driver compare on every staged entry (same
 `parity.compare` the main sweep uses, same SPARK_GRAFT_TEST_SF_DIR
-override for the sf0.01 sweep) so promotion in r9 is a decorator flip,
-not a development task.
+override for the sf0.01 sweep) so promotion is always a decorator flip,
+not a development task. An empty staging area (right after a promotion
+wave) parametrizes to zero parity cases — that's the workflow's resting
+state, not a coverage gap.
 """
 
 import os
