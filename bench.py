@@ -130,6 +130,12 @@ EXTENDED = [
     "tf_config_state_drift",
     "q_user_scd2_merge",
     "q_quantile_logsketch",
+    # r10-staged entries (resolved from STAGED_QUERIES until promoted):
+    # same protocol — baseline now, promote with numbers
+    "tf_module_pinning_audit",
+    "tf_plan_state_drift",
+    "emb_ivf_incremental_topk",
+    "q_logsketch_merge",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

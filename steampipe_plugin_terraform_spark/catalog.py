@@ -9216,3 +9216,288 @@ def q_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.logsketch_quantiles(sk, [50, 90, 99]).select(
         "q_pct", F.col("est").alias("est_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# R10-STAGED ENTRIES (r8 verdict items #4/#5): two reference-faithful
+# terraform audits (module pinning per the documented split_part/regex
+# workflow; plan-vs-state "what will apply change") and two scale-stretch
+# maintenance identities (incremental IVF ingest — the ANN analog of
+# scd2_merge; cross-slice log-sketch mergeability). Staged per the
+# standing workflow above; promotion budget at r10 is ≤ 8 (42 forced
+# r06 rotations), so these four fit.
+# ---------------------------------------------------------------------------
+
+
+def _tf_modules_engine(spark: SparkSession):
+    """Engine over the dedicated module-audit corpus
+    (tests/fixtures/modules — separate from the main fixture corpus so
+    the existing tf_* golden oracles stay untouched)."""
+    from .engine import TerraformEngine
+
+    return TerraformEngine(
+        spark, config_paths=[f"{_TF_FIXTURES}/modules/*.tf"], cache=False
+    )
+
+
+@staged_query(
+    "tf_module_pinning_audit",
+    # golden rows from the dedicated corpus — one module per pinning
+    # class; `ref` is the documented extraction split_part(module_source,
+    # '=', -1) applied to EVERY row, as the reference doc's query does
+    oracle="""
+    SELECT * FROM (VALUES
+      ('app', 'git::https://gitlab.com/acme/app.git?ref=main', NULL,
+       'main', 'ref_unpinned'),
+      ('local_tools', './modules/tools', NULL,
+       './modules/tools', 'local_path'),
+      ('net', 'git::https://gitlab.com/acme/network.git?ref=v2.1.0', NULL,
+       'v2.1.0', 'ref_pinned'),
+      ('registry_latest', 'terraform-aws-modules/s3-bucket/aws', NULL,
+       'terraform-aws-modules/s3-bucket/aws', 'unpinned'),
+      ('vpc', 'terraform-aws-modules/vpc/aws', '5.0.0',
+       'terraform-aws-modules/vpc/aws', 'version_pinned')
+    ) t(name, module_source, version, ref, pinning)
+    """,
+)
+def tf_module_pinning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module version-pinning audit — the documented terraform_module
+    user workflow (docs/tables/terraform_module.md:52-57: extract the git
+    ref with split_part(module_source, '=', -1), test it against a
+    leading-digit regex to flag unpinned references). Classes:
+    ``version_pinned`` (registry module with a version argument),
+    ``ref_pinned`` (?ref= that looks like a version — v-prefixed or
+    leading digit), ``ref_unpinned`` (?ref= naming a branch — the
+    gitlab.com instability case the doc calls out), ``local_path``
+    (./ or ../ sources, where pinning is the repo itself), ``unpinned``
+    (registry source with no version at all). O(config files) metadata
+    at any corpus scale; one narrow projection, no joins."""
+    mods = _tf_modules_engine(spark).table("terraform_module")
+    ref = F.element_at(F.split(F.col("module_source"), "="), -1)
+    return mods.select(
+        "name",
+        "module_source",
+        "version",
+        ref.alias("ref"),
+        F.when(F.col("version").isNotNull(), F.lit("version_pinned"))
+        .when(
+            F.col("module_source").contains("?ref=") & ref.rlike("^v?[0-9]"),
+            F.lit("ref_pinned"),
+        )
+        .when(F.col("module_source").contains("?ref="), F.lit("ref_unpinned"))
+        .when(F.col("module_source").rlike("^[.][.]?/"), F.lit("local_path"))
+        .otherwise(F.lit("unpinned"))
+        .alias("pinning"),
+    )
+
+
+def _plan_state_drift_frame(res: DataFrame) -> DataFrame:
+    """Plan-vs-state pending-change report over a wide resource frame
+    (file_kind-stamped) — factored out so tests can exercise the
+    branches the fixture corpus lacks (create_pending, scale_pending)."""
+
+    def _side(kind: str, out: str) -> DataFrame:
+        return (
+            res.filter(F.col("file_kind") == kind)
+            .filter(F.col("mode") == "managed")
+            .select(
+                F.regexp_replace("address", r"\[[^\]]*\]$", "").alias("address")
+            )
+            .groupBy("address")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    planned = _side("plan", "planned_instances")
+    applied = _side("state", "applied_instances")
+    return planned.join(applied, "address", "full_outer").select(
+        "address",
+        F.coalesce("planned_instances", F.lit(0).cast("long")).alias(
+            "planned_instances"
+        ),
+        F.coalesce("applied_instances", F.lit(0).cast("long")).alias(
+            "applied_instances"
+        ),
+        F.when(F.col("applied_instances").isNull(), F.lit("create_pending"))
+        .when(F.col("planned_instances").isNull(), F.lit("destroy_pending"))
+        .when(
+            F.col("planned_instances") != F.col("applied_instances"),
+            F.lit("scale_pending"),
+        )
+        .otherwise(F.lit("no_change"))
+        .alias("action"),
+    )
+
+
+@staged_query(
+    "tf_plan_state_drift",
+    # fixture corpus: the plan's planned_values holds app_server[0..1]
+    # (matching the two applied instances) and nothing else, so
+    # aws_s3_bucket.b — applied but absent from the planned end-state —
+    # is what apply would destroy. create_pending / scale_pending have
+    # no fixture rows; both branches live in the same full outer join
+    # and are pinned on a synthetic corpus by tests/test_plan_drift.py.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aws_instance.app_server', 2, 2, 'no_change'),
+      ('aws_s3_bucket.b',         0, 1, 'destroy_pending')
+    ) t(address, planned_instances, applied_instances, action)
+    """,
+)
+def tf_plan_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-vs-state drift — the other half of the drift question
+    tf_config_state_drift answers ("what WILL apply change", vs "what
+    has drifted from the declaration"): the reference's plan surface is
+    ``planned_values.root_module.resources`` (parse_tfplan.go:9-36), the
+    complete post-apply resource set, so comparing its per-address
+    instance counts against the state's yields the pending actions —
+    ``create_pending`` (planned, not yet applied), ``destroy_pending``
+    (applied, absent from the planned end-state), ``scale_pending``
+    (instance-count change from a count/for_each edit), ``no_change``.
+    Same shape and scale story as tf_config_state_drift: kind from the
+    engine's file_kind stamp, index suffixes stripped, one full outer
+    join over two O(files) keyed sets."""
+    wide = _tf_engine(spark).wide()
+    return _plan_state_drift_frame(
+        wide.filter(F.col("tf_table") == "terraform_resource").select(
+            "address", "mode", "file_kind"
+        )
+    )
+
+
+# (appId, corpus digest) → (base-corpus IVF assignment, frozen centroids);
+# built once per session+corpus like the other ANN stores, reused by the
+# incremental entry's repeat invocations (pinned in test_entry_caches)
+_IVF_INCR_CACHE: dict = {}
+
+
+def _ivf_incr_base(spark: SparkSession, sf_dir: str):
+    """Base IVF index trained ONLY on the seven-eighths 'historical'
+    corpus slice (vec_id % 8 <> 7) — the batch eighth never influences
+    training, which is what makes the entry an incremental-INGEST
+    identity rather than a retrain."""
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _IVF_INCR_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.filter(
+            (F.col("vec_id") >= 10) & (F.col("vec_id") % 8 != 7)
+        )
+        k = _effective_k(base.count())
+        _IVF_INCR_CACHE[key] = similarity.kmeans_lloyd(base, k=k, iters=3)
+    return _IVF_INCR_CACHE[key]
+
+
+def _ivf_incr_cte() -> str:
+    """Replay: Lloyd over the BASE slice only (e/tr/ksel/c0..c3 — k sized
+    from the base count, matching the Spark side's _effective_k over the
+    same slice), then assignment of the FULL corpus to those frozen
+    centroids (``ne``/``maf`` — the rebuild the incremental merge must
+    equal), then the standard nprobe-8 probe over the merged index."""
+    cos, dist = _cos_sql, _dist_sql
+    parts = [
+        "q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)"
+    ]
+    parts += _lloyd_parts("vec_id >= 10 AND vec_id % 8 <> 7", 3, 64)
+    parts += [
+        "ne AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id >= 10)",
+        "maf AS (SELECT nid, v, cid AS bucket FROM ("
+        "SELECT e.nid, e.v, c.cid, row_number() OVER (PARTITION BY e.nid "
+        f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM ne e, c3 c) WHERE rn = 1)",
+        "pr AS (SELECT qid, cid AS bucket FROM ("
+        "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
+        f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c3 c) WHERE rn <= 8)",
+        f"s AS (SELECT q.qid, maf.nid, {cos('q.v', 'maf.v')} AS cosine "
+        "FROM pr JOIN q ON q.qid = pr.qid JOIN maf ON maf.bucket = pr.bucket)",
+        "r AS (SELECT qid, nid, cosine, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) rank FROM s)",
+    ]
+    return ",\n    ".join(parts)
+
+
+@staged_query(
+    "emb_ivf_incremental_topk",
+    # the oracle IS the full re-assignment against the same frozen
+    # centroids (maf): the entry's correctness claim is exactly the
+    # maintenance identity "stored base assignment ∪ batch assigned to
+    # frozen centroids == assign-everything rebuild" — same device as
+    # q_user_scd2_merge's rebuild oracle
+    oracle=f"""
+    WITH {_ivf_incr_cte()}
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def emb_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest (r8 verdict #5's ANN maintenance stretch):
+    merge a new-vector batch into an existing IVF index WITHOUT
+    retraining — the day-2 operation every vector store lives by (ingest
+    is continuous; retraining is scheduled). The base index (Lloyd over
+    the historical seven-eighths of the corpus) is built once per
+    session and its centroids frozen; the batch eighth is assigned to
+    those centroids by ``similarity.assign_to_centroids`` — the SAME
+    implementation the rebuild's final assignment uses, so merge ≡
+    rebuild cannot drift one-sided — and the probe runs over the union.
+
+    Scale: the batch assign is one mapInPandas over batch rows (no
+    shuffle, k·dim broadcast); the union is metadata-only; nothing
+    re-reads or re-writes the historical assignment. The driver
+    validates the maintenance identity end-to-end: the oracle replays
+    base-slice Lloyd, then a FULL-corpus assignment to the frozen
+    centroids, then the probe — equality means the incremental path
+    changed nothing vs the rebuild."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    base_assigned, cents = _ivf_incr_base(spark, sf_dir)
+    batch = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 8 == 7))
+    merged = base_assigned.unionByName(
+        similarity.assign_to_centroids(batch, cents)
+    )
+    return similarity.ivf_topk(queries, merged, cents, k=5, nprobe=8)
+
+
+@staged_query(
+    "q_logsketch_merge",
+    # the oracle sketches ALL rows in one pass — equality with the
+    # Spark side's union-of-two-slice-sketches is the mergeability
+    # property itself (bucket counts are additive), the same
+    # whole-vs-parts identity device as the scd2 and IVF merges
+    oracle=f"""
+    WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) v
+               FROM orders),
+    b AS (SELECT {sketch.logbucket_expr('v', 5)} AS lb,
+                 CAST(count(*) AS BIGINT) cnt
+          FROM c GROUP BY 1),
+    cu AS (SELECT lb, CAST(sum(cnt) OVER (ORDER BY lb) AS BIGINT) cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) n FROM b)
+    SELECT q_pct, min(lb) AS est_cents
+    FROM cu, (VALUES (25), (50), (75), (95)) qs(q_pct)
+    WHERE cum * 100 >= q_pct * n
+    GROUP BY q_pct
+    """,
+)
+def q_logsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-slice sketch mergeability as a catalog-visible property (r8
+    verdict #5): build SEPARATE log-sketches over two disjoint
+    date-range slices of orders (pre/post 1995 — the per-day/per-shard
+    rollup shape), merge them with ``sketch.logsketch_merge`` (union +
+    re-sum: counts are additive, the bucket key carries no per-sketch
+    state), and answer quantiles from the MERGED sketch. The oracle
+    sketches the whole table in one pass — equality is the mergeability
+    guarantee that lets 100 TB of per-partition sketches roll up into
+    one ~1.9k-row frame without revisiting data. Everything after the
+    two map-side partial aggregations is sketch-sized."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+        "o_orderdate",
+    )
+    cut = "1995-01-01"
+    early = sketch.logsketch(
+        cents.filter(F.col("o_orderdate") < F.lit(cut)), "v", m=5
+    )
+    late = sketch.logsketch(
+        cents.filter(F.col("o_orderdate") >= F.lit(cut)), "v", m=5
+    )
+    merged = sketch.logsketch_merge([early, late])
+    return sketch.logsketch_quantiles(merged, [25, 50, 75, 95]).select(
+        "q_pct", F.col("est").alias("est_cents")
+    )

@@ -316,10 +316,65 @@ def kmeans_lloyd(
         C = newC
     if persisted is not None:
         persisted.unpersist()
-    final = base.mapInPandas(assigner(C), schema).select(
-        F.col("id").alias(id_col), F.col("vec").alias(vec_col), "bucket"
+    centroids = [row.tolist() for row in C]
+    # the final full-corpus assignment IS assign_to_centroids — sharing
+    # the implementation is what makes the incremental-ingest identity
+    # (assign a later batch to these frozen centroids ≡ the assignment a
+    # full rebuild with the same centroids would produce) unbreakable by
+    # a one-sided edit, the same device as the SCD2 merge/rebuild pair
+    final = assign_to_centroids(
+        df, centroids, id_col=id_col, vec_col=vec_col, dist_digits=dist_digits
     )
-    return final, [row.tolist() for row in C]
+    return final, centroids
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_digits: int = 4,
+) -> DataFrame:
+    """Assign vectors to a FIXED centroid list with ``kmeans_lloyd``'s
+    exact assignment semantics (squared distances quantized to
+    ``dist_digits`` with first-min / smallest-cid tiebreak, one BLAS
+    matmul per Arrow batch). This is the incremental-ingest half of IVF
+    maintenance: a new-vector batch joins an existing index without
+    retraining — per-row independent, so batch-assign ∪ stored
+    assignments ≡ a full re-assignment against the same centroids.
+    Returns (id_col, vec_col, bucket int); no shuffle, no driver data."""
+    import numpy as np
+
+    qd = 10.0 ** dist_digits
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+    Cm = np.asarray(centroids, dtype="float64")
+    bc = spark.sparkContext.broadcast(Cm)
+
+    def go(batches):
+        import pandas as pd
+
+        Cb = bc.value
+        c2 = (Cb * Cb).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # float32 → float64 widening is exact, so this matches the
+            # training path's transform(vec, x -> CAST(x AS DOUBLE))
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            D = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cb.T) + c2[None, :]
+            D = np.floor(D * qd + 0.5) / qd
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "bucket": np.argmin(D, axis=1).astype("int32"),
+                }
+            )
+
+    schema = f"{id_col} {id_type}, {vec_col} {vec_type}, bucket int"
+    return df.select(id_col, vec_col).mapInPandas(go, schema)
 
 
 def kmeans_two_level(

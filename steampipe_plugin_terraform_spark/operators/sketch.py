@@ -59,6 +59,20 @@ def logsketch(df: DataFrame, col: str, m: int = 5) -> DataFrame:
     )
 
 
+def logsketch_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge any number of (lb, cnt) sketches: union + re-sum. Because
+    bucket counts are additive and the bucket key is the value-determined
+    lower bound (no per-sketch state), the merge of sketches over
+    disjoint slices is EXACTLY the sketch of the union of the slices —
+    the mergeability property that lets per-partition / per-day / per-
+    shard sketches roll up without revisiting data. Output stays
+    sketch-sized (≤ ~(64-m)·2^m rows)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("lb").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
 def logsketch_quantiles(sketch: DataFrame, q_pcts: list[int]) -> DataFrame:
     """Answer integer-percent quantiles from a (lb, cnt) sketch: for each
     q the estimate is the lower bound of the bucket holding rank

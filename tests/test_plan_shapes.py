@@ -733,3 +733,62 @@ def test_logsketch_single_scan_sketch_sized_tail(spark):
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     cols = {c.split("#")[0] for c in scans[0].split(",") if c}
     assert cols <= {"l_extendedprice"}, f"unpruned: {cols}"
+
+
+# ---- round-9 pins: r10-staged entries (pinned at staging time, same
+# ---- protocol as the r8 wave: promotion stays a decorator flip)
+
+
+def test_ivf_incremental_no_shuffle_joins(spark):
+    # the merged index probe must keep the IVF shape: candidates come
+    # from ONE broadcast hash join on bucket; the incremental union adds
+    # scans (base / batch / queries), never a shuffle join — an SMJ or
+    # cartesian here means the merge re-keyed the store
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_ivf_incremental_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Scan parquet") <= 3
+
+
+def test_logsketch_merge_two_pruned_scans_sketch_tail(spark):
+    # one scan per slice (the per-day/per-shard rollup shape this entry
+    # models), both pruned to (o_orderdate, o_totalprice); the single
+    # nested-loop node is the deliberate 4-row quantile-spec broadcast —
+    # everything after the two partial aggregates is sketch-sized
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_logsketch_merge"](spark, SF))
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    for s in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
+        cols = {c.split("#")[0] for c in s.split(",") if c}
+        assert cols <= {"o_orderdate", "o_totalprice"}, f"unpruned: {cols}"
+
+
+def test_module_pinning_audit_joinless(spark):
+    # a pure per-row classification over the parsed module table — any
+    # join node means the audit grew an accidental self-join
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_module_pinning_audit"](spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_plan_state_drift_single_full_outer(spark):
+    # same pin as tf_config_state_drift: ONE full outer SMJ over two
+    # O(files) keyed sets, nothing else
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_plan_state_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan
