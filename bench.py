@@ -136,6 +136,8 @@ EXTENDED = [
     "tf_plan_state_drift",
     "emb_ivf_incremental_topk",
     "q_logsketch_merge",
+    "q_events_type_quantiles",
+    "stream_quantile_logsketch",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

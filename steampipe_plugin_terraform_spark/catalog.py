@@ -9501,3 +9501,101 @@ def q_logsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.logsketch_quantiles(merged, [25, 50, 75, 95]).select(
         "q_pct", F.col("est").alias("est_cents")
     )
+
+
+@staged_query(
+    "q_events_type_quantiles",
+    # the grouped-sketch replay: same verbatim logbucket_expr, same
+    # integer rank test, windows keyed by event_type on both sides
+    oracle=f"""
+    WITH c AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) v
+               FROM events),
+    b AS (SELECT event_type, {sketch.logbucket_expr('v', 5)} AS lb,
+                 CAST(count(*) AS BIGINT) cnt
+          FROM c GROUP BY 1, 2),
+    cu AS (SELECT event_type, lb,
+                  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY lb) AS BIGINT) cum,
+                  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) n
+           FROM b)
+    SELECT event_type, q_pct, min(lb) AS est_cents
+    FROM cu, (VALUES (50), (90), (99)) qs(q_pct)
+    WHERE cum * 100 >= q_pct * n
+    GROUP BY event_type, q_pct
+    """,
+)
+def q_events_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quantiles from ONE grouped-sketch pass — the "p50/p95
+    latency per endpoint" dashboard shape, at sketch cost instead of a
+    per-key global sort: ``sketch.logsketch_by`` builds every
+    event_type's log-bucket sketch in a single map-side-combined
+    aggregation, and ``logsketch_quantiles_by`` answers p50/p90/p99 per
+    type with windows PARTITIONED by the key, so each window ranks one
+    group's ≤ ~1.9k buckets — keyed, parallel, and bounded at any key
+    cardinality (contrast the single-partition window the UNgrouped
+    sketch is allowed only because its input is sketch-sized). Same
+    < 2^-5 relative-error guarantee per group."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
+    )
+    sk = sketch.logsketch_by(cents, "v", ["event_type"], m=5)
+    return sketch.logsketch_quantiles_by(sk, ["event_type"], [50, 90, 99]).select(
+        "event_type", "q_pct", F.col("est").alias("est_cents")
+    )
+
+
+@staged_query(
+    "stream_quantile_logsketch",
+    # the oracle is the BATCH sketch over all events — equality with the
+    # drained streaming state is the micro-batch mergeability property
+    # (bucket counts are sums, so complete-mode partials merge
+    # associatively), the same identity stream_countmin_sketch pins for
+    # the frequency sketch
+    oracle=f"""
+    WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) v
+               FROM events),
+    b AS (SELECT {sketch.logbucket_expr('v', 5)} AS lb,
+                 CAST(count(*) AS BIGINT) cnt
+          FROM c GROUP BY 1),
+    cu AS (SELECT lb, CAST(sum(cnt) OVER (ORDER BY lb) AS BIGINT) cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) n FROM b)
+    SELECT q_pct, min(lb) AS est_cents
+    FROM cu, (VALUES (50), (90), (99)) qs(q_pct)
+    WHERE cum * 100 >= q_pct * n
+    GROUP BY q_pct
+    """,
+)
+def stream_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch built AS A STREAM: each event folds into its
+    log-bucket counter via a running streaming aggregation, so the
+    state is the sketch itself — ≤ ~1.9k counters regardless of stream
+    length (the same bounded-state story as stream_countmin_sketch,
+    extended from frequencies to quantiles; a streaming EXACT quantile
+    would need unbounded state). Complete-mode memory sink, availableNow
+    drain; no watermark needed because the state cannot grow. Quantiles
+    are answered batch-side from the drained sketch — in production the
+    drained (lb, cnt) frame is also what ships to a dashboard store,
+    merging across restarts by re-summing."""
+    from .streaming.events import read_events_stream
+
+    _stop_stream(spark, "__stream_quantile_logsketch")
+    lb = sketch.logbucket_expr("CAST(floor(value * 100 + 0.5) AS BIGINT)", 5)
+    buckets = read_events_stream(spark, sf_dir).select(F.expr(lb).alias("lb"))
+    q = (
+        buckets.groupBy("lb")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .writeStream.format("memory")
+        .queryName("__stream_quantile_logsketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_quantile_logsketch drain exceeded 600s")
+    sk = spark.table("__stream_quantile_logsketch")
+    return sketch.logsketch_quantiles(sk, [50, 90, 99]).select(
+        "q_pct", F.col("est").alias("est_cents")
+    )

@@ -73,6 +73,47 @@ def logsketch_merge(sketches: list[DataFrame]) -> DataFrame:
     return out.groupBy("lb").agg(F.sum("cnt").cast("long").alias("cnt"))
 
 
+def logsketch_by(df: DataFrame, col: str, keys: list[str], m: int = 5) -> DataFrame:
+    """Per-group sketches in ONE map-side-combined aggregation:
+    (keys..., lb, cnt) rows, ≤ ~(64-m)·2^m buckets per group. The
+    grouped twin of ``logsketch`` — same bucket key, so per-group
+    sketches still merge by re-summing."""
+    return (
+        df.select(*keys, F.expr(logbucket_expr(col, m)).alias("lb"))
+        .groupBy(*keys, "lb")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def logsketch_quantiles_by(
+    sketch: DataFrame, keys: list[str], q_pcts: list[int]
+) -> DataFrame:
+    """Per-group quantiles from a grouped sketch: same integer rank test
+    as ``logsketch_quantiles``, but the windows PARTITION BY the group
+    keys — each window sees one group's sketch (≤ ~1.9k rows), so the
+    pass stays keyed and parallel at any group count. Returns
+    (keys..., q_pct, est) rows."""
+    from pyspark.sql.window import Window
+
+    spark = sketch.sparkSession
+    wcum = Window.partitionBy(*keys).orderBy("lb").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(*keys).orderBy("lb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    spec = spark.createDataFrame([(q,) for q in q_pcts], "q_pct int")
+    return (
+        cum.crossJoin(F.broadcast(spec))
+        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+        .groupBy(*keys, "q_pct")
+        .agg(F.min("lb").alias("est"))
+    )
+
+
 def logsketch_quantiles(sketch: DataFrame, q_pcts: list[int]) -> DataFrame:
     """Answer integer-percent quantiles from a (lb, cnt) sketch: for each
     q the estimate is the lower bound of the bucket holding rank

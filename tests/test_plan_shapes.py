@@ -792,3 +792,37 @@ def test_plan_state_drift_single_full_outer(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") == 1
     assert "FullOuter" in plan
+
+
+def test_type_quantiles_keyed_windows_single_scan(spark):
+    # the grouped-sketch point: ONE pruned scan, and the quantile
+    # windows PARTITION BY the key — zero SinglePartition exchanges
+    # anywhere (the ungrouped sketch's single-partition window is
+    # allowed only because its input is sketch-sized; the grouped
+    # variant must stay keyed); the one nested-loop node is the 3-row
+    # quantile-spec broadcast
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_events_type_quantiles"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "SinglePartition" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    for s in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
+        cols = {c.split("#")[0] for c in s.split(",") if c}
+        assert cols <= {"event_type", "value"}, f"unpruned: {cols}"
+
+
+def test_stream_quantile_logsketch_sketch_sized_tail(spark):
+    # the returned frame's batch tail reads the drained memory-sink
+    # sketch (≤ ~1.9k rows) — its only nested-loop node is the 3-row
+    # quantile-spec broadcast, no cartesian, no parquet re-scan of the
+    # source (the stream already consumed it)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_quantile_logsketch"](spark, SF))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan

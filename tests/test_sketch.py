@@ -101,3 +101,37 @@ def test_quantile_relative_error_bound(spark):
         exact = vals[-(-q * n // 100) - 1]  # ceil(q·n/100)-th smallest
         assert est[q] == _lb_ref(exact), f"p{q}: not the containing bucket"
         assert est[q] <= exact < est[q] * (1 + 2 ** -M)
+
+
+def test_grouped_quantile_relative_error_bound(spark):
+    """Per-group estimates inherit the same structural bound: for every
+    event_type, est is the containing bucket of the exact ceil-rank
+    value — so grouping changed the partitioning of the pass, never the
+    math."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
+    )
+    by_type = defaultdict(list)
+    for r in ev.collect():
+        by_type[r.event_type].append(r.v)
+    sk = sketch.logsketch_by(ev, "v", ["event_type"], m=M)
+    est = {
+        (r.event_type, r.q_pct): r.est
+        for r in sketch.logsketch_quantiles_by(
+            sk, ["event_type"], [50, 90, 99]
+        ).collect()
+    }
+    assert len(by_type) >= 3
+    for etype, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for q in (50, 90, 99):
+            exact = vals[-(-q * n // 100) - 1]
+            e = est[(etype, q)]
+            assert e == _lb_ref(exact), f"{etype} p{q}: not the containing bucket"
+            assert e <= exact < e * (1 + 2 ** -M)
