@@ -8906,8 +8906,11 @@ def _two_level44(spark: SparkSession, sf_dir: str):
     the entry pins the MECHANISM (two-stage routing, grouped cell Lloyd,
     (cell1, cell2) candidate pruning), which is k-independent."""
     # keyed on the corpus digest like every other session cache (bucketed
-    # tables, IVF store, PQ training): a same-session corpus change under
-    # a reused path must rebuild, identical corpora at new paths must not
+    # tables, IVF store, PQ training). The contract is PER-PATH: the
+    # digest is a stable hash of the normalized directory path (so
+    # ./sf0.001 and an absolute spelling share one entry), NOT of the
+    # data — an in-place overwrite of a corpus mid-session keeps serving
+    # the existing index, exactly like the other *_CACHE stores
     key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
     if key not in _TWO_LEVEL_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
@@ -8979,6 +8982,23 @@ def emb_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _instance_counts(res: DataFrame, kind: str, out: str) -> DataFrame:
+    """Per-base-address instance counts for one file kind over a
+    file_kind-stamped resource frame: managed rows only, ``[index]``
+    suffix stripped (state and plan rows explode one row per instance
+    with index-suffixed addresses — tfcore/rows.py index_key reformat).
+    Shared by BOTH drift audits so a fix to the suffix regex or the
+    managed filter can never make the two reports disagree on the same
+    file."""
+    return (
+        res.filter(F.col("file_kind") == kind)
+        .filter(F.col("mode") == "managed")
+        .select(F.regexp_replace("address", r"\[[^\]]*\]$", "").alias("address"))
+        .groupBy("address")
+        .agg(F.count("*").cast("long").alias(out))
+    )
+
+
 def _config_state_drift_frame(res: DataFrame) -> DataFrame:
     """Drift report over a ``terraform_resource`` frame (config + state
     rows) — factored out of the entry so tests can run the identical
@@ -9023,15 +9043,7 @@ def _config_state_drift_frame(res: DataFrame) -> DataFrame:
             .alias("expected_instances"),
         )
     )
-    applied = (
-        res.filter(F.col("file_kind") == "state")
-        .filter(F.col("mode") == "managed")
-        .select(
-            F.regexp_replace("address", r"\[[^\]]*\]$", "").alias("address")
-        )
-        .groupBy("address")
-        .agg(F.count("*").cast("long").alias("applied_instances"))
-    )
+    applied = _instance_counts(res, "state", "applied_instances")
     return (
         declared.join(applied, "address", "full_outer")
         .select(
@@ -9294,21 +9306,11 @@ def tf_module_pinning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _plan_state_drift_frame(res: DataFrame) -> DataFrame:
     """Plan-vs-state pending-change report over a wide resource frame
     (file_kind-stamped) — factored out so tests can exercise the
-    branches the fixture corpus lacks (create_pending, scale_pending)."""
-
-    def _side(kind: str, out: str) -> DataFrame:
-        return (
-            res.filter(F.col("file_kind") == kind)
-            .filter(F.col("mode") == "managed")
-            .select(
-                F.regexp_replace("address", r"\[[^\]]*\]$", "").alias("address")
-            )
-            .groupBy("address")
-            .agg(F.count("*").cast("long").alias(out))
-        )
-
-    planned = _side("plan", "planned_instances")
-    applied = _side("state", "applied_instances")
+    branches the fixture corpus lacks (create_pending, scale_pending).
+    Both sides come from the shared ``_instance_counts`` (also the
+    state side of ``_config_state_drift_frame``)."""
+    planned = _instance_counts(res, "plan", "planned_instances")
+    applied = _instance_counts(res, "state", "applied_instances")
     return planned.join(applied, "address", "full_outer").select(
         "address",
         F.coalesce("planned_instances", F.lit(0).cast("long")).alias(

@@ -51,12 +51,10 @@ def logbucket_expr(col: str, m: int = 5) -> str:
 def logsketch(df: DataFrame, col: str, m: int = 5) -> DataFrame:
     """Build the sketch: (lb, cnt) bucket counts for positive-integer
     ``col``. One map-side-combined aggregation; output ≤ ~(64-m)·2^m
-    rows. Merge sketches by unioning and re-running this groupBy."""
-    return (
-        df.select(F.expr(logbucket_expr(col, m)).alias("lb"))
-        .groupBy("lb")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    rows. Merge sketches by unioning and re-running this groupBy.
+    The grouped form with no keys — one bucket-build implementation to
+    keep in lockstep with the oracle SQL, not two."""
+    return logsketch_by(df, col, [], m)
 
 
 def logsketch_merge(sketches: list[DataFrame]) -> DataFrame:
@@ -126,21 +124,7 @@ def logsketch_quantiles(sketch: DataFrame, q_pcts: list[int]) -> DataFrame:
     sketch is ≤ ~1.9k rows by construction, so "no global windows" does
     not apply), which keeps the input sketch referenced once: no second
     aggregation branch re-expanding the build lineage into a second
-    scan."""
-    from pyspark.sql.window import Window
-
-    spark = sketch.sparkSession
-    wcum = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("lb").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = sketch.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
-        "n", F.sum("cnt").over(wall)
-    )
-    spec = spark.createDataFrame([(q,) for q in q_pcts], "q_pct int")
-    return (
-        cum.crossJoin(F.broadcast(spec))
-        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
-        .groupBy("q_pct")
-        .agg(F.min("lb").alias("est"))
-    )
+    scan. The grouped form with no keys (``Window.partitionBy()`` with
+    zero columns IS the global window) — one rank-test implementation
+    to keep in lockstep with the oracle SQL, not two."""
+    return logsketch_quantiles_by(sketch, [], q_pcts)
