@@ -138,6 +138,8 @@ EXTENDED = [
     "q_logsketch_merge",
     "q_events_type_quantiles",
     "stream_quantile_logsketch",
+    "tf_unused_variables",
+    "docs_benchmark_contamination",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -9601,3 +9601,170 @@ def stream_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.logsketch_quantiles(sk, [50, 90, 99]).select(
         "q_pct", F.col("est").alias("est_cents")
     )
+
+
+def _tf_vars_engine(spark: SparkSession):
+    """Engine over the dedicated variable-audit corpus
+    (tests/fixtures/variables — separate from the main fixture corpus so
+    the existing tf_* golden oracles stay untouched; two files so a
+    cross-file reference is part of the pinned behavior)."""
+    from .engine import TerraformEngine
+
+    return TerraformEngine(
+        spark, config_paths=[f"{_TF_FIXTURES}/variables/*.tf"], cache=False
+    )
+
+
+@staged_query(
+    "tf_unused_variables",
+    # golden rows from the dedicated corpus, one variable per usage
+    # class: referenced from a provider + locals (region, 2 blocks),
+    # a resource (instance_type), locals only (zone_suffix), a module
+    # argument in ANOTHER file (bucket_name — the cross-file case),
+    # never referenced (retention_days), and referenced ONLY by its own
+    # validation block (environment — self-references don't count)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('bucket_name',    'string', 1::BIGINT, 'used'),
+      ('environment',    'string', 0::BIGINT, 'unused'),
+      ('instance_type',  'string', 1::BIGINT, 'used'),
+      ('region',         'string', 2::BIGINT, 'used'),
+      ('retention_days', 'number', 0::BIGINT, 'unused'),
+      ('zone_suffix',    'string', 1::BIGINT, 'used')
+    ) t(name, var_type, n_ref_blocks, status)
+    """,
+)
+def tf_unused_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unused-variable hygiene audit — the `terraform_variable` ∖
+    references governance query steampipe users write with LIKE scans
+    over block source (cf. reference docs/tables/terraform_variable.md's
+    source column): every declared variable joined against the set of
+    ``var.<name>`` traversals appearing in the SOURCE of any NON-variable
+    config block (resources, data sources, providers, locals, modules,
+    outputs — one scan covers every expression position, including
+    interpolations the typed columns would hide). A variable's own
+    validation block referencing itself does NOT count as usage — the
+    audit's point is exactly that such a variable is dead weight.
+    ``n_ref_blocks`` counts distinct referencing BLOCKS ((path,
+    start_line) identity, so the N locals rows sharing one ``locals``
+    block count it once). Same token-scan approximation as grep-based
+    audits: a ``var.x`` inside a string literal or comment counts —
+    documented, and the conservative direction for a deletion audit.
+
+    Scale: one projection + regexp_extract_all over O(config blocks),
+    one small distinct-and-count, one broadcast-sized join against the
+    variable table — no pair generation, no shuffle beyond the tiny
+    aggregation. At 100 TB of config the reference set is bounded by
+    #distinct variable names actually referenced."""
+    wide = _tf_vars_engine(spark).wide()
+    refs = (
+        wide.filter(
+            (F.col("file_kind") == "config")
+            & (F.col("tf_table") != "terraform_variable")
+        )
+        .select(
+            "path",
+            "start_line",
+            F.explode(
+                F.expr(
+                    "array_distinct(regexp_extract_all("
+                    "source, 'var\\\\.([A-Za-z_][A-Za-z0-9_-]*)', 1))"
+                )
+            ).alias("ref_name"),
+        )
+        .distinct()
+        .groupBy("ref_name")
+        .agg(F.count("*").cast("long").alias("n_ref_blocks"))
+    )
+    vars_df = wide.filter(F.col("tf_table") == "terraform_variable").select(
+        "name", F.col("type").alias("var_type")
+    )
+    joined = vars_df.join(refs, vars_df["name"] == refs["ref_name"], "left")
+    return joined.select(
+        "name",
+        "var_type",
+        F.coalesce("n_ref_blocks", F.lit(0).cast("long")).alias("n_ref_blocks"),
+        F.when(F.col("n_ref_blocks").isNull(), F.lit("unused"))
+        .otherwise(F.lit("used"))
+        .alias("status"),
+    )
+
+
+@staged_query(
+    "docs_benchmark_contamination",
+    # per-benchmark-doc decontamination report. The Spark side keys
+    # shingles by xxhash64 (injective at these corpora — same argument
+    # as the jaccard/novelty entries); COUNT DISTINCT and equality
+    # joins are hash-key-invariant, so the raw-string DuckDB replay
+    # matches. Ratio snapped by positive-integer division — bit-exact.
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') s
+           FROM t, unnest(range(1, greatest(len(w) - 5, 1))) r(i)
+           WHERE len(w) >= 7),
+    bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 31 = 0),
+    ts AS (SELECT doc_id, s FROM sh WHERE doc_id % 31 <> 0),
+    hits AS (SELECT bs.bench_id, bs.s, ts.doc_id FROM bs JOIN ts USING (s)),
+    pd AS (SELECT bench_id, CAST(count(DISTINCT s) AS BIGINT) n_contaminated,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) n_train_docs
+           FROM hits GROUP BY 1),
+    tot AS (SELECT bench_id, CAST(count(*) AS BIGINT) n_shingles
+            FROM bs GROUP BY 1)
+    SELECT tot.bench_id, tot.n_shingles,
+           CAST(COALESCE(pd.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(pd.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           CAST((2 * COALESCE(pd.n_contaminated, 0) * 10000 + tot.n_shingles)
+                // (2 * tot.n_shingles) AS BIGINT) AS contamination_x1e4
+    FROM tot LEFT JOIN pd USING (bench_id)
+    """,
+)
+def docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination check — the decontamination step
+    every LLM training pipeline runs before trusting its eval numbers
+    (the GPT-3/PaLM-style 7-gram overlap test): docs with
+    ``doc_id % 31 = 0`` stand in for the benchmark/eval suite, the rest
+    are the training corpus, and each benchmark doc reports how many of
+    its distinct 7-gram shingles also occur in ANY training doc
+    (``n_contaminated``), how many training docs share at least one
+    (``n_train_docs``), and the snapped contamination ratio. Clean
+    benchmark docs appear with zeros (the left-join path is part of the
+    pinned behavior); docs under 7 words have no shingles and are not
+    measurable. Reuses the jaccard family's ``_hashed_shingles`` device
+    (8-byte xxhash64 keys, never the 40+-byte strings).
+
+    Scale: a real benchmark is a FIXED-SIZE eval suite (its shingle set
+    is millions of 8-byte keys at most), so the bench side broadcasts
+    and the training corpus is one scan + explode with NO shuffle of
+    train data; per-doc aggregation shuffles only the hit rows. The
+    modulus slice here is corpus-proportional purely so every SF
+    exercises the same plan. No df-cap: 7-gram collisions across
+    unrelated docs are rare by construction; a production corpus with
+    boilerplate stop-phrases would add the jaccard entries'
+    _cap_document_frequency on the TRAIN side."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup._hashed_shingles(docs, "doc_id", "text", 7)
+    bs = sh.filter(F.col("id") % 31 == 0).withColumnRenamed("id", "bench_id")
+    ts = sh.filter(F.col("id") % 31 != 0)
+    # broadcast IS the design point: the eval suite is fixed-size, so the
+    # train side joins map-side and never shuffles its shingles
+    hits = F.broadcast(bs).join(ts, "h")
+    pd_ = hits.groupBy("bench_id").agg(
+        F.countDistinct("h").cast("long").alias("n_contaminated"),
+        F.countDistinct("id").cast("long").alias("n_train_docs"),
+    )
+    tot = bs.groupBy("bench_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    # pd_ is a per-bench-doc rollup (≤ |benchmark| rows) — broadcast
+    return tot.join(F.broadcast(pd_), "bench_id", "left").select(
+        "bench_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.coalesce("n_train_docs", F.lit(0).cast("long")).alias("n_train_docs"),
+        F.expr(
+            "CAST((2 * coalesce(n_contaminated, 0) * 10000 + n_shingles) "
+            "DIV (2 * n_shingles) AS BIGINT)"
+        ).alias("contamination_x1e4"),
+    )

@@ -826,3 +826,34 @@ def test_stream_quantile_logsketch_sketch_sized_tail(spark):
     assert plan.count("Scan parquet") == 0
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_unused_variables_single_broadcast_join(spark):
+    # variables ∖ references: the tiny reference set joins broadcast —
+    # an SMJ or cartesian means the audit shuffled the parsed corpus
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_unused_variables"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_benchmark_contamination_broadcast_bench_pruned_scans(spark):
+    # the decontamination shape: the benchmark shingle side BROADCASTS
+    # (the production eval suite is fixed-size — the train side must
+    # never shuffle its shingles), the only other join is the
+    # sketch-sized per-bench-doc rollup, and every documents scan is
+    # pruned to (doc_id, text)
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_benchmark_contamination"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Scan parquet") <= 3
+    for s in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
+        cols = {c.split("#")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, f"unpruned: {cols}"
