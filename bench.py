@@ -140,6 +140,10 @@ EXTENDED = [
     "stream_quantile_logsketch",
     "tf_unused_variables",
     "docs_benchmark_contamination",
+    "tf_resource_reference_graph",
+    "tf_sensitive_output_audit",
+    "q_orders_incremental_rollup",
+    "emb_matryoshka_prefix_recall",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -9768,3 +9768,319 @@ def docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (2 * n_shingles) AS BIGINT)"
         ).alias("contamination_x1e4"),
     )
+
+
+def _tf_graph_engine(spark: SparkSession):
+    """Engine over the dedicated dependency-graph corpus
+    (tests/fixtures/graph — separate from the main fixture corpus so the
+    existing tf_* golden oracles stay untouched; two files so cross-file
+    edges are part of the pinned behavior)."""
+    from .engine import TerraformEngine
+
+    return TerraformEngine(
+        spark, config_paths=[f"{_TF_FIXTURES}/graph/*.tf"], cache=False
+    )
+
+
+@staged_query(
+    "tf_resource_reference_graph",
+    # golden edges from the dedicated corpus. Pinned behaviors: cross-file
+    # edges (compute.tf -> network.tf), a data-source target
+    # (data.aws_ami.ubuntu), n_refs counting OCCURRENCES (aws_instance.web
+    # names aws_subnet.a twice: subnet_id and a tags interpolation), and
+    # the declared-address join dropping look-alike tokens
+    # ("docs.example.com" in a string, var.region)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aws_instance.web',      'aws_security_group.sg', 1::BIGINT),
+      ('aws_instance.web',      'aws_subnet.a',          2::BIGINT),
+      ('aws_instance.web',      'data.aws_ami.ubuntu',   1::BIGINT),
+      ('aws_security_group.sg', 'aws_vpc.main',          1::BIGINT),
+      ('aws_subnet.a',          'aws_vpc.main',          1::BIGINT),
+      ('aws_subnet.b',          'aws_vpc.main',          1::BIGINT)
+    ) t(src_address, dst_address, n_refs)
+    """,
+)
+def tf_resource_reference_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource dependency edges — the ``terraform graph`` workflow over
+    the parsed tables (cf. reference docs/tables/terraform_resource.md's
+    address/source columns): every ``TYPE.NAME`` / ``data.TYPE.NAME``
+    traversal in a resource block's SOURCE, kept only when it resolves to
+    a resource or data source DECLARED in the corpus (the inner join
+    against declared addresses is the disambiguator — prose like
+    ``docs.example.com`` and ``var.*``/``local.*`` traversals match the
+    token shape but no declared address, so they drop out without any
+    keyword denylist). ``n_refs`` counts occurrences, not distinct
+    attributes — a block naming the same target twice depends on it
+    twice. Same token-scan approximation as the variable audit: a
+    reference inside a string literal or comment counts — conservative
+    for a dependency audit. Self-edges are excluded.
+
+    Scale: one projection + regexp over O(config blocks), then a join of
+    the token set against the O(blocks) declared-address set — broadcast
+    by size at any corpus scale (addresses are config metadata, not
+    data). No pair generation; the edge set is output-sized."""
+    wide = _tf_graph_engine(spark).wide()
+    tokens = (
+        wide.filter(
+            (F.col("file_kind") == "config")
+            & (F.col("tf_table") == "terraform_resource")
+        )
+        .select(
+            F.col("address").alias("src_address"),
+            F.explode(
+                F.expr(
+                    "regexp_extract_all(source, "
+                    "'(data\\\\.)?[a-z][a-z0-9_]*\\\\.[A-Za-z_][A-Za-z0-9_-]*', 0)"
+                )
+            ).alias("token"),
+        )
+    )
+    declared = (
+        wide.filter(F.col("tf_table") == "terraform_resource")
+        .select(F.col("address").alias("dst_address"))
+        .unionByName(
+            wide.filter(F.col("tf_table") == "terraform_data_source").select(
+                F.concat(
+                    F.lit("data."), F.col("type"), F.lit("."), F.col("name")
+                ).alias("dst_address")
+            )
+        )
+    )
+    return (
+        tokens.join(
+            F.broadcast(declared), tokens["token"] == declared["dst_address"]
+        )
+        .filter(F.col("src_address") != F.col("dst_address"))
+        .groupBy("src_address", "dst_address")
+        .agg(F.count("*").cast("long").alias("n_refs"))
+    )
+
+
+def _tf_sensitive_engine(spark: SparkSession):
+    """Engine over the dedicated sensitive-flow corpus
+    (tests/fixtures/sensitive)."""
+    from .engine import TerraformEngine
+
+    return TerraformEngine(
+        spark, config_paths=[f"{_TF_FIXTURES}/sensitive/*.tf"], cache=False
+    )
+
+
+@staged_query(
+    "tf_sensitive_output_audit",
+    # golden rows: a leaking interpolation (connection_string embeds
+    # var.db_password with no sensitive mark), two properly-marked
+    # outputs (one direct ref, one wrapped in a function call), and a
+    # clean output referencing only a non-sensitive variable
+    oracle="""
+    SELECT * FROM (VALUES
+      ('connection_string',   'db_password', 1::BIGINT, false, 'leak'),
+      ('deploy_region',       '',            0::BIGINT, false, 'clean'),
+      ('masked_password_len', 'db_password', 1::BIGINT, true,  'ok_marked'),
+      ('token_echo',          'api_token',   1::BIGINT, true,  'ok_marked')
+    ) t(output_name, sensitive_vars, n_sensitive_refs, sensitive_marked,
+        status)
+    """,
+)
+def tf_sensitive_output_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-value flow audit — flags outputs whose value references
+    a variable declared ``sensitive = true`` while the output itself is
+    not marked sensitive (the misconfiguration ``terraform plan`` would
+    redact at the variable but print at the output). Sensitive variables
+    are detected from the variable block's SOURCE because the engine —
+    faithful to the reference row builder (table_terraform_variable.go:
+    sensitive is type-checked but never assigned, mirrored at
+    tfcore/rows.py:377) — leaves terraform_variable.sensitive NULL by
+    design; the outputs' own ``sensitive`` column IS populated and is
+    the mark side of the audit. ``var.<name>`` traversals are token-
+    scanned from each output's source (interpolations included),
+    deduplicated per output, and inner-joined against the sensitive-
+    variable set. Statuses: ``leak`` (refs a sensitive var, unmarked),
+    ``ok_marked`` (refs one, marked), ``clean`` (no sensitive refs).
+
+    Scale: O(output blocks) tokens joined against the O(variables)
+    sensitive set — broadcast metadata join, output-sized result."""
+    wide = _tf_sensitive_engine(spark).wide()
+    sens = wide.filter(
+        (F.col("tf_table") == "terraform_variable")
+        & F.col("source").rlike("sensitive\\s*=\\s*true")
+    ).select(F.col("name").alias("var_name"))
+    refs = wide.filter(F.col("tf_table") == "terraform_output").select(
+        F.col("name").alias("output_name"),
+        F.coalesce(F.col("sensitive"), F.lit(False)).alias("sensitive_marked"),
+        F.explode_outer(
+            F.expr(
+                "array_distinct(regexp_extract_all("
+                "source, 'var\\\\.([A-Za-z_][A-Za-z0-9_-]*)', 1))"
+            )
+        ).alias("ref_name"),
+    )
+    hits = refs.join(
+        F.broadcast(sens), refs["ref_name"] == sens["var_name"], "left"
+    )
+    return hits.groupBy("output_name", "sensitive_marked").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("var_name"))
+        ).alias("sensitive_vars"),
+        F.count("var_name").cast("long").alias("n_sensitive_refs"),
+    ).select(
+        "output_name",
+        "sensitive_vars",
+        "n_sensitive_refs",
+        "sensitive_marked",
+        F.when(
+            (F.col("n_sensitive_refs") > 0) & ~F.col("sensitive_marked"),
+            F.lit("leak"),
+        )
+        .when(F.col("n_sensitive_refs") > 0, F.lit("ok_marked"))
+        .otherwise(F.lit("clean"))
+        .alias("status"),
+    )
+
+
+@staged_query(
+    "q_orders_incremental_rollup",
+    # the oracle IS the full recompute — the maintenance identity, like
+    # the SCD2 merge / IVF incremental / logsketch merge entries: the
+    # merged incremental state must answer exactly what a from-scratch
+    # rollup answers, including the non-trivially-mergeable exact
+    # distinct
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance identity — the fourth member of
+    the maintenance-identity family (SCD2 CDC merge, IVF incremental
+    assignment, log-sketch merge): a late-arriving batch (the
+    ``o_orderkey % 7 = 0`` slice stands in for it) is merged into the
+    monthly revenue rollup via PARTIAL STATE, and the result must equal
+    the from-scratch rollup over all orders — which is exactly what the
+    oracle computes. The interesting column is ``n_customers``:
+    COUNT(DISTINCT) is not mergeable from per-slice finals (a customer
+    ordering in both slices would double-count), so the carried state is
+    the (month, customer) grain — sums re-add at that grain on merge, and
+    the distinct falls out as the post-merge group size. This is the
+    standard decomposition every incremental-materialized-view engine
+    uses for exact distincts.
+
+    Scale: the merge shuffles only STATE rows (≤ |months × active
+    customers|, orders-of-magnitude under the fact count; at 100 TB the
+    base state comes from the stored rollup, not a rescan) plus the
+    batch's partials; both groupings share the (order_month, o_custkey)
+    key so AQE coalesces them into one exchange chain."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("order_month", "o_custkey").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    base = partial_state(orders.filter(F.col("o_orderkey") % 7 != 0))
+    batch = partial_state(orders.filter(F.col("o_orderkey") % 7 == 0))
+    merged = (
+        base.unionByName(batch)
+        .groupBy("order_month", "o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    return merged.groupBy("order_month").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_customers"),
+    )
+
+
+@staged_query(
+    "emb_matryoshka_prefix_recall",
+    # both rankings replayed with the emb_cosine_topk device (_cos_sql
+    # rounded score, id tiebreak); the prefix ranking scores DuckDB list
+    # slices v[1:16] exactly as Spark scores F.slice(embedding, 1, 16)
+    oracle=f"""
+    WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings
+          WHERE vec_id >= 10),
+    fr AS (SELECT qid, nid FROM (
+             SELECT q.qid, c.nid, row_number() OVER (PARTITION BY q.qid
+                    ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.nid) rn
+             FROM q, c) WHERE rn <= 10),
+    pr AS (SELECT qid, nid FROM (
+             SELECT q.qid, c.nid, row_number() OVER (PARTITION BY q.qid
+                    ORDER BY {_cos_sql('q.v[1:16]', 'c.v[1:16]')} DESC,
+                             c.nid) rn
+             FROM q, c) WHERE rn <= 10),
+    ov AS (SELECT fr.qid, CAST(count(*) AS BIGINT) n FROM fr
+           JOIN pr ON fr.qid = pr.qid AND fr.nid = pr.nid GROUP BY fr.qid)
+    SELECT qs.qid AS query_id,
+           CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n, 0) * 1000 AS BIGINT) AS recall_x1e4
+    FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN ov ON ov.qid = qs.qid
+    """,
+)
+def emb_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix-dimension recall self-evaluation — the
+    third member of the measured-quality family (`emb_ivf_recall`,
+    `dedup_lsh_recall`): rank the corpus by cosine on the FIRST 16 of 64
+    dimensions (the cheap truncated-embedding pass MRL-trained models
+    serve first) and report, per query, how many of the full-dimension
+    top-10 the prefix top-10 recovers. recall@10 in basis points is
+    ``n_overlap · 1000`` — integer-exact, no division. Both rankings are
+    the `emb_cosine_topk` device (blocked numpy matmul, rounded score +
+    id tiebreak), so the oracle replays them as two window CTEs over
+    sliced and full lists. On non-MRL synthetic embeddings the prefix
+    recall is expected to be LOW — the entry pins the measurement, and
+    doubles as the coarse-pass calibration a prefix-then-rerank pipeline
+    needs.
+
+    Scale: two blocked brute-force passes — the prefix pass moves 4× less
+    vector data (16 of 64 dims); the overlap join is top-k-sized
+    (|Q|·10 rows both sides, broadcast); at serving scale the prefix pass
+    is the candidate generator and the full pass reranks only candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+
+    def prefix16(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+        )
+
+    full = similarity.cosine_topk(q, c, k=10).select("query_id", "neighbor_id")
+    pref = similarity.cosine_topk(prefix16(q), prefix16(c), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    # both sides are top-k-sized (|Q|·10 rows) — broadcast the overlap
+    # join so neither ranking re-shuffles
+    ov = (
+        full.join(F.broadcast(pref), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(ov), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0).cast("long")) * 1000)
+            .cast("long")
+            .alias("recall_x1e4"),
+        )
+    )

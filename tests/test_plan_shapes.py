@@ -857,3 +857,60 @@ def test_benchmark_contamination_broadcast_bench_pruned_scans(spark):
     for s in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
         cols = {c.split("#")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text"}, f"unpruned: {cols}"
+
+
+def test_reference_graph_single_broadcast_join(spark):
+    # token set vs declared-address set: metadata-sized sides, one
+    # broadcast join — an SMJ or cartesian means the corpus shuffled
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_resource_reference_graph"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_sensitive_audit_single_broadcast_join(spark):
+    # output refs vs sensitive-variable set: same metadata-join shape
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_sensitive_output_audit"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_incremental_rollup_no_join_pruned_scans(spark):
+    # the maintenance identity is pure partial-state aggregation: NO join
+    # anywhere (the merge is union + re-agg at the state grain), and both
+    # slice scans pruned to exactly the four needed order columns
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_orders_incremental_rollup"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 2
+    for s in scans:
+        cols = {c.split("#")[0] for c in s.split(",") if c}
+        assert cols == {
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+        }, f"unpruned: {cols}"
+
+
+def test_matryoshka_blocked_matmul_broadcast_overlap(spark):
+    # two blocked-matmul rankings (one cogroup pass each), overlap and
+    # fan-back joins both broadcast (top-k-sized sides) — an SMJ means a
+    # ranking re-shuffled into the comparison
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_matryoshka_prefix_recall"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FlatMapCoGroupsInPandas") == 2
+    assert plan.count("BroadcastHashJoin") == 2
