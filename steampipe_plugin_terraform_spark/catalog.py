@@ -9241,14 +9241,17 @@ def q_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _tf_modules_engine(spark: SparkSession):
-    """Engine over the dedicated module-audit corpus
-    (tests/fixtures/modules — separate from the main fixture corpus so
-    the existing tf_* golden oracles stay untouched)."""
+def _tf_corpus_engine(spark: SparkSession, subdir: str):
+    """Engine over a dedicated per-audit fixture corpus
+    (tests/fixtures/<subdir> — each audit entry gets its own corpus,
+    separate from the main fixture corpus, so the existing tf_* golden
+    oracles stay untouched and each corpus pins exactly the behaviors
+    its entry documents; multi-file corpora make cross-file references
+    part of the pinned behavior)."""
     from .engine import TerraformEngine
 
     return TerraformEngine(
-        spark, config_paths=[f"{_TF_FIXTURES}/modules/*.tf"], cache=False
+        spark, config_paths=[f"{_TF_FIXTURES}/{subdir}/*.tf"], cache=False
     )
 
 
@@ -9284,7 +9287,7 @@ def tf_module_pinning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (./ or ../ sources, where pinning is the repo itself), ``unpinned``
     (registry source with no version at all). O(config files) metadata
     at any corpus scale; one narrow projection, no joins."""
-    mods = _tf_modules_engine(spark).table("terraform_module")
+    mods = _tf_corpus_engine(spark, "modules").table("terraform_module")
     ref = F.element_at(F.split(F.col("module_source"), "="), -1)
     return mods.select(
         "name",
@@ -9603,17 +9606,6 @@ def stream_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tf_vars_engine(spark: SparkSession):
-    """Engine over the dedicated variable-audit corpus
-    (tests/fixtures/variables — separate from the main fixture corpus so
-    the existing tf_* golden oracles stay untouched; two files so a
-    cross-file reference is part of the pinned behavior)."""
-    from .engine import TerraformEngine
-
-    return TerraformEngine(
-        spark, config_paths=[f"{_TF_FIXTURES}/variables/*.tf"], cache=False
-    )
-
 
 @staged_query(
     "tf_unused_variables",
@@ -9656,7 +9648,7 @@ def tf_unused_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable table — no pair generation, no shuffle beyond the tiny
     aggregation. At 100 TB of config the reference set is bounded by
     #distinct variable names actually referenced."""
-    wide = _tf_vars_engine(spark).wide()
+    wide = _tf_corpus_engine(spark, "variables").wide()
     refs = (
         wide.filter(
             (F.col("file_kind") == "config")
@@ -9770,17 +9762,6 @@ def docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tf_graph_engine(spark: SparkSession):
-    """Engine over the dedicated dependency-graph corpus
-    (tests/fixtures/graph — separate from the main fixture corpus so the
-    existing tf_* golden oracles stay untouched; two files so cross-file
-    edges are part of the pinned behavior)."""
-    from .engine import TerraformEngine
-
-    return TerraformEngine(
-        spark, config_paths=[f"{_TF_FIXTURES}/graph/*.tf"], cache=False
-    )
-
 
 @staged_query(
     "tf_resource_reference_graph",
@@ -9820,7 +9801,7 @@ def tf_resource_reference_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token set against the O(blocks) declared-address set — broadcast
     by size at any corpus scale (addresses are config metadata, not
     data). No pair generation; the edge set is output-sized."""
-    wide = _tf_graph_engine(spark).wide()
+    wide = _tf_corpus_engine(spark, "graph").wide()
     tokens = (
         wide.filter(
             (F.col("file_kind") == "config")
@@ -9857,15 +9838,6 @@ def tf_resource_reference_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tf_sensitive_engine(spark: SparkSession):
-    """Engine over the dedicated sensitive-flow corpus
-    (tests/fixtures/sensitive)."""
-    from .engine import TerraformEngine
-
-    return TerraformEngine(
-        spark, config_paths=[f"{_TF_FIXTURES}/sensitive/*.tf"], cache=False
-    )
-
 
 @staged_query(
     "tf_sensitive_output_audit",
@@ -9901,7 +9873,7 @@ def tf_sensitive_output_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: O(output blocks) tokens joined against the O(variables)
     sensitive set — broadcast metadata join, output-sized result."""
-    wide = _tf_sensitive_engine(spark).wide()
+    wide = _tf_corpus_engine(spark, "sensitive").wide()
     sens = wide.filter(
         (F.col("tf_table") == "terraform_variable")
         & F.col("source").rlike("sensitive\\s*=\\s*true")
