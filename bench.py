@@ -140,10 +140,12 @@ EXTENDED = [
     "stream_quantile_logsketch",
     "tf_unused_variables",
     "docs_benchmark_contamination",
+    # r11-wave staged entries (drafted in r9, behind the r10 budget)
     "tf_resource_reference_graph",
     "tf_sensitive_output_audit",
     "q_orders_incremental_rollup",
     "emb_matryoshka_prefix_recall",
+    "tf_tags_inheritance_audit",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

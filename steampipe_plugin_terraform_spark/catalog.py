@@ -10056,3 +10056,107 @@ def emb_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_x1e4"),
         )
     )
+
+
+@staged_query(
+    "tf_tags_inheritance_audit",
+    # golden rows: inherited-only compliance (r2 has no tags argument at
+    # all but the unaliased provider's default_tags cover it), merge of
+    # inherited + own keys (r1), an aliased provider WITHOUT default_tags
+    # (r3 — explicit ${aws.legacy} routes AWAY from the defaults), and a
+    # provider with no block at all (r4)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aws_instance.r1',          'aws',    NULL,
+       'Env,Name,Owner', '',          'compliant'),
+      ('aws_instance.r3',          'aws',    'legacy',
+       'Name',           'Env,Owner', 'violation'),
+      ('aws_s3_bucket.r2',         'aws',    NULL,
+       'Env,Owner',      '',          'compliant'),
+      ('google_storage_bucket.r4', 'google', NULL,
+       '',               'Env,Owner', 'violation')
+    ) t(address, provider_name, provider_alias, effective_tag_keys,
+        missing_tags, status)
+    """,
+)
+def tf_tags_inheritance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-compliance audit under provider ``default_tags`` inheritance —
+    the governance query `tf_untagged_resources` approximates: a resource
+    with no ``tags`` argument is NOT untagged if its resolved provider
+    block declares ``default_tags`` (and conversely, explicit
+    ``provider = name.alias`` routing can steer a resource AWAY from the
+    defaults — the r3 case). Each config resource is resolved to its
+    provider block by the `tf_resource_provider_join` rule (explicit
+    ``${name.alias}`` wins, else the type prefix selects the unaliased
+    block), its effective tag keys are the union of the provider's
+    ``default_tags.tags`` keys and its own ``tags`` keys (both read with
+    the documented JSON-member operators over ``arguments``), and the
+    audit reports the sorted effective set, the required tags still
+    missing (required = {Env, Owner}), and compliant/violation status.
+
+    Scale: provider blocks are O(files) — the resolution join broadcasts;
+    everything else is per-row JSON projection. Output is resource-sized."""
+    eng = _tf_corpus_engine(spark, "tags")
+    res = eng.table("terraform_resource").select(
+        "address",
+        "type",
+        F.coalesce(
+            F.json_object_keys(F.get_json_object("arguments", "$.tags")),
+            F.expr("array()"),
+        ).alias("own_keys"),
+        F.coalesce(
+            F.regexp_extract(
+                "provider", r"^\$\{([A-Za-z0-9_-]+)(\.[A-Za-z0-9_-]+)?\}$", 1
+            ),
+            F.lit(""),
+        ).alias("p_raw"),
+        F.regexp_extract(
+            "provider", r"^\$\{[A-Za-z0-9_-]+\.([A-Za-z0-9_-]+)\}$", 1
+        ).alias("a_raw"),
+    ).select(
+        "address",
+        "own_keys",
+        F.when(F.col("p_raw") != "", F.col("p_raw"))
+        .otherwise(F.split("type", "_")[0])
+        .alias("provider_name"),
+        F.when(F.col("a_raw") != "", F.col("a_raw")).alias("provider_alias"),
+    )
+    prov = eng.table("terraform_provider").select(
+        F.col("name").alias("provider_name"),
+        F.col("alias").alias("provider_alias"),
+        F.coalesce(
+            F.json_object_keys(
+                F.get_json_object("arguments", "$.default_tags.tags")
+            ),
+            F.expr("array()"),
+        ).alias("default_keys"),
+    )
+    joined = res.join(
+        F.broadcast(prov),
+        on=[
+            res["provider_name"] == prov["provider_name"],
+            res["provider_alias"].eqNullSafe(prov["provider_alias"]),
+        ],
+        how="left",
+    )
+    effective = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.col("own_keys"),
+                F.coalesce(F.col("default_keys"), F.expr("array()")),
+            )
+        )
+    )
+    missing = F.array_sort(
+        F.array_except(F.expr("array('Env', 'Owner')"), effective)
+    )
+    return joined.select(
+        "address",
+        res["provider_name"],
+        res["provider_alias"],
+        F.concat_ws(",", effective).alias("effective_tag_keys"),
+        F.concat_ws(",", missing).alias("missing_tags"),
+        F.when(F.size(missing) == 0, F.lit("compliant"))
+        .otherwise(F.lit("violation"))
+        .alias("status"),
+    )

@@ -914,3 +914,14 @@ def test_matryoshka_blocked_matmul_broadcast_overlap(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("FlatMapCoGroupsInPandas") == 2
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_tags_inheritance_single_broadcast_join(spark):
+    # resource side vs O(files) provider blocks: one broadcast resolution
+    # join, everything else per-row JSON projection
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_tags_inheritance_audit"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
