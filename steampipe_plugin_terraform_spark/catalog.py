@@ -9948,13 +9948,23 @@ def q_orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base state comes from the stored rollup, not a rescan) plus the
     batch's partials; both groupings share the (order_month, o_custkey)
     key so AQE coalesces them into one exchange chain."""
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
+    orders = _t(spark, sf_dir, "orders")
+    return _incremental_rollup_frame(orders, F.col("o_orderkey") % 7 == 0)
+
+
+def _incremental_rollup_frame(orders: DataFrame, batch_pred) -> DataFrame:
+    """The merge path of `q_orders_incremental_rollup`, parameterized by
+    the batch predicate so tests can pin the maintenance identity
+    (merge ≡ from-scratch rollup) at MULTIPLE splits, not just the
+    entry's ``% 7`` slice — the same several-horizons hardening the SCD2
+    merge entry carries (tests/test_incremental_rollup.py)."""
+    keyed = orders.select(
         "o_custkey",
         F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
         F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
             "cents"
         ),
+        batch_pred.alias("is_batch"),
     )
 
     def partial_state(df: DataFrame) -> DataFrame:
@@ -9963,8 +9973,8 @@ def q_orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
 
-    base = partial_state(orders.filter(F.col("o_orderkey") % 7 != 0))
-    batch = partial_state(orders.filter(F.col("o_orderkey") % 7 == 0))
+    base = partial_state(keyed.filter(~F.col("is_batch")))
+    batch = partial_state(keyed.filter(F.col("is_batch")))
     merged = (
         base.unionByName(batch)
         .groupBy("order_month", "o_custkey")
@@ -10029,13 +10039,25 @@ def emb_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
 
-    def prefix16(df: DataFrame) -> DataFrame:
+    return _mrl_prefix_recall_frame(q, c, prefix_dims=16)
+
+
+def _mrl_prefix_recall_frame(
+    q: DataFrame, c: DataFrame, prefix_dims: int
+) -> DataFrame:
+    """The comparison of `emb_matryoshka_prefix_recall`, parameterized by
+    the prefix length so tests can pin the degenerate identity — a
+    prefix of ALL dimensions reproduces the exact ranking, so every
+    query's recall is 10000 (the full-probe ≡ exact analog the IVF and
+    two-level entries also carry; tests/test_incremental_rollup.py)."""
+
+    def prefix(df: DataFrame) -> DataFrame:
         return df.select(
-            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+            "vec_id", F.slice("embedding", 1, prefix_dims).alias("embedding")
         )
 
     full = similarity.cosine_topk(q, c, k=10).select("query_id", "neighbor_id")
-    pref = similarity.cosine_topk(prefix16(q), prefix16(c), k=10).select(
+    pref = similarity.cosine_topk(prefix(q), prefix(c), k=10).select(
         "query_id", "neighbor_id"
     )
     # both sides are top-k-sized (|Q|·10 rows) — broadcast the overlap
