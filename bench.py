@@ -146,6 +146,12 @@ EXTENDED = [
     "q_orders_incremental_rollup",
     "emb_matryoshka_prefix_recall",
     "tf_tags_inheritance_audit",
+    # r12-wave staged entries (drafted in r9, behind the r11 wave)
+    "q_events_bitmap_distinct_users",
+    "q_lineitem_flag_status_chi2",
+    "tf_unused_locals",
+    "emb_mmr_rerank",
+    "stream_hourly_topk_types",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

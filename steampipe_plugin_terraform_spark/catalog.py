@@ -10182,3 +10182,388 @@ def tf_tags_inheritance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("violation"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 candidate wave (drafted in r9, behind both the r10 budget and the
+# five r11-wave entries above): same ⧖O contract — full Spark + oracle,
+# parity-run at both SFs, plan-pinned, promoted only when a future
+# round's budget opens.
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "q_events_bitmap_distinct_users",
+    # the oracle computes n_users as a PLAIN COUNT(DISTINCT ...) — the
+    # check is that the mergeable-bitmap device equals TRUE distinct,
+    # not that DuckDB can replay the same packing. n_words (the bitmap's
+    # occupied-word count, i.e. its state size) replays as the distinct
+    # word-index count; // on non-negative ids ≡ Spark's DIV.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id // 62) AS BIGINT) AS n_words
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via MERGEABLE BITMAP partial
+    state — the roaring-bitmap exact-distinct device (ClickHouse
+    groupBitmap / Druid 'Bitmap aggregation' / Kylin's exact count
+    distinct), here in pure JVM expressions: user ids pack into 62-bit
+    words (word_idx = id DIV 62, bit = id % 62 — 62 keeps every shift
+    strictly below the sign bit on both engines), the first aggregation
+    ORs words with a map-side combine, and the per-type answer is
+    SUM(bit_count(word)). Complements the APPROXIMATE distinct family
+    (q_kmv_distinct, q_approx_distinct, the logsketch entries) with the
+    exact-but-still-mergeable point in the design space.
+
+    Scale: the only exchange after the partial agg carries at most
+    #types × ceil(max_id/62) 8-byte words REGARDLESS of event count —
+    exact COUNT DISTINCT whose shuffled state is |users|/62 words
+    instead of |users| raw ids, and whose partials merge by OR (the
+    same mergeability contract the sketch entries pin, without the
+    approximation). Needs dense non-negative int ids — true of
+    dictionary-encoded user dims in training pipelines; sparse id
+    spaces would swap the word for a roaring container, same algebra.
+    Both aggregations are keyed (no single-partition stage anywhere);
+    the scan prunes to (event_type, user_id)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    words = ev.groupBy(
+        "event_type", F.expr("user_id DIV 62").alias("word_idx")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)))"
+        ).alias("word")
+    )
+    return words.groupBy("event_type").agg(
+        F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("n_users"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+
+
+@staged_query(
+    "q_lineitem_flag_status_chi2",
+    # HUGEINT products on the DuckDB side (BIGINT overflow raises there);
+    # // and DIV both truncate toward zero, and every numerator is a
+    # square (≥ 0), so truncation ≡ floor on both engines — the
+    # integer-division-parity device, no float anywhere.
+    oracle="""
+    WITH cells AS (SELECT l_returnflag, l_linestatus,
+                          CAST(count(*) AS BIGINT) observed
+                   FROM lineitem GROUP BY 1, 2),
+    m AS (SELECT l_returnflag, l_linestatus, observed,
+                 CAST(sum(observed) OVER (PARTITION BY l_returnflag) AS BIGINT) r_tot,
+                 CAST(sum(observed) OVER (PARTITION BY l_linestatus) AS BIGINT) c_tot,
+                 CAST(sum(observed) OVER () AS BIGINT) n_tot
+          FROM cells)
+    SELECT l_returnflag, l_linestatus, observed,
+           CAST((r_tot::HUGEINT * c_tot * 100) // n_tot AS BIGINT)
+             AS expected_e2,
+           CAST(((observed::HUGEINT * n_tot - r_tot::HUGEINT * c_tot)
+                 * (observed::HUGEINT * n_tot - r_tot::HUGEINT * c_tot)
+                 * 1000000)
+                // (r_tot::HUGEINT * c_tot * n_tot) AS BIGINT) AS contrib_e6
+    FROM m
+    """,
+)
+def q_lineitem_flag_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between return flag and line
+    status — the categorical-association member of the integer-exact
+    statistics family (3σ, MAD, A/B z-test, CUSUM, weighted median):
+    one grouped count builds the contingency cells, the marginals come
+    from windows OVER THE CELL FRAME (never a re-scan), and each cell
+    reports its observed count, the expected count under independence
+    in hundredths (R·C·100 DIV N), and its χ² contribution in
+    millionths — ((O·N − R·C)² · 10⁶) DIV (R·C·N), the (O−E)²/E term
+    multiplied out to integers so there is NO floating-point step at
+    all: both engines do one integer floor-division per column.
+    Σ contrib_e6 / 10⁶ is the χ² statistic (df = (R−1)(C−1)).
+
+    Scale: one scan pruned to the two categorical columns, one keyed
+    partial-agg shuffle carrying ≤ #flag×#status cell rows; the windows
+    (including the deliberate single-partition grand-total) run over the
+    agg-sized cell frame — same post-agg-tiny-frame exemption as the
+    weighted-median/histogram entries. Products stay within DECIMAL(38)
+    up to N ≈ 10¹²·cells; the denominator R·C·N is the first to need
+    widening past that (docs/ORACLE_DEVICES.md's DECIMAL headroom
+    note)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    m = cells.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("l_returnflag")).alias("r_tot"),
+        F.sum("observed").over(Window.partitionBy("l_linestatus")).alias("c_tot"),
+        F.sum("observed").over(Window.partitionBy()).alias("n_tot"),
+    )
+    diff = (
+        "(CAST(observed AS DECIMAL(19,0)) * n_tot"
+        " - CAST(r_tot AS DECIMAL(19,0)) * c_tot)"
+    )
+    return m.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        F.expr(
+            "CAST(CAST(r_tot AS DECIMAL(19,0)) * c_tot * 100 DIV n_tot"
+            " AS BIGINT)"
+        ).alias("expected_e2"),
+        F.expr(
+            f"CAST({diff} * {diff} * 1000000"
+            " DIV (CAST(r_tot AS DECIMAL(19,0)) * c_tot * n_tot) AS BIGINT)"
+        ).alias("contrib_e6"),
+    )
+
+
+@staged_query(
+    "tf_unused_locals",
+    # golden rows from the dedicated corpus, one local per usage class:
+    # referenced from a resource + an output (owner, 2 blocks), a
+    # resource only (az), a module argument in ANOTHER file (name_prefix
+    # — the cross-file case), never referenced (budget), referenced ONLY
+    # from inside locals blocks (chain_base — local-to-local chains that
+    # never escape are dead weight transitively), and a local declared
+    # in a SECOND locals block (helper — whose row carries the FIRST
+    # block's position per the reference's getBlock first-match quirk,
+    # pinned here as declared-and-unused). Values keep the engine's
+    # byte-stable JSON encoding (strings quoted, numbers bare).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('az',          '"us-west-2a"',            1::BIGINT, 'used'),
+      ('budget',      '100',                     0::BIGINT, 'unused'),
+      ('chain_base',  '"x"',                     0::BIGINT, 'unused'),
+      ('helper',      '"${local.chain_base}-h"', 0::BIGINT, 'unused'),
+      ('name_prefix', '"acme"',                  1::BIGINT, 'used'),
+      ('owner',       '"platform-team"',         2::BIGINT, 'used')
+    ) t(name, value, n_ref_blocks, status)
+    """,
+)
+def tf_unused_locals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unused-local hygiene audit — the usage-count question the
+    reference's terraform_local doc poses directly ("If overused, they
+    can also make configuration hard to read… uncover information about
+    local values, such as those that are used multiple times",
+    docs/tables/terraform_local.md): every declared local joined against
+    the set of ``local.<name>`` traversals appearing in the SOURCE of
+    any NON-locals config block, with ``n_ref_blocks`` counting distinct
+    referencing blocks ((path, start_line) identity) — the
+    `tf_unused_variables` device pointed at the locals table. References
+    from INSIDE locals blocks do not count: row granularity cannot
+    separate self-reference from sibling-reference there (every local in
+    a file shares the first locals block's source per the reference's
+    getBlock first-match quirk), and a local consumed only by other
+    locals that never escape the block is dead weight transitively —
+    the audit measures escape points. Same token-scan approximation as
+    the variables audit (a ``local.x`` inside a string literal counts —
+    the conservative direction for a deletion audit).
+
+    Scale: one projection + regexp_extract_all over O(config blocks),
+    one small distinct-and-count, one broadcast-sized join against the
+    locals table — the reference set is bounded by #distinct local
+    names actually referenced, never by corpus size."""
+    wide = _tf_corpus_engine(spark, "locals_usage").wide()
+    refs = (
+        wide.filter(
+            (F.col("file_kind") == "config")
+            & (F.col("tf_table") != "terraform_local")
+        )
+        .select(
+            "path",
+            "start_line",
+            F.explode(
+                F.expr(
+                    "array_distinct(regexp_extract_all("
+                    "source, 'local\\\\.([A-Za-z_][A-Za-z0-9_-]*)', 1))"
+                )
+            ).alias("ref_name"),
+        )
+        .distinct()
+        .groupBy("ref_name")
+        .agg(F.count("*").cast("long").alias("n_ref_blocks"))
+    )
+    locals_df = wide.filter(F.col("tf_table") == "terraform_local").select(
+        "name", "value"
+    )
+    joined = locals_df.join(
+        refs, locals_df["name"] == refs["ref_name"], "left"
+    )
+    return joined.select(
+        "name",
+        "value",
+        F.coalesce("n_ref_blocks", F.lit(0).cast("long")).alias(
+            "n_ref_blocks"
+        ),
+        F.when(F.col("n_ref_blocks").isNull(), F.lit("unused"))
+        .otherwise(F.lit("used"))
+        .alias("status"),
+    )
+
+
+def _cos_e6_sql(a: str, b: str) -> str:
+    """Integer 1e-6-grid cosine (the BIGINT form of ``_cos_sql`` — the
+    MMR replay compares scores in integer space, so the snap goes
+    straight to BIGINT instead of back onto a double grid)."""
+    return (
+        f"CAST(floor(list_dot_product({a},{b}) / "
+        f"(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})))"
+        f" * 1000000 + 0.5) AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Replay of ``similarity.mmr_select`` (k_candidates=8, k_select=4,
+    λ=7/10): cosine_topk's rounded-rank candidate CTE, integer pairwise
+    sims, then the four greedy steps UNROLLED as plain CTEs (each = one
+    window argmax over the not-yet-selected candidates, penalty =
+    greatest() over sims to the already-picked ids) — every comparison
+    integer, so the replay is exact, not approximate."""
+    parts = [
+        "q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)",
+        "c AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id >= 10)",
+        f"s AS (SELECT qid, nid, {_cos_sql('q.v', 'c.v')} cosine FROM q, c)",
+        "cand AS (SELECT qid, nid,"
+        " CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) rel_e6"
+        " FROM (SELECT qid, nid, cosine, row_number() OVER"
+        " (PARTITION BY qid ORDER BY cosine DESC, nid) rn FROM s)"
+        " WHERE rn <= 8)",
+        "pr AS (SELECT a.qid, a.nid i, b.nid j,"
+        f" {_cos_e6_sql('ca.v', 'cb.v')} sim_e6"
+        " FROM cand a JOIN cand b ON a.qid = b.qid"
+        " JOIN c ca ON ca.nid = a.nid JOIN c cb ON cb.nid = b.nid)",
+        "s1 AS (SELECT qid, nid AS p1, 7 * rel_e6 AS sc1 FROM"
+        " (SELECT qid, nid, rel_e6, row_number() OVER"
+        " (PARTITION BY qid ORDER BY rel_e6 DESC, nid) rn FROM cand)"
+        " WHERE rn = 1)",
+        "e2 AS (SELECT cd.qid, cd.nid, 7 * cd.rel_e6 - 3 * pa.sim_e6 AS sc"
+        " FROM cand cd JOIN s1 ON s1.qid = cd.qid AND cd.nid <> s1.p1"
+        " JOIN pr pa ON pa.qid = cd.qid AND pa.i = cd.nid AND pa.j = s1.p1)",
+        "s2 AS (SELECT qid, nid AS p2, sc AS sc2 FROM"
+        " (SELECT qid, nid, sc, row_number() OVER"
+        " (PARTITION BY qid ORDER BY sc DESC, nid) rn FROM e2) WHERE rn = 1)",
+        "e3 AS (SELECT cd.qid, cd.nid,"
+        " 7 * cd.rel_e6 - 3 * greatest(pa.sim_e6, pb.sim_e6) AS sc"
+        " FROM cand cd JOIN s1 ON s1.qid = cd.qid AND cd.nid <> s1.p1"
+        " JOIN s2 ON s2.qid = cd.qid AND cd.nid <> s2.p2"
+        " JOIN pr pa ON pa.qid = cd.qid AND pa.i = cd.nid AND pa.j = s1.p1"
+        " JOIN pr pb ON pb.qid = cd.qid AND pb.i = cd.nid AND pb.j = s2.p2)",
+        "s3 AS (SELECT qid, nid AS p3, sc AS sc3 FROM"
+        " (SELECT qid, nid, sc, row_number() OVER"
+        " (PARTITION BY qid ORDER BY sc DESC, nid) rn FROM e3) WHERE rn = 1)",
+        "e4 AS (SELECT cd.qid, cd.nid,"
+        " 7 * cd.rel_e6 - 3 * greatest(pa.sim_e6, pb.sim_e6, pc.sim_e6) AS sc"
+        " FROM cand cd JOIN s1 ON s1.qid = cd.qid AND cd.nid <> s1.p1"
+        " JOIN s2 ON s2.qid = cd.qid AND cd.nid <> s2.p2"
+        " JOIN s3 ON s3.qid = cd.qid AND cd.nid <> s3.p3"
+        " JOIN pr pa ON pa.qid = cd.qid AND pa.i = cd.nid AND pa.j = s1.p1"
+        " JOIN pr pb ON pb.qid = cd.qid AND pb.i = cd.nid AND pb.j = s2.p2"
+        " JOIN pr pc ON pc.qid = cd.qid AND pc.i = cd.nid AND pc.j = s3.p3)",
+        "s4 AS (SELECT qid, nid AS p4, sc AS sc4 FROM"
+        " (SELECT qid, nid, sc, row_number() OVER"
+        " (PARTITION BY qid ORDER BY sc DESC, nid) rn FROM e4) WHERE rn = 1)",
+    ]
+    sel = " UNION ALL ".join(
+        f"SELECT qid AS query_id, CAST({i} AS BIGINT) AS select_order,"
+        f" p{i} AS neighbor_id, sc{i} AS mmr_score_x1e7 FROM s{i}"
+        for i in (1, 2, 3, 4)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+@staged_query("emb_mmr_rerank", oracle=_mmr_oracle())
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein 1998) — the
+    relevance-vs-redundancy greedy that production retrieval and
+    training-data curation run on top of a similarity top-k: for each of
+    the 10 query vectors, pick 4 of its 8 nearest neighbors, each step
+    maximizing λ·rel − (1−λ)·max-sim-to-already-picked (λ = 7/10).
+    Complements the ANN family (which ranks by pure relevance) with the
+    de-redundancy step; `docs_semantic_dedup` removes near-dups corpus-
+    wide, MMR does it per-query at serving time.
+
+    Determinism/oracle: relevance and pairwise sims snap to the 1e-6
+    cosine grid, λ is rational, and the greedy argmax runs entirely in
+    integer space with id tiebreaks — the DuckDB replay unrolls the four
+    greedy steps as plain CTEs over the SAME snapped integers, so this
+    is a full value check of an inherently sequential algorithm, not a
+    rows-only pass (the same unroll discipline as the SCD2-merge /
+    packing recursions).
+
+    Scale: candidate generation is the blocked-matmul `cosine_topk`
+    (corpus never shuffles into the greedy); candidates re-acquire
+    vectors via a broadcast join (|Q|·8 rows build side); the greedy is
+    an Arrow-batched grouped map over 8 rows per query — k×k integer
+    work, independent of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mmr_select(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k_candidates=8,
+        k_select=4,
+        lam10=7,
+    )
+
+
+@staged_query(
+    "stream_hourly_topk_types",
+    # watermark-closure replay (the append-mode oracle device): closed
+    # hours are those whose end <= final watermark = max(ts) - 2h; the
+    # rank replays the batch tail's (n DESC, event_type) row_number.
+    oracle="""
+    WITH m AS (SELECT max(ts) mx FROM events),
+    closed AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                      CAST(count(*) AS BIGINT) n
+               FROM events
+               WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                     <= (SELECT mx FROM m) - INTERVAL 2 HOUR
+               GROUP BY 1, 2)
+    SELECT hour, event_type, n, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT hour, event_type, n,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY n DESC, event_type) rnk
+      FROM closed) WHERE rnk <= 3
+    """,
+)
+def stream_hourly_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-closed-hour top-3 event types — the streaming-leaderboard
+    shape, pinned the way production actually builds it: ranking is not
+    expressible INSIDE an append stream (non-time windows are
+    unsupported over streaming aggregates), so the stream emits
+    watermark-closed (hour, type) count cells exactly once and the rank
+    is a keyed window over the drained sink — the serving-layer split,
+    with no lambda-architecture second pipeline because the closed cells
+    are already exact. Reuses `hourly_counts_stream` and the
+    append-closure oracle device (final watermark = max(ts) − 2h; a
+    window is emitted iff its end ≤ watermark; corpus-tail hours stay
+    open forever and never rank).
+
+    Scale: stream state is bounded by open windows × types (watermark
+    eviction); the rank input is the CLOSED-CELL set — hours × types,
+    agg-sized — partitioned by hour, so the serving rank is a bounded
+    keyed window, never a re-scan of events."""
+    from .streaming.events import hourly_counts_stream, read_events_stream
+
+    _stop_stream(spark, "__stream_hourly_topk")
+    q = (
+        hourly_counts_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("__stream_hourly_topk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_hourly_topk drain exceeded 600s")
+    w = Window.partitionBy("hour").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        spark.table("__stream_hourly_topk")
+        .select("hour", "event_type", F.col("n").cast("long").alias("n"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

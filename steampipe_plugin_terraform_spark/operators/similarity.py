@@ -1643,3 +1643,92 @@ def intra_class_outliers(
     ).select(
         F.col("id").alias(id_col), "label", F.col("d2").cast("long").alias("d2")
     )
+
+
+def mmr_select(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_candidates: int = 8,
+    k_select: int = 4,
+    lam10: int = 7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank (Carbonell & Goldstein
+    1998) — the retrieval/curation step that turns a similarity top-k into
+    a RELEVANT-BUT-DIVERSE top-k: greedily pick ``k_select`` of each
+    query's ``k_candidates`` nearest neighbors, each step maximizing
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+
+    Determinism contract (the oracle-replayable part): relevance and
+    pairwise similarities snap to the 1e-6 cosine grid FIRST, λ is the
+    rational lam10/10, and every greedy comparison is integer arithmetic
+    on (λ·1e7-scaled) scores with the neighbor id as tiebreaker — no
+    float ever enters the argmax, so a SQL replay of the same snapped
+    inputs reproduces the selection bit-for-bit.
+
+    Shape (100 TB path): candidate generation is ``cosine_topk`` (blocked
+    matmul, |Q|·k rows out); the candidate set re-acquires vectors via a
+    BROADCAST join into the corpus (the corpus never shuffles); the
+    greedy step is per-query over k_candidates rows — an Arrow-batched
+    grouped map whose per-group work is a k×k integer matrix, bounded by
+    construction. Returns (query_id, select_order, neighbor_id,
+    mmr_score_x1e7).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(
+        queries, corpus, id_col=id_col, vec_col=vec_col, k=k_candidates
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr("CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)").alias(
+            "rel_e6"
+        ),
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    wide = cvec.join(F.broadcast(cand), "neighbor_id")
+    lam, omlam = lam10, 10 - lam10
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.stack(pdf["cv"].to_numpy()).astype("float64")
+        norms = np.sqrt((V * V).sum(axis=1))
+        sim_e6 = np.floor(
+            (V @ V.T) / np.outer(norms, norms) * 1e6 + 0.5
+        ).astype("int64")
+        rel = pdf["rel_e6"].to_numpy().astype("int64")
+        nid = pdf["neighbor_id"].to_numpy()
+        qid = int(pdf["query_id"].iloc[0])
+        sel: list[int] = []
+        out = []
+        for step in range(1, min(k_select, len(pdf)) + 1):
+            best_key, best_i, best_score = None, -1, 0
+            for i in range(len(pdf)):
+                if i in sel:
+                    continue
+                pen = max(sim_e6[i, j] for j in sel) if sel else 0
+                score = lam * int(rel[i]) - omlam * int(pen)
+                key = (-score, int(nid[i]))
+                if best_key is None or key < best_key:
+                    best_key, best_i, best_score = key, i, score
+            sel.append(best_i)
+            out.append((qid, step, int(nid[best_i]), best_score))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "query_id",
+                "select_order",
+                "neighbor_id",
+                "mmr_score_x1e7",
+            ],
+        )
+
+    return wide.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, select_order long, neighbor_id long, "
+        "mmr_score_x1e7 long",
+    )

@@ -925,3 +925,95 @@ def test_tags_inheritance_single_broadcast_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
+
+
+# ---- round-9 pins: r12-wave staged entries (pinned at staging time)
+
+
+def test_bitmap_distinct_keyed_aggs_no_single_partition(spark):
+    # the bitmap device's whole point: ONE pruned scan, NO join, and
+    # every aggregation keyed — zero SinglePartition exchanges (the
+    # exchange after the partial agg carries 8-byte words, merged by
+    # map-side bit_or partials, never raw ids in a single reducer)
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(
+        STAGED_QUERIES["q_events_bitmap_distinct_users"](spark, SF)
+    )
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert "partial_bit_or" in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = {c.split("#")[0] for c in scans[0].split(",") if c}
+    assert cols == {"event_type", "user_id"}, f"unpruned: {cols}"
+
+
+def test_chi2_single_scan_windows_over_cells(spark):
+    # ONE scan pruned to the two categorical columns; the marginal
+    # windows (incl. the deliberate grand-total SinglePartition) run
+    # over the agg-sized cell frame AFTER the keyed contingency agg —
+    # the post-agg-tiny-frame exemption, same as weighted_median
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_flag_status_chi2"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = {c.split("#")[0] for c in scans[0].split(",") if c}
+    assert cols == {"l_returnflag", "l_linestatus"}, f"unpruned: {cols}"
+    # exactly one single-partition stage, and it sits ABOVE the keyed
+    # cell agg in the tree (printed plans render parents first, so the
+    # deeper hashpartitioning exchange appears later in the string)
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.index("Exchange SinglePartition") < plan.index(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_unused_locals_single_broadcast_join(spark):
+    # locals ∖ references — same metadata-join shape as the variables
+    # audit: the tiny reference set joins broadcast, an SMJ or cartesian
+    # means the parsed corpus shuffled
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_unused_locals"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_mmr_rerank_broadcast_fanback_bounded_greedy(spark):
+    # candidate generation = ONE cogrouped blocked matmul; candidates
+    # re-acquire vectors via ONE broadcast join (|Q|·k build side — the
+    # corpus must never shuffle); greedy = ONE grouped map over 8 rows
+    # per query. An SMJ or cartesian means the corpus shuffled into the
+    # re-rank
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_mmr_rerank"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_stream_topk_keyed_rank_over_sink_only(spark):
+    # the serving-layer split: the returned frame ranks the DRAINED sink
+    # (agg-sized), never re-scans events; the rank is keyed by hour (no
+    # single-partition stage) and rnk<=3 plans a WindowGroupLimit so
+    # partitions prune to their top candidates before the shuffle
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_hourly_topk_types"](spark, SF))
+    assert plan.count("Scan parquet") == 0
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan
