@@ -6843,6 +6843,29 @@ def _stop_stream(spark: SparkSession, name: str) -> None:
             q.stop()
 
 
+
+def _drain_memory_sink(
+    spark: SparkSession, stream_df: DataFrame, name: str, mode: str
+) -> DataFrame:
+    """THE drain protocol for every batch-checkable streaming entry, in
+    one place so it cannot fork across entries: stop any leftover query
+    with the same name (re-invocation safety), run the stream to
+    completion into a memory sink with an availableNow trigger under a
+    600 s guard (stop-and-raise on timeout), return the sink table."""
+    _stop_stream(spark, name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(f"{name} drain exceeded 600s")
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming entries (§2.8): each runs the stream to completion
 # with an availableNow trigger into a memory sink and returns the result —
@@ -6863,19 +6886,13 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window stream, drained via availableNow."""
     from .streaming.events import hourly_counts_stream, read_events_stream
 
-    _stop_stream(spark, "__stream_events_hourly")
-    q = (
-        hourly_counts_stream(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("__stream_events_hourly")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    sink = _drain_memory_sink(
+        spark,
+        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        "__stream_events_hourly",
+        "complete",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_events_hourly drain exceeded 600s")
-    return spark.table("__stream_events_hourly")
+    return sink
 
 
 @query(
@@ -6901,8 +6918,6 @@ def stream_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation state cannot grow."""
     from .streaming.events import read_events_stream
 
-    _stop_stream(spark, "__stream_countmin")
-
     def cell(i: int):
         h = F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("user_id").cast("string")))
         return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % 256
@@ -6917,19 +6932,12 @@ def stream_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.i", "x.cell")
-    q = (
-        cells.groupBy("i", "cell")
-        .agg(F.count("*").alias("cell_cnt"))
-        .writeStream.format("memory")
-        .queryName("__stream_countmin")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_memory_sink(
+        spark,
+        cells.groupBy("i", "cell").agg(F.count("*").alias("cell_cnt")),
+        "__stream_countmin",
+        "complete",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_countmin drain exceeded 600s")
-    return spark.table("__stream_countmin")
 
 
 @query(
@@ -6961,8 +6969,8 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked."""
     from .streaming.events import read_events_stream
 
-    _stop_stream(spark, "__stream_hopping")
-    q = (
+    sink = _drain_memory_sink(
+        spark,
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
         .groupBy(
@@ -6970,17 +6978,11 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
         )
         .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
-        .writeStream.format("memory")
-        .queryName("__stream_hopping")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .select(F.col("w.start").alias("window_start"), "event_type", "n"),
+        "__stream_hopping",
+        "complete",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_hopping drain exceeded 600s")
-    return spark.table("__stream_hopping")
+    return sink
 
 
 @query(
@@ -7013,19 +7015,13 @@ def stream_hourly_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     indefinitely-running-pipeline choice."""
     from .streaming.events import hourly_counts_stream, read_events_stream
 
-    _stop_stream(spark, "__stream_hourly_append")
-    q = (
-        hourly_counts_stream(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("__stream_hourly_append")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    sink = _drain_memory_sink(
+        spark,
+        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        "__stream_hourly_append",
+        "append",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_hourly_append_closed drain exceeded 600s")
-    return spark.table("__stream_hourly_append")
+    return sink
 
 
 # (applicationId, corpus-digest) → (sink root, checkpoint) for the
@@ -7107,20 +7103,13 @@ def stream_segment_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     connection cannot express."""
     from .streaming.events import dim_enriched_agg_stream, read_events_stream
 
-    _stop_stream(spark, "__stream_seg_enriched")
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    q = (
-        dim_enriched_agg_stream(read_events_stream(spark, sf_dir), dim)
-        .writeStream.format("memory")
-        .queryName("__stream_seg_enriched")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_memory_sink(
+        spark,
+        dim_enriched_agg_stream(read_events_stream(spark, sf_dir), dim),
+        "__stream_seg_enriched",
+        "complete",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_segment_enriched drain exceeded 600s")
-    return spark.table("__stream_seg_enriched")
 
 
 @query(
@@ -7142,20 +7131,14 @@ def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands definition (30-min inactivity gap)."""
     from .streaming.events import read_events_stream, sessionized_stream
 
-    _stop_stream(spark, "__stream_sessions")
-    q = (
-        sessionized_stream(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("__stream_sessions")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    sink = _drain_memory_sink(
+        spark,
+        sessionized_stream(read_events_stream(spark, sf_dir)),
+        "__stream_sessions",
+        "complete",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_sessions_per_user drain exceeded 600s")
     return (
-        spark.table("__stream_sessions")
+        sink
         .groupBy("user_id")
         .agg(F.count("*").alias("n_sessions"))
     )
@@ -7175,19 +7158,13 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import read_events_stream
     from .streaming.stateful import running_user_totals
 
-    _stop_stream(spark, "__stream_user_totals")
-    q = (
-        running_user_totals(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("__stream_user_totals")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    sink = _drain_memory_sink(
+        spark,
+        running_user_totals(read_events_stream(spark, sf_dir)),
+        "__stream_user_totals",
+        "update",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_user_running_totals drain exceeded 600s")
-    latest = spark.table("__stream_user_totals").groupBy("user_id").agg(
+    latest = sink.groupBy("user_id").agg(
         F.max(F.struct("n_events", "total_value")).alias("s")
     )
     return latest.select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_value").alias("total_value"))
@@ -7209,22 +7186,16 @@ def stream_deduped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns would be nondeterministic."""
     from .streaming.events import deduped_stream, read_events_stream
 
-    _stop_stream(spark, "__stream_deduped")
-    q = (
+    sink = _drain_memory_sink(
+        spark,
         deduped_stream(read_events_stream(spark, sf_dir))
-        .select("user_id", "event_type")
-        .writeStream.format("memory")
-        .queryName("__stream_deduped")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .select("user_id", "event_type"),
+        "__stream_deduped",
+        "append",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_deduped_events drain exceeded 600s")
     # no final distinct: the comparison against the DISTINCT oracle is the
     # proof that the STREAM deduped (one parquet file → one micro-batch)
-    return spark.table("__stream_deduped").select("user_id", "event_type")
+    return sink.select("user_id", "event_type")
 
 
 @query(
@@ -7244,21 +7215,15 @@ def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from .streaming.events import interval_join_stream, read_events_stream
 
-    _stop_stream(spark, "__stream_ss_join")
-    q = (
+    sink = _drain_memory_sink(
+        spark,
         interval_join_stream(
             read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
-        )
-        .writeStream.format("memory")
-        .queryName("__stream_ss_join")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        ),
+        "__stream_ss_join",
+        "append",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_click_error_join drain exceeded 600s")
-    return spark.table("__stream_ss_join")
+    return sink
 
 
 @query(
@@ -7307,23 +7272,17 @@ def stream_click_error_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per buffered left row. Same state bound as the inner join."""
     from .streaming.events import interval_join_stream, read_events_stream
 
-    _stop_stream(spark, "__stream_ss_ljoin")
-    q = (
+    sink = _drain_memory_sink(
+        spark,
         interval_join_stream(
             read_events_stream(spark, sf_dir),
             read_events_stream(spark, sf_dir),
             how="left_outer",
-        )
-        .writeStream.format("memory")
-        .queryName("__stream_ss_ljoin")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        ),
+        "__stream_ss_ljoin",
+        "append",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_click_error_left_join drain exceeded 600s")
-    return spark.table("__stream_ss_ljoin")
+    return sink
 
 
 # ---------------------------------------------------------------------------
@@ -7809,23 +7768,17 @@ def stream_click_error_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     EACH side — full-outer costs no more state than left-outer here."""
     from .streaming.events import interval_join_stream, read_events_stream
 
-    _stop_stream(spark, "__stream_ss_fjoin")
-    q = (
+    sink = _drain_memory_sink(
+        spark,
         interval_join_stream(
             read_events_stream(spark, sf_dir),
             read_events_stream(spark, sf_dir),
             how="full_outer",
-        )
-        .writeStream.format("memory")
-        .queryName("__stream_ss_fjoin")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        ),
+        "__stream_ss_fjoin",
+        "append",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_click_error_full_join drain exceeded 600s")
-    return spark.table("__stream_ss_fjoin")
+    return sink
 
 
 @query(
@@ -8186,19 +8139,13 @@ def stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import read_events_stream
     from .streaming.stateful import record_breaking_events_awps
 
-    _stop_stream(spark, "__stream_record_highs")
-    q = (
-        record_breaking_events_awps(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("__stream_record_highs")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    sink = _drain_memory_sink(
+        spark,
+        record_breaking_events_awps(read_events_stream(spark, sf_dir)),
+        "__stream_record_highs",
+        "append",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_record_highs drain exceeded 600s")
-    return spark.table("__stream_record_highs")
+    return sink
 
 
 @query(
@@ -9585,26 +9532,62 @@ def stream_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging across restarts by re-summing."""
     from .streaming.events import read_events_stream
 
-    _stop_stream(spark, "__stream_quantile_logsketch")
     lb = sketch.logbucket_expr("CAST(floor(value * 100 + 0.5) AS BIGINT)", 5)
     buckets = read_events_stream(spark, sf_dir).select(F.expr(lb).alias("lb"))
-    q = (
-        buckets.groupBy("lb")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .writeStream.format("memory")
-        .queryName("__stream_quantile_logsketch")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    sk = _drain_memory_sink(
+        spark,
+        buckets.groupBy("lb").agg(F.count("*").cast("long").alias("cnt")),
+        "__stream_quantile_logsketch",
+        "complete",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_quantile_logsketch drain exceeded 600s")
-    sk = spark.table("__stream_quantile_logsketch")
     return sketch.logsketch_quantiles(sk, [50, 90, 99]).select(
         "q_pct", F.col("est").alias("est_cents")
     )
 
+
+
+
+def _unused_decls_frame(
+    wide: DataFrame, decl_table: str, token_re: str, decl_cols: list[str]
+) -> DataFrame:
+    """The declarations-∖-references audit device shared by
+    `tf_unused_variables` and `tf_unused_locals`: scan the SOURCE of
+    every config block OUTSIDE the declaring table for ``token_re``
+    traversals, count distinct referencing blocks ((path, start_line)
+    identity), left-join back onto the declaration table, report
+    ``n_ref_blocks`` + used/unused status. ONE definition so a tweak to
+    the token scan or the block-identity rule cannot fork between the
+    audits."""
+    refs = (
+        wide.filter(
+            (F.col("file_kind") == "config")
+            & (F.col("tf_table") != decl_table)
+        )
+        .select(
+            "path",
+            "start_line",
+            F.explode(
+                F.expr(
+                    "array_distinct(regexp_extract_all("
+                    f"source, '{token_re}', 1))"
+                )
+            ).alias("ref_name"),
+        )
+        .distinct()
+        .groupBy("ref_name")
+        .agg(F.count("*").cast("long").alias("n_ref_blocks"))
+    )
+    decls = wide.filter(F.col("tf_table") == decl_table).select(*decl_cols)
+    joined = decls.join(refs, decls["name"] == refs["ref_name"], "left")
+    return joined.select(
+        *decl_cols,
+        F.coalesce("n_ref_blocks", F.lit(0).cast("long")).alias(
+            "n_ref_blocks"
+        ),
+        F.when(F.col("n_ref_blocks").isNull(), F.lit("unused"))
+        .otherwise(F.lit("used"))
+        .alias("status"),
+    )
 
 
 @staged_query(
@@ -9649,36 +9632,11 @@ def tf_unused_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. At 100 TB of config the reference set is bounded by
     #distinct variable names actually referenced."""
     wide = _tf_corpus_engine(spark, "variables").wide()
-    refs = (
-        wide.filter(
-            (F.col("file_kind") == "config")
-            & (F.col("tf_table") != "terraform_variable")
-        )
-        .select(
-            "path",
-            "start_line",
-            F.explode(
-                F.expr(
-                    "array_distinct(regexp_extract_all("
-                    "source, 'var\\\\.([A-Za-z_][A-Za-z0-9_-]*)', 1))"
-                )
-            ).alias("ref_name"),
-        )
-        .distinct()
-        .groupBy("ref_name")
-        .agg(F.count("*").cast("long").alias("n_ref_blocks"))
-    )
-    vars_df = wide.filter(F.col("tf_table") == "terraform_variable").select(
-        "name", F.col("type").alias("var_type")
-    )
-    joined = vars_df.join(refs, vars_df["name"] == refs["ref_name"], "left")
-    return joined.select(
-        "name",
-        "var_type",
-        F.coalesce("n_ref_blocks", F.lit(0).cast("long")).alias("n_ref_blocks"),
-        F.when(F.col("n_ref_blocks").isNull(), F.lit("unused"))
-        .otherwise(F.lit("used"))
-        .alias("status"),
+    return _unused_decls_frame(
+        wide.withColumn("var_type", F.col("type")),
+        "terraform_variable",
+        'var\\.([A-Za-z_][A-Za-z0-9_-]*)',
+        ["name", "var_type"],
     )
 
 
@@ -10284,10 +10242,15 @@ def q_lineitem_flag_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle carrying ≤ #flag×#status cell rows; the windows
     (including the deliberate single-partition grand-total) run over the
     agg-sized cell frame — same post-agg-tiny-frame exemption as the
-    weighted-median/histogram entries. Products stay within DECIMAL(38)
-    up to N ≈ 10¹²·cells; the denominator R·C·N is the first to need
-    widening past that (docs/ORACLE_DEVICES.md's DECIMAL headroom
-    note)."""
+    weighted-median/histogram entries. DECIMAL(38) headroom: the
+    NUMERATOR (O·N − R·C)²·10⁶ binds first — |O·N − R·C| can reach
+    ~N²/4, so the product crosses 10³⁸ near N ≈ 10⁸ rows, where
+    non-ANSI Spark yields NULL while the HUGEINT replay raises (the
+    docs/ORACLE_DEVICES.md failure-mode asymmetry). Past that, drop the
+    10⁶ scale to 10² and/or mirror a two-stage division (diff² DIV
+    (R·C), then ·10^d DIV N) on BOTH sides — floor-of-floor is a
+    different (still deterministic) snap, so the sides must switch
+    together."""
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
     cells = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").cast("long").alias("observed")
@@ -10366,40 +10329,11 @@ def tf_unused_locals(spark: SparkSession, sf_dir: str) -> DataFrame:
     locals table — the reference set is bounded by #distinct local
     names actually referenced, never by corpus size."""
     wide = _tf_corpus_engine(spark, "locals_usage").wide()
-    refs = (
-        wide.filter(
-            (F.col("file_kind") == "config")
-            & (F.col("tf_table") != "terraform_local")
-        )
-        .select(
-            "path",
-            "start_line",
-            F.explode(
-                F.expr(
-                    "array_distinct(regexp_extract_all("
-                    "source, 'local\\\\.([A-Za-z_][A-Za-z0-9_-]*)', 1))"
-                )
-            ).alias("ref_name"),
-        )
-        .distinct()
-        .groupBy("ref_name")
-        .agg(F.count("*").cast("long").alias("n_ref_blocks"))
-    )
-    locals_df = wide.filter(F.col("tf_table") == "terraform_local").select(
-        "name", "value"
-    )
-    joined = locals_df.join(
-        refs, locals_df["name"] == refs["ref_name"], "left"
-    )
-    return joined.select(
-        "name",
-        "value",
-        F.coalesce("n_ref_blocks", F.lit(0).cast("long")).alias(
-            "n_ref_blocks"
-        ),
-        F.when(F.col("n_ref_blocks").isNull(), F.lit("unused"))
-        .otherwise(F.lit("used"))
-        .alias("status"),
+    return _unused_decls_frame(
+        wide,
+        "terraform_local",
+        'local\\.([A-Za-z_][A-Za-z0-9_-]*)',
+        ["name", "value"],
     )
 
 
@@ -10546,23 +10480,17 @@ def stream_hourly_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed window, never a re-scan of events."""
     from .streaming.events import hourly_counts_stream, read_events_stream
 
-    _stop_stream(spark, "__stream_hourly_topk")
-    q = (
-        hourly_counts_stream(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("__stream_hourly_topk")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    sink = _drain_memory_sink(
+        spark,
+        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        "__stream_hourly_topk",
+        "append",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_hourly_topk drain exceeded 600s")
     w = Window.partitionBy("hour").orderBy(
         F.col("n").desc(), F.col("event_type")
     )
     return (
-        spark.table("__stream_hourly_topk")
+        sink
         .select("hour", "event_type", F.col("n").cast("long").alias("n"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
