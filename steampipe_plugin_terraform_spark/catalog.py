@@ -10187,17 +10187,9 @@ def q_events_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     Both aggregations are keyed (no single-partition stage anywhere);
     the scan prunes to (event_type, user_id)."""
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    words = ev.groupBy(
-        "event_type", F.expr("user_id DIV 62").alias("word_idx")
-    ).agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)))"
-        ).alias("word")
-    )
-    return words.groupBy("event_type").agg(
-        F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("n_users"),
-        F.count("*").cast("long").alias("n_words"),
-    )
+    return sketch.bitmap_distinct(
+        ev, ["event_type"], "user_id"
+    ).withColumnRenamed("n_distinct", "n_users")
 
 
 @staged_query(

@@ -128,3 +128,32 @@ def logsketch_quantiles(sketch: DataFrame, q_pcts: list[int]) -> DataFrame:
     zero columns IS the global window) — one rank-test implementation
     to keep in lockstep with the oracle SQL, not two."""
     return logsketch_quantiles_by(sketch, [], q_pcts)
+
+
+def bitmap_distinct(
+    df: DataFrame, keys: list[str], id_col: str, word_bits: int = 62
+) -> DataFrame:
+    """Exact MERGEABLE COUNT(DISTINCT id) per key via bitmap words — the
+    roaring-bitmap device (ClickHouse groupBitmap / Druid / Kylin):
+    pack ids into ``word_bits``-bit words (``word_idx = id DIV
+    word_bits``, default 62 keeps every shift strictly below the BIGINT
+    sign bit on any engine), bit_or the words with a map-side combine,
+    then count bits. The post-partial exchange carries at most
+    #keys × ceil(max_id/word_bits) 8-byte words regardless of input
+    row count, and partials merge by OR — sketch-shaped state, exact
+    answer. Requires dense NON-NEGATIVE integer ids (a negative id
+    would flip DIV truncation away from floor and shift out of range);
+    sparse id spaces swap the word for a roaring container, same
+    algebra. Returns (keys…, n_distinct, n_words)."""
+    words = df.groupBy(
+        *keys, F.expr(f"{id_col} DIV {word_bits}").alias("word_idx")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({id_col} % {word_bits} AS INT)))"
+        ).alias("word")
+    )
+    return words.groupBy(*keys).agg(
+        F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("n_distinct"),
+        F.count("*").cast("long").alias("n_words"),
+    )

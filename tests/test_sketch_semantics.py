@@ -195,3 +195,63 @@ def test_kmv_partials_merge_exactly(spark):
     b = bottomk(hashes(ev.filter("event_id % 2 = 1")))
     merged = sorted(set(a) | set(b))[:K]
     assert merged == full
+
+
+# ---- bitmap_distinct (r12-staged device): exactness + mergeability ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ids_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=5000),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(rows=_ids_strategy)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bitmap_distinct_equals_count_distinct(spark, rows):
+    from steampipe_plugin_terraform_spark.operators import sketch
+
+    df = spark.createDataFrame(rows, "k string, id long")
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in sketch.bitmap_distinct(df, ["k"], "id").collect()
+    }
+    want: dict = {}
+    for k, i in rows:
+        want.setdefault(k, set()).add(i)
+    assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_bitmap_distinct_words_merge_by_or(spark):
+    # the mergeability contract stated directly: bit_or-merging two
+    # slices' word tables answers the union's distinct count exactly —
+    # the same re-aggregation the partial agg does across partitions,
+    # proven here across DATASETS (the cross-slice rollup case)
+    from pyspark.sql import functions as F
+
+    from steampipe_plugin_terraform_spark.operators import sketch
+
+    a = spark.range(0, 400).select(F.lit("k").alias("k"), (F.col("id") * 3).alias("id"))
+    b = spark.range(0, 400).select(F.lit("k").alias("k"), (F.col("id") * 2).alias("id"))
+
+    def words(df):
+        return df.groupBy(
+            "k", F.expr("id DIV 62").alias("word_idx")
+        ).agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(id % 62 AS INT)))").alias("word"))
+
+    merged = (
+        words(a).unionByName(words(b))
+        .groupBy("k", "word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .groupBy("k")
+        .agg(F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = a.unionByName(b).select("id").distinct().count()
+    assert merged == exact
