@@ -152,6 +152,7 @@ EXTENDED = [
     "tf_unused_locals",
     "emb_mmr_rerank",
     "stream_hourly_topk_types",
+    "docs_bpe_merge_pairs",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -10487,3 +10487,63 @@ def stream_hourly_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@staged_query(
+    "docs_bpe_merge_pairs",
+    # byte/char parity: words filtered to pure-ASCII alpha (the
+    # edit-distance entry's normalization device), so substring(w,i,2)
+    # is identical in both engines; DuckDB range(1, n) is end-exclusive
+    # = Spark sequence(1, n-1). Top-20 under the (cnt DESC, pair) total
+    # order so the LIMIT boundary cannot differ.
+    oracle="""
+    WITH w AS (SELECT w, CAST(count(*) AS BIGINT) wcnt
+               FROM (SELECT unnest(string_split(text, ' ')) w
+                     FROM documents) t
+               WHERE regexp_matches(w, '^[A-Za-z]+$') AND length(w) >= 2
+               GROUP BY w),
+    p AS (SELECT substring(w.w, i, 2) AS pair, wcnt
+          FROM w, unnest(range(1, length(w.w))) r(i))
+    SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+    FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def docs_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING statistics — the first merge-selection
+    round of byte-pair encoding (Sennrich et al. 2016): the most
+    frequent adjacent symbol pair across the corpus, weighted by word
+    frequency, is the pair the next merge rule would fuse.
+    `docs_bpe_tokens` applies a tokenizer; this entry is the statistic
+    the TRAINER iterates on. Returns the top-20 (pair, corpus count)
+    under a deterministic total order.
+
+    Scale — the classic BPE-training trick, stated as a plan property:
+    pair counting runs over the DISTINCT-WORD table (one corpus scan →
+    word-count agg), so the explode is vocabulary-sized (|V| × avg word
+    length), not corpus-sized — at 100 TB the corpus contributes one
+    scan + one keyed count, and everything after is bounded by the
+    vocabulary. The top-20 is a TakeOrderedAndProject (no global sort).
+    Words are filtered to pure-ASCII alpha so char ≡ byte in both
+    engines (the edit-distance normalization device)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wcnt"))
+    )
+    pairs = words.select(
+        "wcnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

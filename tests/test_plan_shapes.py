@@ -1017,3 +1017,30 @@ def test_stream_topk_keyed_rank_over_sink_only(spark):
     assert "SinglePartition" not in plan
     assert "Join" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bpe_merge_pairs_vocab_sized_takeordered(spark):
+    # the BPE-training trick as a plan property: ONE text-pruned corpus
+    # scan, the pair explode runs AFTER the word-count agg (vocab-sized,
+    # never corpus-sized), top-20 is a TakeOrderedAndProject (no global
+    # sort), no joins anywhere
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_bpe_merge_pairs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    assert "Join" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    assert {c.split("#")[0] for c in scans[0].split(",") if c} == {"text"}
+    # explode sits above the first HashAggregate pair (word counts) —
+    # printed plans render parents first, so the Generate must appear
+    # BEFORE (not after) the deepest aggregate in the string... both
+    # Generates (word split + pair transform): the PAIR one is above
+    # the word-count agg
+    gen_positions = [m.start() for m in re.finditer("Generate explode", plan)]
+    last_agg = max(m.start() for m in re.finditer("HashAggregate", plan))
+    assert len(gen_positions) == 2
+    assert min(gen_positions) < last_agg  # pair explode above the agg chain
