@@ -144,7 +144,11 @@ def bitmap_distinct(
     answer. Requires dense NON-NEGATIVE integer ids (a negative id
     would flip DIV truncation away from floor and shift out of range);
     sparse id spaces swap the word for a roaring container, same
-    algebra. Returns (keys…, n_distinct, n_words)."""
+    algebra. NULL ids are dropped first — COUNT(DISTINCT) ignores
+    NULLs, and without the filter a NULL id would bit_or into a
+    phantom NULL-word row that inflates ``n_words``. Returns
+    (keys…, n_distinct, n_words)."""
+    df = df.filter(F.col(id_col).isNotNull())
     words = df.groupBy(
         *keys, F.expr(f"{id_col} DIV {word_bits}").alias("word_idx")
     ).agg(

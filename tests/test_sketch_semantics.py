@@ -255,3 +255,16 @@ def test_bitmap_distinct_words_merge_by_or(spark):
     )
     exact = a.unionByName(b).select("id").distinct().count()
     assert merged == exact
+
+
+def test_bitmap_distinct_ignores_null_ids(spark):
+    # COUNT(DISTINCT) semantics: NULL ids contribute neither to the
+    # count nor to the word-table size
+    from steampipe_plugin_terraform_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [("k", 1), ("k", 1), ("k", None), ("k", 200)], "k string, id long"
+    )
+    row = sketch.bitmap_distinct(df, ["k"], "id").collect()[0]
+    assert row["n_distinct"] == 2
+    assert row["n_words"] == 2  # words 0 and 3, no phantom NULL word
