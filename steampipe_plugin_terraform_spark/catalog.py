@@ -6886,13 +6886,12 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window stream, drained via availableNow."""
     from .streaming.events import hourly_counts_stream, read_events_stream
 
-    sink = _drain_memory_sink(
+    return _drain_memory_sink(
         spark,
         hourly_counts_stream(read_events_stream(spark, sf_dir)),
         "__stream_events_hourly",
         "complete",
     )
-    return sink
 
 
 @query(
@@ -6969,7 +6968,7 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked."""
     from .streaming.events import read_events_stream
 
-    sink = _drain_memory_sink(
+    return _drain_memory_sink(
         spark,
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
@@ -6982,7 +6981,6 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__stream_hopping",
         "complete",
     )
-    return sink
 
 
 @query(
@@ -7015,13 +7013,12 @@ def stream_hourly_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     indefinitely-running-pipeline choice."""
     from .streaming.events import hourly_counts_stream, read_events_stream
 
-    sink = _drain_memory_sink(
+    return _drain_memory_sink(
         spark,
         hourly_counts_stream(read_events_stream(spark, sf_dir)),
         "__stream_hourly_append",
         "append",
     )
-    return sink
 
 
 # (applicationId, corpus-digest) → (sink root, checkpoint) for the
@@ -7137,11 +7134,7 @@ def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__stream_sessions",
         "complete",
     )
-    return (
-        sink
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_sessions"))
-    )
+    return sink.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
 
 
 @query(
@@ -7215,7 +7208,7 @@ def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from .streaming.events import interval_join_stream, read_events_stream
 
-    sink = _drain_memory_sink(
+    return _drain_memory_sink(
         spark,
         interval_join_stream(
             read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
@@ -7223,7 +7216,6 @@ def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__stream_ss_join",
         "append",
     )
-    return sink
 
 
 @query(
@@ -7272,7 +7264,7 @@ def stream_click_error_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per buffered left row. Same state bound as the inner join."""
     from .streaming.events import interval_join_stream, read_events_stream
 
-    sink = _drain_memory_sink(
+    return _drain_memory_sink(
         spark,
         interval_join_stream(
             read_events_stream(spark, sf_dir),
@@ -7282,7 +7274,6 @@ def stream_click_error_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__stream_ss_ljoin",
         "append",
     )
-    return sink
 
 
 # ---------------------------------------------------------------------------
@@ -7768,7 +7759,7 @@ def stream_click_error_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     EACH side — full-outer costs no more state than left-outer here."""
     from .streaming.events import interval_join_stream, read_events_stream
 
-    sink = _drain_memory_sink(
+    return _drain_memory_sink(
         spark,
         interval_join_stream(
             read_events_stream(spark, sf_dir),
@@ -7778,7 +7769,6 @@ def stream_click_error_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__stream_ss_fjoin",
         "append",
     )
-    return sink
 
 
 @query(
@@ -8139,13 +8129,12 @@ def stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import read_events_stream
     from .streaming.stateful import record_breaking_events_awps
 
-    sink = _drain_memory_sink(
+    return _drain_memory_sink(
         spark,
         record_breaking_events_awps(read_events_stream(spark, sf_dir)),
         "__stream_record_highs",
         "append",
     )
-    return sink
 
 
 @query(
@@ -9547,6 +9536,15 @@ def stream_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Token regexes for the unused-declaration audits, as SQL-string
+# literals (regexp_extract_all sees `var\\.` -> regex `var\.`, a
+# LITERAL dot — tests/test_unused_decls.py pins exactly these constants
+# so a lost escaping level fails the phantom-'ous' regression test, not
+# a future corpus).
+_VAR_TOKEN_RE = "var\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
+_LOCAL_TOKEN_RE = "local\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
+
+
 def _unused_decls_frame(
     wide: DataFrame, decl_table: str, token_re: str, decl_cols: list[str]
 ) -> DataFrame:
@@ -9635,7 +9633,7 @@ def tf_unused_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _unused_decls_frame(
         wide.withColumn("var_type", F.col("type")),
         "terraform_variable",
-        'var\\.([A-Za-z_][A-Za-z0-9_-]*)',
+        _VAR_TOKEN_RE,
         ["name", "var_type"],
     )
 
@@ -9842,7 +9840,7 @@ def tf_sensitive_output_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(
             F.expr(
                 "array_distinct(regexp_extract_all("
-                "source, 'var\\\\.([A-Za-z_][A-Za-z0-9_-]*)', 1))"
+                f"source, '{_VAR_TOKEN_RE}', 1))"
             )
         ).alias("ref_name"),
     )
@@ -10324,7 +10322,7 @@ def tf_unused_locals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _unused_decls_frame(
         wide,
         "terraform_local",
-        'local\\.([A-Za-z_][A-Za-z0-9_-]*)',
+        _LOCAL_TOKEN_RE,
         ["name", "value"],
     )
 

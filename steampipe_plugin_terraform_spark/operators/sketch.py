@@ -144,11 +144,12 @@ def bitmap_distinct(
     answer. Requires dense NON-NEGATIVE integer ids (a negative id
     would flip DIV truncation away from floor and shift out of range);
     sparse id spaces swap the word for a roaring container, same
-    algebra. NULL ids are dropped first — COUNT(DISTINCT) ignores
-    NULLs, and without the filter a NULL id would bit_or into a
-    phantom NULL-word row that inflates ``n_words``. Returns
-    (keys…, n_distinct, n_words)."""
-    df = df.filter(F.col(id_col).isNotNull())
+    algebra. NULL ids follow COUNT(DISTINCT) semantics exactly: a
+    NULL id contributes nothing (its shift is NULL, so its word stays
+    NULL and ``count(word)``/``coalesce(sum(...), 0)`` skip it), while
+    the KEY GROUP itself survives — a key whose ids are all NULL
+    reports (0, 0), not a missing row (a pre-filter would drop the
+    group entirely). Returns (keys…, n_distinct, n_words)."""
     words = df.groupBy(
         *keys, F.expr(f"{id_col} DIV {word_bits}").alias("word_idx")
     ).agg(
@@ -158,6 +159,8 @@ def bitmap_distinct(
         ).alias("word")
     )
     return words.groupBy(*keys).agg(
-        F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("n_distinct"),
-        F.count("*").cast("long").alias("n_words"),
+        F.expr("CAST(coalesce(sum(bit_count(word)), 0) AS BIGINT)").alias(
+            "n_distinct"
+        ),
+        F.count("word").cast("long").alias("n_words"),
     )

@@ -259,12 +259,18 @@ def test_bitmap_distinct_words_merge_by_or(spark):
 
 def test_bitmap_distinct_ignores_null_ids(spark):
     # COUNT(DISTINCT) semantics: NULL ids contribute neither to the
-    # count nor to the word-table size
+    # count nor to the word-table size — and a key group whose ids are
+    # ALL NULL still appears, with (0, 0), exactly as
+    # count(DISTINCT id) GROUP BY k would report it
     from steampipe_plugin_terraform_spark.operators import sketch
 
     df = spark.createDataFrame(
-        [("k", 1), ("k", 1), ("k", None), ("k", 200)], "k string, id long"
+        [("k", 1), ("k", 1), ("k", None), ("k", 200), ("allnull", None)],
+        "k string, id long",
     )
-    row = sketch.bitmap_distinct(df, ["k"], "id").collect()[0]
-    assert row["n_distinct"] == 2
-    assert row["n_words"] == 2  # words 0 and 3, no phantom NULL word
+    rows = {
+        r["k"]: (r["n_distinct"], r["n_words"])
+        for r in sketch.bitmap_distinct(df, ["k"], "id").collect()
+    }
+    assert rows["k"] == (2, 2)  # words 0 and 3, no phantom NULL word
+    assert rows["allnull"] == (0, 0)  # group survives with zeros
