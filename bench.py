@@ -153,6 +153,9 @@ EXTENDED = [
     "emb_mmr_rerank",
     "stream_hourly_topk_types",
     "docs_bpe_merge_pairs",
+    # r13-wave starter entries (drafted at the end of r9)
+    "emb_pq_recall",
+    "docs_minhash_estimate_error",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -10545,3 +10545,150 @@ def docs_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@staged_query(
+    "emb_pq_recall",
+    # recall replay: the full PQ chain (_pq_cte: four subspace Lloyds,
+    # encoding, ADC ranking) against the rounded-rank brute-force ground
+    # truth; recall snapped to basis points by positive integer division
+    oracle=f"""
+    WITH {_pq_cte()},
+    ne AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings
+           WHERE vec_id >= 10),
+    bf AS (SELECT qid, nid FROM (
+        SELECT q.qid, ne.nid, row_number() OVER (PARTITION BY q.qid
+            ORDER BY {_cos_sql('q.v', 'ne.v')} DESC, ne.nid) rnk
+        FROM q, ne) WHERE rnk <= 5),
+    ap AS (SELECT qid, nid FROM r WHERE rank <= 5),
+    hits AS (SELECT bf.qid FROM bf JOIN ap USING (qid, nid))
+    SELECT CAST((count(*) * 10000) // (SELECT count(*) FROM bf) AS BIGINT)
+             AS recall_x1e4,
+           CAST(count(DISTINCT qid) AS BIGINT) AS n_queries_with_hits
+    FROM hits
+    """,
+)
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC ranking against brute-force ground truth —
+    the missing member of the measured-quality family (emb_ivf_recall,
+    dedup_lsh_recall, emb_matryoshka_prefix_recall): PQ is the LOSSY
+    tier of the ANN stack (2-byte codes), so a deployment must know how
+    much ranking quality the compression costs before trusting it.
+    Reuses the session-trained PQ (one training per corpus, served from
+    _PQ_CACHE) and the cosine_topk ground-truth device; recall in basis
+    points via positive integer division — bit-exact cross-engine.
+
+    Shape: both sides are (qid, nid) pair sets (|Q|·k rows); recall is
+    one left-semi join + one aggregate. The ground-truth side is the
+    self-evaluation cost, same as the other recall entries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk(queries, corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.pq_topk(
+        corpus,
+        queries,
+        dim=64,
+        m=4,
+        k=16,
+        iters=2,
+        topk=5,
+        trained=_pq_trained(spark, sf_dir),
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    # bounded scalar (|Q|·k pair count) — the ivf_recall-accepted class
+    total = exact.count()
+    return hits.agg(
+        F.expr(f"CAST(count(*) * 10000 DIV {total} AS BIGINT)").alias(
+            "recall_x1e4"
+        ),
+        F.countDistinct("query_id").cast("long").alias(
+            "n_queries_with_hits"
+        ),
+    )
+
+
+_MINHASH_EST_MATCHES = " + ".join(
+    f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+    for i in range(8)
+)
+
+
+@staged_query(
+    "docs_minhash_estimate_error",
+    # full replay of the minhash pipeline (the dedup_minhash_lsh CTEs)
+    # PLUS the exact-Jaccard ground truth; candidates that share zero
+    # shingles stay in via the LEFT join (a banding false positive with
+    # exact J = 0 is precisely what the error column must surface)
+    oracle=_SHINGLE_CTE
+    + f""",
+    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (SELECT c.id_a, c.id_b,
+                   ({_MINHASH_EST_MATCHES}) * 1250 AS est_x1e4
+            FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                        JOIN sig sb ON sb.doc_id = c.id_b),
+    j AS (SELECT e.id_a, e.id_b, e.est_x1e4,
+                 CAST(floor(COALESCE(s.c, 0) * 1.0
+                            / (x.n + y.n - COALESCE(s.c, 0)) * 10000 + 0.5)
+                      AS BIGINT) AS jaccard_x1e4
+          FROM est e
+          LEFT JOIN shared s ON s.id_a = e.id_a AND s.id_b = e.id_b
+          JOIN sz x ON x.doc_id = e.id_a JOIN sz y ON y.doc_id = e.id_b)
+    SELECT id_a, id_b, CAST(est_x1e4 AS BIGINT) AS est_x1e4, jaccard_x1e4,
+           CAST(abs(est_x1e4 - jaccard_x1e4) AS BIGINT) AS err_x1e4
+    FROM j
+    """,
+)
+def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy self-eval — the measurement that sizes
+    ``num_hashes`` before trusting an LSH deployment: for every LSH
+    candidate pair, the sketch's Jaccard ESTIMATE (matching signature
+    components / 8, in basis points — each component matches with
+    probability J, so the mean error shrinks as 1/√num_hashes) next to
+    the EXACT shingle Jaccard and the absolute error. Completes the
+    measured-quality family (`dedup_lsh_recall` measures what banding
+    MISSES; this measures what the estimator GETS WRONG on what banding
+    found — including banding false positives with exact J = 0, kept by
+    the left join). 8 hashes → estimates quantized to multiples of 1250.
+
+    Scale: candidates come from the banded LSH join (never all pairs);
+    the estimate is a zip-compare of two 8-element arrays per candidate;
+    the exact side reuses the capped array-intersect verify device.
+    Everything is integer-snapped — the one IEEE division is the exact
+    Jaccard's, snapped identically on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.0)
+    # merge-hinted like every minhash-family join: the signature table is
+    # O(N) rows over a heavy explode+groupBy subtree — a small-SF
+    # broadcast would DUPLICATE that subtree into the build side (the
+    # round-6 minhash adjudication), while identical exchanges let the
+    # reuse rule materialize it once for both sides
+    sig = dedup.minhash_signatures(docs).hint("merge")
+    wide = pairs.join(
+        sig.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sa"),
+        "id_a",
+    ).join(
+        sig.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sb"),
+        "id_b",
+    )
+    return wide.select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))"
+            " * 1250 AS BIGINT)"
+        ).alias("est_x1e4"),
+        F.expr("CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)").alias(
+            "jaccard_x1e4"
+        ),
+    ).withColumn(
+        "err_x1e4", F.expr("CAST(abs(est_x1e4 - jaccard_x1e4) AS BIGINT)")
+    )

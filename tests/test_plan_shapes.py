@@ -1044,3 +1044,33 @@ def test_bpe_merge_pairs_vocab_sized_takeordered(spark):
     last_agg = max(m.start() for m in re.finditer("HashAggregate", plan))
     assert len(gen_positions) == 2
     assert min(gen_positions) < last_agg  # pair explode above the agg chain
+
+
+# ---- round-9 pins: r13-wave starter entries
+
+
+def test_pq_recall_no_cartesian_single_cogroup(spark):
+    # ground truth = ONE blocked-matmul cogroup; the approx side rides
+    # the session-trained PQ (its only nested-loop node is the broadcast
+    # LUT scoring emb_pq_topk also carries); the recall comparison joins
+    # two |Q|·k pair sets — SMJ is the right at-scale shape there
+    # (|Q| unbounded in production), cartesian never is
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_pq_recall"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_minhash_estimate_error_merge_hinted_no_broadcast_subtrees(spark):
+    # the minhash-family join rule: every O(N)-side join (bands, verify
+    # sets, and this entry's two signature joins) is merge-hinted — the
+    # only broadcasts allowed are the tiny LeftOuter overcap-flag joins
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_minhash_estimate_error"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert len(bhj) <= 2 and all("LeftOuter" in l for l in bhj)
