@@ -4894,6 +4894,22 @@ _SHINGLE_CTE = """
                GROUP BY 1, 2)
 """
 
+# The minhash signature pipeline CTEs (8 md5 min-hashes -> ordered
+# signature -> 4 band hashes[, -> distinct banding candidates]) shared
+# VERBATIM by every minhash-family oracle (dedup_minhash_lsh, the recall
+# and estimator self-evals, clusters/linkage/golden-record, the
+# leakage-safe split) - one definition so a change to num_hashes, band
+# layout, or seed format cannot silently fork the replayed pipelines.
+_MINHASH_SIG_CTE = """mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
+           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
+    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
+             FROM sig, unnest(range(0, 4)) r(b))"""
+
+_MINHASH_CAND_CTE = _MINHASH_SIG_CTE + """,
+    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
 
 @query(
     "docs_stratified_sample",
@@ -5041,11 +5057,7 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_contamination_screen",
     oracle=_SHINGLE_CTE
     + """,
-    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
-           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
-    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
-             FROM sig, unnest(range(0, 4)) r(b))
+    """ + _MINHASH_SIG_CTE + """
     SELECT DISTINCT t.doc_id FROM band t JOIN band bb
       ON t.b = bb.b AND t.bh = bb.bh AND bb.doc_id < 50 AND t.doc_id >= 50
     """,
@@ -5676,13 +5688,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=_SHINGLE_CTE
     + """,
-    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
-           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
-    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
-             FROM sig, unnest(range(0, 4)) r(b)),
-    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    """ + _MINHASH_CAND_CTE + """
     SELECT c.id_a, c.id_b, floor(s.c * 1.0 / (x.n + y.n - s.c) * 10000 + 0.5) / 10000 AS jaccard
     FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
     JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
@@ -5783,13 +5789,7 @@ def _dedup_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH RECURSIVE "
     + _SHINGLE_CTE.split("WITH", 1)[1]
     + """,
-    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
-           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
-    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
-             FROM sig, unnest(range(0, 4)) r(b)),
-    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    """ + _MINHASH_CAND_CTE + """,
     pairs AS (SELECT c.id_a, c.id_b
               FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
               JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
@@ -6029,13 +6029,7 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH RECURSIVE "
     + _SHINGLE_CTE.split("WITH", 1)[1]
     + """,
-    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
-           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
-    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
-             FROM sig, unnest(range(0, 4)) r(b)),
-    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    """ + _MINHASH_CAND_CTE + """,
     pairs AS (SELECT c.id_a, c.id_b
               FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
               JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
@@ -8362,13 +8356,7 @@ def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH RECURSIVE "
     + _SHINGLE_CTE.split("WITH", 1)[1]
     + """,
-    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
-           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
-    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
-             FROM sig, unnest(range(0, 4)) r(b)),
-    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    """ + _MINHASH_CAND_CTE + """,
     pairs AS (SELECT c.id_a, c.id_b
               FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
               JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
@@ -8445,13 +8433,7 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH RECURSIVE "
     + _SHINGLE_CTE.split("WITH", 1)[1]
     + """,
-    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
-           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
-    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
-             FROM sig, unnest(range(0, 4)) r(b)),
-    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    """ + _MINHASH_CAND_CTE + """,
     pairs AS (SELECT c.id_a, c.id_b
               FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
               JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
@@ -10624,13 +10606,7 @@ _MINHASH_EST_MATCHES = " + ".join(
     # exact J = 0 is precisely what the error column must surface)
     oracle=_SHINGLE_CTE
     + f""",
-    mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) h
-           FROM sh, unnest(range(0, 8)) q(i) GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, array_agg(h ORDER BY i) sig FROM mh GROUP BY doc_id),
-    band AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) bh
-             FROM sig, unnest(range(0, 4)) r(b)),
-    cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    """ + _MINHASH_CAND_CTE + f""",
     est AS (SELECT c.id_a, c.id_b,
                    ({_MINHASH_EST_MATCHES}) * 1250 AS est_x1e4
             FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
