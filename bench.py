@@ -156,6 +156,7 @@ EXTENDED = [
     # r13-wave starter entries (drafted at the end of r9)
     "emb_pq_recall",
     "docs_minhash_estimate_error",
+    "stream_bitmap_distinct",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

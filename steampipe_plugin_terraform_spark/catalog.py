@@ -10668,3 +10668,54 @@ def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "err_x1e4", F.expr("CAST(abs(est_x1e4 - jaccard_x1e4) AS BIGINT)")
     )
+
+
+@staged_query(
+    "stream_bitmap_distinct",
+    # the naive-definition oracle again: the streaming drain must land on
+    # the plain batch COUNT(DISTINCT) — micro-batch OR-merge included
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id // 62) AS BIGINT) AS n_words
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type computed AS A STREAM — the
+    streaming leg of the bitmap device (`q_events_bitmap_distinct_users`
+    is the batch leg, `sketch.bitmap_distinct` the operator): the
+    running state is the (type, word_idx) → bit_or word table, so each
+    micro-batch's words OR-merge into state exactly like the batch
+    partial aggregation merges across partitions — the same
+    state-IS-the-sketch story as stream_quantile_logsketch and
+    stream_countmin_sketch, except the answer is EXACT. State is
+    bounded by #types × ceil(max_id/62) 8-byte words regardless of
+    stream length (no watermark needed — state cannot grow past the id
+    space). Complete-mode drain; the per-type count is answered
+    batch-side from the drained word table, which is also what a
+    dashboard store would merge across restarts by re-ORing."""
+    from .streaming.events import read_events_stream
+
+    words = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(
+            F.col("event_type"),
+            F.expr("user_id DIV 62").alias("word_idx"),
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 62 AS INT)))"
+            ).alias("word")
+        )
+    )
+    sink = _drain_memory_sink(
+        spark, words, "__stream_bitmap_distinct", "complete"
+    )
+    return sink.groupBy("event_type").agg(
+        F.expr("CAST(coalesce(sum(bit_count(word)), 0) AS BIGINT)").alias(
+            "n_users"
+        ),
+        F.count("word").cast("long").alias("n_words"),
+    )

@@ -1074,3 +1074,15 @@ def test_minhash_estimate_error_merge_hinted_no_broadcast_subtrees(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
     assert len(bhj) <= 2 and all("LeftOuter" in l for l in bhj)
+
+
+def test_stream_bitmap_distinct_sink_sized_tail(spark):
+    # the returned frame aggregates the DRAINED word table (bounded by
+    # #types × ceil(max_id/62) rows) — keyed agg, no parquet re-scan of
+    # the source, no join, no single-partition stage
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_bitmap_distinct"](spark, SF))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
