@@ -157,6 +157,7 @@ EXTENDED = [
     "emb_pq_recall",
     "docs_minhash_estimate_error",
     "stream_bitmap_distinct",
+    "tf_undeclared_references",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

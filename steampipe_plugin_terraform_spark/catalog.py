@@ -10719,3 +10719,74 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("word").cast("long").alias("n_words"),
     )
+
+
+_MODULE_TOKEN_RE = "module\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
+
+
+@staged_query(
+    "tf_undeclared_references",
+    # golden rows from the dedicated corpus: one dangling token per kind
+    # (a typo'd variable, a never-declared local, a ghost module) while
+    # the valid refs (var.region, local.prefix, module.net) prove the
+    # anti-join keeps silent about declared names
+    oracle="""
+    SELECT * FROM (VALUES
+      ('local',  'zone_missing',  1::BIGINT),
+      ('module', 'ghost',         1::BIGINT),
+      ('var',    'instance_typo', 1::BIGINT)
+    ) t(kind, ref_name, n_ref_blocks)
+    """,
+)
+def tf_undeclared_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-reference audit — the inverse of the unused audits and
+    the `terraform validate`-lite every review bot runs: every
+    ``var.X`` / ``local.X`` / ``module.X`` traversal in config-block
+    source that matches NO declaration of its kind (a typo, a deleted
+    variable still referenced, a module removed but still wired into an
+    output). Same token-scan approximation and same
+    declaring-table-excluded / escape-point semantics as
+    `tf_unused_variables` / `tf_unused_locals` (shared
+    _VAR_TOKEN_RE/_LOCAL_TOKEN_RE constants; `module.X.attr` captures X
+    because the token regex stops at the first dot).
+
+    Scale: three token scans over ONE parsed wide frame, the dangling
+    set computed by an anti-join against the broadcast-sized declared
+    names (metadata, never corpus-scale) — one parse pass regardless of
+    corpus size, output bounded by #distinct dangling names."""
+    wide = _tf_corpus_engine(spark, "dangling").wide()
+    kinds = [
+        ("var", _VAR_TOKEN_RE, "terraform_variable"),
+        ("local", _LOCAL_TOKEN_RE, "terraform_local"),
+        ("module", _MODULE_TOKEN_RE, "terraform_module"),
+    ]
+    refs = None
+    decls = None
+    for kind, rex, table in kinds:
+        r = (
+            wide.filter(
+                (F.col("file_kind") == "config")
+                & (F.col("tf_table") != table)
+            )
+            .select(
+                "path",
+                "start_line",
+                F.explode(
+                    F.expr(
+                        "array_distinct(regexp_extract_all("
+                        f"source, '{rex}', 1))"
+                    )
+                ).alias("ref_name"),
+            )
+            .distinct()
+            .withColumn("kind", F.lit(kind))
+        )
+        d = wide.filter(F.col("tf_table") == table).select(
+            F.lit(kind).alias("kind"), F.col("name").alias("ref_name")
+        )
+        refs = r if refs is None else refs.unionByName(r)
+        decls = d if decls is None else decls.unionByName(d)
+    dangling = refs.join(F.broadcast(decls), ["kind", "ref_name"], "left_anti")
+    return dangling.groupBy("kind", "ref_name").agg(
+        F.count("*").cast("long").alias("n_ref_blocks")
+    )

@@ -1086,3 +1086,17 @@ def test_stream_bitmap_distinct_sink_sized_tail(spark):
     assert plan.count("Scan parquet") == 0
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_undeclared_references_broadcast_anti_joins(spark):
+    # dangling = token scan ∖ declared names: every anti-join must
+    # broadcast its metadata-sized declaration side (Spark may split the
+    # unioned anti-join per kind — all of them broadcast, none SMJ)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_undeclared_references"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti" in plan
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert bhj and all("LeftAnti" in l for l in bhj)
