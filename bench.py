@@ -158,6 +158,7 @@ EXTENDED = [
     "docs_minhash_estimate_error",
     "stream_bitmap_distinct",
     "tf_undeclared_references",
+    "emb_centroid_drift",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -10790,3 +10790,122 @@ def tf_undeclared_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dangling.groupBy("kind", "ref_name").agg(
         F.count("*").cast("long").alias("n_ref_blocks")
     )
+
+
+# (appId, corpus digest) → (frozen drift quantizer centroids) — session
+# cache per the repo convention; the reference-slice training runs once
+_DRIFT_CACHE: dict = {}
+
+
+def _drift_quantizer(spark: SparkSession, sf_dir: str):
+    """Lloyd trained ONLY on the even-id 'reference' corpus slice — the
+    frozen production quantizer a drift monitor compares new traffic
+    against (training on the union would hide exactly the shift being
+    measured)."""
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _DRIFT_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        ref = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 0))
+        k = _effective_k(ref.count())
+        _, cents = similarity.kmeans_lloyd(ref, k=k, iters=3)
+        _DRIFT_CACHE[key] = cents
+    return _DRIFT_CACHE[key]
+
+
+def _drift_cte() -> str:
+    """Replay: Lloyd over the even-id slice only (k from ksel over that
+    slice), then FROZEN-centroid assignment of both slices (the
+    _ivf_incr_cte maf device, once per slice), shares in basis points by
+    positive integer division, every centroid emitted (empty buckets
+    are drift signal too)."""
+    dist = _dist_sql
+    parts = _lloyd_parts("vec_id >= 10 AND vec_id % 2 = 0", 3, 64)
+    parts += [
+        "cur AS (SELECT vec_id nid, embedding::DOUBLE[] v FROM embeddings "
+        "WHERE vec_id >= 10 AND vec_id % 2 = 1)",
+        "curaf AS (SELECT nid, cid AS bucket FROM ("
+        "SELECT e.nid, c.cid, row_number() OVER (PARTITION BY e.nid "
+        f"ORDER BY {dist('e.v', 'c.cv')}, c.cid) rn FROM cur e, c3 c) "
+        "WHERE rn = 1)",
+        "rc AS (SELECT bucket, CAST(count(*) AS BIGINT) n_ref FROM af "
+        "GROUP BY 1)",
+        "cc AS (SELECT bucket, CAST(count(*) AS BIGINT) n_cur FROM curaf "
+        "GROUP BY 1)",
+        "tot AS (SELECT (SELECT count(*) FROM af) tr, "
+        "(SELECT count(*) FROM curaf) tc)",
+        "j AS (SELECT c3.cid AS bucket, COALESCE(rc.n_ref, 0) n_ref, "
+        "COALESCE(cc.n_cur, 0) n_cur FROM c3 "
+        "LEFT JOIN rc ON rc.bucket = c3.cid "
+        "LEFT JOIN cc ON cc.bucket = c3.cid)",
+        "sh AS (SELECT bucket, n_ref, n_cur, "
+        "CAST((n_ref * 10000) // (SELECT tr FROM tot) AS BIGINT) share_ref_x1e4, "
+        "CAST((n_cur * 10000) // (SELECT tc FROM tot) AS BIGINT) share_cur_x1e4 "
+        "FROM j)",
+    ]
+    return ",\n    ".join(parts)
+
+
+@staged_query(
+    "emb_centroid_drift",
+    oracle=f"""
+    WITH {_drift_cte()}
+    SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           share_ref_x1e4, share_cur_x1e4,
+           CAST(abs(share_cur_x1e4 - share_ref_x1e4) AS BIGINT)
+             AS drift_x1e4
+    FROM sh
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution-drift monitor — the cluster-population
+    shift report an ML-ops pipeline runs on every new embedding batch
+    (the clustered analog of `emb_dim_stats`' per-dimension moments,
+    and the population-level complement of PSI over scalar features):
+    a quantizer FROZEN on the even-id reference slice assigns both the
+    reference and the odd-id 'current' slice; each bucket reports both
+    populations, both shares in basis points, and the absolute share
+    drift. Empty buckets are emitted too — a cluster the new traffic
+    abandoned (or never reaches) is exactly the signal. Training on the
+    union would hide the shift being measured.
+
+    Scale: one Lloyd training on the capped reference sample (session-
+    cached per corpus), two frozen-centroid assignment passes (each one
+    scan + k-row broadcast comparison), two bucket-count aggregations —
+    never a pairwise structure. Shares snap by positive integer
+    division; the oracle replays the Lloyd chain and both assignments."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _drift_quantizer(spark, sf_dir)
+    ref = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 0))
+    cur = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 1))
+    ra = similarity.assign_to_centroids(ref, cents)
+    ca = similarity.assign_to_centroids(cur, cents)
+    rc = ra.groupBy("bucket").agg(F.count("*").cast("long").alias("n_ref"))
+    cc = ca.groupBy("bucket").agg(F.count("*").cast("long").alias("n_cur"))
+    n_ref_tot, n_cur_tot = ref.count(), cur.count()
+    buckets = spark.range(len(cents)).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    j = (
+        buckets.join(F.broadcast(rc), "bucket", "left")
+        .join(F.broadcast(cc), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0).cast("long")).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0).cast("long")).alias("n_cur"),
+        )
+    )
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.expr(f"CAST(n_ref * 10000 DIV {n_ref_tot} AS BIGINT)").alias(
+            "share_ref_x1e4"
+        ),
+        F.expr(f"CAST(n_cur * 10000 DIV {n_cur_tot} AS BIGINT)").alias(
+            "share_cur_x1e4"
+        ),
+    ).withColumn(
+        "drift_x1e4",
+        F.expr("CAST(abs(share_cur_x1e4 - share_ref_x1e4) AS BIGINT)"),
+    )

@@ -1100,3 +1100,16 @@ def test_undeclared_references_broadcast_anti_joins(spark):
     assert "LeftAnti" in plan
     bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
     assert bhj and all("LeftAnti" in l for l in bhj)
+
+
+def test_centroid_drift_broadcast_only_two_scans(spark):
+    # two frozen-centroid assignment passes (one pruned scan each), the
+    # bucket fan-back joins broadcast (k-row sides) — no SMJ, no
+    # cartesian, no pairwise structure anywhere
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_centroid_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2
