@@ -28,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ROTATION POLICY (standing, from round 6; see round-6 comment in git
 # history for the full rationale). The driver's correctness gate checks
-# the first 50 queries() entries in dict order; the catalog holds 188, so
-# the horizon is ceil(188/50) = 4 rounds. Invariant: EVERY entry gets a
+# the first 50 queries() entries in dict order; the catalog holds 200, so
+# the horizon is ceil(200/50) = 4 rounds. Invariant: EVERY entry gets a
 # driver-green row within the horizon; window priority each round:
 #   1. entries changed or added this round (a stale green row proves
 #      nothing about them);
@@ -39,77 +39,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
 # the sf0.01 sweep (`make parity-sf001 parity-sf01`).
 #
-# Round-9 window (executes the r8 verdict's arithmetically-forced
-# rotation): positions 1-4 are the four entries promoted from the r8
-# staging area (emb_two_level_topk, tf_config_state_drift,
-# q_user_scd2_merge, q_quantile_logsketch) — never driver-checked, so
-# rule 2 puts them first; positions 5-42 are ALL 38 entries whose last
-# driver row is r05 (the catalog is 192 after promotion, horizon stays
-# ceil(192/50) = 4, so r05 rows fall outside it at r9 — the exact
-# condition tests/test_rotation.py::test_horizon_holds red-flagged the
-# moment CORRECTNESS_r08 landed); positions 43-50 are the eight oldest
-# r06 rows. After the window: the remaining 42 r06 rows (the forced r10
-# rotation — r10 promotions must stay ≤ 8 to leave them room), then
-# r07-green, then the r08 window (newest rows last).
+# Round-10 window (executes the r9 verdict's arithmetically-forced
+# rotation): positions 1-8 are the eight entries promoted from the r9
+# staging area (tf_module_pinning_audit, tf_plan_state_drift,
+# emb_ivf_incremental_topk, q_logsketch_merge, q_events_type_quantiles,
+# stream_quantile_logsketch, tf_unused_variables,
+# docs_benchmark_contamination) — never driver-checked, so rule 2 puts
+# them first; positions 9-50 are ALL 42 remaining entries whose last
+# driver row is r06 (the catalog is 200 after promotion, horizon
+# ceil(200/50) = 4, so r06 rows fall outside it at r10 — the exact list
+# tests/test_rotation.py::test_horizon_holds red-flagged the moment
+# CORRECTNESS_r09 landed). After the window: the 50 r07-green rows (due
+# r11 — front-load them there alongside the <=5 r11 promotions), then
+# r08-green, then the r09 window (newest rows last).
 _VALIDATE_FIRST = [
-    # -- r09 window: the four entries promoted from the r8 staging area
+    # -- r10 window: the eight entries promoted from the r9 staging area
     # (never driver-checked; rotation rule 2 puts them first) --
-    "emb_two_level_topk",
-    "tf_config_state_drift",
-    "q_user_scd2_merge",
-    "q_quantile_logsketch",
-    # -- r09 window: all 38 entries whose last driver row is r05 (the
-    # 4-round horizon forces them this round: floor = r06) --
-    "q9_profit_by_nation",
-    "q13_order_count_distribution",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q_incident_click_range_join",
-    "q12_priority_lines",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_quantity_suppliers",
-    "q_events_hourly",
-    "q_events_sessions",
-    "q_events_json_props",
-    "q_events_last_order_asof",
-    "dedup_first_event",
-    "docs_stratified_sample",
-    "docs_temperature_sample",
-    "docs_contamination_screen",
-    "docs_fingerprint",
-    "docs_token_stats",
-    "docs_quality",
-    "docs_lang_id",
-    "dedup_jaccard_pairs",
-    "dedup_simhash",
-    "stream_events_hourly",
-    "stream_segment_enriched",
-    "stream_sessions_per_user",
-    "stream_user_running_totals",
-    "stream_deduped_events",
-    "stream_click_error_join",
-    "tf_modules",
-    "tf_variables",
-    "tf_locals",
-    "tf_providers",
-    "tf_data_sources",
-    "media_resize",
-    "media_byte_histogram",
-    # -- r09 window: eight oldest r06 rows fill slots 43-50 --
-    "docs_semantic_dedup",
-    "emb_ivf_store_topk",
-    "q_events_daily_rollup",
-    "q_bucketed_cokey_join",
-    "docs_zscore_by_lang",
-    "emb_near_dup_pairs",
-    "docs_bpe_tokens",
-    "docs_top_bigrams",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r06 (recheck order: oldest first; the 42
-    # remaining r06 rows are the forced r10 rotation) --
+    "tf_module_pinning_audit",
+    "tf_plan_state_drift",
+    "emb_ivf_incremental_topk",
+    "q_logsketch_merge",
+    "q_events_type_quantiles",
+    "stream_quantile_logsketch",
+    "tf_unused_variables",
+    "docs_benchmark_contamination",
+    # -- r10 window: ALL 42 remaining entries whose last driver row is
+    # r06 (the 4-round horizon forces them this round: floor = r07 —
+    # exactly the list test_horizon_holds red-flagged the moment
+    # CORRECTNESS_r09 landed) --
     "docs_redact_pii",
     "dedup_minhash_lsh",
     "docs_curation_pipeline",
@@ -152,7 +109,10 @@ _VALIDATE_FIRST = [
     "tf_outputs",
     "media_metadata",
     "media_frame_sample",
-    # -- last driver row r07 --
+    # ---- 50-entry window boundary ----
+    # -- last driver row r07 (oldest first; after r10 the catalog is 200
+    # -> horizon ceil(200/50) = 4, so these come due in r11 — front-load
+    # them there alongside the <=5 r11 promotions) --
     "docs_bm25_topk",
     "q_events_theil_sen",
     "q_approx_distinct",
@@ -203,7 +163,7 @@ _VALIDATE_FIRST = [
     "q_user_scd2_segments",
     "q_events_sliding_distinct_users",
     "stream_click_error_left_join",
-    # -- last driver row r08 (newest rows; recheck last) --
+    # -- last driver row r08 --
     "q_events_top_paths",
     "q_weighted_median_price",
     "q_orders_equidepth_histogram",
@@ -254,6 +214,57 @@ _VALIDATE_FIRST = [
     "q4_priority_late_ship",
     "q6_forecast_revenue",
     "q8_market_share",
+    # -- last driver row r09 (newest rows; recheck last) --
+    "emb_two_level_topk",
+    "tf_config_state_drift",
+    "q_user_scd2_merge",
+    "q_quantile_logsketch",
+    "q9_profit_by_nation",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q_incident_click_range_join",
+    "q12_priority_lines",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_quantity_suppliers",
+    "q_events_hourly",
+    "q_events_sessions",
+    "q_events_json_props",
+    "q_events_last_order_asof",
+    "dedup_first_event",
+    "docs_stratified_sample",
+    "docs_temperature_sample",
+    "docs_contamination_screen",
+    "docs_fingerprint",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_lang_id",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "stream_events_hourly",
+    "stream_segment_enriched",
+    "stream_sessions_per_user",
+    "stream_user_running_totals",
+    "stream_deduped_events",
+    "stream_click_error_join",
+    "tf_modules",
+    "tf_variables",
+    "tf_locals",
+    "tf_providers",
+    "tf_data_sources",
+    "media_resize",
+    "media_byte_histogram",
+    "docs_semantic_dedup",
+    "emb_ivf_store_topk",
+    "q_events_daily_rollup",
+    "q_bucketed_cokey_join",
+    "docs_zscore_by_lang",
+    "emb_near_dup_pairs",
+    "docs_bpe_tokens",
+    "docs_top_bigrams",
 ]
 
 

@@ -130,8 +130,9 @@ EXTENDED = [
     "tf_config_state_drift",
     "q_user_scd2_merge",
     "q_quantile_logsketch",
-    # r10-staged entries (resolved from STAGED_QUERIES until promoted):
-    # same protocol — baseline now, promote with numbers
+    # staged in r9, promoted in r10 — timed since staging, so promotion
+    # landed with a round-over-round perf baseline instead of a cold
+    # first number
     "tf_module_pinning_audit",
     "tf_plan_state_drift",
     "emb_ivf_incremental_topk",
@@ -140,7 +141,9 @@ EXTENDED = [
     "stream_quantile_logsketch",
     "tf_unused_variables",
     "docs_benchmark_contamination",
-    # r11-wave staged entries (drafted in r9, behind the r10 budget)
+    # r11-wave staged entries (drafted in r9; resolved from
+    # STAGED_QUERIES until promoted — same baseline-before-promote
+    # protocol)
     "tf_resource_reference_graph",
     "tf_sensitive_output_audit",
     "q_orders_incremental_rollup",

@@ -8922,7 +8922,14 @@ def _config_state_drift_frame(res: DataFrame) -> DataFrame:
     rows) — factored out of the entry so tests can run the identical
     logic over a synthetic corpus and exercise the branches the fixture
     corpus cannot (``count_drift`` from a partial apply,
-    ``applied_not_declared`` from an orphaned state resource)."""
+    ``applied_not_declared`` from an orphaned state resource).
+
+    Requires the file_kind stamp: rows with ``file_kind`` NULL (a
+    canonical store saved before the column existed —
+    ``TerraformEngine.load_canonical`` backfills NULL) match NEITHER
+    side and are silently dropped, so a legacy store yields an empty
+    audit rather than a wrong one. Re-save the store from a fresh
+    parse before trusting a drift report."""
     declared = (
         # kind comes from the wide frame's file_kind (the engine's routing
         # decision, stamped at parse time) — never re-derived from path
@@ -9173,7 +9180,7 @@ def _tf_corpus_engine(spark: SparkSession, subdir: str):
     )
 
 
-@staged_query(
+@query(
     "tf_module_pinning_audit",
     # golden rows from the dedicated corpus — one module per pinning
     # class; `ref` is the documented extraction split_part(module_source,
@@ -9251,7 +9258,7 @@ def _plan_state_drift_frame(res: DataFrame) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_plan_state_drift",
     # fixture corpus: the plan's planned_values holds app_server[0..1]
     # (matching the two applied instances) and nothing else, so
@@ -9278,7 +9285,11 @@ def tf_plan_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (instance-count change from a count/for_each edit), ``no_change``.
     Same shape and scale story as tf_config_state_drift: kind from the
     engine's file_kind stamp, index suffixes stripped, one full outer
-    join over two O(files) keyed sets."""
+    join over two O(files) keyed sets. Same file_kind requirement too:
+    NULL-kind rows (a pre-file_kind canonical store loaded via
+    ``load_canonical``) match neither side and drop — a legacy store
+    yields an empty audit, not a wrong one; re-save from a fresh
+    parse first."""
     wide = _tf_engine(spark).wide()
     return _plan_state_drift_frame(
         wide.filter(F.col("tf_table") == "terraform_resource").select(
@@ -9336,7 +9347,7 @@ def _ivf_incr_cte() -> str:
     return ",\n    ".join(parts)
 
 
-@staged_query(
+@query(
     "emb_ivf_incremental_topk",
     # the oracle IS the full re-assignment against the same frozen
     # centroids (maf): the entry's correctness claim is exactly the
@@ -9377,7 +9388,7 @@ def emb_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, merged, cents, k=5, nprobe=8)
 
 
-@staged_query(
+@query(
     "q_logsketch_merge",
     # the oracle sketches ALL rows in one pass — equality with the
     # Spark side's union-of-two-slice-sketches is the mergeability
@@ -9426,7 +9437,7 @@ def q_logsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "q_events_type_quantiles",
     # the grouped-sketch replay: same verbatim logbucket_expr, same
     # integer rank test, windows keyed by event_type on both sides
@@ -9469,7 +9480,7 @@ def q_events_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "stream_quantile_logsketch",
     # the oracle is the BATCH sketch over all events — equality with the
     # drained streaming state is the micro-batch mergeability property
@@ -9522,9 +9533,14 @@ def stream_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literals (regexp_extract_all sees `var\\.` -> regex `var\.`, a
 # LITERAL dot — tests/test_unused_decls.py pins exactly these constants
 # so a lost escaping level fails the phantom-'ous' regression test, not
-# a future corpus).
-_VAR_TOKEN_RE = "var\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
-_LOCAL_TOKEN_RE = "local\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
+# a future corpus). The negative lookbehind is the LEFT boundary (r9
+# advice): without it `var.` matches inside longer attribute chains
+# (`aws_ssm_parameter.dbvar.value` minted a phantom var ref 'value',
+# `mylocal.attr` a phantom local ref 'attr') — conservative for the
+# unused audits but a false dangling ref in tf_undeclared_references.
+_TOKEN_LB = "(?<![A-Za-z0-9_.-])"
+_VAR_TOKEN_RE = _TOKEN_LB + "var\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
+_LOCAL_TOKEN_RE = _TOKEN_LB + "local\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
 
 
 def _unused_decls_frame(
@@ -9570,7 +9586,7 @@ def _unused_decls_frame(
     )
 
 
-@staged_query(
+@query(
     "tf_unused_variables",
     # golden rows from the dedicated corpus, one variable per usage
     # class: referenced from a provider + locals (region, 2 blocks),
@@ -9620,7 +9636,7 @@ def tf_unused_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "docs_benchmark_contamination",
     # per-benchmark-doc decontamination report. The Spark side keys
     # shingles by xxhash64 (injective at these corpora — same argument
@@ -9750,7 +9766,8 @@ def tf_resource_reference_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "regexp_extract_all(source, "
-                    "'(data\\\\.)?[a-z][a-z0-9_]*\\\\.[A-Za-z_][A-Za-z0-9_-]*', 0)"
+                    f"'{_TOKEN_LB}(data\\\\.)?"
+                    "[a-z][a-z0-9_]*\\\\.[A-Za-z_][A-Za-z0-9_-]*', 0)"
                 )
             ).alias("token"),
         )
@@ -9808,13 +9825,21 @@ def tf_sensitive_output_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated per output, and inner-joined against the sensitive-
     variable set. Statuses: ``leak`` (refs a sensitive var, unmarked),
     ``ok_marked`` (refs one, marked), ``clean`` (no sensitive refs).
+    The sensitivity detector is the same token-scan approximation as
+    the sibling audits, anchored to attribute position: only a line
+    BEGINNING (after whitespace) with ``sensitive = true`` counts, so a
+    commented ``# sensitive = true`` does not mark the variable — but
+    the phrase at line start inside a heredoc string still would
+    (full HCL evaluation is out of scope, same as grep-based audits).
 
     Scale: O(output blocks) tokens joined against the O(variables)
     sensitive set — broadcast metadata join, output-sized result."""
     wide = _tf_corpus_engine(spark, "sensitive").wide()
     sens = wide.filter(
         (F.col("tf_table") == "terraform_variable")
-        & F.col("source").rlike("sensitive\\s*=\\s*true")
+        # (?m)^\s* anchors to attribute position: a commented-out
+        # '# sensitive = true' line no longer marks the variable
+        & F.col("source").rlike("(?m)^\\s*sensitive\\s*=\\s*true")
     ).select(F.col("name").alias("var_name"))
     refs = wide.filter(F.col("tf_table") == "terraform_output").select(
         F.col("name").alias("output_name"),
@@ -10721,7 +10746,7 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MODULE_TOKEN_RE = "module\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
+_MODULE_TOKEN_RE = _TOKEN_LB + "module\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
 
 
 @staged_query(
@@ -10909,3 +10934,4 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drift_x1e4",
         F.expr("CAST(abs(share_cur_x1e4 - share_ref_x1e4) AS BIGINT)"),
     )
+

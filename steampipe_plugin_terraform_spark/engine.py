@@ -444,8 +444,11 @@ class TerraformEngine:
         eng = cls(spark, cache=False)
         df = spark.read.parquet(path)
         # stores written before file_kind joined the wide layout load with
-        # the column NULL (kind is unrecoverable post-parse; only the
-        # drift audit reads it, and it documents the NULL as "unknown")
+        # the column NULL (kind is unrecoverable post-parse). Both drift
+        # audits filter on file_kind == 'config'/'state'/'plan', so a
+        # legacy store contributes ZERO rows to every side — re-save the
+        # store from a fresh parse before auditing drift (the limitation
+        # is documented in _config_state_drift_frame / tf_plan_state_drift)
         if "file_kind" not in df.columns:
             df = df.withColumn("file_kind", F.lit(None).cast("string"))
         # partition column comes back; reorder to the wide layout

@@ -11,6 +11,8 @@ variable "api_token" {
 variable "region" {
   type    = string
   default = "us-west-2"
+  # sensitive = true (commented out — the anchored detector must NOT
+  # count this line, so deploy_region stays 'clean' in the golden rows)
 }
 
 output "connection_string" {

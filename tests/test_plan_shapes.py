@@ -744,9 +744,8 @@ def test_ivf_incremental_no_shuffle_joins(spark):
     # from ONE broadcast hash join on bucket; the incremental union adds
     # scans (base / batch / queries), never a shuffle join — an SMJ or
     # cartesian here means the merge re-keyed the store
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["emb_ivf_incremental_topk"](spark, SF))
+    plan = _plan_df(QUERIES["emb_ivf_incremental_topk"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -761,9 +760,8 @@ def test_logsketch_merge_two_pruned_scans_sketch_tail(spark):
     # everything after the two partial aggregates is sketch-sized
     import re
 
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["q_logsketch_merge"](spark, SF))
+    plan = _plan_df(QUERIES["q_logsketch_merge"](spark, SF))
     assert plan.count("Scan parquet") == 2
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
@@ -775,9 +773,8 @@ def test_logsketch_merge_two_pruned_scans_sketch_tail(spark):
 def test_module_pinning_audit_joinless(spark):
     # a pure per-row classification over the parsed module table — any
     # join node means the audit grew an accidental self-join
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_module_pinning_audit"](spark, SF))
+    plan = _plan_df(QUERIES["tf_module_pinning_audit"](spark, SF))
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
@@ -786,9 +783,8 @@ def test_module_pinning_audit_joinless(spark):
 def test_plan_state_drift_single_full_outer(spark):
     # same pin as tf_config_state_drift: ONE full outer SMJ over two
     # O(files) keyed sets, nothing else
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_plan_state_drift"](spark, SF))
+    plan = _plan_df(QUERIES["tf_plan_state_drift"](spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") == 1
     assert "FullOuter" in plan
@@ -803,9 +799,8 @@ def test_type_quantiles_keyed_windows_single_scan(spark):
     # quantile-spec broadcast
     import re
 
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["q_events_type_quantiles"](spark, SF))
+    plan = _plan_df(QUERIES["q_events_type_quantiles"](spark, SF))
     assert plan.count("Scan parquet") == 1
     assert "SinglePartition" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
@@ -820,9 +815,8 @@ def test_stream_quantile_logsketch_sketch_sized_tail(spark):
     # sketch (≤ ~1.9k rows) — its only nested-loop node is the 3-row
     # quantile-spec broadcast, no cartesian, no parquet re-scan of the
     # source (the stream already consumed it)
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["stream_quantile_logsketch"](spark, SF))
+    plan = _plan_df(QUERIES["stream_quantile_logsketch"](spark, SF))
     assert plan.count("Scan parquet") == 0
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
@@ -831,9 +825,8 @@ def test_stream_quantile_logsketch_sketch_sized_tail(spark):
 def test_unused_variables_single_broadcast_join(spark):
     # variables ∖ references: the tiny reference set joins broadcast —
     # an SMJ or cartesian means the audit shuffled the parsed corpus
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_unused_variables"](spark, SF))
+    plan = _plan_df(QUERIES["tf_unused_variables"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
@@ -847,9 +840,8 @@ def test_benchmark_contamination_broadcast_bench_pruned_scans(spark):
     # pruned to (doc_id, text)
     import re
 
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["docs_benchmark_contamination"](spark, SF))
+    plan = _plan_df(QUERIES["docs_benchmark_contamination"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
@@ -1113,3 +1105,4 @@ def test_centroid_drift_broadcast_only_two_scans(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") == 2
+

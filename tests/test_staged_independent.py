@@ -1,0 +1,190 @@
+"""Independent (non-oracle) checks for the r12/r13 staged waves — the
+r9 verdict's hardening item: every staged entry gets at least one check
+that does NOT share machinery with its DuckDB oracle. Three kinds here:
+
+- pure-Python references (chi2, BPE pairs, streaming top-k closure):
+  the statistic recomputed from the parquet with Python ints /
+  collections.Counter — no Spark expressions, no SQL, exact arithmetic;
+- internal-consistency properties (minhash estimate error, centroid
+  drift, PQ recall): relations between output columns that must hold by
+  construction, recomputed in Python from the entry's own rows;
+- engine identities (stream_bitmap_distinct ≡ the batch operator).
+
+All run at sf0.001 where a full pure-Python replay is cheap.
+"""
+
+import collections
+
+import pyarrow.parquet as pq
+
+from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _staged(spark, name):
+    return STAGED_QUERIES[name](spark, SF_DIR)
+
+
+def test_chi2_pure_python_reference(spark):
+    """q_lineitem_flag_status_chi2 vs a from-scratch Python-int replay:
+    arbitrary-precision ints make the multiplied-out floor divisions
+    exact by construction, so any mismatch is a Spark-side DECIMAL or
+    windowing bug, not a reference artifact."""
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    )
+    cells = collections.Counter(
+        zip(t["l_returnflag"].to_pylist(), t["l_linestatus"].to_pylist())
+    )
+    r_tot = collections.Counter()
+    c_tot = collections.Counter()
+    for (rf, ls), n in cells.items():
+        r_tot[rf] += n
+        c_tot[ls] += n
+    n_tot = sum(cells.values())
+    expected = {}
+    for (rf, ls), obs in cells.items():
+        diff = obs * n_tot - r_tot[rf] * c_tot[ls]
+        expected[(rf, ls)] = (
+            obs,
+            r_tot[rf] * c_tot[ls] * 100 // n_tot,
+            diff * diff * 1_000_000 // (r_tot[rf] * c_tot[ls] * n_tot),
+        )
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["observed"],
+            r["expected_e2"],
+            r["contrib_e6"],
+        )
+        for r in _staged(spark, "q_lineitem_flag_status_chi2").collect()
+    }
+    assert got == expected
+
+
+def test_bpe_merge_pairs_pure_python_reference(spark):
+    """docs_bpe_merge_pairs vs a Counter-based replay of the BPE
+    first-merge statistic (word freq table -> adjacent char pairs
+    weighted by frequency -> top-20 under (cnt DESC, pair))."""
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    words = collections.Counter()
+    for text in t["text"].to_pylist():
+        for w in text.split(" "):
+            if len(w) >= 2 and w.isascii() and w.isalpha():
+                words[w] += 1
+    pairs = collections.Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["pair"], r["cnt"])
+        for r in _staged(spark, "docs_bpe_merge_pairs").collect()
+    ]
+    assert got == expected
+
+
+def test_stream_hourly_topk_pure_python_reference(spark):
+    """stream_hourly_topk_types vs a Python replay of the append-mode
+    closure (final watermark = max(ts) - 2h; a window ranks iff its end
+    <= watermark) and the (n DESC, type) row_number — checks the
+    STREAMING drain end-to-end against arithmetic, not against another
+    Spark plan."""
+    import pandas as pd
+
+    df = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    # .dt.floor handles nanosecond-precision parquet timestamps, which
+    # datetime.replace would silently leave un-truncated
+    hours = df["ts"].dt.floor("h")
+    watermark = df["ts"].max() - pd.Timedelta(hours=2)
+    counts = collections.Counter()
+    for hour, et in zip(hours, df["event_type"]):
+        if hour + pd.Timedelta(hours=1) <= watermark:
+            counts[(hour.to_pydatetime(), et)] += 1
+    by_hour = collections.defaultdict(list)
+    for (hour, et), n in counts.items():
+        by_hour[hour].append((et, n))
+    expected = set()
+    for hour, rows in by_hour.items():
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        for rnk, (et, n) in enumerate(rows[:3], start=1):
+            expected.add((hour, et, n, rnk))
+    got = {
+        (
+            r["hour"].replace(tzinfo=None),
+            r["event_type"],
+            r["n"],
+            r["rnk"],
+        )
+        for r in _staged(spark, "stream_hourly_topk_types").collect()
+    }
+    assert got == expected
+
+
+def test_minhash_estimate_error_internal_consistency(spark):
+    """docs_minhash_estimate_error: with 8 signature components the
+    estimate is quantized to multiples of 1250; the error column must
+    equal |est - exact| row by row; exact Jaccard stays in [0, 10000].
+    All recomputed from the entry's own rows with Python ints."""
+    rows = _staged(spark, "docs_minhash_estimate_error").collect()
+    assert rows, "LSH banding produced no candidate pairs at sf0.001"
+    for r in rows:
+        assert r["est_x1e4"] % 1250 == 0 and 0 <= r["est_x1e4"] <= 10000
+        assert 0 <= r["jaccard_x1e4"] <= 10000
+        assert r["err_x1e4"] == abs(r["est_x1e4"] - r["jaccard_x1e4"])
+        assert r["id_a"] < r["id_b"]
+
+
+def test_pq_recall_granularity_and_bounds(spark):
+    """emb_pq_recall: the ground-truth side is 10 queries x top-5 = 50
+    pairs, so recall_x1e4 = hits * 10000 // 50 is an exact multiple of
+    200 in [0, 10000], and at most 10 queries can have hits."""
+    row = _staged(spark, "emb_pq_recall").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 0 <= r["recall_x1e4"] <= 10000 and r["recall_x1e4"] % 200 == 0
+    assert 0 <= r["n_queries_with_hits"] <= 10
+
+
+def test_stream_bitmap_distinct_equals_batch_operator(spark):
+    """stream_bitmap_distinct (micro-batch OR-merge drain) must land on
+    exactly what the batch operator computes over the same events — the
+    mergeability identity, checked engine-side rather than via the
+    COUNT(DISTINCT) oracle."""
+    from steampipe_plugin_terraform_spark.operators import sketch
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    batch = {
+        r["event_type"]: r["n_distinct"]
+        for r in sketch.bitmap_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    streamed = _staged(spark, "stream_bitmap_distinct").collect()
+    assert {r["event_type"]: r["n_users"] for r in streamed} == batch
+    # n_words is the bounded-state claim: ceil-ish word count per type,
+    # never more than distinct users
+    for r in streamed:
+        assert 0 < r["n_words"] <= r["n_users"]
+
+
+def test_centroid_drift_internal_consistency(spark):
+    """emb_centroid_drift: shares must be floor(n * 10000 / total) of
+    the entry's own population columns, drift = |share diff|, and both
+    populations must sum to the slice totals (every vector lands in
+    exactly one bucket; empty buckets emitted as zeros)."""
+    rows = _staged(spark, "emb_centroid_drift").collect()
+    n_ref_tot = sum(r["n_ref"] for r in rows)
+    n_cur_tot = sum(r["n_cur"] for r in rows)
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id"])
+    ids = [v for v in emb["vec_id"].to_pylist() if v >= 10]
+    assert n_ref_tot == sum(1 for v in ids if v % 2 == 0)
+    assert n_cur_tot == sum(1 for v in ids if v % 2 == 1)
+    for r in rows:
+        assert r["share_ref_x1e4"] == r["n_ref"] * 10000 // n_ref_tot
+        assert r["share_cur_x1e4"] == r["n_cur"] * 10000 // n_cur_tot
+        assert r["drift_x1e4"] == abs(
+            r["share_cur_x1e4"] - r["share_ref_x1e4"]
+        )

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from steampipe_plugin_terraform_spark.catalog import (
     _LOCAL_TOKEN_RE,
+    _MODULE_TOKEN_RE,
     _VAR_TOKEN_RE,
     _unused_decls_frame,
 )
@@ -80,3 +81,59 @@ def test_local_token_regex_dot_is_literal(spark):
         wide, "terraform_local", _LOCAL_TOKEN_RE, ["name"]
     ).collect()
     assert rows[0]["n_ref_blocks"] == 0 and rows[0]["status"] == "unused"
+
+
+def test_token_regex_left_boundary(spark):
+    """r9 advice: 'var./local./module.' must not match inside a longer
+    attribute chain — 'aws_ssm_parameter.dbvar.value' minted a phantom
+    var ref 'value', 'mylocal.attr' a phantom local ref 'attr'."""
+    wide = spark.createDataFrame(
+        [
+            ("config", "terraform_variable", "a.tf", 1,
+             'variable "value" {}', "value"),
+            ("config", "terraform_variable", "a.tf", 5,
+             'variable "real" {}', "real"),
+            # chain ends in 'var.value' but is NOT a var traversal
+            ("config", "terraform_resource", "a.tf", 10,
+             "x = aws_ssm_parameter.dbvar.value\ny = var.real", None),
+        ],
+        _SCHEMA,
+    )
+    rows = {
+        r["name"]: (r["n_ref_blocks"], r["status"])
+        for r in _unused_decls_frame(
+            wide, "terraform_variable", _VAR_TOKEN_RE, ["name"]
+        ).collect()
+    }
+    assert rows["real"] == (1, "used")
+    assert rows["value"] == (0, "unused")
+
+
+def test_local_and_module_token_left_boundary(spark):
+    wide_local = spark.createDataFrame(
+        [
+            ("config", "terraform_local", "a.tf", 1, "locals {}", "attr"),
+            # 'mylocal.attr' must NOT count as local.attr
+            ("config", "terraform_output", "a.tf", 9,
+             "value = mylocal.attr", None),
+        ],
+        _SCHEMA,
+    )
+    r = _unused_decls_frame(
+        wide_local, "terraform_local", _LOCAL_TOKEN_RE, ["name"]
+    ).collect()[0]
+    assert (r["n_ref_blocks"], r["status"]) == (0, "unused")
+
+    wide_module = spark.createDataFrame(
+        [
+            ("config", "terraform_module", "a.tf", 1, 'module "out" {}', "out"),
+            # 'submodule.out' must NOT count as module.out
+            ("config", "terraform_output", "a.tf", 9,
+             "value = submodule.out", None),
+        ],
+        _SCHEMA,
+    )
+    r = _unused_decls_frame(
+        wide_module, "terraform_module", _MODULE_TOKEN_RE, ["name"]
+    ).collect()[0]
+    assert (r["n_ref_blocks"], r["status"]) == (0, "unused")
