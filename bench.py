@@ -162,6 +162,9 @@ EXTENDED = [
     "stream_bitmap_distinct",
     "tf_undeclared_references",
     "emb_centroid_drift",
+    # r14-wave starter entries (drafted in r10)
+    "tf_required_providers_audit",
+    "tf_state_lineage_audit",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -10935,3 +10935,156 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(abs(share_cur_x1e4 - share_ref_x1e4) AS BIGINT)"),
     )
 
+@staged_query(
+    "tf_required_providers_audit",
+    # golden rows from the dedicated corpus: a fully-pinned block-form
+    # provider, the legacy single-string constraint form, a block-form
+    # provider with source but no version, a terraform block with a CLI
+    # constraint, and one (backend-only) without — plus main.tf proving
+    # files with no terraform block contribute nothing
+    oracle="""
+    SELECT * FROM (VALUES
+      ('backend.tf',  'core',     'terraform', CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), 'unpinned'),
+      ('versions.tf', 'core',     'terraform', CAST(NULL AS VARCHAR),
+       '>= 1.3.0, < 2.0.0',   'pinned'),
+      ('versions.tf', 'provider', 'aws',      'hashicorp/aws',
+       '~> 5.0',              'pinned'),
+      ('versions.tf', 'provider', 'external', 'hashicorp/external',
+       CAST(NULL AS VARCHAR), 'unpinned'),
+      ('versions.tf', 'provider', 'random',   CAST(NULL AS VARCHAR),
+       '>= 2.7.0',            'pinned')
+    ) t(file, kind, name, source_addr, version_constraint, status)
+    """,
+)
+def tf_required_providers_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-constraint audit over ``terraform`` settings blocks — the
+    one documented config construct the seven public tables don't carry
+    (the reference's HCL schema recognizes the block, utils.go:316-325,
+    including a decoy top-level ``required_providers`` entry that exists
+    purely to emit a "nest it inside terraform" hint; its docs' example
+    corpus opens with one). The engine parses settings blocks into
+    engine-internal ``terraform_settings`` wide-frame rows (tfcore/
+    rows.py — carried like ``file_kind``, never projected into the
+    public tables), and this audit reports one row per version
+    constraint surface: ``kind='core'`` for each block's
+    ``required_version`` CLI constraint (NULL → unpinned) and
+    ``kind='provider'`` for every ``required_providers`` entry — both
+    the modern block form (source + optional version; Spark's
+    ``from_json`` to ``map<string,string>`` keeps nested objects as raw
+    JSON text, so one extraction handles both) and the legacy
+    single-string constraint form. ``status`` is pinned/unpinned on the
+    version constraint alone; an unpinned provider is the drift
+    time-bomb this governance query exists to find.
+
+    Scale: settings blocks are config metadata — O(files) rows, one
+    projection + JSON extraction + a narrow explode and union, no
+    shuffle anywhere (the plan pin): at 100 TB of config this stays an
+    embarrassingly parallel scan."""
+    wide = _tf_corpus_engine(spark, "settings").wide()
+    st = wide.filter(F.col("tf_table") == "terraform_settings").select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("file"),
+        F.get_json_object("arguments", "$.required_version").alias("req_ver"),
+        F.get_json_object("arguments", "$.required_providers").alias("rp"),
+    )
+    core = st.select(
+        "file",
+        F.lit("core").alias("kind"),
+        F.lit("terraform").alias("name"),
+        F.lit(None).cast("string").alias("source_addr"),
+        F.col("req_ver").alias("version_constraint"),
+    )
+    prov = (
+        st.filter(F.col("rp").isNotNull())
+        .select("file", F.explode(F.from_json("rp", "map<string,string>")))
+        .select(
+            "file",
+            F.lit("provider").alias("kind"),
+            F.col("key").alias("name"),
+            # block form carries the entry as raw JSON text; the legacy
+            # form is the bare constraint string
+            F.when(
+                F.col("value").startswith("{"),
+                F.get_json_object("value", "$.source"),
+            ).alias("source_addr"),
+            F.when(
+                F.col("value").startswith("{"),
+                F.get_json_object("value", "$.version"),
+            )
+            .otherwise(F.col("value"))
+            .alias("version_constraint"),
+        )
+    )
+    return core.unionByName(prov).withColumn(
+        "status",
+        F.when(F.col("version_constraint").isNotNull(), F.lit("pinned"))
+        .otherwise(F.lit("unpinned")),
+    )
+
+
+@staged_query(
+    "tf_state_lineage_audit",
+    # golden rows from the dedicated corpus: two files sharing a lineage
+    # (serial 7 current vs serial 4 stale backup — the left-behind copy
+    # this audit exists to flag), a single-file lineage, and an empty
+    # state (0 resources still reports, status current)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('dev_empty.tfstate',   'c001d00d-dev',   1::BIGINT, '1.6.2',
+       0::BIGINT, 'current'),
+      ('prod.tfstate',        '3f8a1c2e-prod',  7::BIGINT, '1.5.7',
+       2::BIGINT, 'current'),
+      ('prod_backup.tfstate', '3f8a1c2e-prod',  4::BIGINT, '1.4.6',
+       1::BIGINT, 'stale'),
+      ('staging.tfstate',     '9b4d77aa-stag', 12::BIGINT, '1.6.2',
+       1::BIGINT, 'current')
+    ) t(file, lineage, serial, terraform_version, n_resources, status)
+    """,
+)
+def tf_state_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State lineage/serial freshness audit — the `.tfstate` header
+    fields the reference's state parser reads past without surfacing
+    (its row builder keys on ``resources`` only; ``lineage``/``serial``/
+    ``terraform_version`` are the sibling top-level fields): every state
+    file reports its lineage (workspace identity minted at ``terraform
+    init``), serial (monotone write counter — two files sharing a
+    lineage are THE SAME workspace at different times), CLI version, and
+    managed-resource count; within each lineage the max-serial file is
+    ``current`` and every other copy is a ``stale`` backup/leftover
+    whose apply would fork state. Pairs with tf_plan_state_drift: that
+    audit asks "does this state match the plan", this one asks "is this
+    even the state file to trust". Read Spark-natively
+    (``spark.read.json`` with an EXPLICIT schema — header fields only,
+    so column pruning never deserializes resource bodies; ties to the
+    multiLine JSON source surface) rather than through the HCL engine:
+    state headers are plain JSON, no position/quirk machinery applies.
+
+    Scale: O(state files) rows of header metadata; one scan + one
+    lineage-keyed window over a files-sized frame — the single exchange
+    is the audit's grouping semantics, not a data shuffle."""
+    df = (
+        spark.read.option("multiLine", "true")
+        .schema(
+            "lineage string, serial long, terraform_version string, "
+            "resources array<struct<mode string, type string, name string>>"
+        )
+        .json(f"{_TF_FIXTURES}/statelineage/*.tfstate")
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "([^/]+)$", 1
+            ).alias("file"),
+            "lineage",
+            "serial",
+            "terraform_version",
+            F.coalesce(F.size("resources"), F.lit(0))
+            .cast("long")
+            .alias("n_resources"),
+        )
+    )
+    w = Window.partitionBy("lineage")
+    return df.withColumn(
+        "status",
+        F.when(
+            F.col("serial") == F.max("serial").over(w), F.lit("current")
+        ).otherwise(F.lit("stale")),
+    )

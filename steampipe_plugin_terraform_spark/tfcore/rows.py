@@ -208,6 +208,24 @@ def _config_rows(path: str, text: str) -> Iterable[dict[str, Any]]:
             yield _output_config_row(path, pos, blk.labels[0], blk.body)
         elif bt == "variable" and len(blk.labels) == 1:
             yield _variable_config_row(path, pos, blk.labels[0], blk.body)
+        elif bt == "terraform" and not blk.labels:
+            # terraform settings block (required_version /
+            # required_providers / backend). The reference's HCL schema
+            # recognizes the block (utils.go:316-325 lists "terraform",
+            # plus a decoy top-level "required_providers" entry purely
+            # for a better error message) but declares no table for it —
+            # these rows are engine-internal like ``file_kind``: carried
+            # in the wide frame (tf_table = 'terraform_settings') for
+            # the settings audits, NOT projected into the seven public
+            # tables. One row per terraform block; position/source share
+            # the first block's span per the getBlock first-match quirk.
+            row = _empty_row("terraform_settings", path)
+            start, end, src = pos.get("terraform", [])
+            row["start_line"] = _nz_int(start)
+            row["end_line"] = _nz_int(end)
+            row["source"] = _nz_str(src)
+            row["arguments"] = _json_or_none_if_empty(blk.body)
+            yield row
         elif bt == "locals" and not blk.labels:
             start, end, src = pos.get("locals", [])
             for local_name, local_value in blk.body.items():

@@ -211,7 +211,7 @@ def test_two_level_index_built_once_per_corpus(spark, monkeypatch):
 
 
 def test_ivf_incremental_base_built_once_per_corpus(spark, monkeypatch):
-    """The staged emb_ivf_incremental_topk entry's _IVF_INCR_CACHE must
+    """The emb_ivf_incremental_topk entry's _IVF_INCR_CACHE must
     reuse the base-slice Lloyd index on repeat invocations — rebuilding
     it per call would silently turn the incremental-ingest entry into a
     retrain-per-query (exactly what it exists to avoid)."""
@@ -228,7 +228,7 @@ def test_ivf_incremental_base_built_once_per_corpus(spark, monkeypatch):
 
     monkeypatch.setattr(similarity, "kmeans_lloyd", counting)
     sf = "/root/testdata/sf0.001"
-    n1 = cat.STAGED_QUERIES["emb_ivf_incremental_topk"](spark, sf).count()
-    n2 = cat.STAGED_QUERIES["emb_ivf_incremental_topk"](spark, sf).count()
+    n1 = cat.QUERIES["emb_ivf_incremental_topk"](spark, sf).count()
+    n2 = cat.QUERIES["emb_ivf_incremental_topk"](spark, sf).count()
     assert n1 > 0 and n1 == n2
     assert calls["n"] == 1, f"base Lloyd ran {calls['n']} times, want 1"

@@ -1106,3 +1106,29 @@ def test_centroid_drift_broadcast_only_two_scans(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") == 2
 
+def test_required_providers_audit_shuffle_free(spark):
+    # settings blocks are config metadata: the audit must stay an
+    # embarrassingly parallel scan — any exchange or join node means
+    # the per-row JSON extraction grew a shuffle
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_required_providers_audit"](spark, SF))
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_state_lineage_audit_single_keyed_window(spark):
+    # header-metadata audit: one lineage-keyed window over an O(files)
+    # frame — exactly one hash exchange (the grouping semantics), no
+    # SinglePartition stage, no joins, and NO python/pandas stage (the
+    # state header is read Spark-natively, not through the HCL parser)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_state_lineage_audit"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan

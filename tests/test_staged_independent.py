@@ -188,3 +188,114 @@ def test_centroid_drift_internal_consistency(spark):
         assert r["drift_x1e4"] == abs(
             r["share_cur_x1e4"] - r["share_ref_x1e4"]
         )
+
+
+def test_state_lineage_pure_python_reference(spark):
+    """tf_state_lineage_audit vs a stdlib-json replay: every header
+    field and the per-lineage max-serial status recomputed with
+    json.load + a dict — no Spark JSON reader, no window function, no
+    SQL. A mismatch means the explicit read schema or the window
+    semantics drifted, not a fixture artifact."""
+    import json
+    import pathlib
+
+    fix = (
+        pathlib.Path(__file__).resolve().parent / "fixtures" / "statelineage"
+    )
+    want = {}
+    max_serial: dict[str, int] = {}
+    for p in sorted(fix.glob("*.tfstate")):
+        doc = json.loads(p.read_text())
+        want[p.name] = (
+            doc["lineage"],
+            doc["serial"],
+            doc["terraform_version"],
+            len(doc.get("resources") or []),
+        )
+        max_serial[doc["lineage"]] = max(
+            max_serial.get(doc["lineage"], -1), doc["serial"]
+        )
+    got = _staged(spark, "tf_state_lineage_audit").collect()
+    assert len(got) == len(want)
+    for r in got:
+        lineage, serial, ver, n_res = want[r["file"]]
+        assert (r["lineage"], r["serial"], r["terraform_version"]) == (
+            lineage,
+            serial,
+            ver,
+        )
+        assert r["n_resources"] == n_res
+        expect_status = (
+            "current" if serial == max_serial[lineage] else "stale"
+        )
+        assert r["status"] == expect_status
+
+
+def test_required_providers_pure_python_reference(spark):
+    """tf_required_providers_audit vs a crude line-scanner over the
+    fixture corpus — independent of BOTH the repo's recursive-descent
+    HCL parser and the golden-row oracle. The scanner only understands
+    the fixture's pinned shapes (top-level terraform blocks,
+    required_version, required_providers entries in block and legacy
+    string form); it exists to catch the parser or the JSON-extraction
+    chain silently changing what those shapes yield."""
+    import pathlib
+    import re
+
+    fix = pathlib.Path(__file__).resolve().parent / "fixtures" / "settings"
+    want = set()
+    for p in sorted(fix.glob("*.tf")):
+        text = p.read_text()
+        m = re.search(r"(?m)^terraform\s*\{", text)
+        if not m:
+            continue
+        req = re.search(r'(?m)^\s*required_version\s*=\s*"([^"]*)"', text)
+        want.add(
+            (
+                p.name,
+                "core",
+                "terraform",
+                None,
+                req.group(1) if req else None,
+            )
+        )
+        rp = re.search(
+            r"required_providers\s*\{(.*)\n\s*\}", text, flags=re.S
+        )
+        if rp:
+            body = rp.group(1)
+            for name, constraint in re.findall(
+                r'(?m)^\s*(\w+)\s*=\s*"([^"]*)"', body
+            ):
+                if name in ("source", "version"):
+                    continue  # keys inside a block-form entry
+                want.add((p.name, "provider", name, None, constraint))
+            for name, blk in re.findall(
+                r"(?m)^\s*(\w+)\s*=\s*\{([^}]*)\}", body, flags=re.S
+            ):
+                src = re.search(r'source\s*=\s*"([^"]*)"', blk)
+                ver = re.search(r'version\s*=\s*"([^"]*)"', blk)
+                want.add(
+                    (
+                        p.name,
+                        "provider",
+                        name,
+                        src.group(1) if src else None,
+                        ver.group(1) if ver else None,
+                    )
+                )
+    got = {
+        (
+            r["file"],
+            r["kind"],
+            r["name"],
+            r["source_addr"],
+            r["version_constraint"],
+        )
+        for r in _staged(spark, "tf_required_providers_audit").collect()
+    }
+    assert got == want
+    for r in _staged(spark, "tf_required_providers_audit").collect():
+        assert r["status"] == (
+            "pinned" if r["version_constraint"] is not None else "unpinned"
+        )
