@@ -165,6 +165,9 @@ EXTENDED = [
     # r14-wave starter entries (drafted in r10)
     "tf_required_providers_audit",
     "tf_state_lineage_audit",
+    "tf_backend_audit",
+    "tf_provider_version_matrix",
+    "stream_state_serial_watch",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -10935,6 +10935,48 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(abs(share_cur_x1e4 - share_ref_x1e4) AS BIGINT)"),
     )
 
+def _settings_frame(spark: SparkSession, corpus: str) -> DataFrame:
+    """The engine-internal ``terraform_settings`` rows of a fixture
+    corpus, projected to (file, arguments-JSON extractions used by the
+    settings audits). Shared by the r14 settings-surface wave."""
+    wide = _tf_corpus_engine(spark, corpus).wide()
+    return wide.filter(F.col("tf_table") == "terraform_settings").select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("file"),
+        F.get_json_object("arguments", "$.required_version").alias("req_ver"),
+        F.get_json_object("arguments", "$.required_providers").alias("rp"),
+        F.get_json_object("arguments", "$.backend").alias("backend"),
+        F.get_json_object("arguments", "$.cloud").alias("cloud"),
+    )
+
+
+def _required_provider_entries(st: DataFrame) -> DataFrame:
+    """(file, name, source_addr, version_constraint) rows from a
+    settings frame's ``required_providers`` JSON. Spark's ``from_json``
+    to ``map<string,string>`` keeps nested objects as raw JSON text, so
+    one extraction handles both the modern block form (source +
+    optional version) and the legacy single-string constraint form."""
+    return (
+        st.filter(F.col("rp").isNotNull())
+        .select("file", F.explode(F.from_json("rp", "map<string,string>")))
+        .select(
+            "file",
+            F.col("key").alias("name"),
+            # block form carries the entry as raw JSON text; the legacy
+            # form is the bare constraint string
+            F.when(
+                F.col("value").startswith("{"),
+                F.get_json_object("value", "$.source"),
+            ).alias("source_addr"),
+            F.when(
+                F.col("value").startswith("{"),
+                F.get_json_object("value", "$.version"),
+            )
+            .otherwise(F.col("value"))
+            .alias("version_constraint"),
+        )
+    )
+
+
 @staged_query(
     "tf_required_providers_audit",
     # golden rows from the dedicated corpus: a fully-pinned block-form
@@ -10981,12 +11023,7 @@ def tf_required_providers_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + JSON extraction + a narrow explode and union, no
     shuffle anywhere (the plan pin): at 100 TB of config this stays an
     embarrassingly parallel scan."""
-    wide = _tf_corpus_engine(spark, "settings").wide()
-    st = wide.filter(F.col("tf_table") == "terraform_settings").select(
-        F.regexp_extract("path", "([^/]+)$", 1).alias("file"),
-        F.get_json_object("arguments", "$.required_version").alias("req_ver"),
-        F.get_json_object("arguments", "$.required_providers").alias("rp"),
-    )
+    st = _settings_frame(spark, "settings")
     core = st.select(
         "file",
         F.lit("core").alias("kind"),
@@ -10994,26 +11031,12 @@ def tf_required_providers_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("source_addr"),
         F.col("req_ver").alias("version_constraint"),
     )
-    prov = (
-        st.filter(F.col("rp").isNotNull())
-        .select("file", F.explode(F.from_json("rp", "map<string,string>")))
-        .select(
-            "file",
-            F.lit("provider").alias("kind"),
-            F.col("key").alias("name"),
-            # block form carries the entry as raw JSON text; the legacy
-            # form is the bare constraint string
-            F.when(
-                F.col("value").startswith("{"),
-                F.get_json_object("value", "$.source"),
-            ).alias("source_addr"),
-            F.when(
-                F.col("value").startswith("{"),
-                F.get_json_object("value", "$.version"),
-            )
-            .otherwise(F.col("value"))
-            .alias("version_constraint"),
-        )
+    prov = _required_provider_entries(st).select(
+        "file",
+        F.lit("provider").alias("kind"),
+        "name",
+        "source_addr",
+        "version_constraint",
     )
     return core.unionByName(prov).withColumn(
         "status",
@@ -11087,4 +11110,217 @@ def tf_state_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("serial") == F.max("serial").over(w), F.lit("current")
         ).otherwise(F.lit("stale")),
+    )
+
+
+@staged_query(
+    "tf_backend_audit",
+    # golden rows from the dedicated corpus: an encrypted s3 backend, an
+    # s3 backend WITHOUT the encrypt flag (the unencrypted-at-rest
+    # finding), a terraform block with no backend (implicit local), a
+    # Terraform Cloud block — plus main.tf proving files without a
+    # terraform block contribute nothing
+    oracle="""
+    SELECT * FROM (VALUES
+      ('cloud.tf',  'cloud', true,  CAST(NULL AS BOOLEAN),
+       'acme'),
+      ('legacy.tf', 's3',    true,  false,
+       'acme-tf-state'),
+      ('local.tf',  'local', false, CAST(NULL AS BOOLEAN),
+       CAST(NULL AS VARCHAR)),
+      ('prod.tf',   's3',    true,  true,
+       'acme-tf-state-prod')
+    ) t(file, backend_type, remote, encrypted, location)
+    """,
+)
+def tf_backend_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-storage audit over ``terraform`` settings blocks: where
+    does each configuration keep its state, and is it protected? One
+    row per terraform block — ``backend_type`` is the labeled backend
+    block's label (the parser folds ``backend "s3" { ... }`` into
+    ``{"backend": {"s3": {...}}}``), ``cloud`` when only a Terraform
+    Cloud block is present, else the implicit ``local`` default (state
+    on disk, unlocked, unversioned — the governance finding).
+    ``encrypted`` is the s3 backend's ``encrypt`` flag with absent →
+    false (Terraform's own default: omitting the flag stores state
+    plaintext at rest), NULL for backend types where the flag doesn't
+    apply; ``location`` is the s3 bucket / cloud organization. The
+    reference recognizes the terraform block but surfaces no table for
+    it (utils.go:316-325) — this pairs with tf_required_providers_audit
+    on the same engine-internal ``terraform_settings`` rows.
+
+    Scale: same shape as the providers audit — O(config files) settings
+    rows, per-row JSON extraction only (the one-backend-per-block rule
+    lets ``element_at`` replace a generator), no exchange, no join: an
+    embarrassingly parallel scan at any corpus size."""
+    st = _settings_frame(spark, "backend").select(
+        "file",
+        F.from_json("backend", "map<string,string>").alias("bk"),
+        "cloud",
+    )
+    typed = st.select(
+        "file",
+        F.when(
+            F.col("bk").isNotNull(), F.element_at(F.map_keys("bk"), 1)
+        )
+        .when(F.col("cloud").isNotNull(), F.lit("cloud"))
+        .otherwise(F.lit("local"))
+        .alias("backend_type"),
+        F.element_at(F.map_values("bk"), 1).alias("_cfg"),
+        "cloud",
+    )
+    return typed.select(
+        "file",
+        "backend_type",
+        (F.col("backend_type") != "local").alias("remote"),
+        F.when(
+            F.col("backend_type") == "s3",
+            F.coalesce(
+                F.get_json_object("_cfg", "$.encrypt").cast("boolean"),
+                F.lit(False),
+            ),
+        ).alias("encrypted"),
+        F.when(
+            F.col("backend_type") == "cloud",
+            F.get_json_object("cloud", "$.organization"),
+        )
+        .when(
+            F.col("backend_type") == "s3",
+            F.get_json_object("_cfg", "$.bucket"),
+        )
+        .alias("location"),
+    )
+
+
+@staged_query(
+    "tf_provider_version_matrix",
+    # golden rows from the dedicated corpus: aws constrained+configured+
+    # used, random constrained via the legacy string form and used but
+    # never configured, google configured+used with NO constraint (the
+    # drift time-bomb), archive constrained but absent everywhere else
+    oracle="""
+    SELECT * FROM (VALUES
+      ('archive', '~> 2.4',               false, 0::BIGINT,
+       'unused_constraint'),
+      ('aws',     '~> 5.0',               true,  2::BIGINT,
+       'constrained_in_use'),
+      ('google',  CAST(NULL AS VARCHAR),  true,  1::BIGINT,
+       'unconstrained_in_use'),
+      ('random',  '>= 3.0',               false, 1::BIGINT,
+       'constrained_in_use')
+    ) t(name, version_constraint, configured, n_resources, status)
+    """,
+)
+def tf_provider_version_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provider governance matrix — the cross-surface reconciliation the
+    settings audit alone can't see: for every provider name appearing
+    ANYWHERE in the corpus, its ``required_providers`` version
+    constraint (settings rows, shared ``_required_provider_entries``
+    device), whether a ``provider`` block configures it, and how many
+    resources use it (provider inferred from the resource type's
+    leading segment — ``aws_instance`` → ``aws``, the registry's own
+    naming contract). Status: ``constrained_in_use`` (constraint +
+    configured-or-used), ``unconstrained_in_use`` (in use with no
+    version constraint — the upgrade time-bomb ``terraform init
+    -upgrade`` detonates), ``unused_constraint`` (constraint pinning a
+    provider nothing references — dead governance).
+
+    Scale: all three surfaces are O(config files) frames off ONE corpus
+    scan; the name roll-up is a union+distinct, then three BROADCAST
+    left joins (plan-pinned: no SortMergeJoin — a full-outer would
+    force one, which is why the spine is built by union instead). At
+    100 TB of config the spine is still provider-name-sized."""
+    wide = _tf_corpus_engine(spark, "providermatrix").wide()
+    st = _settings_frame(spark, "providermatrix")
+    declared = _required_provider_entries(st).select(
+        "name", "version_constraint"
+    )
+    configured = (
+        wide.filter(F.col("tf_table") == "terraform_provider")
+        .select("name")
+        .distinct()
+        .withColumn("is_conf", F.lit(True))
+    )
+    used = (
+        wide.filter(F.col("tf_table") == "terraform_resource")
+        .select(F.regexp_extract("type", "^([a-z0-9]+)_", 1).alias("name"))
+        .filter(F.col("name") != "")
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_res"))
+    )
+    spine = (
+        declared.select("name")
+        .unionByName(configured.select("name"))
+        .unionByName(used.select("name"))
+        .distinct()
+    )
+    m = (
+        spine.join(F.broadcast(declared), "name", "left")
+        .join(F.broadcast(configured), "name", "left")
+        .join(F.broadcast(used), "name", "left")
+        .select(
+            "name",
+            "version_constraint",
+            F.coalesce("is_conf", F.lit(False)).alias("configured"),
+            F.coalesce("n_res", F.lit(0)).cast("long").alias("n_resources"),
+        )
+    )
+    return m.withColumn(
+        "status",
+        F.when(
+            F.col("version_constraint").isNotNull()
+            & (F.col("configured") | (F.col("n_resources") > 0)),
+            F.lit("constrained_in_use"),
+        )
+        .when(
+            F.col("version_constraint").isNotNull(), F.lit("unused_constraint")
+        )
+        .otherwise(F.lit("unconstrained_in_use")),
+    )
+
+
+@staged_query(
+    "stream_state_serial_watch",
+    # final-answer closure: a complete-mode aggregation with an
+    # availableNow drain converges to the batch answer over the corpus —
+    # per lineage, the highest serial seen and how many copies exist
+    oracle="""
+    SELECT * FROM (VALUES
+      ('3f8a1c2e-prod',  7::BIGINT, 2::BIGINT),
+      ('9b4d77aa-stag', 12::BIGINT, 1::BIGINT),
+      ('c001d00d-dev',   1::BIGINT, 1::BIGINT)
+    ) t(lineage, latest_serial, n_copies)
+    """,
+)
+def stream_state_serial_watch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming companion to tf_state_lineage_audit: state files ARRIVE
+    (CI uploads, backup syncs, `terraform apply` rewrites), and the
+    watch keeps, per lineage, the highest serial seen so far plus the
+    copy count — the live "which state file is current" board. Running
+    state is one (lineage → max-serial, count) pair per workspace:
+    max/count are order-insensitive monotone merges, so micro-batches
+    fold in like batch partials — no watermark needed, state bounded by
+    the number of workspaces, complete-mode output. Reads `.tfstate`
+    headers Spark-natively through the streaming JSON source (multiLine,
+    explicit header-only schema — the streaming read never deserializes
+    resource bodies, same pruning argument as the batch audit).
+
+    Scale: per-lineage state is two longs; a fleet of a million
+    workspaces holds a million rows of state — the exchange carries
+    partial (lineage, max, count) triples, independent of how many
+    state-file versions ever streamed through."""
+    src = (
+        spark.readStream.schema(
+            "lineage string, serial long, terraform_version string"
+        )
+        .option("multiLine", "true")
+        .option("pathGlobFilter", "*.tfstate")
+        .json(f"{_TF_FIXTURES}/statelineage/")
+    )
+    agg = src.groupBy("lineage").agg(
+        F.max("serial").alias("latest_serial"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    return _drain_memory_sink(
+        spark, agg, "stream_state_serial_watch", "complete"
     )

@@ -1132,3 +1132,28 @@ def test_state_lineage_audit_single_keyed_window(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+def test_backend_audit_shuffle_free(spark):
+    # same contract as the providers audit: settings metadata, per-row
+    # JSON extraction only — any exchange/join/generator means the
+    # one-backend-per-block element_at design regressed to a shuffle
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_backend_audit"](spark, SF))
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct", "Generate"):
+        assert node not in plan
+
+
+def test_provider_matrix_broadcast_spine(spark):
+    # the spine is union+distinct precisely so the three enrichments can
+    # broadcast: a full-outer rewrite would force SortMergeJoin — pin
+    # the broadcast shape
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_provider_version_matrix"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -299,3 +299,127 @@ def test_required_providers_pure_python_reference(spark):
         assert r["status"] == (
             "pinned" if r["version_constraint"] is not None else "unpinned"
         )
+
+
+def test_backend_audit_pure_python_reference(spark):
+    """tf_backend_audit vs a crude regex scanner over the fixture
+    corpus — independent of the HCL parser, the JSON encoding, and the
+    golden-row oracle. Understands only the corpus's pinned shapes:
+    top-level terraform blocks, one labeled backend block, a cloud
+    block, the encrypt/bucket/organization attributes."""
+    import pathlib
+    import re
+
+    fix = pathlib.Path(__file__).resolve().parent / "fixtures" / "backend"
+    want = set()
+    for p in sorted(fix.glob("*.tf")):
+        text = p.read_text()
+        if not re.search(r"(?m)^terraform\s*\{", text):
+            continue
+        bk = re.search(r'backend\s*"(\w+)"\s*\{([^}]*)\}', text, flags=re.S)
+        if bk:
+            btype, body = bk.group(1), bk.group(2)
+            enc = None
+            if btype == "s3":
+                m = re.search(r"encrypt\s*=\s*(true|false)", body)
+                enc = bool(m and m.group(1) == "true")
+            loc = re.search(r'bucket\s*=\s*"([^"]*)"', body)
+            want.add(
+                (p.name, btype, True, enc, loc.group(1) if loc else None)
+            )
+        elif re.search(r"(?m)^\s*cloud\s*\{", text):
+            org = re.search(r'organization\s*=\s*"([^"]*)"', text)
+            want.add(
+                (p.name, "cloud", True, None, org.group(1) if org else None)
+            )
+        else:
+            want.add((p.name, "local", False, None, None))
+    got = {
+        (r["file"], r["backend_type"], r["remote"], r["encrypted"],
+         r["location"])
+        for r in _staged(spark, "tf_backend_audit").collect()
+    }
+    assert got == want
+
+
+def test_provider_matrix_pure_python_reference(spark):
+    """tf_provider_version_matrix vs a from-scratch Python replay of all
+    three surfaces (required_providers scanner, provider-block regex,
+    resource-type prefix counter) and the status rules."""
+    import collections
+    import pathlib
+    import re
+
+    fix = (
+        pathlib.Path(__file__).resolve().parent / "fixtures" / "providermatrix"
+    )
+    declared: dict[str, str | None] = {}
+    configured: set[str] = set()
+    used: collections.Counter = collections.Counter()
+    for p in sorted(fix.glob("*.tf")):
+        text = p.read_text()
+        rp = re.search(
+            r"required_providers\s*\{(.*)\n\s*\}", text, flags=re.S
+        )
+        if rp:
+            body = rp.group(1)
+            for name, constraint in re.findall(
+                r'(?m)^\s*(\w+)\s*=\s*"([^"]*)"', body
+            ):
+                if name not in ("source", "version"):
+                    declared[name] = constraint
+            for name, blk in re.findall(
+                r"(?m)^\s*(\w+)\s*=\s*\{([^}]*)\}", body, flags=re.S
+            ):
+                ver = re.search(r'version\s*=\s*"([^"]*)"', blk)
+                declared[name] = ver.group(1) if ver else None
+        for name in re.findall(r'(?m)^provider\s*"(\w+)"', text):
+            configured.add(name)
+        for rtype in re.findall(r'(?m)^resource\s*"(\w+)"', text):
+            used[rtype.split("_", 1)[0]] += 1
+    names = set(declared) | configured | set(used)
+    want = set()
+    for n in sorted(names):
+        vc = declared.get(n)
+        conf = n in configured
+        n_res = used.get(n, 0)
+        if vc is not None and (conf or n_res > 0):
+            status = "constrained_in_use"
+        elif vc is not None:
+            status = "unused_constraint"
+        else:
+            status = "unconstrained_in_use"
+        want.add((n, vc, conf, n_res, status))
+    got = {
+        (r["name"], r["version_constraint"], r["configured"],
+         r["n_resources"], r["status"])
+        for r in _staged(spark, "tf_provider_version_matrix").collect()
+    }
+    assert got == want
+
+
+def test_stream_state_serial_equals_batch(spark):
+    """stream_state_serial_watch ≡ the same aggregation computed batch
+    over stdlib-json-parsed headers: the streaming max/count state
+    machine must converge to the batch answer (the engine-identity
+    pattern, like stream_bitmap_distinct)."""
+    import json
+    import pathlib
+
+    fix = (
+        pathlib.Path(__file__).resolve().parent / "fixtures" / "statelineage"
+    )
+    latest: dict[str, int] = {}
+    copies: dict[str, int] = {}
+    for p in sorted(fix.glob("*.tfstate")):
+        doc = json.loads(p.read_text())
+        lin = doc["lineage"]
+        latest[lin] = max(latest.get(lin, -1), doc["serial"])
+        copies[lin] = copies.get(lin, 0) + 1
+    got = {
+        r["lineage"]: (r["latest_serial"], r["n_copies"])
+        for r in _staged(spark, "stream_state_serial_watch").collect()
+    }
+    assert got == {
+        lin: (latest[lin], copies[lin]) for lin in latest
+    }
