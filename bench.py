@@ -168,6 +168,8 @@ EXTENDED = [
     "tf_backend_audit",
     "tf_provider_version_matrix",
     "stream_state_serial_watch",
+    "emb_cluster_quality",
+    "docs_pipeline_funnel",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

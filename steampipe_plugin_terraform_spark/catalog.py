@@ -11324,3 +11324,178 @@ def stream_state_serial_watch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(
         spark, agg, "stream_state_serial_watch", "complete"
     )
+
+
+_CLUSTER_QUALITY_SQL = f"""
+    WITH {_LLOYD_FULL},
+    d AS (SELECT af.bucket,
+                 CAST(floor((list_dot_product(af.v, af.v)
+                             - 2 * list_dot_product(af.v, c.cv)
+                             + list_dot_product(c.cv, c.cv)) * 10000 + 0.5)
+                      AS BIGINT) d2
+          FROM af JOIN c3 c ON af.bucket = c.cid),
+    agg AS (SELECT bucket, CAST(count(*) AS BIGINT) n,
+                   CAST(sum(d2) AS BIGINT) sd, max(d2) mx
+            FROM d GROUP BY bucket),
+    sep AS (SELECT a.cid AS bucket,
+                   min(CAST(floor((list_dot_product(a.cv, a.cv)
+                                   - 2 * list_dot_product(a.cv, b.cv)
+                                   + list_dot_product(b.cv, b.cv))
+                                  * 10000 + 0.5) AS BIGINT)) ms
+            FROM c3 a JOIN c3 b ON a.cid <> b.cid GROUP BY a.cid)
+    SELECT agg.bucket AS cluster_id, agg.n,
+           CAST(agg.sd // agg.n AS BIGINT) AS mean_d2_e4,
+           agg.mx AS max_d2_e4,
+           sep.ms AS min_sep_e4,
+           CAST((agg.sd // agg.n) * 10000 // NULLIF(sep.ms, 0) AS BIGINT)
+               AS crowding_bp
+    FROM agg JOIN sep ON sep.bucket = agg.bucket
+"""
+
+
+@staged_query("emb_cluster_quality", oracle=_CLUSTER_QUALITY_SQL)
+def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster QA over the shared corpus k-means — the audit a
+    curation pipeline runs before trusting its clusters (SemDeDup prunes
+    WITHIN clusters, balanced sampling weights BY cluster: a crowded or
+    diffuse cluster silently corrupts both). Per non-empty cluster:
+    population, mean/max snapped squared distance to the own centroid
+    (cohesion / radius), squared distance to the nearest other centroid
+    (separation), and crowding = mean-intra over separation in basis
+    points. Integer-exact end to end: 1e-4-grid BIGINT distances (the
+    same |v|²−2vc+|c|² + grid device as the Lloyd assignment itself, so
+    the ulp-absorption argument carries over), integer sums, and the two
+    all-positive integer divisions where Spark DIV == DuckDB //. Reuses
+    the session k-means (``_kmeans16``) — the oracle replays the full
+    Lloyd CTE chain and recomputes the report in SQL.
+
+    Scale: one broadcast join (k×dim centroids) + one bucket-keyed agg
+    whose exchange carries k partial rows; the centroid pairwise is a
+    k-row broadcast self-join (k² ≤ N under the √N cap), never
+    driver-side. See ``operators/similarity.py:cluster_quality``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_quality(
+        emb, assignment=_kmeans16(spark, sf_dir, "full")
+    )
+
+
+# the metrics CTE below is the same text as docs_curation_pipeline's `m`
+# (promoted r6 — left byte-identical there; unify into one shared constant
+# when that entry next rotates through a validation window)
+_PIPELINE_FUNNEL_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE.split("WITH", 1)[1]
+    + """,
+    """ + _MINHASH_CAND_CTE + """,
+    pairs AS (SELECT c.id_a, c.id_b
+              FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+              JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+              WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8),
+    edges AS (SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    m AS (
+      SELECT doc_id,
+             floor((0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                   + 0.5 * least(floor(len(list_filter(string_split(text, ' '),
+                                       w -> w IN ('the','a','of','and','to'))) * 1.0
+                                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 * 5.0,
+                                 1.0)) * 10000 + 0.5) / 10000 AS quality,
+             CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to'))) = 0
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que'))) = 0
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu'))) = 0
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les'))) = 0 THEN 'und'
+                  WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que')))
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu')))
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les'))) THEN 'en'
+                  WHEN len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu')))
+                       AND len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les'))) THEN 'es'
+                  WHEN len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu')))
+                       >= len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les'))) THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM documents),
+    gates AS (SELECT m.doc_id,
+                 (m.pred_lang = 'en') AS g1,
+                 (m.pred_lang = 'en' AND m.quality >= 0.5) AS g2,
+                 (m.pred_lang = 'en' AND m.quality >= 0.5
+                  AND coalesce(c.cluster_id, m.doc_id) = m.doc_id) AS g3
+          FROM m LEFT JOIN comp c ON m.doc_id = c.doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) n0,
+                 CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) n1,
+                 CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) n2,
+                 CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) n3
+          FROM gates),
+    stages AS (SELECT 'lang_en' AS stage, n0 AS n_in, n1 AS n_out FROM tot
+          UNION ALL SELECT 'quality_ge_05', n1, n2 FROM tot
+          UNION ALL SELECT 'dedup_canonical', n2, n3 FROM tot)
+    SELECT stage, n_in, n_out, n_in - n_out AS n_dropped,
+           CAST(COALESCE((n_in - n_out) * 10000 // NULLIF(n_in, 0), 0)
+                AS BIGINT) AS drop_bp
+    FROM stages
+    """
+)
+
+
+@staged_query("docs_pipeline_funnel", oracle=_PIPELINE_FUNNEL_SQL)
+def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-pipeline FUNNEL report: how many documents each gate
+    of the docs_curation_pipeline chain admits — language gate first
+    (cheapest), quality second, near-dup canonicality last — with
+    per-stage drop counts and basis-point drop rates (all-positive
+    integer division; 0 when a stage sees an empty input). This is the
+    run-report a 100 TB curation job emits alongside its output: the
+    number every data-mixture decision is made from, computed in the
+    same pass the pipeline already does.
+
+    Spark shape: the metric flags fuse into ONE projection over the
+    parquet scan; the canonicality flag joins only the NON-canonical id
+    set (the dup fraction — typically a sliver of the corpus, broadcast)
+    rather than the full cluster map; then one global counter roll-up
+    (map-side partials, the exchange carries one counter row per
+    partition) and a 3-row stack. Gate semantics are identical to
+    docs_curation_pipeline — stage 3's survivor count IS that entry's
+    row count, by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = (
+        _dedup_cluster_map(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(True))
+    )
+    flags = docs.select(
+        "doc_id",
+        text.lang_pred_expr("text").alias("pl"),
+        text.quality_expr("text").alias("q"),
+    ).join(F.broadcast(dups), "doc_id", "left")
+    g1 = F.col("pl") == "en"
+    g2 = g1 & (F.col("q") >= 0.5)
+    g3 = g2 & F.col("is_dup").isNull()
+    t = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(g1.cast("long")).cast("long").alias("n1"),
+        F.sum(g2.cast("long")).cast("long").alias("n2"),
+        F.sum(g3.cast("long")).cast("long").alias("n3"),
+    )
+    s = t.selectExpr(
+        "stack(3, 'lang_en', n0, n1, 'quality_ge_05', n1, n2, "
+        "'dedup_canonical', n2, n3) AS (stage, n_in, n_out)"
+    )
+    return s.select(
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.expr(
+            "CAST(COALESCE((n_in - n_out) * 10000 DIV NULLIF(n_in, 0), 0) "
+            "AS BIGINT)"
+        ).alias("drop_bp"),
+    )

@@ -1732,3 +1732,92 @@ def mmr_select(
         "query_id long, select_order long, neighbor_id long, "
         "mmr_score_x1e7 long",
     )
+
+
+def cluster_quality(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    assignment: tuple[DataFrame, list[list[float]]] | None = None,
+) -> DataFrame:
+    """Per-cluster quality report over a deterministic Lloyd clustering —
+    the QA pass a curation pipeline runs before trusting its clusters
+    (SemDeDup prunes within clusters; a crowded or diffuse cluster makes
+    those prunes wrong). Per non-empty cluster: population ``n``, mean
+    and max snapped squared distance to the own centroid (cohesion /
+    radius, 1e-4-grid BIGINTs so per-cluster sums are integer-exact),
+    the squared distance to the NEAREST other centroid
+    (``min_sep_e4``), and ``crowding_bp`` = mean intra-distance over
+    separation in basis points (all-positive integer division, so Spark
+    ``DIV`` and a replaying engine's ``//`` agree) — high crowding means
+    the cluster bleeds into its neighbour. Distances use the
+    |v|² − 2·v·c + |c|² form on the 1e-4 grid on BOTH engines (the same
+    ulp-absorption argument as the Lloyd assignment itself).
+
+    Scale: the per-vector pass is one broadcast join (k×dim centroids)
+    + one bucket-keyed aggregate whose exchange carries k partial rows;
+    the centroid pairwise is k² rows of k-row broadcast self-join — with
+    the √N cap on k that is ≤ N total pairs, distributed, never
+    driver-side. Returns one row per non-empty cluster.
+    """
+    assigned, centroids = assignment or kmeans_lloyd(
+        df, id_col, vec_col, k=k, iters=iters
+    )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+
+    def _dot(a: str, b: str) -> str:
+        return f"aggregate(zip_with({a},{b},(x,y)->x*y), 0D, (s,x)->s+x)"
+
+    def _d2e4(a: str, b: str) -> str:
+        return (
+            f"CAST(floor(({_dot(a, a)} - 2*{_dot(a, b)} + {_dot(b, b)}) "
+            f"* 10000 + 0.5) AS BIGINT)"
+        )
+
+    per_vec = (
+        assigned.select(
+            "bucket",
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias(
+                "vd"
+            ),
+        )
+        .join(F.broadcast(cdf), F.col("bucket") == F.col("cid"))
+        .select("bucket", F.expr(_d2e4("vd", "cv")).alias("d2"))
+    )
+    agg = per_vec.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d2").cast("long").alias("sd"),
+        F.max("d2").alias("max_d2_e4"),
+    )
+    sep = (
+        cdf.alias("a")
+        .join(
+            F.broadcast(cdf.alias("b")),
+            F.expr("a.cid <> b.cid"),
+        )
+        .select(
+            F.col("a.cid").alias("bucket"),
+            F.expr(_d2e4("a.cv", "b.cv")).alias("sep"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("sep").alias("min_sep_e4"))
+    )
+    return (
+        agg.join(F.broadcast(sep), "bucket")
+        .select(
+            F.col("bucket").cast("int").alias("cluster_id"),
+            "n",
+            F.expr("CAST(sd DIV n AS BIGINT)").alias("mean_d2_e4"),
+            "max_d2_e4",
+            "min_sep_e4",
+            F.expr(
+                "CAST((sd DIV n) * 10000 DIV NULLIF(min_sep_e4, 0) AS BIGINT)"
+            ).alias("crowding_bp"),
+        )
+    )

@@ -1157,3 +1157,30 @@ def test_provider_matrix_broadcast_spine(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def test_cluster_quality_broadcast_and_two_aggs(spark):
+    # per-vector pass = one broadcast centroid attach + one bucket agg;
+    # centroid pairwise = k-row broadcast self-join (deliberate BNLJ) +
+    # one k-row agg; no sort-merge, no cartesian, and exactly the two
+    # keyed exchanges (per-cluster agg, k-row sep agg)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_cluster_quality"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pipeline_funnel_counter_rollup(spark):
+    # the funnel is a counter roll-up: metric flags fuse into the doc
+    # scan, the dup set broadcasts, and the only global stage is the
+    # single 1-row aggregate (counter-sized by construction)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_pipeline_funnel"](spark, SF))
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -423,3 +423,47 @@ def test_stream_state_serial_equals_batch(spark):
     assert got == {
         lin: (latest[lin], copies[lin]) for lin in latest
     }
+
+
+def test_cluster_quality_internal_consistency(spark):
+    """emb_cluster_quality: mean <= max per cluster, crowding_bp is the
+    integer division of the entry's own columns, populations sum to the
+    corpus size, and separation is symmetric-positive (distinct
+    centroids) — recomputed in Python from the entry's own rows."""
+    rows = _staged(spark, "emb_cluster_quality").collect()
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id"])
+    assert sum(r["n"] for r in rows) == emb.num_rows
+    for r in rows:
+        assert 0 <= r["mean_d2_e4"] <= r["max_d2_e4"]
+        assert r["min_sep_e4"] is not None
+        if r["min_sep_e4"] > 0:
+            assert (
+                r["crowding_bp"]
+                == r["mean_d2_e4"] * 10000 // r["min_sep_e4"]
+            )
+        else:
+            assert r["crowding_bp"] is None
+
+
+def test_pipeline_funnel_matches_curation_survivors(spark):
+    """docs_pipeline_funnel's last stage's n_out must equal
+    docs_curation_pipeline's row count (gate semantics are identical by
+    construction), the funnel must be monotone non-increasing, and each
+    drop_bp must be the integer division of the row's own counters."""
+    from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+    rows = {r["stage"]: r for r in _staged(spark, "docs_pipeline_funnel").collect()}
+    assert set(rows) == {"lang_en", "quality_ge_05", "dedup_canonical"}
+    assert rows["lang_en"]["n_out"] == rows["quality_ge_05"]["n_in"]
+    assert rows["quality_ge_05"]["n_out"] == rows["dedup_canonical"]["n_in"]
+    survivors = QUERIES["docs_curation_pipeline"](spark, SF_DIR).count()
+    assert rows["dedup_canonical"]["n_out"] == survivors
+    emb = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    assert rows["lang_en"]["n_in"] == emb.num_rows
+    for r in rows.values():
+        assert 0 <= r["n_out"] <= r["n_in"]
+        assert r["n_dropped"] == r["n_in"] - r["n_out"]
+        want_bp = (
+            r["n_dropped"] * 10000 // r["n_in"] if r["n_in"] else 0
+        )
+        assert r["drop_bp"] == want_bp
