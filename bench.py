@@ -170,6 +170,8 @@ EXTENDED = [
     "stream_state_serial_watch",
     "emb_cluster_quality",
     "docs_pipeline_funnel",
+    "tf_variable_hygiene",
+    "docs_perplexity_buckets",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

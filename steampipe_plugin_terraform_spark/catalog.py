@@ -11499,3 +11499,139 @@ def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("drop_bp"),
     )
+
+
+@staged_query(
+    "tf_variable_hygiene",
+    # golden rows from the dedicated corpus: a fully-documented variable,
+    # a sensitive one (source-anchored detection; extra.tf's commented
+    # '# sensitive = true' must NOT mark api_token), and three lint cases
+    # missing type and/or description
+    oracle="""
+    SELECT * FROM (VALUES
+      ('extra.tf',     'api_token',      true,  false, true,  false,
+       0::BIGINT, 'clean'),
+      ('extra.tf',     'legacy_ami',     false, true,  false, false,
+       2::BIGINT, 'needs_attention'),
+      ('variables.tf', 'db_password',    true,  false, true,  true,
+       0::BIGINT, 'clean'),
+      ('variables.tf', 'instance_count', false, true,  false, false,
+       2::BIGINT, 'needs_attention'),
+      ('variables.tf', 'region',         true,  true,  true,  false,
+       0::BIGINT, 'clean'),
+      ('variables.tf', 'tags',           false, true,  true,  false,
+       1::BIGINT, 'needs_attention')
+    ) t(file, name, has_type, has_default, has_description, is_sensitive,
+        n_gaps, status)
+    """,
+)
+def tf_variable_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable lint report — the module-interface hygiene audit
+    (Terraform's own style guide: every variable documents a type and a
+    description; a variable with neither is an undocumented required
+    input): per variable, whether type / default / description are
+    present, whether it is marked sensitive (the same source-anchored
+    ``(?m)^\\s*sensitive\\s*=\\s*true`` token-scan as
+    tf_sensitive_output_audit, so a commented-out flag does not count;
+    the table's own ``sensitive`` column is always NULL by reference
+    quirk, table_terraform_variable.go:226-233), a gap count (missing
+    type + missing description), and clean / needs_attention. A missing
+    default is reported but NOT a gap — required inputs are legitimate
+    interface design.
+
+    Scale: O(variable blocks) metadata, one projection over the wide
+    frame, no exchange, no join — embarrassingly parallel like the
+    settings audits."""
+    wide = _tf_corpus_engine(spark, "varhygiene").wide()
+    v = wide.filter(F.col("tf_table") == "terraform_variable").select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("file"),
+        "name",
+        F.col("type").isNotNull().alias("has_type"),
+        F.col("default_value").isNotNull().alias("has_default"),
+        F.col("description").isNotNull().alias("has_description"),
+        F.col("source")
+        .rlike("(?m)^\\s*sensitive\\s*=\\s*true")
+        .alias("is_sensitive"),
+    )
+    gaps = (~F.col("has_type")).cast("long") + (
+        ~F.col("has_description")
+    ).cast("long")
+    return v.withColumn("n_gaps", gaps).withColumn(
+        "status",
+        F.when(F.col("n_gaps") == 0, F.lit("clean")).otherwise(
+            F.lit("needs_attention")
+        ),
+    )
+
+
+# the threshold CTE wraps the PROMOTED docs_bigram_logprob oracle verbatim
+# (composed from ORACLES at module load — zero text duplication, so the
+# two entries cannot drift), then replays the log-bucket sketch with the
+# verbatim-shared sketch.logbucket_expr text
+_PPL_BUCKETS_SQL = f"""
+    WITH lp AS ({{inner}}),
+    sc AS (SELECT doc_id,
+                  CAST(floor(-mean_logprob * 10000 + 0.5) AS BIGINT) v
+           FROM lp),
+    b AS (SELECT {sketch.logbucket_expr('v', 8)} AS lb,
+                 CAST(count(*) AS BIGINT) cnt
+          FROM sc GROUP BY 1),
+    cu AS (SELECT lb, CAST(sum(cnt) OVER (ORDER BY lb) AS BIGINT) cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) n FROM b),
+    qe AS (SELECT q_pct, min(lb) AS est
+           FROM cu, (VALUES (33), (66)) qs(q_pct)
+           WHERE cum * 100 >= q_pct * n GROUP BY q_pct),
+    th AS (SELECT max(CASE WHEN q_pct = 33 THEN est END) t33,
+                  max(CASE WHEN q_pct = 66 THEN est END) t66 FROM qe)
+    SELECT sc.doc_id, sc.v AS nll_e4,
+           CASE WHEN sc.v <= th.t33 THEN 'head'
+                WHEN sc.v <= th.t66 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM sc CROSS JOIN th
+""".replace("{inner}", ORACLES["docs_bigram_logprob"])
+
+
+@staged_query("docs_perplexity_buckets", oracle=_PPL_BUCKETS_SQL)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split by language-model score
+    (Wenzek et al. 2020: bucket a corpus by LM perplexity tertiles, then
+    sample by bucket): per document, the integer negative mean bigram
+    logprob (1e-4 grid, so -mean·10⁴ is exactly representable and the
+    snap recovers the integer) and its tertile bucket. The tertile
+    THRESHOLDS come from the mergeable log-bucket sketch — NOT a global
+    rank: ranking N documents needs a global sort, while the sketch's
+    exchange carries ≤ ~1.9k bucket rows regardless of N and the bucket
+    assignment is then a per-row comparison against a broadcast 1-row
+    threshold frame. Head = most fluent (lowest NLL). Oracle composes
+    the PROMOTED bigram-logprob oracle verbatim inside a CTE (zero
+    duplication) with the verbatim-shared logbucket expression text.
+    m=8 (top 9 significant bits) because NLL scores cluster tightly —
+    at m=5 a narrow score distribution collapses the tertiles onto a
+    couple of bucket edges; 2⁻⁸ = 0.39 % value error keeps the split
+    near 33/33/33 while the sketch stays ≤ ~14k rows, N-independent.
+
+    Scale: the score pass is docs_bigram_logprob's vocab-sized joins
+    and executes twice (sketch feed + assignment) because the entry
+    stays pure-declarative — a production run checkpoints the score
+    frame between the passes; everything after is sketch-sized — the
+    bounded-error escape from rank-tertiles' global sort."""
+    lp = text.bigram_logprob(_t(spark, sf_dir, "documents"))
+    sc = lp.select(
+        "doc_id",
+        F.expr("CAST(floor(-mean_logprob * 10000 + 0.5) AS BIGINT)").alias(
+            "nll_e4"
+        ),
+    )
+    sk = sketch.logsketch(sc, "nll_e4", m=8)
+    th = sketch.logsketch_quantiles(sk, [33, 66]).agg(
+        F.max(F.when(F.col("q_pct") == 33, F.col("est"))).alias("t33"),
+        F.max(F.when(F.col("q_pct") == 66, F.col("est"))).alias("t66"),
+    )
+    return sc.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "nll_e4",
+        F.when(F.col("nll_e4") <= F.col("t33"), F.lit("head"))
+        .when(F.col("nll_e4") <= F.col("t66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

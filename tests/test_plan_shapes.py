@@ -1184,3 +1184,28 @@ def test_pipeline_funnel_counter_rollup(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+def test_variable_hygiene_shuffle_free(spark):
+    # variable metadata lint: one projection over the parsed wide frame
+    # — no exchange, no join (the MapInPandas is the HCL parse itself)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_variable_hygiene"](spark, SF))
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_perplexity_buckets_no_global_sort(spark):
+    # the whole point vs rank-tertiles: thresholds come from the
+    # mergeable sketch, so there must be NO global sort and no Window
+    # over the document frame (the single Window is over the ≤1.9k-row
+    # sketch); broadcast joins only
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_perplexity_buckets"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") == 1

@@ -467,3 +467,69 @@ def test_pipeline_funnel_matches_curation_survivors(spark):
             r["n_dropped"] * 10000 // r["n_in"] if r["n_in"] else 0
         )
         assert r["drop_bp"] == want_bp
+
+
+def test_variable_hygiene_pure_python_reference(spark):
+    """tf_variable_hygiene vs a crude regex scanner over the fixture
+    corpus (block-body extraction by brace matching on the corpus's
+    pinned one-level shapes) — independent of the HCL parser and the
+    golden rows."""
+    import pathlib
+    import re
+
+    fix = pathlib.Path(__file__).resolve().parent / "fixtures" / "varhygiene"
+    want = set()
+    for p in sorted(fix.glob("*.tf")):
+        for name, body in re.findall(
+            r'(?m)^variable\s*"(\w+)"\s*\{([^}]*(?:\{[^}]*\}[^}]*)*)\}',
+            p.read_text(),
+        ):
+            has_type = bool(re.search(r"(?m)^\s*type\s*=", body))
+            has_default = bool(re.search(r"(?m)^\s*default\s*=", body))
+            has_desc = bool(re.search(r"(?m)^\s*description\s*=", body))
+            sens = bool(re.search(r"(?m)^\s*sensitive\s*=\s*true", body))
+            n_gaps = (not has_type) + (not has_desc)
+            want.add(
+                (p.name, name, has_type, has_default, has_desc, sens,
+                 n_gaps, "clean" if n_gaps == 0 else "needs_attention")
+            )
+    got = {
+        (r["file"], r["name"], r["has_type"], r["has_default"],
+         r["has_description"], r["is_sensitive"], r["n_gaps"], r["status"])
+        for r in _staged(spark, "tf_variable_hygiene").collect()
+    }
+    assert got == want
+
+
+def test_perplexity_buckets_internal_consistency(spark):
+    """docs_perplexity_buckets: bucket assignment must be monotone in
+    nll_e4 (every head score <= every middle score <= every tail score),
+    cover exactly the bigram-scored docs, and the head/middle cut must
+    sit within ONE sketch bucket of the true 33rd-percentile value —
+    the honest guarantee: the threshold is the LOWER BOUND of the
+    m=8 log-bucket holding rank ceil(0.33·N), so lb <= true_q33 <
+    lb + bucket_width (counts can deviate by the mass inside that one
+    bucket; values cannot)."""
+    from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+    rows = _staged(spark, "docs_perplexity_buckets").collect()
+    scored = QUERIES["docs_bigram_logprob"](spark, SF_DIR).count()
+    assert len(rows) == scored
+    by = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by[r["ppl_bucket"]].append(r["nll_e4"])
+    assert by["head"], "head bucket empty"
+    if by["middle"]:
+        assert max(by["head"]) <= min(by["middle"])
+    if by["tail"]:
+        base = by["middle"] or by["head"]
+        assert max(base) <= min(by["tail"])
+    vs = sorted(r["nll_e4"] for r in rows)
+    n = len(vs)
+    true_q33 = vs[-(-33 * n // 100) - 1]
+    t33 = max(by["head"])  # the cut the entry actually applied
+    width = (
+        1 if true_q33 < (1 << 8)
+        else 1 << max(true_q33.bit_length() - 1 - 8, 0)
+    )
+    assert t33 <= true_q33 < t33 + 2 * width
