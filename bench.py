@@ -170,6 +170,7 @@ EXTENDED = [
     "stream_state_serial_watch",
     "emb_cluster_quality",
     "docs_pipeline_funnel",
+    # r15-wave starter entries (drafted in r10)
     "tf_variable_hygiene",
     "docs_perplexity_buckets",
 ]

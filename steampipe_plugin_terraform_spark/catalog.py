@@ -10939,7 +10939,13 @@ def _settings_frame(spark: SparkSession, corpus: str) -> DataFrame:
     """The engine-internal ``terraform_settings`` rows of a fixture
     corpus, projected to (file, arguments-JSON extractions used by the
     settings audits). Shared by the r14 settings-surface wave."""
-    wide = _tf_corpus_engine(spark, corpus).wide()
+    return _settings_wide(_tf_corpus_engine(spark, corpus).wide())
+
+
+def _settings_wide(wide: DataFrame) -> DataFrame:
+    """``_settings_frame`` over an ALREADY-BUILT wide frame — for
+    entries that also read other row kinds from the same corpus and
+    must not parse it through a second engine."""
     return wide.filter(F.col("tf_table") == "terraform_settings").select(
         F.regexp_extract("path", "([^/]+)$", 1).alias("file"),
         F.get_json_object("arguments", "$.required_version").alias("req_ver"),
@@ -11206,7 +11212,7 @@ def tf_backend_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
        'constrained_in_use'),
       ('google',  CAST(NULL AS VARCHAR),  true,  1::BIGINT,
        'unconstrained_in_use'),
-      ('random',  '>= 3.0',               false, 1::BIGINT,
+      ('random',  '>= 3.0,>= 3.5',        false, 1::BIGINT,
        'constrained_in_use')
     ) t(name, version_constraint, configured, n_resources, status)
     """,
@@ -11219,7 +11225,12 @@ def tf_provider_version_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     device), whether a ``provider`` block configures it, and how many
     resources use it (provider inferred from the resource type's
     leading segment — ``aws_instance`` → ``aws``, the registry's own
-    naming contract). Status: ``constrained_in_use`` (constraint +
+    naming contract). A provider declared in MORE THAN ONE terraform
+    block aggregates to one row: version_constraint is the sorted
+    comma-join of the distinct declared constraints (Terraform itself
+    intersects them; the audit surfaces all of them), NULL when no
+    declaration carries a version. All three surfaces read ONE wide
+    frame — one corpus parse, not one engine per surface. Status: ``constrained_in_use`` (constraint +
     configured-or-used), ``unconstrained_in_use`` (in use with no
     version constraint — the upgrade time-bomb ``terraform init
     -upgrade`` detonates), ``unused_constraint`` (constraint pinning a
@@ -11231,9 +11242,16 @@ def tf_provider_version_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     force one, which is why the spine is built by union instead). At
     100 TB of config the spine is still provider-name-sized."""
     wide = _tf_corpus_engine(spark, "providermatrix").wide()
-    st = _settings_frame(spark, "providermatrix")
-    declared = _required_provider_entries(st).select(
-        "name", "version_constraint"
+    st = _settings_wide(wide)
+    declared = (
+        _required_provider_entries(st)
+        .groupBy("name")
+        .agg(
+            F.expr(
+                "NULLIF(concat_ws(',', array_sort("
+                "collect_set(version_constraint))), '')"
+            ).alias("version_constraint")
+        )
     )
     configured = (
         wide.filter(F.col("tf_table") == "terraform_provider")
@@ -11379,9 +11397,11 @@ def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the metrics CTE below is the same text as docs_curation_pipeline's `m`
-# (promoted r6 — left byte-identical there; unify into one shared constant
-# when that entry next rotates through a validation window)
+# the metrics CTE below carries the same quality/lang expressions as
+# docs_curation_pipeline's `m` (promoted — left untouched there) MINUS
+# its n_tokens column, which the funnel does not need; if the curation
+# entry ever rotates through a validation window, unify the shared
+# expressions into one constant then
 _PIPELINE_FUNNEL_SQL = (
     "WITH RECURSIVE "
     + _SHINGLE_CTE.split("WITH", 1)[1]

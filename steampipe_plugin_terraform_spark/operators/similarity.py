@@ -1771,13 +1771,18 @@ def cluster_quality(
         "cid INT, cv ARRAY<DOUBLE>",
     )
 
-    def _dot(a: str, b: str) -> str:
+    # string-SQL siblings of the module-level Column helpers `_dot`/
+    # `_norm` (distinct names — no shadowing): these compose into ONE
+    # embedded expression text, and both operands are pre-cast DOUBLE
+    # arrays so the per-element casts the Column form carries are
+    # redundant here
+    def _dot_txt(a: str, b: str) -> str:
         return f"aggregate(zip_with({a},{b},(x,y)->x*y), 0D, (s,x)->s+x)"
 
     def _d2e4(a: str, b: str) -> str:
         return (
-            f"CAST(floor(({_dot(a, a)} - 2*{_dot(a, b)} + {_dot(b, b)}) "
-            f"* 10000 + 0.5) AS BIGINT)"
+            f"CAST(floor(({_dot_txt(a, a)} - 2*{_dot_txt(a, b)} "
+            f"+ {_dot_txt(b, b)}) * 10000 + 0.5) AS BIGINT)"
         )
 
     per_vec = (

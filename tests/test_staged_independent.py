@@ -353,7 +353,7 @@ def test_provider_matrix_pure_python_reference(spark):
     fix = (
         pathlib.Path(__file__).resolve().parent / "fixtures" / "providermatrix"
     )
-    declared: dict[str, str | None] = {}
+    declared: dict[str, set[str]] = {}
     configured: set[str] = set()
     used: collections.Counter = collections.Counter()
     for p in sorted(fix.glob("*.tf")):
@@ -367,12 +367,14 @@ def test_provider_matrix_pure_python_reference(spark):
                 r'(?m)^\s*(\w+)\s*=\s*"([^"]*)"', body
             ):
                 if name not in ("source", "version"):
-                    declared[name] = constraint
+                    declared.setdefault(name, set()).add(constraint)
             for name, blk in re.findall(
                 r"(?m)^\s*(\w+)\s*=\s*\{([^}]*)\}", body, flags=re.S
             ):
                 ver = re.search(r'version\s*=\s*"([^"]*)"', blk)
-                declared[name] = ver.group(1) if ver else None
+                decls = declared.setdefault(name, set())
+                if ver:
+                    decls.add(ver.group(1))
         for name in re.findall(r'(?m)^provider\s*"(\w+)"', text):
             configured.add(name)
         for rtype in re.findall(r'(?m)^resource\s*"(\w+)"', text):
@@ -380,7 +382,7 @@ def test_provider_matrix_pure_python_reference(spark):
     names = set(declared) | configured | set(used)
     want = set()
     for n in sorted(names):
-        vc = declared.get(n)
+        vc = ",".join(sorted(declared.get(n, set()))) or None
         conf = n in configured
         n_res = used.get(n, 0)
         if vc is not None and (conf or n_res > 0):
