@@ -173,6 +173,7 @@ EXTENDED = [
     # r15-wave starter entries (drafted in r10)
     "tf_variable_hygiene",
     "docs_perplexity_buckets",
+    "stream_docs_pipeline_funnel",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -11655,3 +11655,68 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+# the oracle IS the batch funnel SQL, shared verbatim — the driver then
+# checks the stream≡batch identity itself (the strongest oracle form for
+# a streaming leg, same device as stream_bitmap_distinct / scd2_merge)
+@staged_query("stream_docs_pipeline_funnel", oracle=_PIPELINE_FUNNEL_SQL)
+def stream_docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leg of docs_pipeline_funnel: documents ARRIVE (crawl
+    shards landing in object storage) and the funnel counters update as
+    they stream through — the live curation dashboard. The gate flags
+    are stateless per-document expressions fused into the streaming
+    projection; the canonicality gate is a stream-static broadcast join
+    against the batch dup-id set (the production pattern: dedup state
+    is maintained batch-side, the stream consults it); running state is
+    ONE row of four counters (global streaming aggregate, complete
+    mode — counts are monotone merges, no watermark needed). The 3-row
+    stage stack and drop rates are computed batch-side from the drained
+    counters. Oracle = the batch funnel SQL verbatim, so the driver
+    checks the stream≡batch identity itself.
+
+    Scale: state is four longs regardless of stream volume; each
+    micro-batch contributes map-side partial counters — the same
+    counter roll-up shape as the batch entry, incrementalized."""
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    dups = (
+        _dedup_cluster_map(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(True))
+    )
+    flags = src.select(
+        "doc_id",
+        text.lang_pred_expr("text").alias("pl"),
+        text.quality_expr("text").alias("q"),
+    ).join(F.broadcast(dups), "doc_id", "left")
+    g1 = F.col("pl") == "en"
+    g2 = g1 & (F.col("q") >= 0.5)
+    g3 = g2 & F.col("is_dup").isNull()
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(g1.cast("long")).cast("long").alias("n1"),
+        F.sum(g2.cast("long")).cast("long").alias("n2"),
+        F.sum(g3.cast("long")).cast("long").alias("n3"),
+    )
+    t = _drain_memory_sink(
+        spark, agg, "stream_docs_pipeline_funnel", "complete"
+    )
+    s = t.selectExpr(
+        "stack(3, 'lang_en', n0, n1, 'quality_ge_05', n1, n2, "
+        "'dedup_canonical', n2, n3) AS (stage, n_in, n_out)"
+    )
+    return s.select(
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.expr(
+            "CAST(COALESCE((n_in - n_out) * 10000 DIV NULLIF(n_in, 0), 0) "
+            "AS BIGINT)"
+        ).alias("drop_bp"),
+    )

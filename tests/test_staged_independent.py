@@ -535,3 +535,20 @@ def test_perplexity_buckets_internal_consistency(spark):
         else 1 << max(true_q33.bit_length() - 1 - 8, 0)
     )
     assert t33 <= true_q33 < t33 + 2 * width
+
+
+def test_stream_funnel_equals_batch_funnel(spark):
+    """stream_docs_pipeline_funnel ≡ docs_pipeline_funnel row-for-row:
+    the streaming counter state machine must converge to the batch
+    answer (the engine-identity pattern — both entries share gate
+    semantics by construction, so any divergence is a streaming-state
+    bug, not a semantics choice)."""
+    batch = {
+        r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"], r["drop_bp"])
+        for r in _staged(spark, "docs_pipeline_funnel").collect()
+    }
+    streamed = {
+        r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"], r["drop_bp"])
+        for r in _staged(spark, "stream_docs_pipeline_funnel").collect()
+    }
+    assert streamed == batch
