@@ -552,3 +552,156 @@ def test_stream_funnel_equals_batch_funnel(spark):
         for r in _staged(spark, "stream_docs_pipeline_funnel").collect()
     }
     assert streamed == batch
+
+
+# --- r11-wave tf audits: extend the round-10 independent-scanner device
+# to the three entries promoting next round (they predate it) -------------
+
+def _hcl_blocks(text):
+    """Crude top-level block extractor for the pinned fixture shapes:
+    yields (block_type, labels, source) where source spans the header
+    line through the matching close brace (the engine's `source` column
+    span), via depth counting — no HCL machinery shared with the
+    entries."""
+    import re
+
+    out = []
+    for m in re.finditer(
+        r'(?m)^(resource|provider|variable|output|data|locals)'
+        r'((?:\s+"[^"]+")*)\s*\{', text
+    ):
+        labels = re.findall(r'"([^"]+)"', m.group(2))
+        depth, i = 1, m.end()
+        while depth and i < len(text):
+            if text[i] == "{":
+                depth += 1
+            elif text[i] == "}":
+                depth -= 1
+            i += 1
+        out.append((m.group(1), labels, text[m.start():i]))
+    return out
+
+
+def _corpus_blocks(subdir):
+    import pathlib
+
+    fix = pathlib.Path(__file__).resolve().parent / "fixtures" / subdir
+    blocks = []
+    for p in sorted(fix.glob("*.tf")):
+        blocks += _hcl_blocks(p.read_text())
+    return blocks
+
+
+def test_reference_graph_pure_python_reference(spark):
+    """tf_resource_reference_graph vs a regex scan over the corpus:
+    same token shape + left boundary, same declared-address inner
+    join as the disambiguator (prose like docs.example.com and
+    var.* traversals match the shape but no declared address), same
+    occurrence counting and self-edge exclusion."""
+    import collections
+    import re
+
+    blocks = _corpus_blocks("graph")
+    declared = set()
+    for bt, labels, _src in blocks:
+        if bt == "resource" and len(labels) == 2:
+            declared.add(f"{labels[0]}.{labels[1]}")
+        elif bt == "data" and len(labels) == 2:
+            declared.add(f"data.{labels[0]}.{labels[1]}")
+    tok = re.compile(
+        r"(?<![A-Za-z0-9_.-])(?:data\.)?[a-z][a-z0-9_]*\."
+        r"[A-Za-z_][A-Za-z0-9_-]*"
+    )
+    want = collections.Counter()
+    for bt, labels, src in blocks:
+        if bt != "resource" or len(labels) != 2:
+            continue
+        src_addr = f"{labels[0]}.{labels[1]}"
+        for m in tok.finditer(src):
+            t = m.group(0)
+            if t in declared and t != src_addr:
+                want[(src_addr, t)] += 1
+    got = {
+        (r["src_address"], r["dst_address"]): r["n_refs"]
+        for r in _staged(spark, "tf_resource_reference_graph").collect()
+    }
+    assert got == dict(want)
+
+
+def test_sensitive_output_audit_pure_python_reference(spark):
+    """tf_sensitive_output_audit vs a scanner replay: anchored
+    sensitive detection on variable AND output sources, deduplicated
+    var refs per output, leak/ok_marked/clean rules."""
+    import re
+
+    blocks = _corpus_blocks("sensitive")
+    anchored = re.compile(r"(?m)^\s*sensitive\s*=\s*true")
+    var_tok = re.compile(r"(?<![A-Za-z0-9_.-])var\.([A-Za-z_][A-Za-z0-9_-]*)")
+    sens = {
+        labels[0]
+        for bt, labels, src in blocks
+        if bt == "variable" and anchored.search(src)
+    }
+    want = set()
+    for bt, labels, src in blocks:
+        if bt != "output":
+            continue
+        marked = bool(anchored.search(src))
+        refs = set(var_tok.findall(src))
+        hits = sorted(refs & sens)
+        n = len(hits)
+        status = (
+            "leak" if n and not marked
+            else "ok_marked" if n
+            else "clean"
+        )
+        want.add((labels[0], ",".join(hits), n, marked, status))
+    got = {
+        (r["output_name"], r["sensitive_vars"], r["n_sensitive_refs"],
+         r["sensitive_marked"], r["status"])
+        for r in _staged(spark, "tf_sensitive_output_audit").collect()
+    }
+    assert got == want
+
+
+def test_tags_inheritance_pure_python_reference(spark):
+    """tf_tags_inheritance_audit vs a scanner replay: default_tags key
+    extraction, explicit provider meta-arg routing vs type-prefix
+    default, own ∪ inherited key union, required = {Env, Owner}."""
+    import re
+
+    blocks = _corpus_blocks("tags")
+    providers = {}
+    for bt, labels, src in blocks:
+        if bt != "provider":
+            continue
+        alias = re.search(r'(?m)^\s*alias\s*=\s*"([^"]+)"', src)
+        dt = re.search(
+            r"default_tags\s*\{\s*tags\s*=\s*\{([^}]*)\}", src, flags=re.S
+        )
+        keys = set(re.findall(r"(?m)^\s*(\w+)\s*=", dt.group(1))) if dt else set()
+        providers[(labels[0], alias.group(1) if alias else None)] = keys
+    required = {"Env", "Owner"}
+    want = set()
+    for bt, labels, src in blocks:
+        if bt != "resource" or len(labels) != 2:
+            continue
+        rtype, rname = labels
+        own_m = re.search(r"(?m)^\s*tags\s*=\s*\{([^}]*)\}", src, flags=re.S)
+        own = set(re.findall(r"(?m)^\s*(\w+)\s*=", own_m.group(1))) if own_m else set()
+        pm = re.search(r"(?m)^\s*provider\s*=\s*(\w+)(?:\.(\w+))?", src)
+        pname = pm.group(1) if pm else rtype.split("_", 1)[0]
+        palias = pm.group(2) if pm else None
+        eff = sorted(own | providers.get((pname, palias), set()))
+        missing = sorted(required - set(eff))
+        want.add(
+            (f"{rtype}.{rname}", pname, palias, ",".join(eff),
+             ",".join(missing),
+             "compliant" if not missing else "violation")
+        )
+    got = {
+        (r["address"], r["provider_name"], r["provider_alias"],
+         r["effective_tag_keys"], r["missing_tags"], r["status"])
+        for r in _staged(spark, "tf_tags_inheritance_audit").collect()
+    }
+    assert got == want
