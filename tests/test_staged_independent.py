@@ -567,7 +567,7 @@ def _hcl_blocks(text):
 
     out = []
     for m in re.finditer(
-        r'(?m)^(resource|provider|variable|output|data|locals)'
+        r'(?m)^(resource|provider|variable|output|data|locals|module|terraform)'
         r'((?:\s+"[^"]+")*)\s*\{', text
     ):
         labels = re.findall(r'"([^"]+)"', m.group(2))
@@ -705,3 +705,92 @@ def test_tags_inheritance_pure_python_reference(spark):
         for r in _staged(spark, "tf_tags_inheritance_audit").collect()
     }
     assert got == want
+
+
+_BLOCK_TABLE = {
+    "resource": "terraform_resource",
+    "variable": "terraform_variable",
+    "locals": "terraform_local",
+    "output": "terraform_output",
+    "module": "terraform_module",
+    "provider": "terraform_provider",
+    "data": "terraform_data_source",
+    "terraform": "terraform_settings",
+}
+
+
+def test_unused_locals_pure_python_reference(spark):
+    """tf_unused_locals vs a scanner replay of the declarations-minus-
+    references device: refs counted per distinct NON-locals block (the
+    escape-point semantics — a local referenced only from another
+    locals block stays 'unused'), left-boundary local. tokens. The
+    parser-rendered `value` column is asserted non-null but not
+    re-rendered (that would share the renderer)."""
+    import re
+
+    blocks = _corpus_blocks("locals_usage")
+    tok = re.compile(
+        r"(?<![A-Za-z0-9_.-])local\.([A-Za-z_][A-Za-z0-9_-]*)"
+    )
+    declared = set()
+    for bt, _labels, src in blocks:
+        if bt == "locals":
+            body = src[src.index("{") + 1:]
+            declared |= set(re.findall(r"(?m)^\s*(\w+)\s*=", body))
+    counts = {n: 0 for n in declared}
+    for bt, _labels, src in blocks:
+        if bt == "locals":
+            continue
+        for n in set(tok.findall(src)):
+            if n in counts:
+                counts[n] += 1
+    rows = _staged(spark, "tf_unused_locals").collect()
+    got = {r["name"]: (r["n_ref_blocks"], r["status"]) for r in rows}
+    assert set(got) == declared
+    for n, c in counts.items():
+        assert got[n] == (c, "used" if c else "unused")
+    for r in rows:
+        assert r["value"] is not None
+
+
+def test_undeclared_references_pure_python_reference(spark):
+    """tf_undeclared_references vs a scanner replay: per kind, tokens
+    from every config block OUTSIDE the kind's declaring table, distinct
+    per block, minus the declared names of that kind; counts are
+    distinct referencing blocks."""
+    import collections
+    import re
+
+    blocks = _corpus_blocks("dangling")
+    kinds = {
+        "var": ("terraform_variable",
+                re.compile(r"(?<![A-Za-z0-9_.-])var\.([A-Za-z_][A-Za-z0-9_-]*)")),
+        "local": ("terraform_local",
+                  re.compile(r"(?<![A-Za-z0-9_.-])local\.([A-Za-z_][A-Za-z0-9_-]*)")),
+        "module": ("terraform_module",
+                   re.compile(r"(?<![A-Za-z0-9_.-])module\.([A-Za-z_][A-Za-z0-9_-]*)")),
+    }
+    declared = {
+        "var": set(), "local": set(), "module": set(),
+    }
+    for bt, labels, src in blocks:
+        if bt == "variable":
+            declared["var"].add(labels[0])
+        elif bt == "module":
+            declared["module"].add(labels[0])
+        elif bt == "locals":
+            body = src[src.index("{") + 1:]
+            declared["local"] |= set(re.findall(r"(?m)^\s*(\w+)\s*=", body))
+    want = collections.Counter()
+    for kind, (table, tok) in kinds.items():
+        for bt, _labels, src in blocks:
+            if _BLOCK_TABLE[bt] == table:
+                continue
+            for n in set(tok.findall(src)):
+                if n not in declared[kind]:
+                    want[(kind, n)] += 1
+    got = {
+        (r["kind"], r["ref_name"]): r["n_ref_blocks"]
+        for r in _staged(spark, "tf_undeclared_references").collect()
+    }
+    assert got == dict(want)
