@@ -11584,6 +11584,27 @@ def tf_variable_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (appId, corpus digest) -> persisted per-doc NLL score frame — the
+# perplexity-buckets entry reads it twice (sketch feed, then bucket
+# assignment); persisting makes both passes share ONE execution of the
+# bigram-LM chain, in-session (the production analog: checkpoint the
+# score table between the passes). test_entry_caches pins the reuse.
+_PPL_SCORE_CACHE: dict = {}
+
+
+def _ppl_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _PPL_SCORE_CACHE:
+        lp = text.bigram_logprob(_t(spark, sf_dir, "documents"))
+        _PPL_SCORE_CACHE[key] = lp.select(
+            "doc_id",
+            F.expr(
+                "CAST(floor(-mean_logprob * 10000 + 0.5) AS BIGINT)"
+            ).alias("nll_e4"),
+        ).persist()
+    return _PPL_SCORE_CACHE[key]
+
+
 # the threshold CTE wraps the PROMOTED docs_bigram_logprob oracle verbatim
 # (composed from ORACLES at module load — zero text duplication, so the
 # two entries cannot drift), then replays the log-bucket sketch with the
@@ -11630,18 +11651,14 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     couple of bucket edges; 2⁻⁸ = 0.39 % value error keeps the split
     near 33/33/33 while the sketch stays ≤ ~14k rows, N-independent.
 
-    Scale: the score pass is docs_bigram_logprob's vocab-sized joins
-    and executes twice (sketch feed + assignment) because the entry
-    stays pure-declarative — a production run checkpoints the score
-    frame between the passes; everything after is sketch-sized — the
-    bounded-error escape from rank-tertiles' global sort."""
-    lp = text.bigram_logprob(_t(spark, sf_dir, "documents"))
-    sc = lp.select(
-        "doc_id",
-        F.expr("CAST(floor(-mean_logprob * 10000 + 0.5) AS BIGINT)").alias(
-            "nll_e4"
-        ),
-    )
+    Scale: the score pass is docs_bigram_logprob's vocab-sized joins;
+    the sketch feed and the assignment both read it, so the entry
+    PERSISTS the per-doc score frame per (session, corpus) — one
+    execution of the LM chain serves both passes (the production
+    analog: checkpoint the score table between them); everything after
+    is sketch-sized — the bounded-error escape from rank-tertiles'
+    global sort."""
+    sc = _ppl_scores(spark, sf_dir)
     sk = sketch.logsketch(sc, "nll_e4", m=8)
     th = sketch.logsketch_quantiles(sk, [33, 66]).agg(
         F.max(F.when(F.col("q_pct") == 33, F.col("est"))).alias("t33"),
