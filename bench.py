@@ -174,6 +174,8 @@ EXTENDED = [
     "tf_variable_hygiene",
     "docs_perplexity_buckets",
     "stream_docs_pipeline_funnel",
+    "emb_ann_recall_curve",
+    "docs_dedup_rate_report",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

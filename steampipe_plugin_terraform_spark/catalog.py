@@ -11737,3 +11737,166 @@ def stream_docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("drop_bp"),
     )
+
+
+def _ivf_probe_parts(nprobe: int, tag: str) -> str:
+    """One (probe → score → rank) CTE triplet over the shared q/Lloyd
+    chain at the given nprobe, namespaced by ``tag`` — the recall curve
+    chains three of these behind ONE clustering replay."""
+    cos = _cos_sql
+    return ",\n    ".join(
+        [
+            f"pr{tag} AS (SELECT qid, cid AS bucket FROM ("
+            "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
+            f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c3 c) "
+            f"WHERE rn <= {nprobe})",
+            f"s{tag} AS (SELECT q.qid, af.nid, {cos('q.v', 'af.v')} AS cosine "
+            f"FROM pr{tag} JOIN q ON q.qid = pr{tag}.qid "
+            f"JOIN af ON af.bucket = pr{tag}.bucket)",
+            f"r{tag} AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() "
+            "OVER (PARTITION BY qid ORDER BY cosine DESC, nid) rank "
+            f"FROM s{tag}) WHERE rank <= 5)",
+            f"h{tag} AS (SELECT CAST(count(*) AS BIGINT) c "
+            f"FROM bf JOIN r{tag} ON r{tag}.qid = bf.qid AND r{tag}.nid = bf.nid)",
+        ]
+    )
+
+
+_RECALL_CURVE_SQL = f"""
+    WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] v
+               FROM embeddings WHERE vec_id < 10),
+    {",  ".join(_lloyd_parts("vec_id >= 10", 3, 64))},
+    bf AS (SELECT qid, nid FROM (
+        SELECT q.qid, e.nid, row_number() OVER (PARTITION BY q.qid ORDER BY
+            {_cos_sql('q.v', 'e.v')} DESC, e.nid) rnk
+        FROM q, e) WHERE rnk <= 5),
+    n AS (SELECT CAST(count(*) AS BIGINT) t FROM bf),
+    {_ivf_probe_parts(1, "p1")},
+    {_ivf_probe_parts(2, "p2")},
+    {_ivf_probe_parts(4, "p4")}
+    SELECT 1::BIGINT AS nprobe, hp1.c AS n_hits,
+           CAST(hp1.c * 10000 // n.t AS BIGINT) AS recall_bp FROM hp1, n
+    UNION ALL
+    SELECT 2::BIGINT, hp2.c, CAST(hp2.c * 10000 // n.t AS BIGINT) FROM hp2, n
+    UNION ALL
+    SELECT 4::BIGINT, hp4.c, CAST(hp4.c * 10000 // n.t AS BIGINT) FROM hp4, n
+"""
+
+
+@staged_query("emb_ann_recall_curve", oracle=_RECALL_CURVE_SQL)
+def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning report: recall@5 vs brute force at nprobe ∈
+    {1, 2, 4} in one entry — the curve an IVF deployment reads to pick
+    its latency/recall operating point (emb_ivf_recall gives one point;
+    tuning needs the shape). All three probe depths share ONE session
+    k-means and ONE brute-force ground truth; recall is hits·10⁴ DIV
+    |exact| (all-positive integer division). The oracle replays the
+    Lloyd chain once and chains three namespaced probe→score→rank CTE
+    triplets behind it.
+
+    Scale: ground truth is |Q|·N scored once (the documented
+    brute-force baseline shape); each curve point adds only a probe
+    ranking (|Q|·k) and a candidate scan of the probed buckets — the
+    curve costs little more than its deepest point, and nothing
+    recomputes the quantizer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    # ground truth is |Q|·k rows read by all three curve points — persist
+    # so the |Q|·N brute-force matmul runs once (the count() below
+    # materializes it); the approx sides are |Q|·k too, so broadcast the
+    # semi-joins rather than letting unknown-size stats pick an SMJ
+    exact = (
+        similarity.cosine_topk(queries, corpus, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.count()
+    assigned, centroids = _kmeans16(spark, sf_dir, "ge10")
+    out = None
+    for np_ in (1, 2, 4):
+        approx = similarity.ivf_topk(
+            queries, assigned, centroids, k=5, nprobe=np_
+        ).select("query_id", "neighbor_id")
+        point = (
+            exact.join(
+                F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_hits",
+                F.expr(f"CAST(n_hits * 10000 DIV {n_exact} AS BIGINT)").alias(
+                    "recall_bp"
+                ),
+            )
+        )
+        out = point if out is None else out.unionByName(point)
+    return out
+
+
+# the chain below reuses the dedup_clusters minhash→CC CTEs (same shared
+# _SHINGLE_CTE/_MINHASH_CAND_CTE constants); `csz` avoids the chain's own
+# `sz` (shingle sizes) CTE name
+_DEDUP_RATE_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE.split("WITH", 1)[1]
+    + """,
+    """ + _MINHASH_CAND_CTE + """,
+    pairs AS (SELECT c.id_a, c.id_b
+              FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+              JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+              WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8),
+    edges AS (SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    alln AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) cid
+             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    csz AS (SELECT cid, CAST(count(*) AS BIGINT) n FROM alln GROUP BY cid),
+    tot AS (SELECT CAST(count(*) AS BIGINT) nd FROM alln),
+    agg AS (SELECT CAST(count(*) AS BIGINT) nc, CAST(max(n) AS BIGINT) mx FROM csz)
+    SELECT tot.nd AS n_docs, agg.nc AS n_clusters,
+           tot.nd - agg.nc AS n_dup_docs,
+           CAST((tot.nd - agg.nc) * 10000 // tot.nd AS BIGINT) AS dup_rate_bp,
+           agg.mx AS max_cluster_size
+    FROM tot, agg
+    """
+)
+
+
+@staged_query("docs_dedup_rate_report", oracle=_DEDUP_RATE_SQL)
+def docs_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup run-report — the one-row summary a dedup pass
+    publishes next to its output (the sibling of docs_pipeline_funnel's
+    per-gate report): document count, near-dup cluster count, duplicate
+    document count (docs minus canonical — one canonical per cluster by
+    the least-id rule), the duplicate rate in basis points
+    (all-positive integer division), and the largest cluster (the
+    boilerplate-explosion smoke alarm). Reads the SHARED session
+    cluster map (`_dedup_cluster_map` — dedup_clusters / curation /
+    golden-record reuse the same build); the oracle replays the full
+    minhash→LSH→verify→CC chain and aggregates it.
+
+    Scale: one pass over the persisted map — a cluster-keyed count then
+    a one-row counter roll-up; nothing touches document text."""
+    m = _dedup_cluster_map(spark, sf_dir)
+    cs = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cs.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("n").alias("max_cluster_size"),
+    ).select(
+        "n_docs",
+        "n_clusters",
+        (F.col("n_docs") - F.col("n_clusters")).alias("n_dup_docs"),
+        F.expr(
+            "CAST((n_docs - n_clusters) * 10000 DIV n_docs AS BIGINT)"
+        ).alias("dup_rate_bp"),
+        "max_cluster_size",
+    )

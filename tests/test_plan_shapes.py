@@ -1209,3 +1209,27 @@ def test_perplexity_buckets_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Window") == 1
+
+def test_recall_curve_broadcast_and_cached_truth(spark):
+    # three curve points must share ONE materialized ground truth (3
+    # InMemoryTableScans of the persisted exact frame) and semi-join it
+    # by broadcast — unknown-size top-k stats would otherwise pick SMJ
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_ann_recall_curve"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("InMemoryTableScan") == 3
+
+
+def test_dedup_rate_report_counter_rollup(spark):
+    # one pass over the persisted cluster map: a cluster-keyed count,
+    # then a single one-row roll-up — nothing touches document text
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_dedup_rate_report"](spark, SF))
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -794,3 +794,45 @@ def test_undeclared_references_pure_python_reference(spark):
         for r in _staged(spark, "tf_undeclared_references").collect()
     }
     assert got == dict(want)
+
+
+def test_recall_curve_internal_consistency(spark):
+    """emb_ann_recall_curve: recall must be monotone non-decreasing in
+    nprobe (probing more buckets can only add candidates), hits bounded
+    by the ground-truth size, and recall_bp the integer division of the
+    row's own counters against |Q|·5."""
+    rows = {
+        r["nprobe"]: r
+        for r in _staged(spark, "emb_ann_recall_curve").collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id"])
+    n_q = sum(1 for v in emb["vec_id"].to_pylist() if v < 10)
+    n_exact = 5 * n_q
+    prev = -1
+    for np_ in (1, 2, 4):
+        r = rows[np_]
+        assert 0 <= r["n_hits"] <= n_exact
+        assert r["recall_bp"] == r["n_hits"] * 10000 // n_exact
+        assert r["n_hits"] >= prev
+        prev = r["n_hits"]
+
+
+def test_dedup_rate_report_matches_cluster_map(spark):
+    """docs_dedup_rate_report ≡ aggregates of the PROMOTED dedup_clusters
+    entry's own rows (shared map by construction — any divergence is an
+    aggregation bug)."""
+    import collections
+
+    from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+    clusters = QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    sizes = collections.Counter(r["cluster_id"] for r in clusters)
+    row = _staged(spark, "docs_dedup_rate_report").collect()[0]
+    assert row["n_docs"] == len(clusters)
+    assert row["n_clusters"] == len(sizes)
+    assert row["n_dup_docs"] == len(clusters) - len(sizes)
+    assert row["dup_rate_bp"] == (
+        (len(clusters) - len(sizes)) * 10000 // len(clusters)
+    )
+    assert row["max_cluster_size"] == max(sizes.values())
