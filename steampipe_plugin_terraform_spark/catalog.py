@@ -11802,16 +11802,24 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    # ground truth is |Q|·k rows read by all three curve points — persist
-    # so the |Q|·N brute-force matmul runs once (the count() below
-    # materializes it); the approx sides are |Q|·k too, so broadcast the
-    # semi-joins rather than letting unknown-size stats pick an SMJ
-    exact = (
+    # ground truth is ≤ |Q|·k rows by contract (vec_id < 10 queries, k=5)
+    # — the documented bounded-collect class: materialize it ONCE
+    # driver-side and re-emit as a local frame, so the |Q|·N brute-force
+    # matmul runs once for all three curve points. Deliberately NOT
+    # .persist(): a persisted plan lands in Spark's cache manager, which
+    # plan-matches the IDENTICAL cosine_topk subtree inside
+    # emb_pq_recall and silently rewrites THAT entry's pinned plan
+    # (cross-entry cache contamination — caught by the pq_recall plan
+    # pin when these entries run in one session).
+    exact_rows = (
         similarity.cosine_topk(queries, corpus, k=5)
         .select("query_id", "neighbor_id")
-        .persist()
+        .collect()
     )
-    n_exact = exact.count()
+    exact = spark.createDataFrame(
+        exact_rows, "query_id long, neighbor_id long"
+    )
+    n_exact = len(exact_rows)
     assigned, centroids = _kmeans16(spark, sf_dir, "ge10")
     out = None
     for np_ in (1, 2, 4):

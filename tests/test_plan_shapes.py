@@ -1210,17 +1210,22 @@ def test_perplexity_buckets_no_global_sort(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("Window") == 1
 
-def test_recall_curve_broadcast_and_cached_truth(spark):
-    # three curve points must share ONE materialized ground truth (3
-    # InMemoryTableScans of the persisted exact frame) and semi-join it
-    # by broadcast — unknown-size top-k stats would otherwise pick SMJ
+def test_recall_curve_broadcast_and_localized_truth(spark):
+    # three curve points share ONE ground truth, materialized by the
+    # bounded-collect device (NOT .persist(): a persisted plan would
+    # plan-match emb_pq_recall's identical cosine_topk subtree via the
+    # cache manager and rewrite THAT entry's pinned plan); semi-joins
+    # broadcast — unknown-size top-k stats would otherwise pick SMJ —
+    # and the brute-force cogroup must be absent from the final plan
+    # (it ran once at build time, driver-side bounded by |Q|*k)
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
     plan = _plan_df(STAGED_QUERIES["emb_ann_recall_curve"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert plan.count("InMemoryTableScan") == 3
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "InMemoryTableScan" not in plan
 
 
 def test_dedup_rate_report_counter_rollup(spark):
