@@ -6417,19 +6417,29 @@ def _lloyd2_parts(
     return parts
 
 
-def _ivf_cte(iters: int = 3, nprobe: int = 8, dim: int = 64) -> str:
+def _probe_score_parts(
+    nprobe: int, iters: int = 3, tag: str = ""
+) -> list[str]:
+    """The IVF probe→score CTE pair over the shared q/Lloyd chain —
+    ONE rendering used by ``_ivf_cte`` (tag="") and the recall curve's
+    tagged triplets, so the probe replay cannot fork."""
     cos = _cos_sql
+    return [
+        f"pr{tag} AS (SELECT qid, cid AS bucket FROM ("
+        "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
+        f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c{iters} c) WHERE rn <= {nprobe})",
+        f"s{tag} AS (SELECT q.qid, af.nid, {cos('q.v', 'af.v')} AS cosine "
+        f"FROM pr{tag} JOIN q ON q.qid = pr{tag}.qid JOIN af ON af.bucket = pr{tag}.bucket)",
+    ]
 
+
+def _ivf_cte(iters: int = 3, nprobe: int = 8, dim: int = 64) -> str:
     parts = [
         "q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)"
     ]
     parts += _lloyd_parts("vec_id >= 10", iters, dim)
+    parts += _probe_score_parts(nprobe, iters)
     parts += [
-        "pr AS (SELECT qid, cid AS bucket FROM ("
-        "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
-        f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c{iters} c) WHERE rn <= {nprobe})",
-        f"s AS (SELECT q.qid, af.nid, {cos('q.v', 'af.v')} AS cosine "
-        "FROM pr JOIN q ON q.qid = pr.qid JOIN af ON af.bucket = pr.bucket)",
         "r AS (SELECT qid, nid, cosine, row_number() OVER "
         "(PARTITION BY qid ORDER BY cosine DESC, nid) rank FROM s)",
     ]
@@ -11465,6 +11475,57 @@ _PIPELINE_FUNNEL_SQL = (
 )
 
 
+def _funnel_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-canonical id sliver of the shared cluster map (broadcast
+    side of the funnel's dedup gate) — one rendering for the batch and
+    streaming funnels."""
+    return (
+        _dedup_cluster_map(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(True))
+    )
+
+
+def _funnel_counts(docs: DataFrame, dups: DataFrame) -> DataFrame:
+    """Gate flags fused into one projection + the 4-counter aggregate —
+    THE funnel semantics, defined once so the batch entry, the
+    streaming entry, and the shared oracle cannot fork: g1 = lang==en,
+    g2 = g1 ∧ quality≥0.5, g3 = g2 ∧ not-a-duplicate."""
+    flags = docs.select(
+        "doc_id",
+        text.lang_pred_expr("text").alias("pl"),
+        text.quality_expr("text").alias("q"),
+    ).join(F.broadcast(dups), "doc_id", "left")
+    g1 = F.col("pl") == "en"
+    g2 = g1 & (F.col("q") >= 0.5)
+    g3 = g2 & F.col("is_dup").isNull()
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(g1.cast("long")).cast("long").alias("n1"),
+        F.sum(g2.cast("long")).cast("long").alias("n2"),
+        F.sum(g3.cast("long")).cast("long").alias("n3"),
+    )
+
+
+def _funnel_report(t: DataFrame) -> DataFrame:
+    """3-row stage stack + drop rates from a (n0..n3) counter row."""
+    s = t.selectExpr(
+        "stack(3, 'lang_en', n0, n1, 'quality_ge_05', n1, n2, "
+        "'dedup_canonical', n2, n3) AS (stage, n_in, n_out)"
+    )
+    return s.select(
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.expr(
+            "CAST(COALESCE((n_in - n_out) * 10000 DIV NULLIF(n_in, 0), 0) "
+            "AS BIGINT)"
+        ).alias("drop_bp"),
+    )
+
+
 @staged_query("docs_pipeline_funnel", oracle=_PIPELINE_FUNNEL_SQL)
 def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation-pipeline FUNNEL report: how many documents each gate
@@ -11485,39 +11546,8 @@ def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_curation_pipeline — stage 3's survivor count IS that entry's
     row count, by construction."""
     docs = _t(spark, sf_dir, "documents")
-    dups = (
-        _dedup_cluster_map(spark, sf_dir)
-        .filter(~F.col("is_canonical"))
-        .select("doc_id")
-        .withColumn("is_dup", F.lit(True))
-    )
-    flags = docs.select(
-        "doc_id",
-        text.lang_pred_expr("text").alias("pl"),
-        text.quality_expr("text").alias("q"),
-    ).join(F.broadcast(dups), "doc_id", "left")
-    g1 = F.col("pl") == "en"
-    g2 = g1 & (F.col("q") >= 0.5)
-    g3 = g2 & F.col("is_dup").isNull()
-    t = flags.agg(
-        F.count(F.lit(1)).cast("long").alias("n0"),
-        F.sum(g1.cast("long")).cast("long").alias("n1"),
-        F.sum(g2.cast("long")).cast("long").alias("n2"),
-        F.sum(g3.cast("long")).cast("long").alias("n3"),
-    )
-    s = t.selectExpr(
-        "stack(3, 'lang_en', n0, n1, 'quality_ge_05', n1, n2, "
-        "'dedup_canonical', n2, n3) AS (stage, n_in, n_out)"
-    )
-    return s.select(
-        "stage",
-        "n_in",
-        "n_out",
-        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
-        F.expr(
-            "CAST(COALESCE((n_in - n_out) * 10000 DIV NULLIF(n_in, 0), 0) "
-            "AS BIGINT)"
-        ).alias("drop_bp"),
+    return _funnel_report(
+        _funnel_counts(docs, _funnel_dups(spark, sf_dir))
     )
 
 
@@ -11700,59 +11730,21 @@ def stream_docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    dups = (
-        _dedup_cluster_map(spark, sf_dir)
-        .filter(~F.col("is_canonical"))
-        .select("doc_id")
-        .withColumn("is_dup", F.lit(True))
-    )
-    flags = src.select(
-        "doc_id",
-        text.lang_pred_expr("text").alias("pl"),
-        text.quality_expr("text").alias("q"),
-    ).join(F.broadcast(dups), "doc_id", "left")
-    g1 = F.col("pl") == "en"
-    g2 = g1 & (F.col("q") >= 0.5)
-    g3 = g2 & F.col("is_dup").isNull()
-    agg = flags.agg(
-        F.count(F.lit(1)).cast("long").alias("n0"),
-        F.sum(g1.cast("long")).cast("long").alias("n1"),
-        F.sum(g2.cast("long")).cast("long").alias("n2"),
-        F.sum(g3.cast("long")).cast("long").alias("n3"),
-    )
+    agg = _funnel_counts(src, _funnel_dups(spark, sf_dir))
     t = _drain_memory_sink(
         spark, agg, "stream_docs_pipeline_funnel", "complete"
     )
-    s = t.selectExpr(
-        "stack(3, 'lang_en', n0, n1, 'quality_ge_05', n1, n2, "
-        "'dedup_canonical', n2, n3) AS (stage, n_in, n_out)"
-    )
-    return s.select(
-        "stage",
-        "n_in",
-        "n_out",
-        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
-        F.expr(
-            "CAST(COALESCE((n_in - n_out) * 10000 DIV NULLIF(n_in, 0), 0) "
-            "AS BIGINT)"
-        ).alias("drop_bp"),
-    )
+    return _funnel_report(t)
 
 
 def _ivf_probe_parts(nprobe: int, tag: str) -> str:
-    """One (probe → score → rank) CTE triplet over the shared q/Lloyd
-    chain at the given nprobe, namespaced by ``tag`` — the recall curve
-    chains three of these behind ONE clustering replay."""
-    cos = _cos_sql
+    """One (probe → score → rank → hits) CTE triplet at the given
+    nprobe, namespaced by ``tag`` — the probe/score pair is the SAME
+    ``_probe_score_parts`` rendering ``_ivf_cte`` embeds, so the recall
+    curve replays exactly the probe the IVF entries replay."""
     return ",\n    ".join(
-        [
-            f"pr{tag} AS (SELECT qid, cid AS bucket FROM ("
-            "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
-            f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c3 c) "
-            f"WHERE rn <= {nprobe})",
-            f"s{tag} AS (SELECT q.qid, af.nid, {cos('q.v', 'af.v')} AS cosine "
-            f"FROM pr{tag} JOIN q ON q.qid = pr{tag}.qid "
-            f"JOIN af ON af.bucket = pr{tag}.bucket)",
+        _probe_score_parts(nprobe, 3, tag)
+        + [
             f"r{tag} AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() "
             "OVER (PARTITION BY qid ORDER BY cosine DESC, nid) rank "
             f"FROM s{tag}) WHERE rank <= 5)",
@@ -11765,7 +11757,7 @@ def _ivf_probe_parts(nprobe: int, tag: str) -> str:
 _RECALL_CURVE_SQL = f"""
     WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] v
                FROM embeddings WHERE vec_id < 10),
-    {",  ".join(_lloyd_parts("vec_id >= 10", 3, 64))},
+    {_COARSE_PARTS},
     bf AS (SELECT qid, nid FROM (
         SELECT q.qid, e.nid, row_number() OVER (PARTITION BY q.qid ORDER BY
             {_cos_sql('q.v', 'e.v')} DESC, e.nid) rnk
