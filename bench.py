@@ -176,6 +176,8 @@ EXTENDED = [
     "stream_docs_pipeline_funnel",
     "emb_ann_recall_curve",
     "docs_dedup_rate_report",
+    # r16-wave starter (drafted in r10)
+    "tf_moved_blocks_audit",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

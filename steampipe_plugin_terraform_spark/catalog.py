@@ -11900,3 +11900,63 @@ def docs_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate_bp"),
         "max_cluster_size",
     )
+
+
+@staged_query(
+    "tf_moved_blocks_audit",
+    # golden rows from the dedicated corpus: a plain rename, a
+    # same-name retype, a module rename, and a resource pulled into a
+    # module — plus main.tf proving files without moved blocks
+    # contribute nothing
+    oracle="""
+    SELECT * FROM (VALUES
+      ('refactor.tf', 'aws_instance.a',    'aws_instance.b',
+       'rename'),
+      ('refactor.tf', 'aws_instance.web',  'aws_spot_instance.web',
+       'retype'),
+      ('refactor.tf', 'aws_s3_bucket.logs',
+       'module.storage.aws_s3_bucket.logs', 'into_module'),
+      ('refactor.tf', 'module.old_net',    'module.net',
+       'module_rename')
+    ) t(file, from_addr, to_addr, kind)
+    """,
+)
+def tf_moved_blocks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refactoring audit over ``moved`` blocks — pending state-address
+    migrations `terraform apply` will perform without destroying
+    anything. The reference's HCL schema recognizes the block
+    (utils.go:354-356) but declares no table for it, the same gap class
+    as the terraform settings block; the engine parses it into
+    engine-internal ``terraform_moved`` wide-frame rows (tfcore/
+    rows.py). One row per moved block: from/to addresses (traversals
+    render as ``${...}`` interpolations — stripped here) and a kind
+    classification — ``module_rename`` (both sides module addresses),
+    ``into_module`` (destination moved under a module), ``rename``
+    (same resource type), ``retype`` (type changed in place, the
+    provider-deprecation pattern). Pairs with tf_state_lineage_audit
+    and tf_plan_state_drift: those ask which state to trust and what
+    apply will change; this one explains address diffs that are
+    refactors, not drift.
+
+    Scale: O(moved blocks) metadata, per-row JSON extraction, no
+    exchange, no join — the settings-audit shape."""
+    wide = _tf_corpus_engine(spark, "moved").wide()
+    mv = wide.filter(F.col("tf_table") == "terraform_moved").select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("file"),
+        F.regexp_extract(
+            F.get_json_object("arguments", "$.from"), r"^\$\{(.*)\}$", 1
+        ).alias("from_addr"),
+        F.regexp_extract(
+            F.get_json_object("arguments", "$.to"), r"^\$\{(.*)\}$", 1
+        ).alias("to_addr"),
+    )
+    from_mod = F.col("from_addr").startswith("module.")
+    to_mod = F.col("to_addr").startswith("module.")
+    same_type = F.split("from_addr", "\\.")[0] == F.split("to_addr", "\\.")[0]
+    return mv.withColumn(
+        "kind",
+        F.when(from_mod & to_mod, F.lit("module_rename"))
+        .when(~from_mod & to_mod, F.lit("into_module"))
+        .when(same_type, F.lit("rename"))
+        .otherwise(F.lit("retype")),
+    )

@@ -226,6 +226,22 @@ def _config_rows(path: str, text: str) -> Iterable[dict[str, Any]]:
             row["source"] = _nz_str(src)
             row["arguments"] = _json_or_none_if_empty(blk.body)
             yield row
+        elif bt == "moved" and not blk.labels:
+            # moved block (refactoring rename: from/to addresses). The
+            # reference's HCL schema recognizes the block
+            # (utils.go:354-356) but declares no table for it — rows are
+            # engine-internal like ``terraform_settings``: carried in
+            # the wide frame (tf_table = 'terraform_moved') for the
+            # refactor audit, NOT projected into the seven public
+            # tables. Position/source share the first block's span per
+            # the getBlock first-match quirk.
+            row = _empty_row("terraform_moved", path)
+            start, end, src = pos.get("moved", [])
+            row["start_line"] = _nz_int(start)
+            row["end_line"] = _nz_int(end)
+            row["source"] = _nz_str(src)
+            row["arguments"] = _json_or_none_if_empty(blk.body)
+            yield row
         elif bt == "locals" and not blk.labels:
             start, end, src = pos.get("locals", [])
             for local_name, local_value in blk.body.items():

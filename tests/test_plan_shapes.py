@@ -1238,3 +1238,14 @@ def test_dedup_rate_report_counter_rollup(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+def test_moved_blocks_audit_shuffle_free(spark):
+    # refactor metadata: per-row JSON extraction over the parsed wide
+    # frame — the settings-audit contract: no exchange, no join
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_moved_blocks_audit"](spark, SF))
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct", "Generate"):
+        assert node not in plan

@@ -836,3 +836,35 @@ def test_dedup_rate_report_matches_cluster_map(spark):
         (len(clusters) - len(sizes)) * 10000 // len(clusters)
     )
     assert row["max_cluster_size"] == max(sizes.values())
+
+
+def test_moved_blocks_pure_python_reference(spark):
+    """tf_moved_blocks_audit vs a regex scanner over the fixture corpus:
+    from/to extraction and the four-way kind classification re-derived
+    without the HCL parser or the golden rows."""
+    import pathlib
+    import re
+
+    fix = pathlib.Path(__file__).resolve().parent / "fixtures" / "moved"
+    want = set()
+    for p in sorted(fix.glob("*.tf")):
+        for body in re.findall(
+            r"(?m)^moved\s*\{([^}]*)\}", p.read_text(), flags=re.S
+        ):
+            frm = re.search(r"from\s*=\s*([\w.\-]+)", body).group(1)
+            to = re.search(r"to\s*=\s*([\w.\-]+)", body).group(1)
+            f_mod, t_mod = frm.startswith("module."), to.startswith("module.")
+            if f_mod and t_mod:
+                kind = "module_rename"
+            elif t_mod:
+                kind = "into_module"
+            elif frm.split(".", 1)[0] == to.split(".", 1)[0]:
+                kind = "rename"
+            else:
+                kind = "retype"
+            want.add((p.name, frm, to, kind))
+    got = {
+        (r["file"], r["from_addr"], r["to_addr"], r["kind"])
+        for r in _staged(spark, "tf_moved_blocks_audit").collect()
+    }
+    assert got == want
