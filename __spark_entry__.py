@@ -28,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ROTATION POLICY (standing, from round 6; see round-6 comment in git
 # history for the full rationale). The driver's correctness gate checks
-# the first 50 queries() entries in dict order; the catalog holds 200, so
-# the horizon is ceil(200/50) = 4 rounds. Invariant: EVERY entry gets a
+# the first 50 queries() entries in dict order; the catalog holds 205, so
+# the horizon is ceil(205/50) = 5 rounds. Invariant: EVERY entry gets a
 # driver-green row within the horizon; window priority each round:
 #   1. entries changed or added this round (a stale green row proves
 #      nothing about them);
@@ -39,232 +39,241 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
 # the sf0.01 sweep (`make parity-sf001 parity-sf01`).
 #
-# Round-10 window (executes the r9 verdict's arithmetically-forced
-# rotation): positions 1-8 are the eight entries promoted from the r9
-# staging area (tf_module_pinning_audit, tf_plan_state_drift,
-# emb_ivf_incremental_topk, q_logsketch_merge, q_events_type_quantiles,
-# stream_quantile_logsketch, tf_unused_variables,
-# docs_benchmark_contamination) — never driver-checked, so rule 2 puts
-# them first; positions 9-50 are ALL 42 remaining entries whose last
-# driver row is r06 (the catalog is 200 after promotion, horizon
-# ceil(200/50) = 4, so r06 rows fall outside it at r10 — the exact list
-# tests/test_rotation.py::test_horizon_holds red-flagged the moment
-# CORRECTNESS_r09 landed). After the window: the 50 r07-green rows (due
-# r11 — front-load them there alongside the <=5 r11 promotions), then
-# r08-green, then the r09 window (newest rows last).
+# Round-11 window (executes the r10 verdict's pinned rotation):
+# positions 1-5 are the five entries promoted from the r10 staging area
+# (tf_resource_reference_graph, tf_sensitive_output_audit,
+# q_orders_incremental_rollup, emb_matryoshka_prefix_recall,
+# tf_tags_inheritance_audit) — never driver-checked, so rule 2 puts them
+# first; positions 6-50 are the 45 alphabetically-first r07 rows, pulled
+# EARLY (with catalog 205 the horizon widens to 5 rounds, so r07 rows
+# only become stale at r12 — front-loading 45 now leaves just 5 forced
+# in r12, keeping budget for the 6 r12-staged promotions). The r07
+# cohort is 50, not 49: q_approx_distinct's last driver row is r07
+# (rows-only green, CORRECTNESS_r07.json) — the r10 verdict's undercount
+# fix gives it a slot among the r12 leftovers below. After the window:
+# the 5 r07 leftovers (due r12), then r08-green, r09-green, and the
+# r10 window rows (newest last).
 _VALIDATE_FIRST = [
-    # -- r10 window: the eight entries promoted from the r9 staging area
+    # -- r11 window: the five entries promoted from the r10 staging area
     # (never driver-checked; rotation rule 2 puts them first) --
-    "tf_module_pinning_audit",
-    "tf_plan_state_drift",
-    "emb_ivf_incremental_topk",
-    "q_logsketch_merge",
-    "q_events_type_quantiles",
-    "stream_quantile_logsketch",
-    "tf_unused_variables",
-    "docs_benchmark_contamination",
-    # -- r10 window: ALL 42 remaining entries whose last driver row is
-    # r06 (the 4-round horizon forces them this round: floor = r07 —
-    # exactly the list test_horizon_holds red-flagged the moment
-    # CORRECTNESS_r09 landed) --
-    "docs_redact_pii",
-    "dedup_minhash_lsh",
-    "docs_curation_pipeline",
-    "emb_ivf_topk",
-    "emb_ivf_recall",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q_top3_orders_per_segment",
-    "q_rollup_revenue",
-    "q_cube_revenue",
-    "q_distinct_nations_per_segment",
-    "q_big_spenders_semi",
-    "q_value_percentiles",
-    "q_returns_exists",
-    "q_promo_revenue_ratio",
-    "q_small_quantity_revenue",
-    "q_customers_without_orders",
-    "q_custkeys_set_difference",
-    "q_brand_revenue",
-    "q_orders_running_total",
-    "q_grouping_sets",
-    "q_custkeys_intersect",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q_pivot_priority_by_segment",
-    "docs_pack_sequences",
-    "docs_repetition",
-    "docs_span_dedup",
-    "docs_unigram_logprob",
-    "docs_source_mix",
-    "emb_quantize_int8",
-    "docs_winnow_fingerprint",
-    "dedup_clusters",
-    "emb_cosine_topk",
-    "emb_lsh_topk",
-    "emb_lang_centroids",
-    "tf_resource_count_by_type",
-    "tf_resources",
-    "tf_outputs",
-    "media_metadata",
-    "media_frame_sample",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r07 (oldest first; after r10 the catalog is 200
-    # -> horizon ceil(200/50) = 4, so these come due in r11 — front-load
-    # them there alongside the <=5 r11 promotions) --
+    "tf_resource_reference_graph",
+    "tf_sensitive_output_audit",
+    "q_orders_incremental_rollup",
+    "emb_matryoshka_prefix_recall",
+    "tf_tags_inheritance_audit",
+    # -- r11 window: the 45 OLDEST r07 rows (alphabetical; pulled EARLY —
+    # with catalog 205 the horizon is ceil(205/50) = 5, so r07 rows only
+    # become stale at r12; front-loading 45 now leaves just the 5 below
+    # forced in r12, keeping budget for the 6 r12-staged promotions.
+    # Pinned in docs/OPERATORS.md (forward rotation plan). --
+    "dedup_edit_distance_pairs",
+    "dedup_tfidf_cosine_pairs",
     "docs_bm25_topk",
-    "q_events_theil_sen",
-    "q_approx_distinct",
-    "emb_cluster_balanced_sample",
-    "emb_curation_pipeline",
-    "q_events_funnel",
-    "q_events_retention_cohorts",
     "docs_epoch_shuffle",
     "docs_length_buckets",
-    "dedup_tfidf_cosine_pairs",
-    "emb_hard_negatives",
-    "emb_pq_topk",
     "docs_quality_quantile_filter",
-    "q_zorder_pruned_scan",
-    "stream_hourly_append_closed",
-    "q_salted_skew_join",
-    "q_events_trailing_30min",
-    "stream_foreachbatch_sink",
-    "emb_ivf_pq_topk",
-    "q_customer_supplier_pagerank",
-    "q_events_hourly_gapfill",
-    "q_unpivot_priority_counts",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q_events_ohlc",
-    "q_events_anomaly",
-    "emb_rp_reduce",
-    "docs_weighted_sample",
-    "q_events_ewma",
-    "q_orders_price_histogram",
     "docs_train_val_test_split",
-    "q_events_countmin",
+    "docs_weighted_sample",
+    "emb_cluster_balanced_sample",
+    "emb_curation_pipeline",
+    "emb_hard_negatives",
+    "emb_ivf_pq_topk",
+    "emb_pq_topk",
+    "emb_rp_reduce",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
     "q_customer_pareto",
-    "q_events_trend",
-    "q_events_transitions",
-    "stream_countmin_sketch",
-    "q_kmv_distinct",
-    "stream_hopping_counts",
-    "q_quantile_bottomk_sketch",
     "q_customer_skyline",
-    "q_orders_open_interval_sweep",
+    "q_customer_supplier_pagerank",
+    "q_events_anomaly",
+    "q_events_countmin",
     "q_events_cusum",
-    "q_events_time_weighted_value",
-    "q_partition_pruned_join",
-    "dedup_edit_distance_pairs",
-    "q_kmv_set_ops",
+    "q_events_ewma",
+    "q_events_funnel",
+    "q_events_hourly_gapfill",
     "q_events_mad_outliers",
-    "q_user_scd2_segments",
+    "q_events_ohlc",
+    "q_events_retention_cohorts",
     "q_events_sliding_distinct_users",
+    "q_events_theil_sen",
+    "q_events_time_weighted_value",
+    "q_events_trailing_30min",
+    "q_events_transitions",
+    "q_events_trend",
+    "q_kmv_distinct",
+    "q_kmv_set_ops",
+    "q_orders_open_interval_sweep",
+    "q_orders_price_histogram",
+    "q_partition_pruned_join",
+    "q_quantile_bottomk_sketch",
+    "q_salted_skew_join",
+    "q_unpivot_priority_counts",
+    "q_user_scd2_segments",
+    "q_zorder_pruned_scan",
     "stream_click_error_left_join",
-    # -- last driver row r08 --
-    "q_events_top_paths",
-    "q_weighted_median_price",
-    "q_orders_equidepth_histogram",
-    "q_basket_brand_lift",
-    "docs_bigram_logprob",
-    "dedup_linkage_clusters",
-    "q_events_ab_significance",
-    "dedup_lsh_recall",
-    "emb_dim_stats",
-    "q_events_cep_pattern",
-    "q_dq_audit",
-    "q_bloom_semi_join",
-    "q_orders_interval_merge",
-    "q_events_autocorr24",
-    "q_user_entropy",
-    "q_customer_gini",
-    "q_customer_rfm",
-    "q_nation_share_of_region",
-    "q_events_lateness_profile",
-    "media_ahash_pairs",
-    "q_fulfillment_latency",
-    "q_events_duplicate_payments",
-    "q_customer_activity_reconciliation",
-    "docs_chunk_overlap",
-    "q_part_triangles",
-    "stream_click_error_full_join",
-    "q_session_incident_overlap",
-    "q_orders_checksum",
-    "q_part_kcore",
-    "emb_nearest_centroid_label",
-    "tf_resource_provider_join",
-    "docs_k_anonymity",
-    "stream_record_highs",
-    "q_events_seasonal_anomaly",
-    "docs_novelty",
-    "q_join_size_cms_estimate",
+    # ---- 50-entry window boundary ----
+    # -- last driver row r07: the 5 leftovers, due r12 (the r07 cohort is
+    # 50 per the committed CORRECTNESS files — q_approx_distinct's last
+    # row is r07 rows-only green; the r10 verdict's undercount fix) --
+    "q_approx_distinct",
+    "stream_countmin_sketch",
+    "stream_foreachbatch_sink",
+    "stream_hopping_counts",
+    "stream_hourly_append_closed",
+    # -- last driver row r08 (due r13: 5 + 6 r12-promos = 11 slots used
+    # in r12, so 39 of these 50 get early slots there; recount at r12) --
     "dedup_golden_record",
-    "docs_leakage_safe_split",
-    "q_user_segment_asof_snapshot",
-    "q_orders_cohort_ltv",
-    "q_events_stickiness",
-    "emb_intra_class_outliers",
+    "dedup_linkage_clusters",
+    "dedup_lsh_recall",
+    "docs_bigram_logprob",
+    "docs_chunk_overlap",
+    "docs_k_anonymity",
     "docs_lang_confusion",
-    "tf_untagged_resources",
-    "q_events_moving_avg",
-    "q_stats_by_returnflag",
-    "q_ntile_acctbal_deciles",
+    "docs_leakage_safe_split",
+    "docs_novelty",
+    "emb_dim_stats",
+    "emb_intra_class_outliers",
+    "emb_nearest_centroid_label",
+    "media_ahash_pairs",
     "q4_priority_late_ship",
     "q6_forecast_revenue",
     "q8_market_share",
-    # -- last driver row r09 (newest rows; recheck last) --
-    "emb_two_level_topk",
-    "tf_config_state_drift",
-    "q_user_scd2_merge",
-    "q_quantile_logsketch",
-    "q9_profit_by_nation",
-    "q13_order_count_distribution",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q_incident_click_range_join",
-    "q12_priority_lines",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_quantity_suppliers",
-    "q_events_hourly",
-    "q_events_sessions",
-    "q_events_json_props",
-    "q_events_last_order_asof",
+    "q_basket_brand_lift",
+    "q_bloom_semi_join",
+    "q_customer_activity_reconciliation",
+    "q_customer_gini",
+    "q_customer_rfm",
+    "q_dq_audit",
+    "q_events_ab_significance",
+    "q_events_autocorr24",
+    "q_events_cep_pattern",
+    "q_events_duplicate_payments",
+    "q_events_lateness_profile",
+    "q_events_moving_avg",
+    "q_events_seasonal_anomaly",
+    "q_events_stickiness",
+    "q_events_top_paths",
+    "q_fulfillment_latency",
+    "q_join_size_cms_estimate",
+    "q_nation_share_of_region",
+    "q_ntile_acctbal_deciles",
+    "q_orders_checksum",
+    "q_orders_cohort_ltv",
+    "q_orders_equidepth_histogram",
+    "q_orders_interval_merge",
+    "q_part_kcore",
+    "q_part_triangles",
+    "q_session_incident_overlap",
+    "q_stats_by_returnflag",
+    "q_user_entropy",
+    "q_user_segment_asof_snapshot",
+    "q_weighted_median_price",
+    "stream_click_error_full_join",
+    "stream_record_highs",
+    "tf_resource_provider_join",
+    "tf_untagged_resources",
+    # -- last driver row r09 --
     "dedup_first_event",
-    "docs_stratified_sample",
-    "docs_temperature_sample",
-    "docs_contamination_screen",
-    "docs_fingerprint",
-    "docs_token_stats",
-    "docs_quality",
-    "docs_lang_id",
     "dedup_jaccard_pairs",
     "dedup_simhash",
+    "docs_bpe_tokens",
+    "docs_contamination_screen",
+    "docs_fingerprint",
+    "docs_lang_id",
+    "docs_quality",
+    "docs_semantic_dedup",
+    "docs_stratified_sample",
+    "docs_temperature_sample",
+    "docs_token_stats",
+    "docs_top_bigrams",
+    "docs_zscore_by_lang",
+    "emb_ivf_store_topk",
+    "emb_near_dup_pairs",
+    "emb_two_level_topk",
+    "media_byte_histogram",
+    "media_resize",
+    "q12_priority_lines",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_quantity_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q9_profit_by_nation",
+    "q_bucketed_cokey_join",
+    "q_events_daily_rollup",
+    "q_events_hourly",
+    "q_events_json_props",
+    "q_events_last_order_asof",
+    "q_events_sessions",
+    "q_incident_click_range_join",
+    "q_quantile_logsketch",
+    "q_user_scd2_merge",
+    "stream_click_error_join",
+    "stream_deduped_events",
     "stream_events_hourly",
     "stream_segment_enriched",
     "stream_sessions_per_user",
     "stream_user_running_totals",
-    "stream_deduped_events",
-    "stream_click_error_join",
-    "tf_modules",
-    "tf_variables",
-    "tf_locals",
-    "tf_providers",
+    "tf_config_state_drift",
     "tf_data_sources",
-    "media_resize",
-    "media_byte_histogram",
-    "docs_semantic_dedup",
-    "emb_ivf_store_topk",
-    "q_events_daily_rollup",
-    "q_bucketed_cokey_join",
-    "docs_zscore_by_lang",
-    "emb_near_dup_pairs",
-    "docs_bpe_tokens",
-    "docs_top_bigrams",
+    "tf_locals",
+    "tf_modules",
+    "tf_providers",
+    "tf_variables",
+    # -- last driver row r10 (newest rows; recheck last) --
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "docs_benchmark_contamination",
+    "docs_curation_pipeline",
+    "docs_pack_sequences",
+    "docs_redact_pii",
+    "docs_repetition",
+    "docs_source_mix",
+    "docs_span_dedup",
+    "docs_unigram_logprob",
+    "docs_winnow_fingerprint",
+    "emb_cosine_topk",
+    "emb_ivf_incremental_topk",
+    "emb_ivf_recall",
+    "emb_ivf_topk",
+    "emb_lang_centroids",
+    "emb_lsh_topk",
+    "emb_quantize_int8",
+    "media_frame_sample",
+    "media_metadata",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q7_volume_shipping",
+    "q_big_spenders_semi",
+    "q_brand_revenue",
+    "q_cube_revenue",
+    "q_custkeys_intersect",
+    "q_custkeys_set_difference",
+    "q_customers_without_orders",
+    "q_distinct_nations_per_segment",
+    "q_events_type_quantiles",
+    "q_grouping_sets",
+    "q_logsketch_merge",
+    "q_orders_running_total",
+    "q_pivot_priority_by_segment",
+    "q_promo_revenue_ratio",
+    "q_returns_exists",
+    "q_rollup_revenue",
+    "q_small_quantity_revenue",
+    "q_top3_orders_per_segment",
+    "q_value_percentiles",
+    "stream_quantile_logsketch",
+    "tf_module_pinning_audit",
+    "tf_outputs",
+    "tf_plan_state_drift",
+    "tf_resource_count_by_type",
+    "tf_resources",
+    "tf_unused_variables",
 ]
 
 

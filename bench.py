@@ -141,9 +141,8 @@ EXTENDED = [
     "stream_quantile_logsketch",
     "tf_unused_variables",
     "docs_benchmark_contamination",
-    # r11-wave staged entries (drafted in r9; resolved from
-    # STAGED_QUERIES until promoted — same baseline-before-promote
-    # protocol)
+    # staged in r9/r10, promoted in r11 — timed since staging, so
+    # promotion landed with a round-over-round perf baseline
     "tf_resource_reference_graph",
     "tf_sensitive_output_audit",
     "q_orders_incremental_rollup",

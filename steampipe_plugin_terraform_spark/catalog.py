@@ -9727,7 +9727,7 @@ def docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@staged_query(
+@query(
     "tf_resource_reference_graph",
     # golden edges from the dedicated corpus. Pinned behaviors: cross-file
     # edges (compute.tf -> network.tf), a data-source target
@@ -9804,7 +9804,7 @@ def tf_resource_reference_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@staged_query(
+@query(
     "tf_sensitive_output_audit",
     # golden rows: a leaking interpolation (connection_string embeds
     # var.db_password with no sensitive mark), two properly-marked
@@ -9884,7 +9884,7 @@ def tf_sensitive_output_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "q_orders_incremental_rollup",
     # the oracle IS the full recompute — the maintenance identity, like
     # the SCD2 merge / IVF incremental / logsketch merge entries: the
@@ -9963,7 +9963,7 @@ def _incremental_rollup_frame(orders: DataFrame, batch_pred) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "emb_matryoshka_prefix_recall",
     # both rankings replayed with the emb_cosine_topk device (_cos_sql
     # rounded score, id tiebreak); the prefix ranking scores DuckDB list
@@ -10053,7 +10053,7 @@ def _mrl_prefix_recall_frame(
     )
 
 
-@staged_query(
+@query(
     "tf_tags_inheritance_audit",
     # golden rows: inherited-only compliance (r2 has no tags argument at
     # all but the unaliased provider's default_tags cover it), merge of

@@ -5,9 +5,14 @@ the round-4 review flagged."""
 import re
 from pathlib import Path
 
-from steampipe_plugin_terraform_spark.catalog import ORACLES, QUERIES
+from steampipe_plugin_terraform_spark.catalog import (
+    ORACLES,
+    QUERIES,
+    STAGED_QUERIES,
+)
 
 DOC = Path(__file__).resolve().parents[1] / "docs" / "OPERATORS.md"
+README = Path(__file__).resolve().parents[1] / "README.md"
 
 
 def test_operators_md_lists_every_entry_with_correct_mark():
@@ -22,3 +27,25 @@ def test_operators_md_lists_every_entry_with_correct_mark():
         n for n, mark in rows.items() if (mark == "✓O") != (n in ORACLES)
     )
     assert not wrong, f"check mark disagrees with oracle presence: {wrong}"
+
+
+def test_readme_counts_match_catalog():
+    """README's catalog/staged counts must derive from the registries —
+    the r10 verdict caught the staged count drifting after a late-staged
+    entry (28 vs 29); this pins all three numbers to the code."""
+    text = README.read_text()
+    m = re.search(
+        r"catalog\s+(\d+) named queries, (\d+) with DuckDB oracle SQL", text
+    )
+    assert m, "README catalog-count line not found"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries; catalog has {len(QUERIES)}"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"README says {m.group(2)} oracled; catalog has {len(ORACLES)}"
+    )
+    s = re.search(r"plus (\d+) staged entries", text)
+    assert s, "README staged-count line not found"
+    assert int(s.group(1)) == len(STAGED_QUERIES), (
+        f"README says {s.group(1)} staged; registry has {len(STAGED_QUERIES)}"
+    )

@@ -854,9 +854,7 @@ def test_benchmark_contamination_broadcast_bench_pruned_scans(spark):
 def test_reference_graph_single_broadcast_join(spark):
     # token set vs declared-address set: metadata-sized sides, one
     # broadcast join — an SMJ or cartesian means the corpus shuffled
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["tf_resource_reference_graph"](spark, SF))
+    plan = _plan_df(QUERIES["tf_resource_reference_graph"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
@@ -864,9 +862,7 @@ def test_reference_graph_single_broadcast_join(spark):
 
 def test_sensitive_audit_single_broadcast_join(spark):
     # output refs vs sensitive-variable set: same metadata-join shape
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["tf_sensitive_output_audit"](spark, SF))
+    plan = _plan_df(QUERIES["tf_sensitive_output_audit"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
@@ -878,9 +874,7 @@ def test_incremental_rollup_no_join_pruned_scans(spark):
     # slice scans pruned to exactly the four needed order columns
     import re
 
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["q_orders_incremental_rollup"](spark, SF))
+    plan = _plan_df(QUERIES["q_orders_incremental_rollup"](spark, SF))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
@@ -899,9 +893,7 @@ def test_matryoshka_blocked_matmul_broadcast_overlap(spark):
     # two blocked-matmul rankings (one cogroup pass each), overlap and
     # fan-back joins both broadcast (top-k-sized sides) — an SMJ means a
     # ranking re-shuffled into the comparison
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["emb_matryoshka_prefix_recall"](spark, SF))
+    plan = _plan_df(QUERIES["emb_matryoshka_prefix_recall"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("FlatMapCoGroupsInPandas") == 2
@@ -911,9 +903,7 @@ def test_matryoshka_blocked_matmul_broadcast_overlap(spark):
 def test_tags_inheritance_single_broadcast_join(spark):
     # resource side vs O(files) provider blocks: one broadcast resolution
     # join, everything else per-row JSON projection
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["tf_tags_inheritance_audit"](spark, SF))
+    plan = _plan_df(QUERIES["tf_tags_inheritance_audit"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1

@@ -17,13 +17,16 @@ import collections
 
 import pyarrow.parquet as pq
 
-from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+from steampipe_plugin_terraform_spark.catalog import QUERIES, STAGED_QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _staged(spark, name):
-    return STAGED_QUERIES[name](spark, SF_DIR)
+    # Entries keep their independent scanner check after promotion —
+    # resolve from the staging registry first, then the main catalog.
+    fn = STAGED_QUERIES.get(name) or QUERIES[name]
+    return fn(spark, SF_DIR)
 
 
 def test_chi2_pure_python_reference(spark):
