@@ -177,6 +177,13 @@ EXTENDED = [
     "docs_dedup_rate_report",
     # r16-wave starter (drafted in r10)
     "tf_moved_blocks_audit",
+    # r16/r17-wave entries (drafted in r11)
+    "q_supplier_hhi",
+    "q_orders_benford",
+    "stream_benford_monitor",
+    "docs_tfidf_keywords",
+    "tf_provider_alias_orphans",
+    "emb_ivf_delete_maintenance",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

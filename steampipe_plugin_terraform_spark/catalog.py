@@ -11960,3 +11960,456 @@ def tf_moved_blocks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(same_type, F.lit("rename"))
         .otherwise(F.lit("retype")),
     )
+
+
+# ---------------------------------------------------------------------------
+# r16/r17 candidate wave (drafted in r11): same ⧖O contract — full Spark +
+# oracle, parity-run at both SFs, plan-pinned, independent non-oracle check
+# in tests/test_staged_independent.py, promoted only when a future round's
+# budget opens.
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "q_supplier_hhi",
+    # share_bp = rev·10⁴ DIV nation_rev on POSITIVE integers (truncation
+    # ≡ floor — the integer-division-parity device); HUGEINT headroom on
+    # the DuckDB side for the ·10⁴ product and the Σ share² sum, CAST
+    # back to BIGINT (hhi ≤ 10⁸ by construction: Σ share_bp ≤ 10⁴)
+    oracle="""
+    WITH srev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100 + 0.5) AS BIGINT)) AS BIGINT) rev_cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    ntot AS (
+      SELECT s_nationkey,
+             CAST(sum(rev_cents) AS BIGINT) nation_rev_cents,
+             CAST(count(*) AS BIGINT) n_suppliers
+      FROM srev GROUP BY 1),
+    shares AS (
+      SELECT r.s_nationkey, t.n_suppliers, t.nation_rev_cents,
+             CAST((r.rev_cents::HUGEINT * 10000) // t.nation_rev_cents
+                  AS BIGINT) share_bp
+      FROM srev r JOIN ntot t USING (s_nationkey))
+    SELECT n.n_name, sh.n_suppliers, sh.nation_rev_cents,
+           CAST(sum(sh.share_bp::HUGEINT * sh.share_bp) AS BIGINT) AS hhi_bp2
+    FROM shares sh JOIN nation n ON n.n_nationkey = sh.s_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    nation — the market-concentration member of the integer-exact
+    statistics family (χ², Gini, Pareto, entropy): per-supplier revenue
+    snaps to cents, each supplier's national share lands on the
+    basis-point grid via share_bp = rev·10⁴ DIV nation_rev (positive
+    integers, so Spark DIV ≡ DuckDB // ≡ floor), and the nation's HHI
+    is Σ share_bp² — 10⁸ = monopoly, →0 = atomized. No float division
+    anywhere; the only IEEE step is the shared cents snap.
+
+    Scale: supplier is a dim — the lineitem→supplier join broadcasts;
+    the single data shuffle is the keyed partial agg to (nation,
+    supplier) grain (~|suppliers| rows). The nation totals come from a
+    window over THAT agg-sized frame partitioned by nation (keyed, no
+    single-partition stage), and the final HHI regroup is nation-sized.
+    Scan prunes to (l_suppkey, l_extendedprice, l_discount)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    srev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    shares = (
+        srev.withColumn("nation_rev_cents", F.sum("rev_cents").over(w))
+        .withColumn("n_suppliers", F.count("*").over(w))
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 10000"
+                " DIV nation_rev_cents AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        shares.groupBy("s_nationkey", "n_suppliers", "nation_rev_cents")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(share_bp AS DECIMAL(38,0)) * share_bp)"
+                " AS BIGINT)"
+            ).alias("hhi_bp2")
+        )
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .select("n_name", "n_suppliers", "nation_rev_cents", "hhi_bp2")
+    )
+
+
+# floor(log10(1 + 1/d)·10⁶) for d = 1..9 — fixed public math, literal on
+# BOTH sides so no cross-engine log evaluation ever happens
+_BENFORD_E6 = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in enumerate(_BENFORD_E6, start=1)
+) + " END"
+
+
+@staged_query(
+    "q_orders_benford",
+    # observed share on the millionths grid via cnt·10⁶ DIV total
+    # (positive ints — truncation ≡ floor on both engines); the Benford
+    # expectation is a 9-constant literal CASE, identical on both sides
+    oracle=f"""
+    WITH c AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100
+                            + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) digit
+               FROM orders),
+    d AS (SELECT digit, CAST(count(*) AS BIGINT) n FROM c GROUP BY 1),
+    t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) total FROM d)
+    SELECT digit, n,
+           CAST((n::HUGEINT * 1000000) // total AS BIGINT) AS obs_e6,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_e6,
+           CAST((n::HUGEINT * 1000000) // total
+                - {_BENFORD_CASE} AS BIGINT) AS dev_e6
+    FROM t
+    """,
+)
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the data-quality screen auditors run on financial
+    columns (synthetic or hand-keyed values flunk it; organic
+    multiplicative ones pass). The total snaps to cents, the leading
+    digit comes from the decimal string (identical on both engines for
+    positive integers), observed shares land on the millionths grid via
+    n·10⁶ DIV total, and the Benford expectation floor(log10(1+1/d)·10⁶)
+    is a nine-constant literal CASE — no log evaluated in either engine,
+    so the deviation column is integer-exact.
+
+    Scale: one scan pruned to o_totalprice, one keyed partial agg to the
+    9-row digit frame; the grand-total window runs over those 9 rows —
+    the documented post-agg-tiny-frame exemption. n·10⁶ needs DECIMAL/
+    HUGEINT headroom past ~9·10¹² rows; both sides carry it."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)"
+            " AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    d = o.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    t = d.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    return t.select(
+        "digit",
+        "n",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"
+        ).alias("obs_e6"),
+        F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_e6"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV total"
+            f" - {_BENFORD_CASE} AS BIGINT)"
+        ).alias("dev_e6"),
+    )
+
+
+@staged_query(
+    "stream_benford_monitor",
+    # the watermark-free running-state leg: the oracle replays the SAME
+    # integer Benford report over the whole events table — stream≡batch
+    # identity, like stream_bitmap_distinct vs its batch leg
+    oracle=f"""
+    WITH c AS (SELECT event_type,
+                      CAST(substring(CAST(CAST(floor(value * 100 + 0.5)
+                             AS BIGINT) AS VARCHAR), 1, 1) AS INT) digit
+               FROM events),
+    d AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) n
+          FROM c GROUP BY 1, 2),
+    t AS (SELECT event_type, digit, n,
+                 CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) total
+          FROM d)
+    SELECT event_type, digit, n,
+           CAST((n::HUGEINT * 1000000) // total
+                - {_BENFORD_CASE} AS BIGINT) AS dev_e6
+    FROM t
+    """,
+)
+def stream_benford_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford drift monitor AS A STREAM — the production form of the
+    batch entry (`q_orders_benford`): a fraud/quality dashboard keeps a
+    running first-digit histogram per event type and alarms when the
+    deviation drifts. The running state is the (type, digit) count
+    table — ≤ #types × 9 longs regardless of stream length, so no
+    watermark is needed (state cannot grow past the digit space); each
+    micro-batch's counts ADD into state exactly like batch partial
+    counts merge across partitions. Complete-mode drain; the share and
+    deviation columns are answered batch-side from the drained counts
+    on the same integer grid as the batch leg.
+
+    Scale: keyed streaming agg (no single-partition stage); the drained
+    frame the report runs over is digit-space-sized. Value snap +
+    leading digit are per-row JVM expressions in the stream."""
+    from .streaming.events import read_events_stream
+
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(substring(CAST(CAST(floor(value * 100 + 0.5)"
+                " AS BIGINT) AS STRING), 1, 1) AS INT)"
+            ).alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sink = _drain_memory_sink(
+        spark, counts, "__stream_benford_monitor", "complete"
+    )
+    t = sink.withColumn(
+        "total", F.sum("n").over(Window.partitionBy("event_type"))
+    )
+    return t.select(
+        "event_type",
+        "digit",
+        "n",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV total"
+            f" - {_BENFORD_CASE} AS BIGINT)"
+        ).alias("dev_e6"),
+    )
+
+
+@staged_query(
+    "docs_tfidf_keywords",
+    # score_e6 = tf·10⁶ DIV df on positive ints (truncation ≡ floor);
+    # the rank is fully deterministic — (score desc, term asc) is a
+    # total order because (doc, term) is the tf grain
+    oracle="""
+    WITH tok AS (SELECT doc_id, t.term
+                 FROM documents, unnest(string_split(lower(text), ' ')) t(term)
+                 WHERE regexp_matches(t.term, '^[a-z0-9]+$')),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+           FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+    sc AS (SELECT f.doc_id, f.term, f.tf, d.df,
+                  CAST((f.tf::HUGEINT * 1000000) // d.df AS BIGINT) score_e6
+           FROM tf f JOIN dfreq d USING (term)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score_e6 DESC, term) rnk FROM sc)
+    SELECT doc_id, term, tf, df, score_e6, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf/df weighting —
+    the document-side application of the TF-IDF device the pairwise
+    cosine entry uses for dedup, here producing the per-doc keyword
+    lists a training-data pipeline feeds into topic routing and prompt
+    construction. Terms are lowercased space-split words filtered to
+    [a-z0-9]+ (byte-identical tokens on both engines), the score is
+    tf·10⁶ DIV df on the integer grid (linear inverse-df — no log, so
+    no cross-engine float), and the per-doc top-3 breaks ties by term
+    ascending (a total order: (doc, term) is the tf grain).
+
+    Scale: ONE corpus scan — the explode→(doc, term) partial agg is the
+    only corpus-sized shuffle, and df comes from a term-keyed COUNT
+    window OVER THE TF FRAME rather than a self-join (a groupBy-then-
+    join-back would make Catalyst re-scan and re-tokenize the corpus a
+    second time — measured in the plan; the window is one term-keyed
+    exchange of the already-aggregated frame and no join at all). The
+    per-doc top-3 then prunes via WindowGroupLimit before its shuffle."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term").rlike("^[a-z0-9]+$"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    sc = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+    ).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(
+            "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 DIV df AS BIGINT)"
+        ).alias("score_e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_e6", "rnk")
+    )
+
+
+@staged_query(
+    "tf_provider_alias_orphans",
+    # golden rows from the dedicated corpus, one resource per routing
+    # class: explicit alias that resolves (a), explicit alias with no
+    # matching block (b — the orphan terraform init/plan rejects),
+    # implicit default with an unaliased block (c), implicit default
+    # with NO blocks of that name at all (d — terraform synthesizes an
+    # empty config; normal), and implicit default where ONLY aliased
+    # blocks exist (e — legal but suspicious: every declared azurerm
+    # config is aliased, so the resource silently uses an empty default)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aws_instance.a',           'aws',     'west', 'ok_aliased'),
+      ('aws_instance.b',           'aws',     'east', 'orphan_alias'),
+      ('aws_s3_bucket.c',          'aws',     NULL,   'ok_default'),
+      ('azurerm_storage_account.e','azurerm', NULL,   'default_missing'),
+      ('google_storage_bucket.d',  'google',  NULL,   'implicit_default')
+    ) t(address, provider_name, provider_alias, status)
+    """,
+)
+def tf_provider_alias_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provider-routing audit — the config-hygiene question behind
+    `terraform providers`: which resources route to a provider
+    configuration that doesn't exist? Each config resource resolves by
+    the `tf_resource_provider_join` rule (explicit ``provider =
+    name.alias`` wins, else the type prefix implies the unaliased
+    default), then classifies: ``ok_aliased`` (explicit alias, block
+    exists), ``orphan_alias`` (explicit alias, NO matching block — the
+    reference your plan fails on), ``ok_default`` (implicit, unaliased
+    block declared), ``default_missing`` (implicit, but every declared
+    block of that name is aliased — legal, yet the resource silently
+    uses an empty default config while configured ones sit unused),
+    ``implicit_default`` (no blocks of that name at all — terraform
+    synthesizes an empty config; normal for zero-config providers).
+
+    Scale: provider blocks are O(files) — both the alias-resolution
+    join and the has-unaliased/has-any lookups broadcast; everything
+    else is per-row projection. Output is resource-sized."""
+    eng = _tf_corpus_engine(spark, "provideralias")
+    res = eng.table("terraform_resource").select(
+        "address",
+        F.coalesce(
+            F.regexp_extract(
+                "provider", r"^\$\{([A-Za-z0-9_-]+)(\.[A-Za-z0-9_-]+)?\}$", 1
+            ),
+            F.lit(""),
+        ).alias("p_raw"),
+        F.regexp_extract(
+            "provider", r"^\$\{[A-Za-z0-9_-]+\.([A-Za-z0-9_-]+)\}$", 1
+        ).alias("a_raw"),
+        F.split("type", "_")[0].alias("type_prefix"),
+    ).select(
+        "address",
+        F.when(F.col("p_raw") != "", F.col("p_raw"))
+        .otherwise(F.col("type_prefix"))
+        .alias("provider_name"),
+        F.when(F.col("a_raw") != "", F.col("a_raw")).alias("provider_alias"),
+    )
+    prov = (
+        eng.table("terraform_provider")
+        .groupBy(F.col("name").alias("provider_name"))
+        .agg(
+            F.max(F.col("alias").isNull().cast("int")).alias("has_unaliased"),
+            F.collect_set("alias").alias("aliases"),
+        )
+    )
+    joined = res.join(F.broadcast(prov), "provider_name", "left")
+    has_alias_block = F.array_contains(
+        F.coalesce(F.col("aliases"), F.expr("array()")),
+        F.col("provider_alias"),
+    )
+    return joined.select(
+        "address",
+        "provider_name",
+        "provider_alias",
+        F.when(
+            F.col("provider_alias").isNotNull(),
+            F.when(has_alias_block, F.lit("ok_aliased")).otherwise(
+                F.lit("orphan_alias")
+            ),
+        )
+        .when(F.col("has_unaliased") == 1, F.lit("ok_default"))
+        .when(F.col("has_unaliased").isNotNull(), F.lit("default_missing"))
+        .otherwise(F.lit("implicit_default"))
+        .alias("status"),
+    )
+
+
+def _ivf_delete_cte() -> str:
+    """Replay: the standard full-corpus Lloyd chain (exactly `_ivf_cte`'s
+    index — same store `emb_ivf_store_topk` probes), then the post-delete
+    rebuild: survivors are af minus the deleted eighth, and the probe
+    ranks only survivors — what a from-scratch index over the remaining
+    corpus with the SAME frozen centroids would serve."""
+    cos = _cos_sql
+    parts = [
+        "q AS (SELECT vec_id qid, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10)"
+    ]
+    parts += _lloyd_parts("vec_id >= 10", 3, 64)
+    parts += [
+        "surv AS (SELECT nid, v, bucket FROM af WHERE nid % 8 <> 3)",
+        "pr AS (SELECT qid, cid AS bucket FROM ("
+        "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid "
+        f"ORDER BY {cos('q.v', 'c.cv')} DESC, c.cid) rn FROM q, c3 c) WHERE rn <= 8)",
+        f"s AS (SELECT q.qid, surv.nid, {cos('q.v', 'surv.v')} AS cosine "
+        "FROM pr JOIN q ON q.qid = pr.qid JOIN surv ON surv.bucket = pr.bucket)",
+        "r AS (SELECT qid, nid, cosine, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) rank FROM s)",
+    ]
+    return ",\n    ".join(parts)
+
+
+@staged_query(
+    "emb_ivf_delete_maintenance",
+    # the oracle IS the post-delete rebuild against the same frozen
+    # centroids: tombstone-filter ≡ re-assign-the-survivors, and deleted
+    # neighbors must vanish from every top-k with next-best backfill —
+    # the deletion half of the maintenance-identity pair whose ingest
+    # half is emb_ivf_incremental_topk
+    oracle=f"""
+    WITH {_ivf_delete_cte()}
+    SELECT qid AS query_id, nid AS neighbor_id, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def emb_ivf_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF DELETE — the other day-2 vector-store operation
+    (`emb_ivf_incremental_topk` is ingest): drop a batch of vectors
+    (the vec_id % 8 == 3 eighth — GDPR erasure, dedup prune, TTL) from
+    the SAME session-persisted bucket-partitioned store the serving
+    entry probes, without retraining or rewriting the store. The
+    tombstone is a pushed data filter over the loaded index; the probe
+    then serves top-5 over survivors, with deleted neighbors replaced
+    by each query's next-best — which is exactly what the oracle's
+    rebuild (full Lloyd chain, survivors only) produces, so the driver
+    validates the maintenance identity end-to-end.
+
+    Scale: nothing re-reads or rewrites the store — the delete costs
+    one predicate on the probe scan (at 100 TB: a broadcast-semi
+    against a tombstone set instead of the modulo predicate), stacked
+    ON TOP of the static bucket-partition pruning (PartitionFilters
+    from the probed set, PushedFilters from the tombstone — both pinned
+    in the plan test). Compaction (rewriting buckets to physically drop
+    tombstones) stays a scheduled offline job, same as retraining."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _ivf_store_path(spark, sf_dir)
+    loaded, cents = similarity.ivf_load(spark, path)
+    survivors = loaded.filter(F.col("vec_id") % 8 != 3)
+    return similarity.ivf_topk(
+        queries, survivors, cents, k=5, nprobe=8, static_prune=True
+    )

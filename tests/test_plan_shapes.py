@@ -1239,3 +1239,100 @@ def test_moved_blocks_audit_shuffle_free(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct", "Generate"):
         assert node not in plan
+
+
+# ---- round-11 pins: r16/r17-wave staged entries (pinned at staging time)
+
+
+def test_supplier_hhi_broadcast_dims_keyed_windows(spark):
+    # supplier and nation are dims — both joins broadcast; the windows
+    # are nation-keyed over the supplier-grain agg frame, so no
+    # single-partition stage; the fact scan prunes to 3 columns
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_supplier_hhi"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Exchange SinglePartition" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    li = [s for s in scans if "l_suppkey" in s]
+    assert len(li) == 1
+    cols = {c.split("#")[0] for c in li[0].split(",") if c}
+    assert cols == {"l_suppkey", "l_extendedprice", "l_discount"}, cols
+
+
+def test_orders_benford_single_pruned_scan(spark):
+    # digit histogram: one scan pruned to o_totalprice, keyed partial
+    # agg to the 9-row frame; the only single-partition stage is the
+    # grand-total window over those 9 rows (the documented exemption)
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_orders_benford"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = {c.split("#")[0] for c in scans[0].split(",") if c}
+    assert cols == {"o_totalprice"}, cols
+
+
+def test_stream_benford_report_over_sink_only(spark):
+    # the report ranks the DRAINED digit-count sink (digit-space-sized),
+    # never re-scans events; the share window is type-keyed
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_benford_monitor"](spark, SF))
+    assert plan.count("Scan parquet") == 0
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_tfidf_keywords_single_scan_no_join(spark):
+    # ONE corpus scan pruned to (doc_id, text): df comes from a
+    # term-keyed window over the tf frame, NOT a groupBy-join-back
+    # (which made Catalyst re-scan and re-tokenize the corpus — the
+    # two-FileScan plan this pin forbids); per-doc top-3 must plan a
+    # WindowGroupLimit so partitions prune before the shuffle
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_tfidf_keywords"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = {c.split("#")[0] for c in scans[0].split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_alias_orphans_single_broadcast_join(spark):
+    # resource side vs O(files) aggregated provider spine: one broadcast
+    # resolution join, everything else per-row projection
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_provider_alias_orphans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_ivf_delete_prunes_partitions_and_pushes_tombstone(spark):
+    # the tombstoned probe must keep BOTH prunings stacked: the probed
+    # bucket set as PartitionFilters AND the delete predicate pushed to
+    # the store scan — a delete that un-prunes the index is a rebuild
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_ivf_delete_maintenance"](spark, SF))
+    assert "CartesianProduct" not in plan
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("bucket" in l and "IN" in l for l in scan_lines), scan_lines
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("vec_id" in l for l in pushed), pushed

@@ -871,3 +871,219 @@ def test_moved_blocks_pure_python_reference(spark):
         for r in _staged(spark, "tf_moved_blocks_audit").collect()
     }
     assert got == want
+
+
+# ---- r16/r17 wave (drafted in r11) ----
+
+
+def test_supplier_hhi_pure_python_reference(spark):
+    """q_supplier_hhi vs a from-scratch Python-int replay: the cents
+    snap is the one shared IEEE step (same doubles both sides); shares
+    and the HHI sum are arbitrary-precision ints, so any mismatch is a
+    Spark-side DECIMAL or window-partitioning bug."""
+    import math
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    sup = pq.read_table(
+        f"{SF_DIR}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{SF_DIR}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    s2n = dict(
+        zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())
+    )
+    names = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    srev = collections.Counter()
+    for sk, ep, disc in zip(
+        li["l_suppkey"].to_pylist(),
+        li["l_extendedprice"].to_pylist(),
+        li["l_discount"].to_pylist(),
+    ):
+        srev[(s2n[sk], sk)] += math.floor(ep * (1 - disc) * 100 + 0.5)
+    ntot = collections.Counter()
+    ncnt = collections.Counter()
+    for (nk, _sk), rev in srev.items():
+        ntot[nk] += rev
+        ncnt[nk] += 1
+    want = {}
+    for nk in ntot:
+        hhi = sum(
+            (rev * 10000 // ntot[nk]) ** 2
+            for (k, _s), rev in srev.items()
+            if k == nk
+        )
+        want[names[nk]] = (ncnt[nk], ntot[nk], hhi)
+    got = {
+        r["n_name"]: (r["n_suppliers"], r["nation_rev_cents"], r["hhi_bp2"])
+        for r in _staged(spark, "q_supplier_hhi").collect()
+    }
+    assert got == want
+
+
+def _benford_dev_e6(counts):
+    """Python-int Benford report from a digit Counter (shared by the
+    batch and stream replays; constants re-derived from math.log10, NOT
+    copied from the catalog literals)."""
+    import math
+
+    total = sum(counts.values())
+    out = {}
+    for d, n in counts.items():
+        bf = math.floor(math.log10(1 + 1 / d) * 1_000_000)
+        out[d] = (n, n * 1_000_000 // total, bf, n * 1_000_000 // total - bf)
+    return out
+
+
+def test_orders_benford_pure_python_reference(spark):
+    """q_orders_benford vs a Python replay that re-derives the Benford
+    constants from math.log10 — catches a typo'd catalog constant, which
+    the oracle (same literal both sides) never would."""
+    import math
+
+    t = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    counts = collections.Counter(
+        int(str(math.floor(v * 100 + 0.5))[0])
+        for v in t["o_totalprice"].to_pylist()
+    )
+    want = _benford_dev_e6(counts)
+    got = {
+        r["digit"]: (r["n"], r["obs_e6"], r["benford_e6"], r["dev_e6"])
+        for r in _staged(spark, "q_orders_benford").collect()
+    }
+    assert got == want
+
+
+def test_stream_benford_equals_batch_definition(spark):
+    """stream_benford_monitor vs the same per-type Python replay over
+    the whole events table — the stream≡batch identity, plus the
+    re-derived-constants cross-check."""
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "value"]
+    )
+    per_type = collections.defaultdict(collections.Counter)
+    for et, v in zip(t["event_type"].to_pylist(), t["value"].to_pylist()):
+        per_type[et][int(str(math.floor(v * 100 + 0.5))[0])] += 1
+    want = {}
+    for et, counts in per_type.items():
+        for d, (n, _obs, _bf, dev) in _benford_dev_e6(counts).items():
+            want[(et, d)] = (n, dev)
+    got = {
+        (r["event_type"], r["digit"]): (r["n"], r["dev_e6"])
+        for r in _staged(spark, "stream_benford_monitor").collect()
+    }
+    assert got == want
+
+
+def test_tfidf_keywords_pure_python_reference(spark):
+    """docs_tfidf_keywords vs a from-scratch Python replay of the whole
+    pipeline: tokenize, tf, df, integer score, (score desc, term asc)
+    top-3 — exact arithmetic, no Spark expressions, no SQL."""
+    import re
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    word = re.compile(r"^[a-z0-9]+$")
+    tf = collections.Counter()
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for w in text.lower().split(" "):
+            if word.match(w):
+                tf[(did, w)] += 1
+    df = collections.Counter(term for (_d, term) in tf)
+    per_doc = collections.defaultdict(list)
+    for (did, term), f in tf.items():
+        per_doc[did].append((-(f * 1_000_000 // df[term]), term, f))
+    want = set()
+    for did, rows in per_doc.items():
+        for rnk, (negscore, term, f) in enumerate(sorted(rows)[:3], start=1):
+            want.add((did, term, f, df[term], -negscore, rnk))
+    got = {
+        (r["doc_id"], r["term"], r["tf"], r["df"], r["score_e6"], r["rnk"])
+        for r in _staged(spark, "docs_tfidf_keywords").collect()
+    }
+    assert got == want
+
+
+def test_provider_alias_orphans_pure_python_reference(spark):
+    """tf_provider_alias_orphans vs a regex scanner over the corpus:
+    provider blocks re-parsed with the crude extractor, resource routing
+    re-derived from the provider argument / type prefix, and the five
+    statuses re-classified with plain dict lookups."""
+    import re
+
+    blocks = _corpus_blocks("provideralias")
+    has_unaliased = collections.defaultdict(bool)
+    aliases = collections.defaultdict(set)
+    for bt, labels, src in blocks:
+        if bt != "provider" or len(labels) != 1:
+            continue
+        m = re.search(r'(?m)^\s*alias\s*=\s*"([^"]+)"', src)
+        if m:
+            aliases[labels[0]].add(m.group(1))
+        else:
+            has_unaliased[labels[0]] = True
+    want = {}
+    for bt, labels, src in blocks:
+        if bt != "resource" or len(labels) != 2:
+            continue
+        addr = f"{labels[0]}.{labels[1]}"
+        m = re.search(
+            r"(?m)^\s*provider\s*=\s*([A-Za-z0-9_-]+)(?:\.([A-Za-z0-9_-]+))?\s*$",
+            src,
+        )
+        name = m.group(1) if m else labels[0].split("_")[0]
+        alias = m.group(2) if m else None
+        if alias is not None:
+            status = (
+                "ok_aliased" if alias in aliases[name] else "orphan_alias"
+            )
+        elif has_unaliased[name]:
+            status = "ok_default"
+        elif aliases[name]:
+            status = "default_missing"
+        else:
+            status = "implicit_default"
+        want[addr] = (name, alias, status)
+    got = {
+        r["address"]: (r["provider_name"], r["provider_alias"], r["status"])
+        for r in _staged(spark, "tf_provider_alias_orphans").collect()
+    }
+    assert got == want
+
+
+def test_ivf_delete_commutes_with_probe(spark):
+    """emb_ivf_delete_maintenance internal consistency: tombstone-then-
+    probe (the entry) must equal probe-then-tombstone — the FULL ranking
+    over the undeleted store, deleted ids dropped and re-ranked in
+    Python. Also pins the erasure guarantee: no deleted id ever
+    surfaces. Shares the probe operator but not the Lloyd-replay oracle."""
+    from steampipe_plugin_terraform_spark import catalog as cat
+    from steampipe_plugin_terraform_spark.operators import similarity
+
+    loaded, cents = similarity.ivf_load(
+        spark, cat._ivf_store_path(spark, SF_DIR)
+    )
+    emb = cat._t(spark, SF_DIR, "embeddings")
+    full = similarity.ivf_topk(
+        emb.filter("vec_id < 10"), loaded, cents, k=10**6, nprobe=8
+    ).collect()
+    per_q = collections.defaultdict(list)
+    for r in full:
+        if r["neighbor_id"] % 8 != 3:
+            per_q[r["query_id"]].append((-r["cosine"], r["neighbor_id"]))
+    want = set()
+    for qid, rows in per_q.items():
+        for rank, (negcos, nid) in enumerate(sorted(rows)[:5], start=1):
+            want.add((qid, nid, -negcos, rank))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in _staged(spark, "emb_ivf_delete_maintenance").collect()
+    }
+    assert not {g for g in got if g[1] % 8 == 3}
+    assert got == want
