@@ -12195,9 +12195,9 @@ def stream_benford_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rank is fully deterministic — (score desc, term asc) is a
     # total order because (doc, term) is the tf grain
     oracle="""
-    WITH tok AS (SELECT doc_id, t.term
-                 FROM documents, unnest(string_split(lower(text), ' ')) t(term)
-                 WHERE regexp_matches(t.term, '^[a-z0-9]+$')),
+    WITH tok AS (SELECT doc_id, lower(t.w) term
+                 FROM documents, unnest(string_split(text, ' ')) t(w)
+                 WHERE regexp_matches(t.w, '^[A-Za-z0-9]+$')),
     tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
            FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
@@ -12215,8 +12215,10 @@ def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document-side application of the TF-IDF device the pairwise
     cosine entry uses for dedup, here producing the per-doc keyword
     lists a training-data pipeline feeds into topic routing and prompt
-    construction. Terms are lowercased space-split words filtered to
-    [a-z0-9]+ (byte-identical tokens on both engines), the score is
+    construction. Terms are space-split words filtered to [A-Za-z0-9]+
+    BEFORE lowercasing (ASCII-only case mapping is byte-identical on
+    both engines; lowering first would ride Unicode case rules — the
+    Kelvin-sign class of divergence), the score is
     tf·10⁶ DIV df on the integer grid (linear inverse-df — no log, so
     no cross-engine float), and the per-doc top-3 breaks ties by term
     ascending (a total order: (doc, term) is the tf grain).
@@ -12232,9 +12234,14 @@ def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+            F.explode(F.split("text", " ")).alias("w"),
         )
-        .filter(F.col("term").rlike("^[a-z0-9]+$"))
+        # ASCII filter BEFORE lowercasing: Unicode case mapping is an
+        # engine-variance surface (e.g. Kelvin sign K -> k only under
+        # full Unicode rules); lowercase of an [A-Za-z0-9]+ token is
+        # byte-exact on both engines
+        .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
+        .select("doc_id", F.lower("w").alias("term"))
     )
     tf = tok.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")

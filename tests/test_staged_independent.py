@@ -989,12 +989,12 @@ def test_tfidf_keywords_pure_python_reference(spark):
     import re
 
     t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-    word = re.compile(r"^[a-z0-9]+$")
+    word = re.compile(r"^[A-Za-z0-9]+$")
     tf = collections.Counter()
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        for w in text.lower().split(" "):
+        for w in text.split(" "):
             if word.match(w):
-                tf[(did, w)] += 1
+                tf[(did, w.lower())] += 1
     df = collections.Counter(term for (_d, term) in tf)
     per_doc = collections.defaultdict(list)
     for (did, term), f in tf.items():
