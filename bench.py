@@ -184,6 +184,9 @@ EXTENDED = [
     "docs_tfidf_keywords",
     "tf_provider_alias_orphans",
     "emb_ivf_delete_maintenance",
+    "dedup_containment_pairs",
+    "q_lineitem_gamma_correlation",
+    "stream_cdc_last_value",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -12420,3 +12420,239 @@ def emb_ivf_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         queries, survivors, cents, k=5, nprobe=8, static_prune=True
     )
+
+
+@staged_query(
+    "dedup_containment_pairs",
+    # the oracle replays the whole posting-list pipeline over STRING
+    # shingles (the Spark side keys on xxhash64 of the shingle — the
+    # documented 1e-8-grade collision equivalence every shingle-family
+    # oracle already rides); containment on the basis-point grid via
+    # positive-int floor division
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT s.id_a, s.id_b,
+           CAST((s.c * 10000) // least(x.n, y.n) AS BIGINT)
+             AS containment_bp,
+           CASE WHEN x.n < y.n OR (x.n = y.n AND s.id_a < s.id_b)
+                THEN s.id_a ELSE s.id_b END AS contained_id
+    FROM shared s JOIN sz x ON s.id_a = x.doc_id
+                  JOIN sz y ON s.id_b = y.doc_id
+    WHERE (s.c * 10000) // least(x.n, y.n) >= 9000
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment — the quote/
+    excerpt/boilerplate-wrapper detector the symmetric members of the
+    dedup family dilute: a 200-word doc fully embedded in a 2000-word
+    doc has Jaccard ≈ 0.1 (invisible at any sane threshold) but
+    containment 1.0. Curation pipelines treat these differently from
+    mutual near-dups — the contained doc is the redundant one, so the
+    entry names it (`contained_id`: the smaller shingle set, id_a on
+    ties) rather than leaving the drop choice to the caller.
+
+    Scale: the SAME posting-list trunk as the jaccard entry
+    (`dedup._shared_pairs_with_sizes` — one groupBy shuffle of 8-byte
+    shingle hashes, df-capped so a boilerplate shingle cannot go
+    quadratic, chunked pair emission bounding per-row memory at O(n));
+    the score is shared·10⁴ DIV min(n_a, n_b) on positive ints, exact
+    on both engines. No new corpus pass: an engine running both dedup
+    flavors shares the shingle/posting stages wholesale."""
+    return dedup.shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold_bp=9000, df_max=10_000
+    )
+
+
+@staged_query(
+    "q_lineitem_gamma_correlation",
+    # Goodman–Kruskal gamma instead of Kendall tau-b: gamma's
+    # denominator is C+D (no square root), so the whole statistic stays
+    # on the integer grid — conc_share_e6 = C·10⁶ DIV (C+D) on positive
+    # ints, and gamma_e6 ≡ 2·conc_share_e6 − 10⁶ (the SAME snap on both
+    # sides, avoiding a signed division whose floor/truncate semantics
+    # would need the positivity-offset device); HUGEINT pair products
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               // 1000000 y,
+             CAST(count(*) AS BIGINT) n
+      FROM lineitem GROUP BY 1, 2),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN b.y > a.y THEN a.n::HUGEINT * b.n END)
+                  AS BIGINT) c_pairs,
+             CAST(sum(CASE WHEN b.y < a.y THEN a.n::HUGEINT * b.n END)
+                  AS BIGINT) d_pairs
+      FROM cells a JOIN cells b ON b.x > a.x AND b.y <> a.y)
+    SELECT c_pairs, d_pairs,
+           CAST((c_pairs::HUGEINT * 1000000) // (c_pairs + d_pairs)
+                AS BIGINT) AS conc_share_e6,
+           CAST(2 * ((c_pairs::HUGEINT * 1000000) // (c_pairs + d_pairs))
+                - 1000000 AS BIGINT) AS gamma_e6
+    FROM pairs
+    """,
+)
+def q_lineitem_gamma_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal association between quantity and price band — Goodman–
+    Kruskal gamma via the CONTINGENCY-GRID device: a naive Kendall
+    correlation compares all N² row pairs, but over two ordinal axes
+    the concordant/discordant pair counts are grid algebra — C = Σ
+    n_xy·n_x'y' over cell pairs with both axes increasing, D with axes
+    opposed — so after ONE keyed agg to the (quantity × $10k-band)
+    grid (~50×11 cells) the quadratic runs over cells, not rows.
+    Gamma = (C−D)/(C+D) ignores ties by definition; it lands exactly
+    on the millionths grid as 2·(C·10⁶ DIV (C+D)) − 10⁶, positive
+    division only (no signed floor/truncate divergence to manage).
+
+    Scale: one scan pruned to two columns, one keyed partial-agg
+    shuffle to the grid, then the bounded-collect device (the grid is a
+    corpus-INDEPENDENT constant, ≤ |quantity levels|·|price bands| ≈
+    550 rows — the same bounded class as k seed rows and |Q|-bounded
+    query sets): re-emitting the collected grid as two local frames
+    keeps the non-equi self-join grid-sized AND makes the job scan the
+    fact table ONCE — the naive cells-vs-cells join rebuilt the
+    aggregation subtree on both sides of the broadcast and scanned the
+    corpus twice (measured; the plan pin forbids any FileScan in the
+    returned frame). The final one-row aggregate folds from map-side
+    partials. Pair products climb to ~N²/4: BIGINT to ~10⁹ rows,
+    DECIMAL(38)/HUGEINT past that — both sides carry the wide type."""
+    grid = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " DIV 1000000"
+            ).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rows = grid.collect()  # bounded: grid-sized, corpus-independent
+    local = spark.createDataFrame(rows, grid.schema)
+    a, b = local.alias("a"), F.broadcast(local.alias("b"))
+    prod = "CAST(a.n AS DECIMAL(38,0)) * b.n"
+    pairs = (
+        a.join(b, (F.col("b.x") > F.col("a.x")) & (F.col("b.y") != F.col("a.y")))
+        .agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN b.y > a.y THEN {prod} END) AS BIGINT)"
+            ).alias("c_pairs"),
+            F.expr(
+                f"CAST(sum(CASE WHEN b.y < a.y THEN {prod} END) AS BIGINT)"
+            ).alias("d_pairs"),
+        )
+    )
+    share = (
+        "CAST(c_pairs AS DECIMAL(38,0)) * 1000000 DIV (c_pairs + d_pairs)"
+    )
+    return pairs.select(
+        "c_pairs",
+        "d_pairs",
+        F.expr(f"CAST({share} AS BIGINT)").alias("conc_share_e6"),
+        F.expr(f"CAST(2 * ({share}) - 1000000 AS BIGINT)").alias("gamma_e6"),
+    )
+
+
+# (applicationId, corpus-digest) → (sink root, checkpoint) for the CDC
+# upsert entry; the checkpoint reuse IS the restart contract (committed
+# offsets make a re-drain a no-op and the serving table is unchanged)
+_CDC_SINK_CACHE: dict = {}
+
+
+@staged_query(
+    "stream_cdc_last_value",
+    # the serving-table oracle: last event per user under the (ts,
+    # event_id) total order — what any number of merge steps must
+    # converge to (last-write-wins is associative/idempotent, so batch
+    # boundaries cannot show through)
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_value_cents
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) rn FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_cdc_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style LAST-WRITE-WINS upsert into a keyed serving table — the
+    foreachBatch MERGE pattern (`stream_foreachbatch_sink` pins the
+    idempotent-append sink; this is the other production foreachBatch
+    shape: maintain a per-key latest-state table a dashboard reads).
+    Each micro-batch merges into the running state under the (ts,
+    event_id) total order; last-write-wins is associative and
+    idempotent, so replayed batches and restarts converge to the same
+    table — which is exactly the batch row_number()=1 oracle.
+
+    Scale: state is |users| rows regardless of stream volume. The
+    portable-parquet merge here rewrites the state per batch (each
+    version written to its own batch-stamped dir — idempotent under
+    replay like the sink entry); a production engine swaps the rewrite
+    for a transactional MERGE INTO (Delta/Iceberg) with the identical
+    merge predicate — the semantics this entry pins are engine-portable,
+    the rewrite is not the 100 TB design and says so."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .streaming.events import read_events_stream
+
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _CDC_SINK_CACHE:
+        root = tempfile.mkdtemp(prefix="cdc_upsert_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _CDC_SINK_CACHE[key] = (root + "/state", root + "/ckpt")
+    state_root, ckpt = _CDC_SINK_CACHE[key]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        sess = batch.sparkSession
+        cur = batch.select(
+            "user_id", "ts", "event_type", "event_id",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
+                "last_value_cents"
+            ),
+        )
+        done = sorted(
+            int(d.split("=")[1])
+            for d in (os.listdir(state_root) if os.path.isdir(state_root) else [])
+            if d.startswith("v=") and int(d.split("=")[1]) < batch_id
+        )
+        if done:
+            cur = sess.read.parquet(f"{state_root}/v={done[-1]}").unionByName(cur)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # each batch's merged state lands in its OWN version dir —
+        # overwrite-idempotent under replay, never read+rewrite in place
+        latest.write.mode("overwrite").parquet(f"{state_root}/v={batch_id}")
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_cdc_last_value drain exceeded 600s")
+    import os
+
+    latest = max(
+        int(d.split("=")[1])
+        for d in os.listdir(state_root)
+        if d.startswith("v=")
+    )
+    return spark.read.parquet(f"{state_root}/v={latest}").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        "last_value_cents",
+    )

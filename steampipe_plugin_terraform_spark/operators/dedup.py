@@ -154,6 +154,24 @@ def shingle_jaccard_pairs(
     """
     sh = _hashed_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    joined = _shared_pairs_with_sizes(sh, sizes, df_max)
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            (F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shared_pairs_with_sizes(
+    sh: DataFrame, sizes: DataFrame, df_max: int | None
+) -> DataFrame:
+    """(id_a, id_b, shared, n_a, n_b) posting-list pair counts with both
+    docs' shingle sizes attached — the shared trunk of the jaccard and
+    containment entries (one definition so the df-cap semantics and the
+    chunked pair emission cannot fork)."""
     cap = "true" if df_max is None else f"size(ids) <= {int(df_max)}"
     pairs = (
         sh.groupBy("h")
@@ -187,12 +205,45 @@ def shingle_jaccard_pairs(
         .join(sizes, "id")
         .select(F.col("id").alias("id_a"), F.col("id_b").alias("id"), "shared", F.col("n_sh").alias("n_a"))
         .join(sizes, "id")
-        .select(
+        .select("id_a", F.col("id").alias("id_b"), "shared", "n_a", F.col("n_sh").alias("n_b"))
+    )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold_bp: int = 9000,
+    df_max: int | None = 10_000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment — the quote/
+    excerpt detector Jaccard dilutes: containment = |A∩B| / min(|A|, |B|)
+    is high when the smaller doc's shingles sit inside the larger one even
+    though their Jaccard (÷ the union) is low. Same posting-list trunk and
+    df-cap as the jaccard operator; the score lands on the basis-point
+    grid via shared·10⁴ DIV min(n_a, n_b) (positive ints — engine-exact).
+
+    Returns (id_a, id_b, containment_bp, contained_id) with id_a < id_b,
+    containment_bp >= threshold_bp; contained_id names the doc whose
+    shingle set is (near-)contained — the smaller side, id_a on ties.
+    """
+    sh = _hashed_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    joined = _shared_pairs_with_sizes(sh, sizes, df_max)
+    return (
+        joined.select(
             "id_a",
-            F.col("id").alias("id_b"),
-            (F.col("shared") / (F.col("n_a") + F.col("n_sh") - F.col("shared"))).alias("jaccard"),
+            "id_b",
+            F.expr(
+                "CAST(shared * 10000 DIV least(n_a, n_b) AS BIGINT)"
+            ).alias("containment_bp"),
+            F.expr(
+                "CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)"
+                " THEN id_a ELSE id_b END"
+            ).alias("contained_id"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("containment_bp") >= int(threshold_bp))
     )
 
 

@@ -1336,3 +1336,44 @@ def test_ivf_delete_prunes_partitions_and_pushes_tombstone(spark):
     assert any("bucket" in l and "IN" in l for l in scan_lines), scan_lines
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("vec_id" in l for l in pushed), pushed
+
+
+def test_containment_pairs_posting_list_no_cartesian(spark):
+    # the shared posting-list trunk: pair generation is a groupBy over
+    # shingle hashes + chunked emission — never a doc-side self-join or
+    # cartesian; everything stays JVM-side
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["dedup_containment_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "xxhash64" in plan
+
+
+def test_gamma_grid_bnlj_single_pruned_scan(spark):
+    # the contingency-grid device: the grid-sized non-equi self-join
+    # (BNLJ over ~550 collected cells — corpus-independent, the bounded-
+    # collect device) runs over LOCAL frames, so the RETURNED plan never
+    # touches the fact table at all — a FileScan here means the naive
+    # double-scan formulation came back
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_gamma_correlation"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "FileScan parquet" not in plan
+    # pyspark createDataFrame plans local rows as Scan ExistingRDD
+    assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_cdc_last_value_serves_from_state_only(spark):
+    # the returned frame reads ONE state version (|users| rows), never
+    # the event stream: one parquet scan, no join, no window re-rank
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_cdc_last_value"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "events.parquet" not in plan
+    assert "Join" not in plan and "Window" not in plan

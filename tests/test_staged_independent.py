@@ -1087,3 +1087,102 @@ def test_ivf_delete_commutes_with_probe(spark):
     }
     assert not {g for g in got if g[1] % 8 == 3}
     assert got == want
+
+
+def test_containment_pairs_pure_python_reference(spark):
+    """dedup_containment_pairs vs a from-scratch Python replay over
+    STRING shingles (the entry keys on xxhash64 — a collision would
+    surface here as a count mismatch): per-doc 5-gram sets, inverted-
+    index pair counting, integer containment, same direction rule."""
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    sets = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w = text.split(" ")
+        sets[did] = {
+            " ".join(w[i : i + 5]) for i in range(len(w) - 4)
+        } if len(w) >= 5 else set()
+    inv = collections.defaultdict(list)
+    for did, sh in sets.items():
+        for s in sh:
+            inv[s].append(did)
+    shared = collections.Counter()
+    for ids in inv.values():
+        ids.sort()
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                shared[(ids[i], ids[j])] += 1
+    want = {}
+    for (a, b), c in shared.items():
+        na, nb = len(sets[a]), len(sets[b])
+        bp = c * 10000 // min(na, nb)
+        if bp >= 9000:
+            contained = a if (na < nb or (na == nb and a < b)) else b
+            want[(a, b)] = (bp, contained)
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment_bp"], r["contained_id"])
+        for r in _staged(spark, "dedup_containment_pairs").collect()
+    }
+    assert got == want
+
+
+def test_gamma_correlation_pure_python_reference(spark):
+    """q_lineitem_gamma_correlation vs a Python-int replay of the grid
+    algebra — arbitrary-precision ints make the pair products and the
+    millionths snap exact by construction."""
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    cells = collections.Counter(
+        (int(q), math.floor(p * 100 + 0.5) // 1000000)
+        for q, p in zip(
+            t["l_quantity"].to_pylist(), t["l_extendedprice"].to_pylist()
+        )
+    )
+    items = list(cells.items())
+    C = D = 0
+    for (x1, y1), n1 in items:
+        for (x2, y2), n2 in items:
+            if x2 > x1 and y2 > y1:
+                C += n1 * n2
+            elif x2 > x1 and y2 < y1:
+                D += n1 * n2
+    share = C * 1_000_000 // (C + D)
+    rows = _staged(spark, "q_lineitem_gamma_correlation").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["c_pairs"], r["d_pairs"]) == (C, D)
+    assert r["conc_share_e6"] == share
+    assert r["gamma_e6"] == 2 * share - 1_000_000
+
+
+def test_cdc_last_value_pure_python_reference(spark):
+    """stream_cdc_last_value vs a Python replay of last-write-wins under
+    the (ts, event_id) total order — the any-number-of-merges
+    convergence target, checked against the drained serving table."""
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id", "value"],
+    ).to_pandas()
+    want = {}
+    for row in t.itertuples(index=False):
+        key = row.user_id
+        cand = (row.ts, row.event_id, row.event_type, row.value)
+        if key not in want or (cand[0], cand[1]) > (want[key][0], want[key][1]):
+            want[key] = cand
+    expected = {
+        u: (ts.to_pydatetime(), et, math.floor(v * 100 + 0.5))
+        for u, (ts, _eid, et, v) in want.items()
+    }
+    got = {
+        r["user_id"]: (
+            r["last_ts"].replace(tzinfo=None),
+            r["last_type"],
+            r["last_value_cents"],
+        )
+        for r in _staged(spark, "stream_cdc_last_value").collect()
+    }
+    assert got == expected
