@@ -259,3 +259,36 @@ def test_ppl_scores_built_once_per_corpus(spark, monkeypatch):
     n2 = cat.STAGED_QUERIES["docs_perplexity_buckets"](spark, sf).count()
     assert n1 > 0 and n1 == n2
     assert calls["n"] == 1, f"LM chain built {calls['n']} times, want 1"
+
+
+def test_cdc_upsert_restart_is_noop(spark):
+    """stream_cdc_last_value reuses its checkpoint + state root per
+    (session, corpus): a repeat invocation restarts the drain over
+    committed offsets (no new batches), writes NO new state versions,
+    rewrites none of the existing ones, and serves identical rows —
+    the same exactly-once restart contract the foreachBatch sink pins."""
+    import glob
+    import os
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    for key in [
+        k
+        for k in catalog._CDC_SINK_CACHE
+        if k[0] == spark.sparkContext.applicationId
+    ]:
+        catalog._CDC_SINK_CACHE.pop(key)
+    first = _rows(STAGED_QUERIES["stream_cdc_last_value"](spark, SF_A))
+    state_root, _ = next(
+        v
+        for k, v in catalog._CDC_SINK_CACHE.items()
+        if k[0] == spark.sparkContext.applicationId
+    )
+    files = sorted(glob.glob(state_root + "/v=*/*.parquet"))
+    assert files, "first drain must materialize a state version"
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    second = _rows(STAGED_QUERIES["stream_cdc_last_value"](spark, SF_A))
+    assert first == second
+    files2 = sorted(glob.glob(state_root + "/v=*/*.parquet"))
+    assert files2 == files, "restart must not add or rewrite state versions"
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files)
