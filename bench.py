@@ -187,6 +187,7 @@ EXTENDED = [
     "dedup_containment_pairs",
     "q_lineitem_gamma_correlation",
     "stream_cdc_last_value",
+    "media_frame_energy",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

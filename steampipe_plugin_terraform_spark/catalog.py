@@ -12656,3 +12656,40 @@ def stream_cdc_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         "last_value_cents",
     )
+
+
+@staged_query(
+    "media_frame_energy",
+    # the corpus is pure ASCII (verified by the byte-histogram entry),
+    # so ord(char) == byte value and DuckDB replays the framing and the
+    # integer energy exactly; the activity compare is multiplied out
+    # (energy >= threshold·frame_len) so no division exists anywhere
+    oracle="""
+    WITH ch AS (SELECT doc_id, i,
+                       ord(substring(text, i::INTEGER, 1)) b
+                FROM documents, unnest(range(1, strlen(text) + 1)) r(i)),
+    fr AS (SELECT doc_id, CAST((i - 1) // 256 AS BIGINT) frame_idx,
+                  CAST(sum((b - 128) * (b - 128)) AS BIGINT) energy,
+                  CAST(count(*) AS BIGINT) n
+           FROM ch GROUP BY 1, 2)
+    SELECT doc_id, frame_idx, energy,
+           CAST(energy >= 2000 * n AS BIGINT) AS active
+    FROM fr
+    """,
+)
+def media_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style frame-ENERGY extraction over opaque payloads — the
+    voice-activity-detection feature an audio-curation pipeline segments
+    on, completing the multimodal quartet's feature side (metadata /
+    histogram / resize / frame-sample / ahash → energy): bytes as
+    unsigned 8-bit PCM, 256-byte frames (tail included), integer energy
+    Σ(b−128)² per frame, activity = energy ≥ 2000·frame_len (the mean-
+    squared threshold multiplied out — no division). The numpy
+    square/reduceat path is exactly where a real PCM decoder drops in.
+
+    Scale: narrow Arrow-batched map, no shuffle, fixed-width rows out,
+    raw bytes never leave the executor — the multimodal contract."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.frame_energy(
+        multimodal.documents_as_binary(docs), frame_bytes=256, threshold=2000
+    )

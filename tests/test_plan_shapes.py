@@ -1377,3 +1377,24 @@ def test_cdc_last_value_serves_from_state_only(spark):
     assert plan.count("FileScan parquet") == 1
     assert "events.parquet" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_frame_energy_narrow_map_no_shuffle(spark):
+    # the multimodal contract: one Arrow-batched narrow map over a scan
+    # pruned to (doc_id, text) — no exchange, no join, bytes never
+    # shuffled; MapInPandas is the documented inherently-Python class
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["media_frame_energy"](spark, SF))
+    assert plan.count("MapInPandas") == 1
+    # the only exchange is documents_as_binary's small-file round-robin
+    # spread (skipped at real partition counts) — never a hash shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = {c.split("#")[0] for c in scans[0].split(",") if c}
+    assert cols == {"doc_id", "text"}, cols

@@ -1186,3 +1186,21 @@ def test_cdc_last_value_pure_python_reference(spark):
         for r in _staged(spark, "stream_cdc_last_value").collect()
     }
     assert got == expected
+
+
+def test_frame_energy_pure_python_reference(spark):
+    """media_frame_energy vs a byte-level Python-int replay of framing,
+    energy, and the multiplied-out activity threshold."""
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = text.encode("ascii")
+        for fi in range((len(b) + 255) // 256):
+            fr = b[fi * 256 : (fi + 1) * 256]
+            e = sum((x - 128) ** 2 for x in fr)
+            want[(did, fi)] = (e, int(e >= 2000 * len(fr)))
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["energy"], r["active"])
+        for r in _staged(spark, "media_frame_energy").collect()
+    }
+    assert got == want
