@@ -188,6 +188,8 @@ EXTENDED = [
     "q_lineitem_gamma_correlation",
     "stream_cdc_last_value",
     "media_frame_energy",
+    # r18-wave starter (drafted in r11)
+    "emb_knn_label_vote",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

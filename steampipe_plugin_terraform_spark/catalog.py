@@ -12693,3 +12693,82 @@ def media_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_energy(
         multimodal.documents_as_binary(docs), frame_bytes=256, threshold=2000
     )
+
+
+@staged_query(
+    "emb_knn_label_vote",
+    # replay: the emb_cosine_topk ranking device (quantized cosine,
+    # nid tiebreak) extended with the label vote — winner by (count
+    # desc, label asc), a total order; correct as an integer flag
+    oracle="""
+    WITH q AS (SELECT vec_id qid, label ql, embedding::DOUBLE[] v
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id nid, label nl, embedding::DOUBLE[] v
+          FROM embeddings WHERE vec_id >= 10),
+    s AS (SELECT qid, nid, nl,
+                 floor(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v)))
+                       * 1000000 + 0.5) / 1000000 cosine
+          FROM q, c),
+    r AS (SELECT qid, nid, nl, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM s),
+    votes AS (SELECT qid, nl AS label, CAST(count(*) AS BIGINT) cnt
+              FROM r WHERE rank <= 5 GROUP BY 1, 2),
+    win AS (SELECT qid, label, cnt, row_number() OVER
+              (PARTITION BY qid ORDER BY cnt DESC, label) vr FROM votes)
+    SELECT q.qid AS query_id, CAST(q.ql AS BIGINT) AS true_label,
+           CAST(w.label AS BIGINT) AS voted_label, w.cnt AS n_votes,
+           CAST(w.label = q.ql AS BIGINT) AS correct
+    FROM win w JOIN q ON q.qid = w.qid WHERE w.vr = 1
+    """,
+)
+def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label check — the label-noise screen a
+    training-data pipeline runs before trusting a labeled corpus
+    (Northcutt-style confident-learning lite): each labeled query's 5
+    nearest neighbors (exact cosine, the `emb_cosine_topk` baseline
+    ranking) vote with their labels; a query whose own label loses the
+    vote is a relabel/review candidate. Winner by (count desc, label
+    asc) — a total order, so the vote is engine-deterministic.
+
+    Scale: the ranking is the documented |Q|·N brute-force baseline
+    (|Q| bounded by contract — the scale path swaps in the IVF probe,
+    same downstream vote); the vote itself runs over the |Q|·k top-k
+    frame, and the label attaches BROADCAST the |Q|·k side into the
+    corpus label scan, never the reverse. Everything after the matmul
+    is |Q|-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    topk = similarity.cosine_topk(queries, corpus, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    votes = (
+        F.broadcast(topk)
+        .join(labels, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("nl").asc()
+    )
+    win = votes.withColumn("vr", F.row_number().over(w)).filter(
+        F.col("vr") == 1
+    )
+    ql = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return (
+        F.broadcast(win)
+        .join(ql, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nl").cast("long").alias("voted_label"),
+            F.col("cnt").alias("n_votes"),
+            F.expr("CAST(nl = true_label AS BIGINT)").alias("correct"),
+        )
+    )

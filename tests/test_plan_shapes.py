@@ -1398,3 +1398,16 @@ def test_frame_energy_narrow_map_no_shuffle(spark):
     assert len(scans) == 1
     cols = {c.split("#")[0] for c in scans[0].split(",") if c}
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_knn_label_vote_broadcasts_topk_side(spark):
+    # the |Q|·k frames broadcast into the corpus-side scans (label
+    # attach + true-label attach) — an SMJ means a tiny frame shuffled
+    # the corpus; the vote window is query-keyed over the top-k frame
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_knn_label_vote"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Exchange SinglePartition" not in plan

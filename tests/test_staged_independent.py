@@ -1204,3 +1204,32 @@ def test_frame_energy_pure_python_reference(spark):
         for r in _staged(spark, "media_frame_energy").collect()
     }
     assert got == want
+
+
+def test_knn_label_vote_matches_promoted_ranking(spark):
+    """emb_knn_label_vote cross-entry identity: its vote, recomputed in
+    Python from the PROMOTED emb_cosine_topk entry's neighbor sets plus
+    the parquet labels, must match row for row — the vote logic is
+    checked against a driver-validated ranking it does not share."""
+    emb = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    labels = dict(zip(emb["vec_id"].to_pylist(), emb["label"].to_pylist()))
+    topk = collections.defaultdict(list)
+    for r in _staged(spark, "emb_cosine_topk").collect():
+        topk[r["query_id"]].append(r["neighbor_id"])
+    want = {}
+    for qid, nids in topk.items():
+        votes = collections.Counter(labels[n] for n in nids)
+        lab, cnt = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[qid] = (labels[qid], lab, cnt, int(lab == labels[qid]))
+    got = {
+        r["query_id"]: (
+            r["true_label"],
+            r["voted_label"],
+            r["n_votes"],
+            r["correct"],
+        )
+        for r in _staged(spark, "emb_knn_label_vote").collect()
+    }
+    assert got == want
