@@ -188,8 +188,9 @@ EXTENDED = [
     "q_lineitem_gamma_correlation",
     "stream_cdc_last_value",
     "media_frame_energy",
-    # r18-wave starter (drafted in r11)
+    # r18-wave starters (drafted in r11)
     "emb_knn_label_vote",
+    "dedup_lsh_band_curve",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -5915,8 +5915,8 @@ def dedup_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
            CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_found,
            CASE WHEN (SELECT count(*) FROM truth) = 0 THEN CAST(NULL AS BIGINT)
-                ELSE CAST((SELECT count(*) FROM hit) * 10000
-                          / (SELECT count(*) FROM truth) AS BIGINT)
+                ELSE CAST(((SELECT count(*) FROM hit) * 10000)
+                          // (SELECT count(*) FROM truth) AS BIGINT)
            END AS recall_bp
     """,
 )
@@ -5949,9 +5949,14 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_true",
             "n_found",
+            # integer floor division, NOT float-divide-then-cast: DuckDB
+            # CAST(double AS BIGINT) ROUNDS while Spark's cast truncates,
+            # so a fractional recall (27/28 → 9642.857) would split the
+            # engines by one — the band-curve entry hit this; positive
+            # ints make DIV ≡ // ≡ floor
             F.when(
                 F.col("n_true") > 0,
-                (F.col("n_found") * 10000 / F.col("n_true")).cast("long"),
+                F.expr("CAST(n_found * 10000 DIV n_true AS BIGINT)"),
             ).alias("recall_bp"),
         )
     )
@@ -12772,3 +12777,123 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(nl = true_label AS BIGINT)").alias("correct"),
         )
     )
+
+
+def _lsh_band_curve_oracle() -> str:
+    """Replay: the uncapped truth + the shared 8-hash signature chain
+    (_MINHASH_SIG_CTE — its `band` CTE IS the 4-band layout, reused
+    verbatim), plus one band/cand/hit triplet per additional layout;
+    recall mirrors the Spark side's double division + BIGINT truncate."""
+    parts = [
+        """truth AS (SELECT s.id_a, s.id_b
+              FROM shared s JOIN sz x ON s.id_a = x.doc_id
+                            JOIN sz y ON s.id_b = y.doc_id
+              WHERE s.c * 1.0 / (x.n + y.n - s.c) >= 0.8)""",
+        _MINHASH_SIG_CTE,
+    ]
+    cands = {}
+    for bands in (1, 2, 4, 8):
+        r = 8 // bands
+        if bands == 4:
+            src = "band"  # _MINHASH_SIG_CTE's own 4-band CTE, verbatim
+        else:
+            src = f"band{bands}"
+            parts.append(
+                f"{src} AS (SELECT doc_id, b, "
+                f"md5(array_to_string(sig[{r}*b+1:{r}*b+{r}], '|')) bh "
+                f"FROM sig, unnest(range(0, {bands})) r(b))"
+            )
+        cands[bands] = f"cand{bands}"
+        parts.append(
+            f"cand{bands} AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b "
+            f"FROM {src} a JOIN {src} b "
+            f"ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)"
+        )
+        parts.append(
+            f"hit{bands} AS (SELECT t.id_a FROM truth t JOIN cand{bands} c "
+            f"ON t.id_a = c.id_a AND t.id_b = c.id_b)"
+        )
+    rows = []
+    for bands in (1, 2, 4, 8):
+        r = 8 // bands
+        rows.append(
+            f"SELECT CAST({bands} AS BIGINT) AS bands, "
+            f"CAST({r} AS BIGINT) AS rows_per_band, "
+            f"CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true, "
+            f"CAST((SELECT count(*) FROM hit{bands}) AS BIGINT) AS n_found, "
+            f"CASE WHEN (SELECT count(*) FROM truth) = 0 "
+            f"THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(((SELECT count(*) FROM hit{bands}) * 10000) "
+            f"// (SELECT count(*) FROM truth) AS BIGINT) END AS recall_bp"
+        )
+    return (
+        _SHINGLE_CTE
+        + ",\n    "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(rows)
+    )
+
+
+@staged_query("dedup_lsh_band_curve", oracle=_lsh_band_curve_oracle())
+def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-layout tuning curve — the text-dedup analog of
+    `emb_ann_recall_curve`: recall against the exact-Jaccard ground
+    truth at every way of banding the SAME 8-hash signature (1×8, 2×4,
+    4×2, 8×1). More bands with fewer rows each → more candidate
+    collisions → higher recall and higher verify cost; the curve prices
+    the trade so a deployment picks its layout from measurements, not
+    folklore. The 4×2 row is definitionally `dedup_lsh_recall`'s
+    number (the cross-entry identity the independent test pins), and
+    recall must be non-decreasing in the band count — a monotonicity
+    law of the banding scheme itself.
+
+    Scale: signatures are computed from ONE declarative chain and each
+    layout adds only a banding projection + a bucket-keyed self-join
+    (uniform keys, no skew) + a pair semi-join. Like the perplexity
+    split, the entry stays pure-declarative, so Catalyst re-executes
+    the shared sig/truth subtrees per layout branch at toy SF — a
+    production 100 TB run checkpoints `sig` and `truth` once and the
+    four layouts cost four bucket joins, not four corpus passes."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = dedup.shingle_jaccard_pairs(docs, n=5, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    sig = dedup.minhash_signatures(docs, n=5, num_hashes=8)
+    frames = []
+    for bands in (1, 2, 4, 8):
+        bb = dedup.minhash_band_buckets(
+            None, num_hashes=8, bands=bands, sig=sig
+        )
+        x, y = bb.alias("x"), bb.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bh") == F.col("y.bh"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+            )
+            .distinct()
+        )
+        hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+        frames.append(
+            truth.agg(F.count("*").alias("n_true"))
+            .crossJoin(hit.agg(F.count("*").alias("n_found")))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(8 // bands).cast("long").alias("rows_per_band"),
+                "n_true",
+                "n_found",
+                F.when(
+                    F.col("n_true") > 0,
+                    F.expr("CAST(n_found * 10000 DIV n_true AS BIGINT)"),
+                ).alias("recall_bp"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -369,18 +369,23 @@ def minhash_band_buckets(
     n: int = 5,
     num_hashes: int = 8,
     bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band buckets: (id, band, bh) — one row per band, bh = md5 of the
     band's signature slice. Docs sharing any (band, bh) are near-dup
     candidates; the bucket key is uniform, so self- or semi-joins on it
-    have no skew."""
+    have no skew. Pass a precomputed ``sig`` frame (from
+    ``minhash_signatures``) to band an existing signature several ways
+    without forking the banding definition — the band-tuning entry's
+    path; ``df`` is ignored then."""
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
             "— trailing signature rows would be silently ignored"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias(f"b{b}")
         for b in range(bands)

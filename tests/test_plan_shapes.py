@@ -1411,3 +1411,18 @@ def test_knn_label_vote_broadcasts_topk_side(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") == 2
     assert "Exchange SinglePartition" not in plan
+
+
+def test_lsh_band_curve_bucket_joins_no_cartesian(spark):
+    # four band layouts over one signature chain: every candidate join
+    # is a bucket-keyed equi-join (uniform md5 keys) — no cartesian, no
+    # BNLJ, everything JVM-side
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["dedup_lsh_band_curve"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # exactly the four 1-row × 1-row scalar attaches (n_true × n_found
+    # per layout — the documented broadcast scalar-crossJoin class);
+    # any OTHER nested-loop join would be a real pair explosion
+    assert plan.count("BroadcastNestedLoopJoin") == 4
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -1233,3 +1233,27 @@ def test_knn_label_vote_matches_promoted_ranking(spark):
         for r in _staged(spark, "emb_knn_label_vote").collect()
     }
     assert got == want
+
+
+def test_lsh_band_curve_monotone_and_matches_promoted(spark):
+    """dedup_lsh_band_curve internal + cross-entry consistency: recall
+    must be non-decreasing in the band count (a law of banding — more,
+    shorter bands can only add collisions), n_true identical across
+    rows, n_found ≤ n_true, and the 4×2 row must equal the PROMOTED
+    dedup_lsh_recall entry's numbers exactly."""
+    rows = {
+        r["bands"]: r
+        for r in _staged(spark, "dedup_lsh_band_curve").collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    n_true = {r["n_true"] for r in rows.values()}
+    assert len(n_true) == 1 and n_true.pop() > 0
+    for r in rows.values():
+        assert 0 <= r["n_found"] <= r["n_true"]
+        assert r["rows_per_band"] == 8 // r["bands"]
+    recalls = [rows[b]["recall_bp"] for b in (1, 2, 4, 8)]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    promoted = _staged(spark, "dedup_lsh_recall").collect()[0]
+    assert rows[4]["n_true"] == promoted["n_true"]
+    assert rows[4]["n_found"] == promoted["n_found"]
+    assert rows[4]["recall_bp"] == promoted["recall_bp"]
