@@ -191,6 +191,7 @@ EXTENDED = [
     # r18-wave starters (drafted in r11)
     "emb_knn_label_vote",
     "dedup_lsh_band_curve",
+    "q_orders_runs_test",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

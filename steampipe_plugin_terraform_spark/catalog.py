@@ -12897,3 +12897,111 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+@staged_query(
+    "q_orders_runs_test",
+    # lower median by order statistic (rn = (n+1) DIV 2 under the
+    # (rev, day) total order — no interpolation to keep in parity),
+    # ties-with-median dropped per the standard test, expected runs
+    # 2·n1·n2/(n1+n2) + 1 multiplied out to thousandths with HUGEINT
+    # headroom; every division is positive-integer floor
+    oracle="""
+    WITH d AS (SELECT date_trunc('day', o_orderdate) AS dday,
+                      CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) rev
+               FROM orders GROUP BY 1),
+    m AS (SELECT rev med FROM
+            (SELECT rev, row_number() OVER (ORDER BY rev, dday) rn,
+                    count(*) OVER () n FROM d)
+          WHERE rn = (n + 1) // 2),
+    s AS (SELECT dday, CASE WHEN rev > (SELECT med FROM m)
+                           THEN 1 ELSE 0 END sgn
+          FROM d WHERE rev <> (SELECT med FROM m)),
+    r AS (SELECT sgn, lag(sgn) OVER (ORDER BY dday) prev FROM s),
+    agg AS (SELECT CAST(sum(sgn) AS BIGINT) n_above,
+                   CAST(count(*) - sum(sgn) AS BIGINT) n_below,
+                   CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                                     THEN 1 ELSE 0 END) AS BIGINT) n_runs
+            FROM r)
+    SELECT n_above, n_below, n_runs,
+           CAST((2000 * n_above::HUGEINT * n_below)
+                // (n_above + n_below) + 1000 AS BIGINT)
+             AS expected_runs_e3,
+           CAST(n_runs * 1000
+                - ((2000 * n_above::HUGEINT * n_below)
+                   // (n_above + n_below) + 1000) AS BIGINT) AS gap_e3
+    FROM agg
+    """,
+)
+def q_orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test over the daily-revenue sequence — the
+    randomness screen of the integer-exact statistics family: a revenue
+    series that alternates above/below its median too rarely (trend,
+    regime shift) or too often (oscillating instrumentation, dedup
+    failure) is not random, and the runs count against its expectation
+    2·n₁·n₂/(n₁+n₂) + 1 measures exactly that without distributional
+    assumptions. The median is the LOWER order statistic under the
+    (rev, day) total order (no interpolation — interpolation parity is
+    exactly what the percentile entries have to manage), median-tied
+    days drop per the standard test, and the expectation lands on the
+    thousandths grid by positive-integer floor division.
+
+    Scale: one scan pruned to two columns, one keyed partial agg to the
+    DAY grain; every window after that (median rank, lag) runs over the
+    ~date-range-bounded day frame — the documented post-agg-tiny-frame
+    exemption (a day frame is ~2.4k rows per 7 years regardless of
+    order count)."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("rev")
+        )
+    )
+    ranked = d.select(
+        "day",
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").asc(), F.col("day").asc()))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) DIV 2")).select(
+        F.col("rev").alias("med")
+    )
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("med"))
+        .select(
+            "day",
+            F.expr("CASE WHEN rev > med THEN 1 ELSE 0 END").alias("sgn"),
+        )
+    )
+    r = s.select(
+        "sgn", F.lag("sgn").over(Window.orderBy("day")).alias("prev")
+    )
+    agg = r.agg(
+        F.expr("CAST(sum(sgn) AS BIGINT)").alias("n_above"),
+        F.expr("CAST(count(*) - sum(sgn) AS BIGINT)").alias("n_below"),
+        F.expr(
+            "CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_runs"),
+    )
+    exp_e3 = (
+        "CAST(2000 AS DECIMAL(38,0)) * n_above * n_below"
+        " DIV (n_above + n_below) + 1000"
+    )
+    return agg.select(
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.expr(f"CAST({exp_e3} AS BIGINT)").alias("expected_runs_e3"),
+        F.expr(f"CAST(n_runs * 1000 - ({exp_e3}) AS BIGINT)").alias(
+            "gap_e3"
+        ),
+    )

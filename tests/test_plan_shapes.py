@@ -1426,3 +1426,22 @@ def test_lsh_band_curve_bucket_joins_no_cartesian(spark):
     # any OTHER nested-loop join would be a real pair explosion
     assert plan.count("BroadcastNestedLoopJoin") == 4
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_runs_test_single_scan_day_grain_windows(spark):
+    # one fact scan pruned to two columns, keyed partial agg to the DAY
+    # grain; the median-rank and lag windows run over that date-bounded
+    # frame (the documented post-agg-tiny-frame exemption); the median
+    # attach is a broadcast 1-row scalar
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_orders_runs_test"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) <= 2  # Catalyst may split the day-agg subtree
+    for sc in scans:
+        cols = {c.split("#")[0] for c in sc.split(",") if c}
+        assert cols == {"o_orderdate", "o_totalprice"}, cols

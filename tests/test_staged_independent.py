@@ -1257,3 +1257,38 @@ def test_lsh_band_curve_monotone_and_matches_promoted(spark):
     assert rows[4]["n_true"] == promoted["n_true"]
     assert rows[4]["n_found"] == promoted["n_found"]
     assert rows[4]["recall_bp"] == promoted["recall_bp"]
+
+
+def test_runs_test_pure_python_reference(spark):
+    """q_orders_runs_test vs a from-scratch Python-int replay: day
+    revenue, lower-median order statistic, tie-dropping, run counting by
+    walking the date-ordered sequence, multiplied-out expectation."""
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    day_rev = collections.Counter()
+    for ts, price in zip(t["o_orderdate"], t["o_totalprice"]):
+        day_rev[ts.floor("D")] += math.floor(price * 100 + 0.5)
+    ordered = sorted(day_rev.items(), key=lambda kv: (kv[1], kv[0]))
+    med = ordered[(len(ordered) + 1) // 2 - 1][1]
+    seq = [
+        1 if rev > med else 0
+        for d, rev in sorted(day_rev.items())
+        if rev != med
+    ]
+    n_above = sum(seq)
+    n_below = len(seq) - n_above
+    n_runs = 1 + sum(a != b for a, b in zip(seq, seq[1:]))
+    exp_e3 = 2000 * n_above * n_below // (n_above + n_below) + 1000
+    rows = _staged(spark, "q_orders_runs_test").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_above"], r["n_below"], r["n_runs"]) == (
+        n_above,
+        n_below,
+        n_runs,
+    )
+    assert r["expected_runs_e3"] == exp_e3
+    assert r["gap_e3"] == n_runs * 1000 - exp_e3
