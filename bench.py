@@ -192,6 +192,7 @@ EXTENDED = [
     "emb_knn_label_vote",
     "dedup_lsh_band_curve",
     "q_orders_runs_test",
+    "tf_count_foreach_expansion",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

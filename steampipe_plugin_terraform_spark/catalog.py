@@ -13005,3 +13005,67 @@ def q_orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_e3"
         ),
     )
+
+
+@staged_query(
+    "tf_count_foreach_expansion",
+    # golden rows from the dedicated corpus, one resource per expansion
+    # class: literal count (3), var-driven count (the NullIfZero quirk
+    # means a literal `count = 0` ALSO lands here — documented), literal
+    # for_each map (3 keys) and list (2 items), var-driven for_each,
+    # and a plain single-instance resource
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aws_instance.c3',     'static_count',    CAST(3 AS BIGINT)),
+      ('aws_instance.cv',     'dynamic_count',   CAST(NULL AS BIGINT)),
+      ('aws_instance.fe_var', 'dynamic_foreach', CAST(NULL AS BIGINT)),
+      ('aws_s3_bucket.single','single',          CAST(1 AS BIGINT)),
+      ('aws_subnet.fe_list',  'static_foreach',  CAST(2 AS BIGINT)),
+      ('aws_subnet.fe_map',   'static_foreach',  CAST(3 AS BIGINT))
+    ) t(address, expansion, n_instances)
+    """,
+)
+def tf_count_foreach_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-size estimation from meta-arguments — "how many instances
+    will this config create?": each config resource classifies by its
+    count/for_each shape (the reference parses both —
+    table_terraform_resource.go:327-335 for the gocty count coercion;
+    the engine's count/count_src/for_each columns carry them) into
+    ``static_count`` (literal count → n = count), ``dynamic_count``
+    (count is an expression — or a literal 0, which the NullIfZero
+    quirk makes indistinguishable from unset; both audits document it),
+    ``static_foreach`` (literal map/list → n = key/element count via
+    the JSON operators), ``dynamic_foreach`` (expression), ``single``
+    (no meta-arg → n = 1). Σ n_instances over the static rows is the
+    statically-knowable floor of the plan size.
+
+    Scale: O(config resources) metadata, per-row JSON projection, no
+    exchange, no join — the settings-audit plan contract."""
+    res = _tf_corpus_engine(spark, "expansion").table("terraform_resource")
+    first = F.substring("for_each", 1, 1)
+    return res.select(
+        "address",
+        F.when(F.col("count").isNotNull(), F.lit("static_count"))
+        .when(F.col("count_src").isNotNull(), F.lit("dynamic_count"))
+        .when(
+            F.col("for_each").isNotNull() & first.isin("[", "{"),
+            F.lit("static_foreach"),
+        )
+        .when(F.col("for_each").isNotNull(), F.lit("dynamic_foreach"))
+        .otherwise(F.lit("single"))
+        .alias("expansion"),
+        F.when(F.col("count").isNotNull(), F.col("count").cast("long"))
+        .when(
+            F.col("for_each").isNotNull() & (first == "["),
+            F.expr("CAST(json_array_length(for_each) AS BIGINT)"),
+        )
+        .when(
+            F.col("for_each").isNotNull() & (first == "{"),
+            F.expr("CAST(size(json_object_keys(for_each)) AS BIGINT)"),
+        )
+        .when(
+            F.col("count_src").isNull() & F.col("for_each").isNull(),
+            F.lit(1).cast("long"),
+        )
+        .alias("n_instances"),
+    )

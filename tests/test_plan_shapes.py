@@ -1445,3 +1445,15 @@ def test_runs_test_single_scan_day_grain_windows(spark):
     for sc in scans:
         cols = {c.split("#")[0] for c in sc.split(",") if c}
         assert cols == {"o_orderdate", "o_totalprice"}, cols
+
+
+def test_count_foreach_expansion_shuffle_free(spark):
+    # plan-size metadata: per-row JSON projection over the parsed wide
+    # frame — the settings-audit contract: no exchange, no join
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_count_foreach_expansion"](spark, SF))
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct", "Generate"):
+        assert node not in plan

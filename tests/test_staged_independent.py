@@ -1292,3 +1292,47 @@ def test_runs_test_pure_python_reference(spark):
     )
     assert r["expected_runs_e3"] == exp_e3
     assert r["gap_e3"] == n_runs * 1000 - exp_e3
+
+
+def test_count_foreach_expansion_pure_python_reference(spark):
+    """tf_count_foreach_expansion vs a regex scanner over the corpus:
+    count/for_each meta-args re-read from the block text with crude
+    pattern matching, expansion re-classified, static sizes re-counted
+    (map keys by brace-block key lines, list items by comma split)."""
+    import re
+
+    blocks = _corpus_blocks("expansion")
+    want = {}
+    for bt, labels, src in blocks:
+        if bt != "resource" or len(labels) != 2:
+            continue
+        addr = f"{labels[0]}.{labels[1]}"
+        mc = re.search(r"(?m)^\s*count\s*=\s*(.+)$", src)
+        mf = re.search(r"(?m)^\s*for_each\s*=\s*(.+)$", src)
+        if mc:
+            val = mc.group(1).strip()
+            if re.fullmatch(r"\d+", val):
+                want[addr] = ("static_count", int(val))
+            else:
+                want[addr] = ("dynamic_count", None)
+        elif mf:
+            val = mf.group(1).strip()
+            if val.startswith("["):
+                inner = val[1 : val.rindex("]")].strip()
+                n = len([x for x in inner.split(",") if x.strip()])
+                want[addr] = ("static_foreach", n)
+            elif val.startswith("{"):
+                # keys of the literal map: one `k = v` line per key
+                body = src[src.index(mf.group(0)) :]
+                body = body[body.index("{") + 1 : body.index("}")]
+                n = len(re.findall(r"(?m)^\s*[A-Za-z0-9_\"]+\s*=", body))
+                want[addr] = ("static_foreach", n)
+            else:
+                want[addr] = ("dynamic_foreach", None)
+        else:
+            want[addr] = ("single", 1)
+    got = {
+        r["address"]: (r["expansion"], r["n_instances"])
+        for r in _staged(spark, "tf_count_foreach_expansion").collect()
+    }
+    assert got == want
