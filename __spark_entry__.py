@@ -28,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ROTATION POLICY (standing, from round 6; see round-6 comment in git
 # history for the full rationale). The driver's correctness gate checks
-# the first 50 queries() entries in dict order; the catalog holds 205, so
-# the horizon is ceil(205/50) = 5 rounds. Invariant: EVERY entry gets a
+# the first 50 queries() entries in dict order; the catalog holds 211, so
+# the horizon is ceil(211/50) = 5 rounds. Invariant: EVERY entry gets a
 # driver-green row within the horizon; window priority each round:
 #   1. entries changed or added this round (a stale green row proves
 #      nothing about them);
@@ -39,89 +39,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
 # the sf0.01 sweep (`make parity-sf001 parity-sf01`).
 #
-# Round-11 window (executes the r10 verdict's pinned rotation):
-# positions 1-5 are the five entries promoted from the r10 staging area
-# (tf_resource_reference_graph, tf_sensitive_output_audit,
-# q_orders_incremental_rollup, emb_matryoshka_prefix_recall,
-# tf_tags_inheritance_audit) — never driver-checked, so rule 2 puts them
-# first; positions 6-50 are the 45 alphabetically-first r07 rows, pulled
-# EARLY (with catalog 205 the horizon widens to 5 rounds, so r07 rows
-# only become stale at r12 — front-loading 45 now leaves just 5 forced
-# in r12, keeping budget for the 6 r12-staged promotions). The r07
-# cohort is 50, not 49: q_approx_distinct's last driver row is r07
-# (rows-only green, CORRECTNESS_r07.json) — the r10 verdict's undercount
-# fix gives it a slot among the r12 leftovers below. After the window:
-# the 5 r07 leftovers (due r12), then r08-green, r09-green, and the
-# r10 window rows (newest last).
+# Round-12 window (executes the r11 verdict's pinned rotation):
+# positions 1-6 are the six entries promoted from the r12 staging area
+# (q_events_bitmap_distinct_users, q_lineitem_flag_status_chi2,
+# tf_unused_locals, emb_mmr_rerank, stream_hourly_topk_types,
+# docs_bpe_merge_pairs) — never driver-checked, so rule 2 puts them
+# first; positions 7-11 are the 5 forced r07 leftovers (incl.
+# q_approx_distinct, the r10 verdict's undercount fix — last rows-only
+# green r07); positions 12-50 are the 39 alphabetically-first r08 rows
+# (the r08 cohort is 50; the alphabetically-last 11 become the r13
+# forced leftovers, pinned in docs/OPERATORS.md). Catalog 211 → horizon
+# stays ceil(211/50) = 5 rounds. After the window: the 11 r08 leftovers
+# (due r13), then r09-green, r10-green, and the r11 window rows
+# (newest last).
 _VALIDATE_FIRST = [
-    # -- r11 window: the five entries promoted from the r10 staging area
+    # -- r12 window: the six entries promoted from the r12 staging area
     # (never driver-checked; rotation rule 2 puts them first) --
-    "tf_resource_reference_graph",
-    "tf_sensitive_output_audit",
-    "q_orders_incremental_rollup",
-    "emb_matryoshka_prefix_recall",
-    "tf_tags_inheritance_audit",
-    # -- r11 window: the 45 OLDEST r07 rows (alphabetical; pulled EARLY —
-    # with catalog 205 the horizon is ceil(205/50) = 5, so r07 rows only
-    # become stale at r12; front-loading 45 now leaves just the 5 below
-    # forced in r12, keeping budget for the 6 r12-staged promotions.
-    # Pinned in docs/OPERATORS.md (forward rotation plan). --
-    "dedup_edit_distance_pairs",
-    "dedup_tfidf_cosine_pairs",
-    "docs_bm25_topk",
-    "docs_epoch_shuffle",
-    "docs_length_buckets",
-    "docs_quality_quantile_filter",
-    "docs_train_val_test_split",
-    "docs_weighted_sample",
-    "emb_cluster_balanced_sample",
-    "emb_curation_pipeline",
-    "emb_hard_negatives",
-    "emb_ivf_pq_topk",
-    "emb_pq_topk",
-    "emb_rp_reduce",
-    "q11_important_parts",
-    "q2_min_cost_supplier",
-    "q_customer_pareto",
-    "q_customer_skyline",
-    "q_customer_supplier_pagerank",
-    "q_events_anomaly",
-    "q_events_countmin",
-    "q_events_cusum",
-    "q_events_ewma",
-    "q_events_funnel",
-    "q_events_hourly_gapfill",
-    "q_events_mad_outliers",
-    "q_events_ohlc",
-    "q_events_retention_cohorts",
-    "q_events_sliding_distinct_users",
-    "q_events_theil_sen",
-    "q_events_time_weighted_value",
-    "q_events_trailing_30min",
-    "q_events_transitions",
-    "q_events_trend",
-    "q_kmv_distinct",
-    "q_kmv_set_ops",
-    "q_orders_open_interval_sweep",
-    "q_orders_price_histogram",
-    "q_partition_pruned_join",
-    "q_quantile_bottomk_sketch",
-    "q_salted_skew_join",
-    "q_unpivot_priority_counts",
-    "q_user_scd2_segments",
-    "q_zorder_pruned_scan",
-    "stream_click_error_left_join",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r07: the 5 leftovers, due r12 (the r07 cohort is
-    # 50 per the committed CORRECTNESS files — q_approx_distinct's last
-    # row is r07 rows-only green; the r10 verdict's undercount fix) --
+    "q_events_bitmap_distinct_users",
+    "q_lineitem_flag_status_chi2",
+    "tf_unused_locals",
+    "emb_mmr_rerank",
+    "stream_hourly_topk_types",
+    "docs_bpe_merge_pairs",
+    # -- r12 window: the 5 forced r07 leftovers (incl. q_approx_distinct,
+    # rows-only by design — its last driver row is r07) --
     "q_approx_distinct",
     "stream_countmin_sketch",
     "stream_foreachbatch_sink",
     "stream_hopping_counts",
     "stream_hourly_append_closed",
-    # -- last driver row r08 (due r13: 5 + 6 r12-promos = 11 slots used
-    # in r12, so 39 of these 50 get early slots there; recount at r12) --
+    # -- r12 window: the 39 alphabetically-first r08 rows (the r08
+    # cohort is 50; pinned in docs/OPERATORS.md forward rotation plan) --
     "dedup_golden_record",
     "dedup_linkage_clusters",
     "dedup_lsh_recall",
@@ -161,6 +109,8 @@ _VALIDATE_FIRST = [
     "q_orders_cohort_ltv",
     "q_orders_equidepth_histogram",
     "q_orders_interval_merge",
+    # ---- 50-entry window boundary ----
+    # -- last driver row r08: the 11 leftovers, due r13 (forced) --
     "q_part_kcore",
     "q_part_triangles",
     "q_session_incident_overlap",
@@ -223,7 +173,7 @@ _VALIDATE_FIRST = [
     "tf_modules",
     "tf_providers",
     "tf_variables",
-    # -- last driver row r10 (newest rows; recheck last) --
+    # -- last driver row r10 --
     "dedup_clusters",
     "dedup_minhash_lsh",
     "docs_benchmark_contamination",
@@ -274,6 +224,57 @@ _VALIDATE_FIRST = [
     "tf_resource_count_by_type",
     "tf_resources",
     "tf_unused_variables",
+    # -- last driver row r11 (newest rows; recheck last) --
+    "tf_resource_reference_graph",
+    "tf_sensitive_output_audit",
+    "q_orders_incremental_rollup",
+    "emb_matryoshka_prefix_recall",
+    "tf_tags_inheritance_audit",
+    "dedup_edit_distance_pairs",
+    "dedup_tfidf_cosine_pairs",
+    "docs_bm25_topk",
+    "docs_epoch_shuffle",
+    "docs_length_buckets",
+    "docs_quality_quantile_filter",
+    "docs_train_val_test_split",
+    "docs_weighted_sample",
+    "emb_cluster_balanced_sample",
+    "emb_curation_pipeline",
+    "emb_hard_negatives",
+    "emb_ivf_pq_topk",
+    "emb_pq_topk",
+    "emb_rp_reduce",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q_customer_pareto",
+    "q_customer_skyline",
+    "q_customer_supplier_pagerank",
+    "q_events_anomaly",
+    "q_events_countmin",
+    "q_events_cusum",
+    "q_events_ewma",
+    "q_events_funnel",
+    "q_events_hourly_gapfill",
+    "q_events_mad_outliers",
+    "q_events_ohlc",
+    "q_events_retention_cohorts",
+    "q_events_sliding_distinct_users",
+    "q_events_theil_sen",
+    "q_events_time_weighted_value",
+    "q_events_trailing_30min",
+    "q_events_transitions",
+    "q_events_trend",
+    "q_kmv_distinct",
+    "q_kmv_set_ops",
+    "q_orders_open_interval_sweep",
+    "q_orders_price_histogram",
+    "q_partition_pruned_join",
+    "q_quantile_bottomk_sketch",
+    "q_salted_skew_join",
+    "q_unpivot_priority_counts",
+    "q_user_scd2_segments",
+    "q_zorder_pruned_scan",
+    "stream_click_error_left_join",
 ]
 
 

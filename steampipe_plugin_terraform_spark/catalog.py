@@ -10170,7 +10170,7 @@ def tf_tags_inheritance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_query(
+@query(
     "q_events_bitmap_distinct_users",
     # the oracle computes n_users as a PLAIN COUNT(DISTINCT ...) — the
     # check is that the mergeable-bitmap device equals TRUE distinct,
@@ -10212,7 +10212,7 @@ def q_events_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     ).withColumnRenamed("n_distinct", "n_users")
 
 
-@staged_query(
+@query(
     "q_lineitem_flag_status_chi2",
     # HUGEINT products on the DuckDB side (BIGINT overflow raises there);
     # // and DIV both truncate toward zero, and every numerator is a
@@ -10294,7 +10294,7 @@ def q_lineitem_flag_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_unused_locals",
     # golden rows from the dedicated corpus, one local per usage class:
     # referenced from a resource + an output (owner, 2 blocks), a
@@ -10419,7 +10419,7 @@ def _mmr_oracle() -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + sel
 
 
-@staged_query("emb_mmr_rerank", oracle=_mmr_oracle())
+@query("emb_mmr_rerank", oracle=_mmr_oracle())
 def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (Carbonell & Goldstein 1998) — the
     relevance-vs-redundancy greedy that production retrieval and
@@ -10453,7 +10453,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "stream_hourly_topk_types",
     # watermark-closure replay (the append-mode oracle device): closed
     # hours are those whose end <= final watermark = max(ts) - 2h; the
@@ -10509,7 +10509,7 @@ def stream_hourly_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "docs_bpe_merge_pairs",
     # byte/char parity: words filtered to pure-ASCII alpha (the
     # edit-distance entry's normalization device), so substring(w,i,2)
@@ -12783,7 +12783,8 @@ def _lsh_band_curve_oracle() -> str:
     """Replay: the uncapped truth + the shared 8-hash signature chain
     (_MINHASH_SIG_CTE — its `band` CTE IS the 4-band layout, reused
     verbatim), plus one band/cand/hit triplet per additional layout;
-    recall mirrors the Spark side's double division + BIGINT truncate."""
+    recall mirrors the Spark side's positive-integer floor division
+    (hits·10⁴ DIV truth — Spark DIV ≡ DuckDB // on positive ints)."""
     parts = [
         """truth AS (SELECT s.id_a, s.id_b
               FROM shared s JOIN sz x ON s.id_a = x.doc_id
@@ -12848,18 +12849,30 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall must be non-decreasing in the band count — a monotonicity
     law of the banding scheme itself.
 
-    Scale: signatures are computed from ONE declarative chain and each
-    layout adds only a banding projection + a bucket-keyed self-join
-    (uniform keys, no skew) + a pair semi-join. Like the perplexity
-    split, the entry stays pure-declarative, so Catalyst re-executes
-    the shared sig/truth subtrees per layout branch at toy SF — a
-    production 100 TB run checkpoints `sig` and `truth` once and the
-    four layouts cost four bucket joins, not four corpus passes."""
+    Scale: signatures are computed from ONE declarative chain, then
+    LOCALIZED — ``sig`` and ``truth`` are eagerly `localCheckpoint`ed
+    (executor-side materialization, lineage truncated; deliberately NOT
+    .persist(), whose cache-manager plan-matching silently rewrites
+    sibling entries' identical subtrees — the emb_ann_recall_curve /
+    emb_pq_recall contamination, SCALE.md), so the corpus is scanned
+    once per table and the four layouts each cost only a banding
+    projection + a bucket-keyed self-join (uniform md5 keys, no skew)
+    + a broadcast pair semi-join against the checkpointed truth set
+    (measurement-sized here; a run whose truth set is corpus-scale
+    drops the broadcast hint and lets AQE pick the shuffle semi-join).
+    n_true is ONE scalar count over the checkpoint — the documented
+    1-row-scalar bounded class — baked in as a literal, so the final
+    plan has zero FileScans and zero scalar crossJoins (pinned)."""
     docs = _t(spark, sf_dir, "documents")
-    truth = dedup.shingle_jaccard_pairs(docs, n=5, threshold=0.8).select(
-        "id_a", "id_b"
+    truth = (
+        dedup.shingle_jaccard_pairs(docs, n=5, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
-    sig = dedup.minhash_signatures(docs, n=5, num_hashes=8)
+    n_true = truth.count()
+    sig = dedup.minhash_signatures(docs, n=5, num_hashes=8).localCheckpoint(
+        eager=True
+    )
     frames = []
     for bands in (1, 2, 4, 8):
         bb = dedup.minhash_band_buckets(
@@ -12878,18 +12891,20 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+        # |cand ∩ truth| counted from the cand side (both are distinct
+        # pair sets, so the intersection count is side-symmetric)
         frames.append(
-            truth.agg(F.count("*").alias("n_true"))
-            .crossJoin(hit.agg(F.count("*").alias("n_found")))
+            cand.join(F.broadcast(truth), ["id_a", "id_b"], "left_semi")
+            .agg(F.count("*").alias("n_found"))
             .select(
                 F.lit(bands).cast("long").alias("bands"),
                 F.lit(8 // bands).cast("long").alias("rows_per_band"),
-                "n_true",
+                F.lit(n_true).cast("long").alias("n_true"),
                 "n_found",
-                F.when(
-                    F.col("n_true") > 0,
-                    F.expr("CAST(n_found * 10000 DIV n_true AS BIGINT)"),
+                (
+                    F.expr(f"CAST(n_found * 10000 DIV {n_true} AS BIGINT)")
+                    if n_true > 0
+                    else F.lit(None).cast("long")
                 ).alias("recall_bp"),
             )
         )
@@ -13034,21 +13049,36 @@ def tf_count_foreach_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``static_count`` (literal count → n = count), ``dynamic_count``
     (count is an expression — or a literal 0, which the NullIfZero
     quirk makes indistinguishable from unset; both audits document it),
-    ``static_foreach`` (literal map/list → n = key/element count via
-    the JSON operators), ``dynamic_foreach`` (expression), ``single``
-    (no meta-arg → n = 1). Σ n_instances over the static rows is the
-    statically-knowable floor of the plan size.
+    ``static_foreach`` (literal map/list, or ``toset([...])`` over a
+    literal list — the form real terraform REQUIRES for lists, since
+    for_each takes only maps/sets → n = key/element count via the JSON
+    operators), ``dynamic_foreach`` (expression), ``single`` (no
+    meta-arg → n = 1). Σ n_instances over the static rows is the
+    statically-knowable floor of the plan size. Note the static-parse
+    leniency: a bare literal list (which terraform itself rejects at
+    plan time) still classifies static_foreach — this engine measures
+    config text, it does not validate it.
 
     Scale: O(config resources) metadata, per-row JSON projection, no
     exchange, no join — the settings-audit plan contract."""
     res = _tf_corpus_engine(spark, "expansion").table("terraform_resource")
     first = F.substring("for_each", 1, 1)
+    # toset(<literal list>) arrives JSON-encoded as the interpolation
+    # string "${toset([...])}" — unescape \" and pull the inner array;
+    # json_array_length is NULL unless it parses as literal JSON (a
+    # var/expr inside makes it invalid → falls through to dynamic)
+    toset_n = F.expr(
+        r"""json_array_length(nullif(regexp_extract(
+            regexp_replace(for_each, '\\\\"', '"'),
+            '^"\\$\\{toset\\((\\[.*\\])\\)\\}"$', 1), ''))"""
+    ).cast("long")
     return res.select(
         "address",
         F.when(F.col("count").isNotNull(), F.lit("static_count"))
         .when(F.col("count_src").isNotNull(), F.lit("dynamic_count"))
         .when(
-            F.col("for_each").isNotNull() & first.isin("[", "{"),
+            F.col("for_each").isNotNull()
+            & (first.isin("[", "{") | toset_n.isNotNull()),
             F.lit("static_foreach"),
         )
         .when(F.col("for_each").isNotNull(), F.lit("dynamic_foreach"))
@@ -13063,6 +13093,7 @@ def tf_count_foreach_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("for_each").isNotNull() & (first == "{"),
             F.expr("CAST(size(json_object_keys(for_each)) AS BIGINT)"),
         )
+        .when(F.col("for_each").isNotNull() & toset_n.isNotNull(), toset_n)
         .when(
             F.col("count_src").isNull() & F.col("for_each").isNull(),
             F.lit(1).cast("long"),

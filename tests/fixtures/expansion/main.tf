@@ -26,7 +26,7 @@ resource "aws_subnet" "fe_map" {
 }
 
 resource "aws_subnet" "fe_list" {
-  for_each   = ["x", "y"]
+  for_each   = toset(["x", "y"])
   cidr_block = "10.0.0.0/24"
 }
 

@@ -919,10 +919,9 @@ def test_bitmap_distinct_keyed_aggs_no_single_partition(spark):
     # map-side bit_or partials, never raw ids in a single reducer)
     import re
 
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
     plan = _plan_df(
-        STAGED_QUERIES["q_events_bitmap_distinct_users"](spark, SF)
+        QUERIES["q_events_bitmap_distinct_users"](spark, SF)
     )
     assert "Join" not in plan
     assert "SinglePartition" not in plan
@@ -940,9 +939,8 @@ def test_chi2_single_scan_windows_over_cells(spark):
     # the post-agg-tiny-frame exemption, same as weighted_median
     import re
 
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["q_lineitem_flag_status_chi2"](spark, SF))
+    plan = _plan_df(QUERIES["q_lineitem_flag_status_chi2"](spark, SF))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
@@ -962,9 +960,8 @@ def test_unused_locals_single_broadcast_join(spark):
     # locals ∖ references — same metadata-join shape as the variables
     # audit: the tiny reference set joins broadcast, an SMJ or cartesian
     # means the parsed corpus shuffled
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_unused_locals"](spark, SF))
+    plan = _plan_df(QUERIES["tf_unused_locals"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
@@ -976,9 +973,8 @@ def test_mmr_rerank_broadcast_fanback_bounded_greedy(spark):
     # corpus must never shuffle); greedy = ONE grouped map over 8 rows
     # per query. An SMJ or cartesian means the corpus shuffled into the
     # re-rank
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["emb_mmr_rerank"](spark, SF))
+    plan = _plan_df(QUERIES["emb_mmr_rerank"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -992,9 +988,8 @@ def test_stream_topk_keyed_rank_over_sink_only(spark):
     # (agg-sized), never re-scans events; the rank is keyed by hour (no
     # single-partition stage) and rnk<=3 plans a WindowGroupLimit so
     # partitions prune to their top candidates before the shuffle
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["stream_hourly_topk_types"](spark, SF))
+    plan = _plan_df(QUERIES["stream_hourly_topk_types"](spark, SF))
     assert plan.count("Scan parquet") == 0
     assert "SinglePartition" not in plan
     assert "Join" not in plan
@@ -1008,9 +1003,8 @@ def test_bpe_merge_pairs_vocab_sized_takeordered(spark):
     # sort), no joins anywhere
     import re
 
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["docs_bpe_merge_pairs"](spark, SF))
+    plan = _plan_df(QUERIES["docs_bpe_merge_pairs"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
     assert "Join" not in plan
@@ -1414,17 +1408,20 @@ def test_knn_label_vote_broadcasts_topk_side(spark):
 
 
 def test_lsh_band_curve_bucket_joins_no_cartesian(spark):
-    # four band layouts over one signature chain: every candidate join
-    # is a bucket-keyed equi-join (uniform md5 keys) — no cartesian, no
-    # BNLJ, everything JVM-side
+    # four band layouts over ONE localized signature chain: sig and
+    # truth are localCheckpointed (corpus scanned once per table at
+    # build time), n_true is a baked-in scalar literal — so the FINAL
+    # plan has no FileScan at all and no scalar crossJoins; every
+    # candidate join is a bucket-keyed equi-join (uniform md5 keys)
+    # and each layout's truth intersection is a broadcast semi-join
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
     plan = _plan_df(STAGED_QUERIES["dedup_lsh_band_curve"](spark, SF))
     assert "CartesianProduct" not in plan
-    # exactly the four 1-row × 1-row scalar attaches (n_true × n_found
-    # per layout — the documented broadcast scalar-crossJoin class);
-    # any OTHER nested-loop join would be a real pair explosion
-    assert plan.count("BroadcastNestedLoopJoin") == 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FileScan" not in plan  # both subtrees localized
+    # the four truth semi-joins broadcast (left_semi BroadcastHashJoin)
+    assert plan.count("BroadcastHashJoin") >= 4
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 

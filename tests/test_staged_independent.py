@@ -1317,7 +1317,11 @@ def test_count_foreach_expansion_pure_python_reference(spark):
                 want[addr] = ("dynamic_count", None)
         elif mf:
             val = mf.group(1).strip()
-            if val.startswith("["):
+            if val.startswith("toset([") and val.endswith("])"):
+                inner = val[val.index("[") + 1 : val.rindex("]")].strip()
+                n = len([x for x in inner.split(",") if x.strip()])
+                want[addr] = ("static_foreach", n)
+            elif val.startswith("["):
                 inner = val[1 : val.rindex("]")].strip()
                 n = len([x for x in inner.split(",") if x.strip()])
                 want[addr] = ("static_foreach", n)
