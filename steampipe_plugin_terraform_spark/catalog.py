@@ -13100,3 +13100,434 @@ def tf_count_foreach_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("n_instances"),
     )
+
+
+@staged_query(
+    "tf_lifecycle_audit",
+    # golden rows from the dedicated corpus, one resource per lifecycle
+    # class: prevent_destroy=true (protected), create_before_destroy
+    # (zero_downtime), ignore_changes list (drift_blind, n_ignored=2),
+    # ignore_changes=all (drift_blind_all), explicit prevent_destroy=
+    # false (default — absent and explicit-false are the SAME terraform
+    # behavior, pinned), no lifecycle at all (default), and a combined
+    # block (protected wins the precedence: a resource that cannot be
+    # destroyed is the strongest statement regardless of what else is
+    # set). n_ignored is NULL when ignore_changes is absent OR `all`
+    # (there is no list to count).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aws_autoscaling_group.asg',      false, false, false,
+       2::BIGINT,           'drift_blind'),
+      ('aws_db_instance.prod_db',        true,  false, false,
+       CAST(NULL AS BIGINT), 'protected'),
+      ('aws_db_instance.replica',        true,  true,  false,
+       1::BIGINT,           'protected'),
+      ('aws_elasticache_cluster.cache',  false, false, false,
+       CAST(NULL AS BIGINT), 'default'),
+      ('aws_instance.web',               false, true,  false,
+       CAST(NULL AS BIGINT), 'zero_downtime'),
+      ('aws_s3_bucket.legacy',           false, false, true,
+       CAST(NULL AS BIGINT), 'drift_blind_all'),
+      ('aws_sqs_queue.plain',            false, false, false,
+       CAST(NULL AS BIGINT), 'default')
+    ) t(address, prevent_destroy, create_before_destroy, ignores_all,
+        n_ignored, status)
+    """,
+)
+def tf_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle meta-argument governance audit — "which resources are
+    deletion-protected, which are drift-blind?": every config resource
+    classified by its `lifecycle` block (the reference parses lifecycle
+    into the resource row wholesale — table_terraform_resource.go:70
+    `Lifecycle map[string]interface{}`; this engine's `lifecycle`
+    column carries the same JSON). ``prevent_destroy`` /
+    ``create_before_destroy`` default to FALSE when absent (terraform's
+    own defaults, so explicit-false and unset classify identically);
+    ``ignore_changes`` is either a traversal list (n_ignored counts the
+    entries a plan will silently skip — the drift-blindness surface) or
+    the keyword ``all`` (flagged separately: the resource ignores every
+    argument change). Status precedence: protected > drift_blind_all >
+    drift_blind > zero_downtime > default — deletion protection is the
+    strongest statement a block can make.
+
+    Scale: O(config resources) metadata, per-row JSON extraction, no
+    exchange, no join — the settings-audit plan contract."""
+    res = _tf_corpus_engine(spark, "lifecycle").table("terraform_resource")
+    pd_ = F.coalesce(
+        F.get_json_object("lifecycle", "$.prevent_destroy") == "true",
+        F.lit(False),
+    )
+    cbd = F.coalesce(
+        F.get_json_object("lifecycle", "$.create_before_destroy") == "true",
+        F.lit(False),
+    )
+    ic = F.get_json_object("lifecycle", "$.ignore_changes")
+    ignores_all = F.coalesce(ic == "${all}", F.lit(False))
+    n_ignored = F.expr(
+        "json_array_length(get_json_object(lifecycle, '$.ignore_changes'))"
+    ).cast("long")
+    return res.select(
+        "address",
+        pd_.alias("prevent_destroy"),
+        cbd.alias("create_before_destroy"),
+        ignores_all.alias("ignores_all"),
+        n_ignored.alias("n_ignored"),
+        F.when(pd_, F.lit("protected"))
+        .when(ignores_all, F.lit("drift_blind_all"))
+        .when(n_ignored > 0, F.lit("drift_blind"))
+        .when(cbd, F.lit("zero_downtime"))
+        .otherwise(F.lit("default"))
+        .alias("status"),
+    )
+
+
+# Attribute line whose value is a PURE quoted interpolation "${...}" —
+# the terraform-0.12 "interpolation-only expression" deprecation (a
+# composite "${a}-${b}" or "${x}-suffix" legitimately needs the quotes
+# and is NOT flagged; [^"{}$] forbids nesting so the wrap must close at
+# the end of the string). Kept as a module constant with a literal-dot
+# regression test (tests/test_staged_independent.py) per the
+# regex-in-SQL escaping gotcha — though this one deliberately goes
+# through F.regexp_extract_all's Column API, which has ONE escaping
+# layer (Python), not two.
+_LEGACY_INTERP_RE = (
+    r'(?m)^\s*([A-Za-z_][A-Za-z0-9_-]*)\s*=\s*"\$\{[^"{}$]+\}"\s*$'
+)
+
+
+@staged_query(
+    "tf_legacy_interpolation_audit",
+    # golden rows from the dedicated corpus: a resource with TWO pure
+    # legacy wraps (ami + availability_zone), one with one (bucket;
+    # its sibling `acl` is a plain string), an output whose value is a
+    # pure wrap, and — pinned by ABSENCE — the modern bare-traversal
+    # forms, the composite "${var.env}-alerts" (interpolation the
+    # quotes genuinely need), and plain string literals
+    oracle="""
+    SELECT * FROM (VALUES
+      ('terraform_output',   'legacy_out',
+       1::BIGINT, 'value'),
+      ('terraform_resource', 'aws_instance.legacy_both',
+       2::BIGINT, 'ami,availability_zone'),
+      ('terraform_resource', 'aws_s3_bucket.legacy_one',
+       1::BIGINT, 'bucket')
+    ) t(tf_table, block, n_legacy, legacy_attrs)
+    """,
+)
+def tf_legacy_interpolation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Legacy-interpolation lint (`terraform fmt`'s TF-0.12 rewrite /
+    tflint's interpolation-only rule): attribute lines whose value is a
+    PURE quoted interpolation ``"${expr}"`` — redundant quoting that
+    predates first-class expressions and defeats type checking (the
+    wrap forces string conversion). Scans the SOURCE text of every
+    1-row-per-block config table (resources, data sources, providers,
+    modules, outputs, variables — locals excluded: every local in a
+    file shares one block source, so a per-row scan would multiply-
+    count); composite interpolations like ``"${var.env}-alerts"`` are
+    legitimate and not flagged. Reports offenders only: distinct
+    offending attribute names (sorted, comma-joined) + their count.
+
+    Scale: one regexp projection over O(config blocks) source text +
+    one block-keyed dedup/agg of the extracted attr names — no join,
+    no corpus-sized shuffle (the frame is offender-sized after the
+    explode/agg)."""
+    wide = _tf_corpus_engine(spark, "legacyinterp").wide()
+    blocks = wide.filter(
+        (F.col("file_kind") == "config")
+        & (F.col("tf_table") != "terraform_local")
+    ).select(
+        "tf_table",
+        F.coalesce("address", "name").alias("block"),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    "source", F.lit(_LEGACY_INTERP_RE), 1
+                )
+            )
+        ).alias("attr"),
+    )
+    return (
+        blocks.groupBy("tf_table", "block")
+        .agg(
+            F.count("*").cast("long").alias("n_legacy"),
+            F.array_join(F.array_sort(F.collect_set("attr")), ",").alias(
+                "legacy_attrs"
+            ),
+        )
+    )
+
+
+@staged_query(
+    "q_lineitem_mannwhitney_u",
+    # the rank-sum test stated as contingency-grid algebra: U needs no
+    # ranks at all — 2U = 2·Σ[qa>qb] nA·nB + Σ[qa=qb] nA·nB over group
+    # count cells (the ½-tie convention integerized by carrying 2U).
+    # Variance keeps the standard tie correction, every factor
+    # multiplied out; z² lands on the thousandths grid via the
+    # documented TWO-STAGE positive floor division (dev²·10³ DIV nAnB,
+    # then ·3N(N−1) DIV (N+1)N(N−1)−Σ(t³−t)) — both engines replay the
+    # same stage order, so the snap is bit-identical by construction
+    oracle="""
+    WITH grid AS (
+      SELECT l_linestatus g, CAST(l_quantity AS BIGINT) q,
+             CAST(count(*) AS BIGINT) n
+      FROM lineitem GROUP BY 1, 2),
+    a AS (SELECT q, n FROM grid WHERE g = 'F'),
+    b AS (SELECT q, n FROM grid WHERE g = 'O'),
+    tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM a) n_a,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM b) n_b),
+    c AS (SELECT CAST(coalesce(sum(CASE WHEN a.q > b.q
+                        THEN a.n::HUGEINT * b.n END), 0) AS HUGEINT) conc,
+                 CAST(coalesce(sum(CASE WHEN a.q = b.q
+                        THEN a.n::HUGEINT * b.n END), 0) AS HUGEINT) tie_n
+          FROM a JOIN b ON TRUE),
+    t3 AS (SELECT CAST(sum(t*t*t - t) AS HUGEINT) ties_sum FROM
+            (SELECT CAST(sum(n) AS HUGEINT) t FROM grid GROUP BY q)),
+    f AS (SELECT n_a, n_b, 2*conc + tie_n AS u2,
+                 n_a::HUGEINT * n_b AS mean2, n_a + n_b AS nn, ties_sum
+          FROM tot, c, t3)
+    SELECT CAST(n_a AS BIGINT) n_a, CAST(n_b AS BIGINT) n_b,
+           CAST(u2 AS BIGINT) u2,
+           CAST((((u2 - mean2) * (u2 - mean2) * 1000)
+                 // (n_a::HUGEINT * n_b))
+                * 3 * nn * (nn - 1)
+                // ((nn + 1)::HUGEINT * nn * (nn - 1) - ties_sum)
+                AS BIGINT) z2_e3
+    FROM f
+    """,
+)
+def q_lineitem_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the two linestatus
+    populations' quantities — the NONPARAMETRIC two-sample location
+    test completing the A/B family (`q_events_ab_significance` is the
+    parametric z-test; this one assumes nothing about the quantity
+    distribution). Stated via the CONTINGENCY-GRID device
+    (`q_lineitem_gamma_correlation`): U never needs per-row ranks —
+    2U = 2·Σ nA(q)·nB(q') over q>q' plus the tie cells once — so after
+    ONE keyed agg to the (group × quantity) grid (≤ 2·|quantity
+    levels| cells) the pair algebra is grid-sized. The normal
+    approximation keeps the full tie correction (Σ(t³−t) from pooled
+    cell counts); z² reaches the thousandths grid through a DOCUMENTED
+    two-stage positive floor division replayed in the same order by
+    both engines — deterministic by construction, snapped, never a
+    float.
+
+    Scale: one scan pruned to two columns, one keyed partial-agg
+    shuffle to the grid, then the bounded-collect device (grid ≤
+    2×50 cells, corpus-independent) re-emitted as local frames — the
+    non-equi pair join is grid-sized and the final row folds from
+    scalars. Pair products: DECIMAL(38,0)/HUGEINT carry nA·nB² to
+    ~10¹² rows per group; past that, evaluate on a sampled slice (the
+    statistic is sample-based anyway)."""
+    grid = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_linestatus").alias("g"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("g", "q")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rows = grid.collect()  # bounded: grid-sized, corpus-independent
+    n_a = sum(r["n"] for r in rows if r["g"] == "F")
+    n_b = sum(r["n"] for r in rows if r["g"] == "O")
+    pooled: dict = {}
+    for r in rows:
+        pooled[r["q"]] = pooled.get(r["q"], 0) + r["n"]
+    ties_sum = sum(t * t * t - t for t in pooled.values())
+    nn = n_a + n_b
+    local = spark.createDataFrame(rows, grid.schema)
+    a = local.filter(F.col("g") == "F").select("q", "n").alias("a")
+    b = local.filter(F.col("g") == "O").select("q", "n").alias("b")
+    prod = "CAST(a.n AS DECIMAL(38,0)) * b.n"
+    pairs = a.join(F.broadcast(b), F.col("a.q") >= F.col("b.q")).agg(
+        F.expr(
+            f"coalesce(sum(CASE WHEN a.q > b.q THEN {prod} END), 0)"
+        ).alias("conc"),
+        F.expr(
+            f"coalesce(sum(CASE WHEN a.q = b.q THEN {prod} END), 0)"
+        ).alias("tie_n"),
+    )
+    mean2 = n_a * n_b
+    denom = (nn + 1) * nn * (nn - 1) - ties_sum
+    return pairs.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.expr("CAST(2 * conc + tie_n AS BIGINT)").alias("u2"),
+        F.expr(
+            f"CAST(((2 * conc + tie_n - {mean2}) "
+            f"* (2 * conc + tie_n - {mean2}) * 1000 DIV {mean2}) "
+            f"* {3 * nn * (nn - 1)} DIV {denom} AS BIGINT)"
+        ).alias("z2_e3"),
+    )
+
+
+@staged_query(
+    "q_events_overdispersion",
+    # dispersion index over the CLOSED hour spine [min, max] — zero
+    # hours contribute nothing to Σn and Σn², so including them needs
+    # only the spine LENGTH, never a gap-fill: D·10³ = (H·Σn² − (Σn)²)
+    # ·10³ DIV (H·Σn), positive-integer floor both sides. Hour index =
+    # epoch-µs DIV 3600000000 (integer floor; never epoch/3.6e9 CAST,
+    # which ROUNDS in DuckDB and truncates in Spark — the int-CAST
+    # parity trap)
+    oracle="""
+    WITH hc AS (SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS h,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+    sp AS (SELECT max(h) - min(h) + 1 AS n_hours FROM hc),
+    ag AS (SELECT event_type, CAST(sum(n) AS BIGINT) n_events,
+                  CAST(sum(n*n) AS HUGEINT) sum_sq
+           FROM hc GROUP BY 1)
+    SELECT event_type, n_events, CAST(n_hours AS BIGINT) n_hours,
+           CAST((n_hours::HUGEINT * sum_sq
+                 - n_events::HUGEINT * n_events) * 1000
+                // (n_hours::HUGEINT * n_events) AS BIGINT)
+             AS dispersion_e3,
+           CASE WHEN (n_hours::HUGEINT * sum_sq
+                      - n_events::HUGEINT * n_events) * 1000
+                     // (n_hours::HUGEINT * n_events) > 1200
+                THEN 'overdispersed'
+                WHEN (n_hours::HUGEINT * sum_sq
+                      - n_events::HUGEINT * n_events) * 1000
+                     // (n_hours::HUGEINT * n_events) < 800
+                THEN 'underdispersed'
+                ELSE 'poisson_like' END AS label
+    FROM ag, sp ORDER BY event_type
+    """,
+)
+def q_events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion screen per event type — variance-to-mean
+    ratio (Fisher's dispersion index) of hourly arrival counts, the
+    burstiness/DQ question behind rate-limiting and anomaly thresholds
+    (D ≈ 1 ⇒ Poisson arrivals; D ≫ 1 ⇒ bursty; D ≪ 1 ⇒ paced).
+    Computed over the CLOSED hour spine [global min hour, max hour]
+    WITHOUT gap-filling: empty hours add nothing to Σn or Σn², so the
+    population variance over H spine hours is (H·Σn² − (Σn)²)/H² and
+    D·10³ = (H·Σn² − (Σn)²)·10³ DIV (H·Σn) — integer-exact statistics
+    on the thousandths grid, one positive floor division. The ±20 %
+    label band (1200/800) is a reporting convention, documented, not a
+    significance test.
+
+    Scale: one scan pruned to two columns, one (type, hour) partial-agg
+    shuffle, one type-keyed roll-up of the hour-grain frame; the spine
+    bounds attach as a broadcast 1-row scalar (the documented class).
+    State is hour-grain per type — bounded by the time range, never by
+    event volume."""
+    hc = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sp = hc.agg((F.max("h") - F.min("h") + 1).alias("n_hours"))
+    ag = hc.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.expr("CAST(sum(n * n) AS DECIMAL(38,0))").alias("sum_sq"),
+    )
+    d_expr = (
+        "(CAST(n_hours AS DECIMAL(38,0)) * sum_sq"
+        " - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000"
+        " DIV (CAST(n_hours AS DECIMAL(38,0)) * n_events)"
+    )
+    return ag.crossJoin(F.broadcast(sp)).select(
+        "event_type",
+        "n_events",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.expr(f"CAST({d_expr} AS BIGINT)").alias("dispersion_e3"),
+        F.expr(
+            f"CASE WHEN {d_expr} > 1200 THEN 'overdispersed' "
+            f"WHEN {d_expr} < 800 THEN 'underdispersed' "
+            f"ELSE 'poisson_like' END"
+        ).alias("label"),
+    )
+
+
+@staged_query(
+    "q_events_markov_stationary",
+    # three power-iteration steps UNROLLED as CTEs over the transition
+    # grid (the pagerank device pointed at the row-normalized chain):
+    # π in millionths, each term's mass transfer floored independently
+    # ((π·n) DIV row_total) so both engines replay the identical
+    # integer walk — flooring loses ≤1 µunit per (state, edge) per
+    # step, deterministic by construction, never renormalized
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                        AS prev_type
+               FROM events),
+    c AS (SELECT prev_type i, event_type j, CAST(count(*) AS BIGINT) n
+          FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT i, CAST(sum(n) AS BIGINT) tot FROM c GROUP BY 1),
+    st AS (SELECT DISTINCT i t FROM c UNION SELECT DISTINCT j FROM c),
+    p0 AS (SELECT t, CAST(1000000 // (SELECT count(*) FROM st)
+                          AS BIGINT) pi FROM st),
+    p1 AS (SELECT c.j t, CAST(sum((p0.pi * c.n) // r.tot) AS BIGINT) pi
+           FROM p0 JOIN c ON c.i = p0.t JOIN r ON r.i = c.i GROUP BY 1),
+    p2 AS (SELECT c.j t, CAST(sum((p1.pi * c.n) // r.tot) AS BIGINT) pi
+           FROM p1 JOIN c ON c.i = p1.t JOIN r ON r.i = c.i GROUP BY 1),
+    p3 AS (SELECT c.j t, CAST(sum((p2.pi * c.n) // r.tot) AS BIGINT) pi
+           FROM p2 JOIN c ON c.i = p2.t JOIN r ON r.i = c.i GROUP BY 1)
+    SELECT t AS event_type, pi AS pi_e6 FROM p3
+    """,
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    does a long random session SPEND its time (the steady-state
+    companion of `q_events_transitions`' one-step matrix): three
+    fixed power-iteration steps from the uniform start, π·P per step,
+    in MILLIONTH units with each (state, edge) mass transfer floored
+    independently ((π_e6·count) DIV row_total — positive ints, Spark
+    DIV ≡ DuckDB //). Three snapped steps are a pinned, replayable
+    prefix of the power method (the `q_customer_supplier_pagerank`
+    contract), not a convergence claim; total mass decays ≤ S·E µunits
+    from flooring and is deliberately never renormalized — the oracle
+    replays the identical walk.
+
+    Scale: ONE user-keyed window shuffle extracts successor pairs,
+    one keyed agg to the |types|² grid — then the bounded-collect
+    device (the grid is corpus-independent): the three iterations are
+    grid-sized local-frame joins, so the corpus is scanned once and
+    the final plan carries no FileScan (pinned). The 100 TB cost is
+    exactly the transitions entry's cost plus O(S²) driver work."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    grid = (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cells = grid.collect()  # bounded: |types|² grid, corpus-independent
+    tots: dict = {}
+    for r in cells:
+        tots[r["i"]] = tots.get(r["i"], 0) + r["n"]
+    states = sorted({r["i"] for r in cells} | {r["j"] for r in cells})
+    c_local = spark.createDataFrame(
+        [(r["i"], r["j"], r["n"], tots[r["i"]]) for r in cells],
+        "i string, j string, n long, tot long",
+    )
+    pi = spark.createDataFrame(
+        [(t, 1000000 // len(states)) for t in states], "t string, pi long"
+    )
+    for _ in range(3):
+        pi = (
+            c_local.join(F.broadcast(pi), F.col("i") == F.col("t"))
+            .select(F.col("j"), F.expr("(pi * n) DIV tot").alias("term"))
+            .groupBy("j")
+            .agg(F.sum("term").cast("long").alias("pi"))
+            .select(F.col("j").alias("t"), "pi")
+        )
+    return pi.select(F.col("t").alias("event_type"), F.col("pi").alias("pi_e6"))

@@ -1454,3 +1454,79 @@ def test_count_foreach_expansion_shuffle_free(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct", "Generate"):
         assert node not in plan
+
+
+def test_lifecycle_audit_shuffle_free(spark):
+    # lifecycle governance: per-row JSON extraction over the parsed
+    # wide frame — the settings-audit contract: no exchange, no join
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_lifecycle_audit"](spark, SF))
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct", "Generate"):
+        assert node not in plan
+
+
+def test_legacy_interpolation_single_scan_no_join(spark):
+    # source-text lint: one regexp projection + explode + block-keyed
+    # agg — no join anywhere, and no Python evaluation (the regex runs
+    # JVM-side via regexp_extract_all)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(
+        STAGED_QUERIES["tf_legacy_interpolation_audit"](spark, SF)
+    )
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mannwhitney_grid_localized_no_filescan(spark):
+    # contingency-grid device: the fact table is scanned once AT GRID
+    # BUILD (driver-side bounded collect); the returned frame is pure
+    # grid algebra over local frames — no FileScan, and the only
+    # nested-loop join is the grid-sized non-equi pair join
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_mannwhitney_u"](spark, SF))
+    assert "FileScan" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_overdispersion_single_scan_keyed_aggs(spark):
+    # one pruned scan, (type, hour) keyed partial agg, type-keyed
+    # roll-up; the spine attaches as the documented 1-row broadcast
+    # scalar (exactly one BNLJ), no other join
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_events_overdispersion"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) <= 2  # Catalyst may split the hour-agg subtree
+    for sc in scans:
+        cols = [c.split("#")[0] for c in sc.split(",") if c]
+        assert set(cols) <= {"event_type", "ts"}, cols
+
+
+def test_markov_stationary_localized_broadcast_iterations(spark):
+    # bounded-collect grid: the corpus window/agg happened at build
+    # time; the returned 3-step walk is local-frame joins only — no
+    # FileScan, every iteration a broadcast hash join on the state key
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(
+        STAGED_QUERIES["q_events_markov_stationary"](spark, SF)
+    )
+    assert "FileScan" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "BatchEvalPython" not in plan

@@ -1340,3 +1340,217 @@ def test_count_foreach_expansion_pure_python_reference(spark):
         for r in _staged(spark, "tf_count_foreach_expansion").collect()
     }
     assert got == want
+
+
+def test_lifecycle_audit_pure_python_reference(spark):
+    """tf_lifecycle_audit vs a crude regex scanner over the corpus:
+    lifecycle sub-blocks re-read from the block text, booleans /
+    ignore_changes list / the `all` keyword re-classified, the status
+    precedence re-applied — shares no machinery with the parser chain
+    or the golden VALUES."""
+    import re
+
+    blocks = _corpus_blocks("lifecycle")
+    want = {}
+    for bt, labels, src in blocks:
+        if bt != "resource" or len(labels) != 2:
+            continue
+        addr = f"{labels[0]}.{labels[1]}"
+        m = re.search(r"lifecycle\s*\{([^}]*)\}", src, re.S)
+        body = m.group(1) if m else ""
+        pd_ = bool(re.search(r"prevent_destroy\s*=\s*true", body))
+        cbd = bool(re.search(r"create_before_destroy\s*=\s*true", body))
+        mi = re.search(r"ignore_changes\s*=\s*(\[[^\]]*\]|all)", body)
+        ignores_all = bool(mi and mi.group(1) == "all")
+        n_ignored = None
+        if mi and mi.group(1).startswith("["):
+            inner = mi.group(1)[1:-1].strip()
+            n_ignored = len([x for x in inner.split(",") if x.strip()])
+        status = (
+            "protected" if pd_
+            else "drift_blind_all" if ignores_all
+            else "drift_blind" if (n_ignored or 0) > 0
+            else "zero_downtime" if cbd
+            else "default"
+        )
+        want[addr] = (pd_, cbd, ignores_all, n_ignored, status)
+    got = {
+        r["address"]: (
+            r["prevent_destroy"],
+            r["create_before_destroy"],
+            r["ignores_all"],
+            r["n_ignored"],
+            r["status"],
+        )
+        for r in _staged(spark, "tf_lifecycle_audit").collect()
+    }
+    assert got == want
+
+
+def test_legacy_interpolation_pure_python_reference(spark):
+    """tf_legacy_interpolation_audit vs a Python-re scan of the same
+    pattern over the fixture text, PLUS the negative pins the regex
+    must hold: composite interpolations ("${var.env}-alerts",
+    "${a}-${b}") and bare traversals never match — the exact widening
+    a lost escaping level would introduce."""
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import _LEGACY_INTERP_RE
+
+    pat = re.compile(_LEGACY_INTERP_RE)
+    # negative pins: composite / bare forms must NOT match
+    for line in (
+        'name = "${var.env}-alerts"',
+        'name = "${var.a}-${var.b}"',
+        "bucket = local.base_name",
+        'acl = "private"',
+    ):
+        assert not pat.search(line), line
+    assert pat.search('ami = "${var.region}"').group(1) == "ami"
+
+    blocks = _corpus_blocks("legacyinterp")
+    want = {}
+    for bt, labels, src in blocks:
+        if bt == "locals":
+            continue
+        if bt == "resource" and len(labels) == 2:
+            table, blk = "terraform_resource", f"{labels[0]}.{labels[1]}"
+        elif bt == "output":
+            table, blk = "terraform_output", labels[0]
+        elif bt == "variable":
+            table, blk = "terraform_variable", labels[0]
+        else:
+            continue
+        attrs = sorted(set(pat.findall(src)))
+        if attrs:
+            want[(table, blk)] = (len(attrs), ",".join(attrs))
+    got = {
+        (r["tf_table"], r["block"]): (r["n_legacy"], r["legacy_attrs"])
+        for r in _staged(spark, "tf_legacy_interpolation_audit").collect()
+    }
+    assert got == want
+
+
+def test_mannwhitney_pure_python_reference(spark):
+    """q_lineitem_mannwhitney_u vs a from-scratch Python-bigint replay:
+    per-row rank-free U from the raw columns, tie-corrected variance,
+    the same two-stage floor-division snap — arbitrary-precision ints
+    make every step exact, so any mismatch is a Spark-side DECIMAL or
+    division-semantics bug."""
+    import collections
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_linestatus", "l_quantity"]
+    ).to_pandas()
+    ca: collections.Counter = collections.Counter()
+    cb: collections.Counter = collections.Counter()
+    for g, q in zip(t["l_linestatus"], t["l_quantity"]):
+        (ca if g == "F" else cb)[int(q)] += 1
+    n_a, n_b = sum(ca.values()), sum(cb.values())
+    conc = sum(
+        na * nb for qa, na in ca.items() for qb, nb in cb.items() if qa > qb
+    )
+    tie_n = sum(na * cb.get(qa, 0) for qa, na in ca.items())
+    u2 = 2 * conc + tie_n
+    nn = n_a + n_b
+    pooled = ca + cb
+    ties_sum = sum(v * v * v - v for v in pooled.values())
+    mean2 = n_a * n_b
+    z2_e3 = (
+        ((u2 - mean2) * (u2 - mean2) * 1000 // mean2)
+        * 3 * nn * (nn - 1)
+        // ((nn + 1) * nn * (nn - 1) - ties_sum)
+    )
+    rows = _staged(spark, "q_lineitem_mannwhitney_u").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_a"], r["n_b"], r["u2"], r["z2_e3"]) == (
+        n_a, n_b, u2, z2_e3,
+    )
+
+
+def test_overdispersion_pure_python_reference(spark):
+    """q_events_overdispersion vs a Python-bigint replay over raw
+    epoch-µs hours: same closed spine, same (H·Σn² − (Σn)²)·10³ floor
+    division, same label bands."""
+    import collections
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "ts"])
+    tp = t.to_pandas()
+    hc: collections.Counter = collections.Counter()
+    for et, ts in zip(tp["event_type"], tp["ts"]):
+        hc[(et, int(ts.value // 1000) // 3600000000)] += 1
+    hours = {h for _, h in hc}
+    n_hours = max(hours) - min(hours) + 1
+    agg: dict = {}
+    for (et, _h), n in hc.items():
+        s, s2 = agg.get(et, (0, 0))
+        agg[et] = (s + n, s2 + n * n)
+    want = {}
+    for et, (n_events, sum_sq) in agg.items():
+        d = (n_hours * sum_sq - n_events * n_events) * 1000 // (
+            n_hours * n_events
+        )
+        label = (
+            "overdispersed" if d > 1200
+            else "underdispersed" if d < 800
+            else "poisson_like"
+        )
+        want[et] = (n_events, n_hours, d, label)
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_hours"], r["dispersion_e3"], r["label"],
+        )
+        for r in _staged(spark, "q_events_overdispersion").collect()
+    }
+    assert got == want
+
+
+def test_markov_stationary_pure_python_reference(spark):
+    """q_events_markov_stationary vs a Python-bigint replay of the
+    whole walk: successor pairs from a dict-of-lists sort, the 3
+    per-term-floored power-iteration steps — plus the cross-entry
+    identity that the transition grid equals q_events_transitions'
+    (prev, next, n) cells."""
+    import collections
+
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).to_pandas()
+    seqs: dict = collections.defaultdict(list)
+    for u, ts, eid, et in zip(
+        t["user_id"], t["ts"], t["event_id"], t["event_type"]
+    ):
+        seqs[u].append((ts, eid, et))
+    grid: collections.Counter = collections.Counter()
+    for u, rows in seqs.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            grid[(a, b)] += 1
+    tots: collections.Counter = collections.Counter()
+    for (i, _j), n in grid.items():
+        tots[i] += n
+    states = sorted({i for i, _ in grid} | {j for _, j in grid})
+    pi = {s: 1000000 // len(states) for s in states}
+    for _ in range(3):
+        nxt: collections.Counter = collections.Counter()
+        for (i, j), n in grid.items():
+            if i in pi:
+                nxt[j] += (pi[i] * n) // tots[i]
+        pi = dict(nxt)
+    # cross-entry identity: the grid is the promoted transitions matrix
+    from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+    trans = {
+        (r["prev_type"], r["event_type"]): r["n"]
+        for r in QUERIES["q_events_transitions"](spark, SF_DIR)
+        .select("prev_type", "event_type", "n")
+        .collect()
+    }
+    assert trans == dict(grid)
+    got = {
+        r["event_type"]: r["pi_e6"]
+        for r in _staged(spark, "q_events_markov_stationary").collect()
+    }
+    assert got == pi
