@@ -193,6 +193,12 @@ EXTENDED = [
     "dedup_lsh_band_curve",
     "q_orders_runs_test",
     "tf_count_foreach_expansion",
+    # r19-wave starters (drafted in r12)
+    "tf_lifecycle_audit",
+    "tf_legacy_interpolation_audit",
+    "q_lineitem_mannwhitney_u",
+    "q_events_overdispersion",
+    "q_events_markov_stationary",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance
