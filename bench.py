@@ -199,6 +199,12 @@ EXTENDED = [
     "q_lineitem_mannwhitney_u",
     "q_events_overdispersion",
     "q_events_markov_stationary",
+    # r20-wave starters (drafted in r12)
+    "stream_overdispersion_monitor",
+    "q_lineitem_ks_test",
+    "docs_vocab_growth",
+    "emb_ivf_compaction",
+    "media_dhash_pairs",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -13373,16 +13373,15 @@ def q_lineitem_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
-    "q_events_overdispersion",
-    # dispersion index over the CLOSED hour spine [min, max] — zero
-    # hours contribute nothing to Σn and Σn², so including them needs
-    # only the spine LENGTH, never a gap-fill: D·10³ = (H·Σn² − (Σn)²)
-    # ·10³ DIV (H·Σn), positive-integer floor both sides. Hour index =
-    # epoch-µs DIV 3600000000 (integer floor; never epoch/3.6e9 CAST,
-    # which ROUNDS in DuckDB and truncates in Spark — the int-CAST
-    # parity trap)
-    oracle="""
+# Dispersion index over the CLOSED hour spine [min, max] — zero hours
+# contribute nothing to Σn and Σn², so including them needs only the
+# spine LENGTH, never a gap-fill: D·10³ = (H·Σn² − (Σn)²)·10³ DIV
+# (H·Σn), positive-integer floor both sides. Hour index = epoch-µs DIV
+# 3600000000 (integer floor; never epoch/3.6e9 CAST, which ROUNDS in
+# DuckDB and truncates in Spark — the int-CAST parity trap). A module
+# constant because the streaming leg (`stream_overdispersion_monitor`)
+# uses it VERBATIM — the stream≡batch identity device.
+_OVERDISPERSION_SQL = """
     WITH hc AS (SELECT event_type,
                        epoch_us(ts) // 3600000000 AS h,
                        CAST(count(*) AS BIGINT) AS n
@@ -13406,8 +13405,38 @@ def q_lineitem_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'underdispersed'
                 ELSE 'poisson_like' END AS label
     FROM ag, sp ORDER BY event_type
-    """,
-)
+    """
+
+
+def _overdispersion_report(hc: DataFrame) -> DataFrame:
+    """Batch-side roll-up shared VERBATIM by `q_events_overdispersion`
+    and the streaming monitor's drained state — one definition so the
+    stream≡batch identity cannot fork: (type, hour, n) cells → spine
+    length → per-type integer dispersion + label bands."""
+    sp = hc.agg((F.max("h") - F.min("h") + 1).alias("n_hours"))
+    ag = hc.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.expr("CAST(sum(n * n) AS DECIMAL(38,0))").alias("sum_sq"),
+    )
+    d_expr = (
+        "(CAST(n_hours AS DECIMAL(38,0)) * sum_sq"
+        " - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000"
+        " DIV (CAST(n_hours AS DECIMAL(38,0)) * n_events)"
+    )
+    return ag.crossJoin(F.broadcast(sp)).select(
+        "event_type",
+        "n_events",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.expr(f"CAST({d_expr} AS BIGINT)").alias("dispersion_e3"),
+        F.expr(
+            f"CASE WHEN {d_expr} > 1200 THEN 'overdispersed' "
+            f"WHEN {d_expr} < 800 THEN 'underdispersed' "
+            f"ELSE 'poisson_like' END"
+        ).alias("label"),
+    )
+
+
+@staged_query("q_events_overdispersion", oracle=_OVERDISPERSION_SQL)
 def q_events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson overdispersion screen per event type — variance-to-mean
     ratio (Fisher's dispersion index) of hourly arrival counts, the
@@ -13437,27 +13466,7 @@ def q_events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "h")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    sp = hc.agg((F.max("h") - F.min("h") + 1).alias("n_hours"))
-    ag = hc.groupBy("event_type").agg(
-        F.sum("n").cast("long").alias("n_events"),
-        F.expr("CAST(sum(n * n) AS DECIMAL(38,0))").alias("sum_sq"),
-    )
-    d_expr = (
-        "(CAST(n_hours AS DECIMAL(38,0)) * sum_sq"
-        " - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000"
-        " DIV (CAST(n_hours AS DECIMAL(38,0)) * n_events)"
-    )
-    return ag.crossJoin(F.broadcast(sp)).select(
-        "event_type",
-        "n_events",
-        F.col("n_hours").cast("long").alias("n_hours"),
-        F.expr(f"CAST({d_expr} AS BIGINT)").alias("dispersion_e3"),
-        F.expr(
-            f"CASE WHEN {d_expr} > 1200 THEN 'overdispersed' "
-            f"WHEN {d_expr} < 800 THEN 'underdispersed' "
-            f"ELSE 'poisson_like' END"
-        ).alias("label"),
-    )
+    return _overdispersion_report(hc)
 
 
 @staged_query(
@@ -13540,3 +13549,367 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("j").alias("t"), "pi")
         )
     return pi.select(F.col("t").alias("event_type"), F.col("pi").alias("pi_e6"))
+
+
+@staged_query(
+    "stream_overdispersion_monitor",
+    # the stream≡batch identity: the oracle is the BATCH dispersion SQL
+    # verbatim — complete-mode (type, hour) count state OR-free
+    # ADD-merges across micro-batches exactly like batch partials, so
+    # the drained state must reproduce the batch report bit-for-bit
+    oracle=_OVERDISPERSION_SQL,
+)
+def stream_overdispersion_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arrival-burstiness monitor AS A STREAM — the production form of
+    `q_events_overdispersion` (a rate-limiting/anomaly dashboard keeps
+    running per-hour arrival counts and alarms when the dispersion
+    index drifts): the running state is the (type, hour) count table;
+    each micro-batch's counts ADD into state exactly like batch partial
+    counts merge across partitions (complete-mode keyed agg, no
+    watermark — the state key space is the hour spine × types, growing
+    with WALL-CLOCK, never with event volume; a long-horizon deployment
+    ages closed hours out to a compacted table, same lifecycle as the
+    foreachBatch sink). The dispersion report runs batch-side over the
+    drained cells via the SAME `_overdispersion_report` the batch entry
+    uses — one definition, so stream and batch cannot fork.
+
+    Scale: keyed streaming agg (no single-partition stage); the drained
+    frame the report runs over is spine-sized. Hour index = epoch-µs
+    integer floor division in the streaming projection."""
+    from .streaming.events import read_events_stream
+
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sink = _drain_memory_sink(
+        spark, counts, "__stream_overdispersion_monitor", "complete"
+    )
+    return _overdispersion_report(sink)
+
+
+@staged_query(
+    "q_lineitem_ks_test",
+    # two-sample KS entirely on the integer grid: both empirical CDFs
+    # share the denominator nA·nB, so D's numerator is the integer
+    # dev(q) = |cumA·nB − cumB·nA| maximized over pooled levels;
+    # D_e6 by one positive floor division, and the α=0.05 decision
+    # multiplies Smirnov's c²(0.05) = 1.844164 out to integers
+    # (dev²·10⁶ > 1844164·nA·nB·(nA+nB)) — no sqrt on either side
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(l_quantity AS BIGINT) q,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) na,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) nb
+      FROM lineitem GROUP BY 1),
+    cum AS (SELECT CAST(sum(na) OVER (ORDER BY q) AS HUGEINT) ca,
+                   CAST(sum(nb) OVER (ORDER BY q) AS HUGEINT) cb,
+                   CAST(sum(na) OVER () AS BIGINT) n_a,
+                   CAST(sum(nb) OVER () AS BIGINT) n_b
+            FROM grid),
+    dev AS (SELECT n_a, n_b, max(abs(ca * n_b - cb * n_a)) dev_max
+            FROM cum GROUP BY 1, 2)
+    SELECT n_a, n_b,
+           CAST(dev_max * 1000000 // (n_a::HUGEINT * n_b) AS BIGINT)
+             AS d_e6,
+           dev_max * dev_max * 1000000
+             > 1844164::HUGEINT * n_a * n_b * (n_a + n_b) AS reject_05
+    FROM dev
+    """,
+)
+def q_lineitem_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the linestatus
+    quantity distributions — the DISTRIBUTION-SHAPE companion of the
+    location tests (`q_lineitem_mannwhitney_u` asks "is one shifted?",
+    KS asks "are they the same curve at all?"; together with χ² they
+    complete the classical two-sample battery). The step-CDF supremum
+    is attained at pooled grid points, so D needs no per-row ranks:
+    one keyed agg to the ≤|quantity levels| grid, cumulative-sum
+    windows OVER THAT GRID (the documented post-agg-tiny-frame
+    exemption), and D's numerator stays integer because both CDFs are
+    put over the common denominator nA·nB. The α=0.05 Smirnov decision
+    is sqrt-free by squaring: reject iff dev²·10⁶ > 1844164·nA·nB·
+    (nA+nB) (c(0.05)² = 1.844164 multiplied out) — integer-exact on
+    both engines.
+
+    Scale: one scan pruned to two columns, one partial-agg shuffle to
+    the grid, windows over the grid frame, a 1-row result. dev² fits
+    DECIMAL(38)/HUGEINT to ~10¹² rows per group; past that, evaluate on
+    a sampled slice (the test is sample-based by nature)."""
+    grid = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.expr(
+                "CAST(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("ia"),
+            F.expr(
+                "CAST(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("ib"),
+        )
+        .groupBy("q")
+        .agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb"))
+    )
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        F.sum("na").over(wq).cast("decimal(38,0)").alias("ca"),
+        F.sum("nb").over(wq).cast("decimal(38,0)").alias("cb"),
+        F.sum("na").over(wall).cast("long").alias("n_a"),
+        F.sum("nb").over(wall).cast("long").alias("n_b"),
+    )
+    dev = cum.groupBy("n_a", "n_b").agg(
+        F.expr("max(abs(ca * n_b - cb * n_a))").alias("dev_max")
+    )
+    return dev.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(dev_max * 1000000"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("d_e6"),
+        F.expr(
+            "dev_max * dev_max * 1000000"
+            " > CAST(1844164 AS DECIMAL(38,0)) * n_a * n_b * (n_a + n_b)"
+        ).alias("reject_05"),
+    )
+
+
+@staged_query(
+    "docs_vocab_growth",
+    # Heaps-law curve over TRIGRAM vocabulary (the unigram vocabulary of
+    # the synthetic corpus saturates in the first quarter — 31 words —
+    # so the trigram space is what actually exercises growth); cuts are
+    # VALUE-range quarters of the doc_id span (computable from min/max
+    # scalars — a rank-based cut would need a global row_number sort),
+    # with the exact doc count per cut reported alongside
+    oracle="""
+    WITH bounds AS (SELECT min(doc_id) lo, max(doc_id) hi FROM documents),
+    cuts AS (SELECT k AS qtr,
+                    lo + ((hi - lo + 1) * k) // 4 - 1 AS cut_id
+             FROM bounds, unnest(range(1, 5)) r(k)),
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    tok AS (SELECT lower(ws[i]) || ' ' || lower(ws[i+1]) || ' '
+                     || lower(ws[i+2]) term,
+                   min(doc_id) first_doc
+            FROM w, unnest(range(1, len(ws) - 1)) r(i)
+            WHERE regexp_matches(ws[i], '^[A-Za-z0-9]+$')
+              AND regexp_matches(ws[i+1], '^[A-Za-z0-9]+$')
+              AND regexp_matches(ws[i+2], '^[A-Za-z0-9]+$')
+            GROUP BY 1)
+    SELECT CAST(qtr AS BIGINT) qtr, CAST(cut_id AS BIGINT) cut_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents d
+            WHERE d.doc_id <= cut_id) n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM tok
+            WHERE first_doc <= cut_id) vocab_size
+    FROM cuts ORDER BY qtr
+    """,
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve — "is the corpus still
+    teaching the tokenizer new n-grams, or has it saturated?": distinct
+    trigram vocabulary after each quarter of the corpus, the
+    diminishing-returns measurement behind data-mix and dedup decisions
+    (a flattening curve means additional data re-states what earlier
+    data already said — the corpus-level complement of per-doc
+    `docs_novelty`). Quarters cut the doc_id VALUE range (thresholds
+    derive from min/max scalars — a rank-based cut would need a global
+    row_number sort, the single-partition trap), exact doc counts
+    reported per cut. Trigram terms use the shared ASCII-alnum
+    tokenization (filter BEFORE lowercasing — the Unicode-case trap).
+
+    Scale: one corpus scan + explode to trigram terms, one term-keyed
+    agg (min first_doc — the same O(shingles) bound as docs_novelty),
+    then both counts come from broadcast non-equi joins against the
+    4-row cut frame (vocab-sized × 4 and doc-count × 4, never
+    corpus × corpus); the second FileScan is a doc_id-only projection
+    for the exact per-cut doc counts."""
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    cuts = F.broadcast(
+        bounds.select(
+            F.explode(F.expr("sequence(1, 4)")).alias("qtr"), "lo", "hi"
+        ).select(
+            F.col("qtr").cast("long").alias("qtr"),
+            F.expr(
+                "CAST(lo + ((hi - lo + 1) * qtr) DIV 4 - 1 AS BIGINT)"
+            ).alias("cut_id"),
+        )
+    )
+    tok = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, greatest(size(ws) - 3, -1)),"
+                " i -> CASE WHEN ws[i] RLIKE '^[A-Za-z0-9]+$'"
+                " AND ws[i+1] RLIKE '^[A-Za-z0-9]+$'"
+                " AND ws[i+2] RLIKE '^[A-Za-z0-9]+$'"
+                " THEN concat(lower(ws[i]), ' ', lower(ws[i+1]), ' ',"
+                " lower(ws[i+2])) END), x -> x IS NOT NULL)"
+            )
+        ).alias("term"),
+    )
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    vocab = (
+        first.join(cuts, F.col("first_doc") <= F.col("cut_id"))
+        .groupBy("qtr", "cut_id")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    ndocs = (
+        docs.select("doc_id")
+        .join(cuts, F.col("doc_id") <= F.col("cut_id"))
+        .groupBy("qtr", "cut_id")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return ndocs.join(vocab, ["qtr", "cut_id"]).select(
+        "qtr", "cut_id", "n_docs", "vocab_size"
+    )
+
+
+# (applicationId, corpus-digest) → compacted-store path; written once per
+# session+corpus from the SAME tombstone set the delete entry filters by
+_IVF_COMPACT_CACHE: dict = {}
+
+
+def _ivf_compacted_path(spark: SparkSession, sf_dir: str) -> str:
+    """Physically rewrite the session IVF store WITHOUT the tombstoned
+    eighth (vec_id % 8 == 3 — the same delete set
+    `emb_ivf_delete_maintenance` filters at probe time): the scheduled
+    offline compaction job that entry's docstring defers. Centroids are
+    carried over UNCHANGED — compaction drops bytes, it never retrains
+    or re-assigns."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _IVF_COMPACT_CACHE:
+        path = _ivf_store_path(spark, sf_dir)
+        loaded, cents = similarity.ivf_load(spark, path)
+        survivors = loaded.filter(F.col("vec_id") % 8 != 3)
+        root = tempfile.mkdtemp(prefix="ivf_compact_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        newpath = root + "/index"
+        similarity.ivf_save(survivors, cents, newpath)
+        _IVF_COMPACT_CACHE[key] = newpath
+    return _IVF_COMPACT_CACHE[key]
+
+
+@staged_query(
+    "emb_ivf_compaction",
+    # the oracle is emb_ivf_delete_maintenance's rebuild CTE VERBATIM:
+    # compaction must be invisible to queries — probe(compacted store)
+    # ≡ probe(tombstone-filtered store) ≡ rebuild-over-survivors; the
+    # driver checks the invisibility identity end-to-end
+    oracle=f"""
+    WITH {_ivf_delete_cte()}
+    SELECT qid AS query_id, nid AS neighbor_id, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def emb_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF store COMPACTION — the third day-2 vector-store operation,
+    completing the maintenance triad (`emb_ivf_incremental_topk` =
+    ingest, `emb_ivf_delete_maintenance` = tombstone delete, this =
+    the scheduled offline job that delete entry defers): physically
+    rewrite the bucket-partitioned store dropping the tombstoned
+    eighth, centroids carried over untouched (compaction drops bytes —
+    it never retrains or re-assigns), then serve probes from the
+    compacted store. Correctness IS invisibility: the oracle is the
+    delete entry's rebuild replay verbatim, so the driver validates
+    probe(compacted) ≡ probe(tombstone-filtered) ≡ rebuild — the
+    identity that makes swapping a compacted store under a live serving
+    path safe.
+
+    Scale: the rewrite reads each store partition once and writes the
+    survivor subset (bucket partitioning preserved, so probes keep
+    their static partition pruning); probes afterwards carry NO
+    tombstone predicate at all — compaction converts the per-probe
+    filter cost into a one-time IO pass, which is the entire point of
+    running it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _ivf_compacted_path(spark, sf_dir)
+    loaded, cents = similarity.ivf_load(spark, path)
+    return similarity.ivf_topk(
+        queries, loaded, cents, k=5, nprobe=8, static_prune=True
+    )
+
+
+@staged_query(
+    "media_dhash_pairs",
+    # pure-ASCII corpus: ord(char) == byte value, so DuckDB replays the
+    # 8×9 stub decode + the strictly-brighter-than-left bit rule exactly
+    oracle="""
+    WITH d AS (SELECT doc_id, substring(text, 1, 72) AS p
+               FROM documents WHERE n_chars >= 72),
+    b AS (SELECT doc_id, r, c,
+                 CASE WHEN ord(substring(p, r * 9 + c + 2, 1))
+                         > ord(substring(p, r * 9 + c + 1, 1))
+                      THEN '1' ELSE '0' END AS bit
+          FROM d, unnest(range(0, 8)) rr(r), unnest(range(0, 8)) cc(c)),
+    bits AS (SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS h
+             FROM b GROUP BY doc_id),
+    bc AS (SELECT h, count(*) c FROM bits GROUP BY 1)
+    SELECT a.doc_id AS doc_id1, c.doc_id AS doc_id2, a.h AS dhash
+    FROM bits a JOIN bits c ON a.h = c.h AND a.doc_id < c.doc_id
+    JOIN bc ON bc.h = a.h
+    WHERE bc.c <= 64
+    """,
+)
+def media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs by DIFFERENCE hash (dHash) — the
+    gradient companion of `media_ahash_pairs` and the second standard
+    member of the pHash family: the stub codec grids the first 72
+    payload bytes 8×9 and emits one bit per horizontally adjacent cell
+    pair (1 iff strictly brighter — pure integer comparisons), so the
+    hash encodes LOCAL gradients where aHash thresholds every cell
+    against the GLOBAL mean: a localized brightness patch (spotlight,
+    watermark, vignette) leaves dHash bits outside the patch untouched
+    but drags aHash's mean and flips bits in unrelated cells (the
+    locality property the independent test demonstrates — both hashes
+    are equally invariant to a global uniform shift, where the mean
+    moves with the cells). Pipelines run both and OR the candidate
+    sets.
+
+    Same relational tail as the aHash entry: hash-equality buckets
+    with the deterministic 64-per-bucket cap, pairs within buckets.
+
+    Scale: narrow Arrow-batched hash map (no shuffle, 64 bits out per
+    payload), ONE shuffle on the hash, pair output bounded by
+    O(buckets·cap²) — the blocked-dedup bound class. Hamming-tolerant
+    variants band the 64 bits exactly like `dedup_simhash`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 72)
+    h = multimodal.dhash64(multimodal.documents_as_binary(docs))
+    wb = Window.partitionBy("dhash")
+    k = h.withColumn("c", F.count("*").over(wb)).filter(F.col("c") <= 64)
+    a, c = k.alias("a"), k.alias("c")
+    return a.join(
+        c,
+        (F.col("a.dhash") == F.col("c.dhash"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id1"),
+        F.col("c.doc_id").alias("doc_id2"),
+        F.col("a.dhash").alias("dhash"),
+    )

@@ -491,3 +491,48 @@ def frame_energy(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         extract, schema=ENERGY_SCHEMA
     )
+
+
+DHASH_SCHEMA = "doc_id long, dhash string"
+
+
+def dhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint — the GRADIENT
+    companion of ``ahash64``: the stub codec reads the first 72 bytes as
+    an 8×9 grayscale grid and emits one bit per horizontally adjacent
+    cell pair — 1 iff the right cell is strictly brighter — so the hash
+    encodes local gradients where aHash encodes global brightness
+    structure (the standard pHash-family pairing: dHash is robust to
+    uniform brightness shifts that flip every aHash bit). Pure integer
+    comparisons, no FP anywhere.
+
+    Callers must pre-filter payloads ≥ 72 bytes (8 rows × 9 columns;
+    the stub has no interpolation to upsample smaller ones).
+
+    Scale: narrow Arrow-batched map, no shuffle; 64 bits leave the
+    executor per payload regardless of size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_name, payload_name = id_col, payload_col
+
+    def hsh(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, payload in zip(pdf[id_name], pdf[payload_name]):
+                v = np.frombuffer(bytes(payload)[:72], dtype=np.uint8).astype(
+                    np.int64
+                ).reshape(8, 9)
+                bits = (v[:, 1:] > v[:, :-1]).astype(np.uint8).ravel()
+                ids.append(int(i))
+                hs.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hs})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        hsh, schema=DHASH_SCHEMA
+    )

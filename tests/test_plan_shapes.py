@@ -1542,3 +1542,75 @@ def test_lsh_recall_truth_localized_no_scalar_crossjoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_stream_overdispersion_keyed_state_report_over_sink(spark):
+    # complete-mode (type, hour) keyed state; the returned report runs
+    # over the DRAINED sink only — keyed aggs, one 1-row scalar spine
+    # attach (BNLJ), no fact re-scan in the report plan
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(
+        STAGED_QUERIES["stream_overdispersion_monitor"](spark, SF)
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "FileScan parquet" not in plan  # report reads the memory sink
+    assert "BatchEvalPython" not in plan
+
+
+def test_ks_test_single_scan_grid_windows(spark):
+    # one fact scan pruned to two columns, keyed partial agg to the
+    # quantity grid; the cumulative windows run over that grid frame
+    # (post-agg-tiny-frame exemption) — no join anywhere
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_ks_test"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) <= 2  # Catalyst may split the grid-agg subtree
+    for sc in scans:
+        cols = [c.split("#")[0] for c in sc.split(",") if c]
+        assert set(cols) <= {"l_quantity", "l_linestatus"}, cols
+
+
+def test_vocab_growth_broadcast_cuts_no_corpus_self_join(spark):
+    # the only non-equi joins are against the broadcast 4-row cut frame
+    # (vocab × 4 and doc_id × 4 — never corpus × corpus); term explode +
+    # one term-keyed agg; trigram building is JVM-side (no Python)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_vocab_growth"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # two cut attaches (vocab side + doc-count side), both broadcast
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_ivf_compaction_pruned_probe_no_tombstone_filter(spark):
+    # the compacted store serves with static bucket pruning and NO
+    # tombstone predicate — compaction converted the per-probe filter
+    # into a one-time IO pass; deleted ids are physically absent
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_ivf_compaction"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "PartitionFilters: [bucket" in plan or "bucket#" in plan
+    assert "vec_id % 8" not in plan  # the tombstone predicate is GONE
+
+
+def test_dhash_pairs_narrow_map_single_hash_shuffle(spark):
+    # narrow Arrow map (64 bits out per payload), bucket-cap window +
+    # hash-equality pair join — the aHash plan contract verbatim
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["media_dhash_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the inherently-Python media decode
+    assert "BatchEvalPython" not in plan

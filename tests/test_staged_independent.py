@@ -1554,3 +1554,180 @@ def test_markov_stationary_pure_python_reference(spark):
         for r in _staged(spark, "q_events_markov_stationary").collect()
     }
     assert got == pi
+
+
+def test_stream_overdispersion_matches_batch(spark):
+    """stream_overdispersion_monitor ≡ q_events_overdispersion row for
+    row — the stream≡batch identity checked directly (the shared oracle
+    checks it against DuckDB; this checks the two Spark legs against
+    each other, so a drift in either leg's streaming/batch plumbing
+    surfaces even if both still match some oracle)."""
+    stream_rows = {
+        r["event_type"]: (r["n_events"], r["n_hours"], r["dispersion_e3"], r["label"])
+        for r in _staged(spark, "stream_overdispersion_monitor").collect()
+    }
+    batch_rows = {
+        r["event_type"]: (r["n_events"], r["n_hours"], r["dispersion_e3"], r["label"])
+        for r in _staged(spark, "q_events_overdispersion").collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_ks_test_pure_python_reference(spark):
+    """q_lineitem_ks_test vs a from-scratch Python-bigint replay: step
+    CDFs from raw counts, the common-denominator dev(q) maximization,
+    the squared sqrt-free Smirnov decision."""
+    import collections
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_linestatus", "l_quantity"]
+    ).to_pandas()
+    ca: collections.Counter = collections.Counter()
+    cb: collections.Counter = collections.Counter()
+    for g, q in zip(t["l_linestatus"], t["l_quantity"]):
+        (ca if g == "F" else cb)[int(q)] += 1
+    n_a, n_b = sum(ca.values()), sum(cb.values())
+    dev_max, cum_a, cum_b = 0, 0, 0
+    for q in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(q, 0)
+        cum_b += cb.get(q, 0)
+        dev_max = max(dev_max, abs(cum_a * n_b - cum_b * n_a))
+    d_e6 = dev_max * 1000000 // (n_a * n_b)
+    reject = dev_max * dev_max * 1000000 > 1844164 * n_a * n_b * (n_a + n_b)
+    rows = _staged(spark, "q_lineitem_ks_test").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_a"], r["n_b"], r["d_e6"], r["reject_05"]) == (
+        n_a, n_b, d_e6, reject,
+    )
+
+
+def test_vocab_growth_pure_python_reference(spark):
+    """docs_vocab_growth vs a Python replay: trigram first-occurrence
+    map, value-range quarter cuts, exact per-cut doc and vocab counts —
+    plus the Heaps sanity that the curve is non-decreasing."""
+    import re as _re
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    alnum = _re.compile(r"^[A-Za-z0-9]+$")
+    first: dict = {}
+    ids = []
+    for did, text in zip(t["doc_id"], t["text"]):
+        did = int(did)
+        ids.append(did)
+        ws = text.split(" ")
+        for i in range(len(ws) - 2):
+            if alnum.match(ws[i]) and alnum.match(ws[i + 1]) and alnum.match(ws[i + 2]):
+                term = f"{ws[i].lower()} {ws[i+1].lower()} {ws[i+2].lower()}"
+                if term not in first or did < first[term]:
+                    first[term] = did
+    lo, hi = min(ids), max(ids)
+    want = {}
+    for k in (1, 2, 3, 4):
+        cut = lo + ((hi - lo + 1) * k) // 4 - 1
+        want[k] = (
+            cut,
+            sum(1 for d in ids if d <= cut),
+            sum(1 for fd in first.values() if fd <= cut),
+        )
+    got = {
+        r["qtr"]: (r["cut_id"], r["n_docs"], r["vocab_size"])
+        for r in _staged(spark, "docs_vocab_growth").collect()
+    }
+    assert got == want
+    sizes = [got[k][2] for k in (1, 2, 3, 4)]
+    assert sizes == sorted(sizes)
+
+
+def test_ivf_compaction_identity_and_erasure(spark):
+    """emb_ivf_compaction: (a) ≡ emb_ivf_delete_maintenance row for row
+    (compaction is invisible to queries — the triad's closing
+    identity), (b) erasure: no tombstoned id ever surfaces, (c) the
+    compacted store PHYSICALLY holds exactly the survivor set (the
+    bytes are gone, not merely filtered)."""
+    from steampipe_plugin_terraform_spark.catalog import (
+        _ivf_compacted_path,
+        _ivf_store_path,
+    )
+
+    compacted = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in _staged(spark, "emb_ivf_compaction").collect()
+    }
+    filtered = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in _staged(spark, "emb_ivf_delete_maintenance").collect()
+    }
+    assert compacted == filtered
+    assert all(nid % 8 != 3 for nid, _ in compacted.values())
+    old = {
+        r["vec_id"]
+        for r in spark.read.parquet(_ivf_store_path(spark, SF_DIR)).collect()
+    }
+    new = {
+        r["vec_id"]
+        for r in spark.read.parquet(
+            _ivf_compacted_path(spark, SF_DIR)
+        ).collect()
+    }
+    assert new == {v for v in old if v % 8 != 3}
+
+
+def test_dhash_pure_python_and_shift_invariance(spark):
+    """media_dhash_pairs vs a Python replay of the 8×9 gradient hash +
+    pair derivation — plus the property that MOTIVATES dHash: a uniform
+    brightness shift leaves every dHash bit unchanged while flipping
+    aHash bits (checked on a synthetic gradient payload)."""
+    import collections
+
+    import numpy as np
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    hashes = {}
+    for did, text in zip(t["doc_id"], t["text"]):
+        b = text.encode("utf-8")
+        if len(b) < 72:
+            continue
+        v = np.frombuffer(b[:72], dtype=np.uint8).astype(int).reshape(8, 9)
+        bits = (v[:, 1:] > v[:, :-1]).astype(int).ravel()
+        hashes[int(did)] = "".join(str(x) for x in bits)
+    buckets: dict = collections.defaultdict(list)
+    for did, h in hashes.items():
+        buckets[h].append(did)
+    want = set()
+    for h, ids in buckets.items():
+        if len(ids) <= 64:
+            for i, a in enumerate(sorted(ids)):
+                for b2 in sorted(ids)[i + 1:]:
+                    want.add((a, b2, h))
+    got = {
+        (r["doc_id1"], r["doc_id2"], r["dhash"])
+        for r in _staged(spark, "media_dhash_pairs").collect()
+    }
+    assert got == want
+
+    # LOCALITY, the property that motivates running both hashes (note
+    # aHash is itself invariant to a GLOBAL uniform shift — the mean
+    # moves equally — so the distinction is locality, not shift): a
+    # row-local brightness patch (+80 on row 0) preserves every
+    # intra-row adjacent order, so dHash is bit-identical, while the
+    # patch drags the GLOBAL mean and flips aHash bits in untouched
+    # rows (indices ≥ 9)
+    base = (np.arange(72) * 7 % 97).astype(np.uint8)
+    patched = base.copy()
+    patched[:9] = np.minimum(base[:9].astype(int) + 80, 255).astype(
+        np.uint8
+    )
+    def dh(v):
+        g = v.astype(int).reshape(8, 9)
+        return np.array(g[:, 1:] > g[:, :-1], dtype=int).ravel()
+    def ah(v):
+        g = v[:64].astype(int)
+        return np.array(g * 64 > g.sum(), dtype=int)
+    assert (dh(base) == dh(patched)).all()
+    far_flips = np.nonzero(ah(base) != ah(patched))[0]
+    assert len(far_flips) > 0 and (far_flips >= 9).any()
