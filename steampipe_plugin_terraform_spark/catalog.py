@@ -5932,40 +5932,37 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ground truth reuses the df-capped posting-list pipeline (the
     O(n·df_max) bound); in production it runs on a SAMPLE of the corpus
     while LSH runs on all of it — the entry pins the comparison
-    semantics. Since r12 the truth set is LOCALIZED exactly like the
-    band-curve sibling's (eager localCheckpoint — the posting-list
-    chain executes once instead of twice; NOT .persist(), per the
-    cache-manager plan-match hazard) and n_true is one scalar count
-    baked in as a literal; the hit count is a broadcast semi join
-    against the checkpointed truth, so the final plan carries the LSH
-    chain's corpus scan and no scalar crossJoin."""
+    semantics. The hit set is a broadcast-sized semi join of two pair
+    lists. MEASURED (r12): the band-curve localization device
+    (localCheckpoint truth + scalar n_true) was tried here and made the
+    entry ~20 % SLOWER warm at sf0.1 (3.46 s → 4.22 s solo) — the
+    checkpoint materialization + count job exceed the cost of simply
+    recomputing the truth chain once more for the second (count-only)
+    use; the device pays at ≥4 reuses (the band curve), not 2. Kept
+    declarative deliberately."""
     docs = _t(spark, sf_dir, "documents")
-    truth = (
-        dedup.shingle_jaccard_pairs(docs, n=5, threshold=0.8)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    truth = dedup.shingle_jaccard_pairs(docs, n=5, threshold=0.8).select(
+        "id_a", "id_b"
     )
-    n_true = truth.count()
     found = dedup.minhash_lsh_pairs(
         docs, n=5, num_hashes=8, bands=4, threshold=0.8
     ).select("id_a", "id_b")
-    # |found ∩ truth| counted from the found side (both pair sets are
-    # distinct, so the intersection count is side-symmetric)
+    hit = truth.join(found, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nh = hit.agg(F.count("*").alias("n_found"))
     return (
-        found.join(F.broadcast(truth), ["id_a", "id_b"], "left_semi")
-        .agg(F.count("*").alias("n_found"))
+        nt.crossJoin(nh)
         .select(
-            F.lit(n_true).cast("long").alias("n_true"),
+            "n_true",
             "n_found",
             # integer floor division, NOT float-divide-then-cast: DuckDB
             # CAST(double AS BIGINT) ROUNDS while Spark's cast truncates,
             # so a fractional recall (27/28 → 9642.857) would split the
             # engines by one — the band-curve entry hit this; positive
             # ints make DIV ≡ // ≡ floor
-            (
-                F.expr(f"CAST(n_found * 10000 DIV {n_true} AS BIGINT)")
-                if n_true > 0
-                else F.lit(None).cast("long")
+            F.when(
+                F.col("n_true") > 0,
+                F.expr("CAST(n_found * 10000 DIV n_true AS BIGINT)"),
             ).alias("recall_bp"),
         )
     )

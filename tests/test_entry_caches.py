@@ -292,3 +292,31 @@ def test_cdc_upsert_restart_is_noop(spark):
     files2 = sorted(glob.glob(state_root + "/v=*/*.parquet"))
     assert files2 == files, "restart must not add or rewrite state versions"
     assert all(os.path.getmtime(f) == mtimes[f] for f in files)
+
+
+def test_ivf_compacted_store_written_once_per_corpus(spark, monkeypatch):
+    """The staged emb_ivf_compaction entry's _IVF_COMPACT_CACHE must
+    reuse the compacted store on repeat invocations — re-running the
+    rewrite per call would turn the one-time-IO compaction job into a
+    rewrite-per-query (exactly the cost model the entry exists to
+    demonstrate the opposite of)."""
+    import steampipe_plugin_terraform_spark.catalog as cat
+    from steampipe_plugin_terraform_spark.operators import similarity
+
+    app = spark.sparkContext.applicationId
+    for key in [k for k in cat._IVF_COMPACT_CACHE if k[0] == app]:
+        cat._IVF_COMPACT_CACHE.pop(key)
+    sf = "/root/testdata/sf0.001"
+    cat._ivf_store_path(spark, sf)  # base store outside the counted region
+    calls = {"n": 0}
+    real = similarity.ivf_save
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(similarity, "ivf_save", counting)
+    n1 = cat.STAGED_QUERIES["emb_ivf_compaction"](spark, sf).count()
+    n2 = cat.STAGED_QUERIES["emb_ivf_compaction"](spark, sf).count()
+    assert n1 > 0 and n1 == n2
+    assert calls["n"] == 1, f"compaction rewrite ran {calls['n']} times, want 1"

@@ -1532,17 +1532,6 @@ def test_markov_stationary_localized_broadcast_iterations(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_lsh_recall_truth_localized_no_scalar_crossjoin(spark):
-    # r12 localization: the posting-list truth chain executes once (at
-    # localCheckpoint build), n_true is a baked-in literal — the
-    # returned plan carries only the LSH candidate/verify chain and a
-    # broadcast semi-join against the checkpointed truth; the old
-    # 1-row×1-row scalar crossJoin (BNLJ) is gone
-    plan = _plan_df(QUERIES["dedup_lsh_recall"](spark, SF))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "BatchEvalPython" not in plan
-
 
 def test_stream_overdispersion_keyed_state_report_over_sink(spark):
     # complete-mode (type, hour) keyed state; the returned report runs
