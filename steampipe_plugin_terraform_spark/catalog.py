@@ -1737,7 +1737,7 @@ def _theil_sen_sql(max_hours: int) -> str:
                        CAST(count(*) AS BIGINT) AS cnt
                 FROM events GROUP BY 1, 2),
     hi AS (SELECT event_type, cnt,
-                  CAST(epoch_us(hour) / 3600000000 AS BIGINT) AS h
+                  epoch_us(hour) // 3600000000 AS h
            FROM hc
            QUALIFY row_number() OVER (PARTITION BY event_type
                ORDER BY md5(event_type || ':' || h::VARCHAR), h) <= {max_hours}),
@@ -1796,9 +1796,12 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = hc.select(
         "event_type",
         "cnt",
-        (F.unix_micros(F.col("hour").cast("timestamp")) / 3600000000)
-        .cast("long")
-        .alias("h"),
+        # integer floor division — the division is exact on truncated
+        # hours anyway (round ≡ truncate), but DIV // keeps the entry
+        # out of the float-div-then-CAST hazard class by construction
+        F.expr(
+            "unix_micros(CAST(hour AS TIMESTAMP)) DIV 3600000000"
+        ).alias("h"),
     )
     # md5-rank hour sampling past the pair-explosion threshold (module
     # constant read at call time so the guard test can shrink it)
