@@ -9568,16 +9568,23 @@ _LOCAL_TOKEN_RE = _TOKEN_LB + "local\\\\.([A-Za-z_][A-Za-z0-9_-]*)"
 
 
 def _unused_decls_frame(
-    wide: DataFrame, decl_table: str, token_re: str, decl_cols: list[str]
+    wide: DataFrame,
+    decl_table: str,
+    token_re: str,
+    decl_cols: list[str],
+    decl_key: str = "name",
 ) -> DataFrame:
     """The declarations-∖-references audit device shared by
-    `tf_unused_variables` and `tf_unused_locals`: scan the SOURCE of
-    every config block OUTSIDE the declaring table for ``token_re``
-    traversals, count distinct referencing blocks ((path, start_line)
-    identity), left-join back onto the declaration table, report
-    ``n_ref_blocks`` + used/unused status. ONE definition so a tweak to
-    the token scan or the block-identity rule cannot fork between the
-    audits."""
+    `tf_unused_variables`, `tf_unused_locals`, and (r13-staged)
+    `tf_unused_data_sources`: scan the SOURCE of every config block
+    OUTSIDE the declaring table for ``token_re`` traversals, count
+    distinct referencing blocks ((path, start_line) identity),
+    left-join back onto the declaration table, report ``n_ref_blocks``
+    + used/unused status. ``decl_key`` is the declaration-side join
+    key — an F.expr string when the traversal names more than the bare
+    ``name`` (data sources reference as ``data.<type>.<name>``). ONE
+    definition so a tweak to the token scan or the block-identity rule
+    cannot fork between the audits."""
     refs = (
         wide.filter(
             (F.col("file_kind") == "config")
@@ -9597,8 +9604,12 @@ def _unused_decls_frame(
         .groupBy("ref_name")
         .agg(F.count("*").cast("long").alias("n_ref_blocks"))
     )
-    decls = wide.filter(F.col("tf_table") == decl_table).select(*decl_cols)
-    joined = decls.join(refs, decls["name"] == refs["ref_name"], "left")
+    decls = wide.filter(F.col("tf_table") == decl_table).select(
+        *decl_cols, F.expr(decl_key).alias("__decl_key")
+    )
+    joined = decls.join(
+        refs, decls["__decl_key"] == refs["ref_name"], "left"
+    )
     return joined.select(
         *decl_cols,
         F.coalesce("n_ref_blocks", F.lit(0).cast("long")).alias(
@@ -13912,4 +13923,251 @@ def media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("doc_id1"),
         F.col("c.doc_id").alias("doc_id2"),
         F.col("a.dhash").alias("dhash"),
+    )
+
+
+_DATA_TOKEN_RE = (
+    _TOKEN_LB
+    + "data\\\\.([A-Za-z_][A-Za-z0-9_]*\\\\.[A-Za-z_][A-Za-z0-9_-]*)"
+)
+
+
+@staged_query(
+    "tf_unused_data_sources",
+    # golden rows from the dedicated corpus, one data source per usage
+    # class: referenced from a resource (aws_ami.ubuntu), from an
+    # output (aws_vpc.main — its reference from ANOTHER data source is
+    # deliberately not counted, see escape-points rule), from a
+    # resource in ANOTHER file (aws_route53_zone.zone — the cross-file
+    # case), never referenced (aws_ami.stale), and a data source that
+    # only CONSUMES others (aws_subnet.private — unused itself)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aws_ami',          'stale',   0::BIGINT, 'unused'),
+      ('aws_ami',          'ubuntu',  1::BIGINT, 'used'),
+      ('aws_route53_zone', 'zone',    1::BIGINT, 'used'),
+      ('aws_subnet',       'private', 0::BIGINT, 'unused'),
+      ('aws_vpc',          'main',    1::BIGINT, 'used')
+    ) t(type, name, n_ref_blocks, status)
+    """,
+)
+def tf_unused_data_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unused-data-source hygiene audit — the third member of the
+    declarations-∖-references family (`tf_unused_variables`,
+    `tf_unused_locals`): every declared data source joined against the
+    ``data.<type>.<name>`` traversals in non-data config blocks.
+    Unlike resources, a data source is a PURE READ — unreferenced means
+    genuinely dead weight (a plan-time API call paid for nothing), so
+    this is the one block kind where 'unused' directly means
+    'removable'. References from OTHER data blocks don't count (the
+    locals audit's escape-points rule: a data source consumed only by
+    data sources that never escape is dead transitively); the traversal
+    names two segments, so the shared device joins on the computed
+    ``type.name`` key via its ``decl_key`` parameter.
+
+    Scale: the `_unused_decls_frame` contract — one regexp projection
+    over O(config blocks), one small distinct-and-count, one
+    broadcast-sized join."""
+    wide = _tf_corpus_engine(spark, "datasources").wide()
+    return _unused_decls_frame(
+        wide,
+        "terraform_data_source",
+        _DATA_TOKEN_RE,
+        ["type", "name"],
+        decl_key="concat(type, '.', name)",
+    )
+
+
+@staged_query(
+    "q_lineitem_kruskal_wallis",
+    # tie correction comes FREE from the variance-form denominator:
+    # with doubled mid-ranks (rank2 = 2·cum_before + t + 1, integer by
+    # construction), H = (N−1)·Σ_i (R2_i − n_i(N+1))²/n_i over
+    # Σ_q n_q(rank2_q − (N+1))² equals the classic tie-corrected
+    # H/(1−Σ(t³−t)/(N³−N)) exactly (verified against the textbook form
+    # to 6 decimals); the per-group /n_i is the only inexact division —
+    # floored identically on both sides (positive numerator), then one
+    # final ·(N−1)·10⁶ floor division
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(l_quantity AS BIGINT) q, l_returnflag g,
+             CAST(count(*) AS BIGINT) n
+      FROM lineitem GROUP BY 1, 2),
+    lvl AS (SELECT q, CAST(sum(n) AS BIGINT) t FROM grid GROUP BY 1),
+    rk AS (SELECT q, t,
+                  2*(CAST(sum(t) OVER (ORDER BY q) AS BIGINT) - t) + t + 1
+                    AS rank2
+           FROM lvl),
+    tot AS (SELECT CAST(sum(t) AS BIGINT) nn FROM lvl),
+    gr AS (SELECT g, CAST(sum(n) AS BIGINT) n_i,
+                  CAST(sum(n::HUGEINT * rk.rank2) AS HUGEINT) r2
+           FROM grid JOIN rk ON rk.q = grid.q GROUP BY g),
+    num AS (SELECT CAST(sum((r2 - n_i::HUGEINT*(nn+1))
+                            * (r2 - n_i::HUGEINT*(nn+1)) // n_i)
+                   AS HUGEINT) s_num
+            FROM gr, tot),
+    den AS (SELECT CAST(sum(t::HUGEINT * (rank2 - (nn+1))
+                            * (rank2 - (nn+1))) AS HUGEINT) s_den
+            FROM rk, tot)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM gr) AS n_groups,
+           nn AS n_rows,
+           CAST(s_num * (nn - 1) * 1000000 // s_den AS BIGINT) AS h_e6,
+           s_num * (nn - 1) * 1000000 // s_den > 5991464 AS reject_05
+    FROM num, den, tot
+    """,
+)
+def q_lineitem_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test of quantity across the THREE returnflag
+    populations — the k-sample member completing the nonparametric
+    battery (`q_lineitem_mannwhitney_u` = 2-sample location,
+    `q_lineitem_ks_test` = 2-sample shape, this = k-sample location),
+    and like them rank-free in execution: doubled mid-ranks come from a
+    cumulative window over the pooled quantity grid (rank2 =
+    2·cum_before + t + 1 — integer by construction, no interpolation),
+    and the variance-form identity H = (N−1)·Σ(R2ᵢ − nᵢ(N+1))²/nᵢ ÷
+    Σn_q(rank2_q − (N+1))² carries the tie correction for free in its
+    denominator. The α=0.05 decision against df=2 (three flags) uses
+    the literal 5991464 = ⌊−2·ln(0.05)·10⁶⌋, re-derived from math.log
+    by the independent test (the re-derived-constants device).
+
+    Scale: one scan pruned to two columns, one keyed agg to the
+    ≤3×|quantity levels| grid, windows over the level frame (the
+    post-agg-tiny-frame exemption), a 1-row answer. HUGEINT/DECIMAL(38)
+    headroom: r2² ≈ 4N⁴ crosses 10³⁸ near N ≈ 10⁹ rows — past that,
+    evaluate on a sampled slice (sample-based test) or drop the 10⁶
+    snap to 10³ on both sides."""
+    grid = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.col("l_returnflag").alias("g"),
+        )
+        .groupBy("q", "g")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    lvl = grid.groupBy("q").agg(F.sum("n").cast("long").alias("t"))
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = lvl.select(
+        "q",
+        "t",
+        (2 * (F.sum("t").over(wq) - F.col("t")) + F.col("t") + 1)
+        .cast("long")
+        .alias("rank2"),
+        F.sum("t").over(wall).cast("long").alias("nn"),
+    )
+    gr = (
+        grid.join(rk, "q")
+        .groupBy("g")
+        .agg(
+            F.sum("n").cast("long").alias("n_i"),
+            F.expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * rank2)"
+                   " AS DECIMAL(38,0))").alias("r2"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    dev = "(r2 - CAST(n_i AS DECIMAL(38,0)) * (nn + 1))"
+    num = gr.agg(
+        F.expr(f"CAST(sum({dev} * {dev} DIV n_i) AS DECIMAL(38,0))").alias(
+            "s_num"
+        ),
+        F.count("*").cast("long").alias("n_groups"),
+        F.max("nn").alias("nn"),
+    )
+    den = rk.agg(
+        F.expr(
+            "CAST(sum(CAST(t AS DECIMAL(38,0)) * (rank2 - (nn + 1))"
+            " * (rank2 - (nn + 1))) AS DECIMAL(38,0))"
+        ).alias("s_den")
+    )
+    h = "s_num * (nn - 1) * 1000000 DIV s_den"
+    return num.crossJoin(F.broadcast(den)).select(
+        "n_groups",
+        F.col("nn").alias("n_rows"),
+        F.expr(f"CAST({h} AS BIGINT)").alias("h_e6"),
+        F.expr(f"{h} > 5991464").alias("reject_05"),
+    )
+
+
+@staged_query(
+    "q_supplier_abc_classes",
+    # class rule pinned: a supplier is A while its INCLUSIVE cumulative
+    # revenue stays ≤ 80 % of total (crev·100 ≤ tot·80 — integer
+    # cross-multiplication, no percent division), B to 95 %, C past;
+    # (rev DESC, suppkey) is the deterministic cumulative order
+    oracle="""
+    WITH s AS (SELECT l_suppkey,
+                      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) rev
+               FROM lineitem GROUP BY 1),
+    c AS (SELECT l_suppkey, rev,
+                 CAST(sum(rev) OVER (ORDER BY rev DESC, l_suppkey)
+                      AS HUGEINT) crev,
+                 CAST(sum(rev) OVER () AS HUGEINT) tot
+          FROM s),
+    k AS (SELECT rev, tot,
+                 CASE WHEN crev * 100 <= tot * 80 THEN 'A'
+                      WHEN crev * 100 <= tot * 95 THEN 'B'
+                      ELSE 'C' END cls
+          FROM c)
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(CAST(sum(rev) AS HUGEINT) * 10000 // max(tot) AS BIGINT)
+             AS share_bp
+    FROM k GROUP BY 1
+    """,
+)
+def q_supplier_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory/vendor analysis — the three-class generalization of
+    `q_customer_pareto`'s 80 % cut (A ≈ the vital few, B the middle, C
+    the long tail): suppliers ordered by revenue (desc, suppkey
+    tiebreak), classified by INCLUSIVE cumulative share via integer
+    cross-multiplication (crev·100 ≤ tot·80 / tot·95 — no percent
+    division anywhere), rolled up to class grain with exact cents and
+    basis-point shares. The crossing supplier falls OUT of the class it
+    crosses (pinned boundary semantics).
+
+    Scale: one fact scan + supplier-grain partial agg; the cumulative
+    window runs over the SUPPLIER-grain frame (dimension-sized — the
+    post-agg exemption `q_customer_pareto` documents; at a truly
+    dimension-heavy scale the same two-pass range-partitioned prefix
+    sum applies), then a 3-row roll-up."""
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("rev")
+        )
+    )
+    wc = Window.orderBy(F.col("rev").desc(), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = s.select(
+        "rev",
+        F.sum("rev").over(wc).cast("decimal(38,0)").alias("crev"),
+        F.sum("rev").over(wall).cast("decimal(38,0)").alias("tot"),
+    )
+    k = c.select(
+        "rev",
+        "tot",
+        F.expr(
+            "CASE WHEN crev * 100 <= tot * 80 THEN 'A'"
+            " WHEN crev * 100 <= tot * 95 THEN 'B' ELSE 'C' END"
+        ).alias("cls"),
+    )
+    return k.groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+        F.expr(
+            "CAST(CAST(sum(rev) AS DECIMAL(38,0)) * 10000 DIV max(tot)"
+            " AS BIGINT)"
+        ).alias("share_bp"),
     )

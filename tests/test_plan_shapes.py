@@ -1603,3 +1603,53 @@ def test_dhash_pairs_narrow_map_single_hash_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan  # the inherently-Python media decode
     assert "BatchEvalPython" not in plan
+
+
+def test_unused_data_sources_single_broadcast_join(spark):
+    # the _unused_decls_frame contract: one regexp projection over the
+    # parsed wide frame, one small distinct-and-count, ONE broadcast
+    # join onto the declaration rows — no SMJ, no cartesian, no Python
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_unused_data_sources"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_kruskal_wallis_single_scan_grid_windows(spark):
+    # one fact scan pruned to two columns, keyed agg to the (level ×
+    # group) grid; rank windows + the num/den roll-ups all run over
+    # level/group-sized frames; the final attach is the documented
+    # 1-row scalar broadcast
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_kruskal_wallis"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row den attach
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    for sc in scans:
+        cols = [c.split("#")[0] for c in sc.split(",") if c]
+        assert set(cols) <= {"l_quantity", "l_returnflag"}, cols
+
+
+def test_abc_classes_supplier_grain_windows(spark):
+    # supplier-grain partial agg off one fact scan; the cumulative
+    # window runs over the dimension-sized supplier frame (the pareto
+    # exemption); 3-row roll-up, no join at all
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_supplier_abc_classes"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = [c.split("#")[0] for c in scans[0].split(",") if c]
+    assert set(cols) <= {"l_suppkey", "l_extendedprice"}, cols

@@ -1731,3 +1731,126 @@ def test_dhash_pure_python_and_shift_invariance(spark):
     assert (dh(base) == dh(patched)).all()
     far_flips = np.nonzero(ah(base) != ah(patched))[0]
     assert len(far_flips) > 0 and (far_flips >= 9).any()
+
+
+def test_unused_data_sources_pure_python_reference(spark):
+    """tf_unused_data_sources vs a regex scan over the corpus: declared
+    (type, name) pairs vs data.<type>.<name> traversals in non-data
+    blocks, distinct referencing-block counts re-derived."""
+    import re
+
+    blocks = _corpus_blocks("datasources")
+    declared, refs = [], {}
+    pat = re.compile(
+        r"(?<![A-Za-z0-9_.-])data\.([A-Za-z_][A-Za-z0-9_]*"
+        r"\.[A-Za-z_][A-Za-z0-9_-]*)"
+    )
+    for bi, (bt, labels, src) in enumerate(blocks):
+        if bt == "data" and len(labels) == 2:
+            declared.append((labels[0], labels[1]))
+        else:
+            for key in set(pat.findall(src)):
+                refs.setdefault(key, set()).add(bi)
+    want = {}
+    for ty, name in declared:
+        n = len(refs.get(f"{ty}.{name}", ()))
+        want[(ty, name)] = (n, "used" if n else "unused")
+    got = {
+        (r["type"], r["name"]): (r["n_ref_blocks"], r["status"])
+        for r in _staged(spark, "tf_unused_data_sources").collect()
+    }
+    assert got == want
+
+
+def test_kruskal_wallis_pure_python_and_textbook_agreement(spark):
+    """q_lineitem_kruskal_wallis three ways: (a) exact bigint replay of
+    the integer variance-form algebra, (b) agreement with the TEXTBOOK
+    float form H/(1 − Σ(t³−t)/(N³−N)) to 1e-6 relative (the identity
+    the entry's docstring claims), (c) the 5991464 decision constant
+    re-derived from math.log (the re-derived-constants device — df=2
+    because returnflag has exactly three levels)."""
+    import collections
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    grid: collections.Counter = collections.Counter()
+    for g, q in zip(t["l_returnflag"], t["l_quantity"]):
+        grid[(g, int(q))] += 1
+    lvl: collections.Counter = collections.Counter()
+    for (_g, q), n in grid.items():
+        lvl[q] += n
+    nn = sum(lvl.values())
+    rank2, cum = {}, 0
+    for q in sorted(lvl):
+        rank2[q] = 2 * cum + lvl[q] + 1
+        cum += lvl[q]
+    groups = sorted({g for g, _ in grid})
+    s_num = 0
+    for g in groups:
+        n_i = sum(n for (gg, _q), n in grid.items() if gg == g)
+        r2 = sum(n * rank2[q] for (gg, q), n in grid.items() if gg == g)
+        s_num += (r2 - n_i * (nn + 1)) ** 2 // n_i
+    s_den = sum(tq * (rank2[q] - (nn + 1)) ** 2 for q, tq in lvl.items())
+    h_e6 = s_num * (nn - 1) * 1000000 // s_den
+    rows = _staged(spark, "q_lineitem_kruskal_wallis").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_groups"], r["n_rows"], r["h_e6"]) == (
+        len(groups), nn, h_e6,
+    )
+    # textbook tie-corrected H (floats) must agree with the integer form
+    avg_rank = {q: rank2[q] / 2 for q in rank2}
+    hb = 0.0
+    for g in groups:
+        n_i = sum(n for (gg, _q), n in grid.items() if gg == g)
+        ri = sum(n * avg_rank[q] for (gg, q), n in grid.items() if gg == g)
+        hb += ri * ri / n_i
+    hb = 12.0 / (nn * (nn + 1)) * hb - 3 * (nn + 1)
+    ties = sum(tq ** 3 - tq for tq in lvl.values())
+    hb /= 1 - ties / (nn ** 3 - nn)
+    assert abs(hb - h_e6 / 1e6) <= max(1e-6 * abs(hb), 2e-6)
+    # decision constant: chi^2 upper-alpha quantile at df=2 is -2 ln(alpha)
+    assert math.floor(-2 * math.log(0.05) * 1e6) == 5991464
+    assert r["reject_05"] == (h_e6 > 5991464)
+
+
+def test_abc_classes_pure_python_reference(spark):
+    """q_supplier_abc_classes vs a Python replay of the inclusive-
+    cumulative classification, plus the boundary invariants: class A's
+    share never exceeds 8000 bp, A+B never exceeds 9500 bp (the
+    crossing supplier falls out — the pinned semantics), and the class
+    partition covers every supplier exactly once."""
+    import collections
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"]
+    ).to_pandas()
+    rev: collections.Counter = collections.Counter()
+    for s, p in zip(t["l_suppkey"], t["l_extendedprice"]):
+        rev[int(s)] += math.floor(p * 100 + 0.5)
+    tot = sum(rev.values())
+    want: dict = {}
+    crev = 0
+    for s, r in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        crev += r
+        cls = "A" if crev * 100 <= tot * 80 else (
+            "B" if crev * 100 <= tot * 95 else "C"
+        )
+        n, rv = want.get(cls, (0, 0))
+        want[cls] = (n + 1, rv + r)
+    want = {
+        cls: (n, rv, rv * 10000 // tot) for cls, (n, rv) in want.items()
+    }
+    got = {
+        r["cls"]: (r["n_suppliers"], r["revenue_cents"], r["share_bp"])
+        for r in _staged(spark, "q_supplier_abc_classes").collect()
+    }
+    assert got == want
+    assert sum(n for n, _, _ in got.values()) == len(rev)
+    if "A" in got:
+        assert got["A"][2] <= 8000
+    if "A" in got and "B" in got:
+        assert got["A"][2] + got["B"][2] <= 9500
