@@ -161,10 +161,11 @@ EXTENDED = [
     "stream_bitmap_distinct",
     "tf_undeclared_references",
     "emb_centroid_drift",
-    # r13-wave additions (drafted in r12; the r13 window holds 8 promos)
+    # r13-wave additions (drafted in r12; the r13 window holds 9 promos)
     "tf_unused_data_sources",
     "q_lineitem_kruskal_wallis",
     "q_supplier_abc_classes",
+    "dedup_incremental_batch",
     # r14-wave starter entries (drafted in r10)
     "tf_required_providers_audit",
     "tf_state_lineage_audit",

@@ -14171,3 +14171,159 @@ def q_supplier_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+# (applicationId, corpus-digest) → (buckets path, sets path) for the
+# incremental-dedup entry: the OLD-corpus LSH artifacts (band buckets +
+# shingle-hash sets) written once per session+corpus — the production
+# signature store an ingest pipeline maintains so arriving batches never
+# re-tokenize the existing corpus
+_LSH_STORE_CACHE: dict = {}
+
+
+def _lsh_store_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _LSH_STORE_CACHE:
+        old = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 7
+        )
+        root = tempfile.mkdtemp(prefix="lsh_store_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        bpath, spath = root + "/buckets", root + "/sets"
+        dedup.minhash_band_buckets(
+            old, n=5, num_hashes=8, bands=4
+        ).write.mode("overwrite").parquet(bpath)
+        dedup.shingle_sets(old, n=5, df_max=None).write.mode(
+            "overwrite"
+        ).parquet(spath)
+        _LSH_STORE_CACHE[key] = (bpath, spath)
+    return _LSH_STORE_CACHE[key]
+
+
+@staged_query(
+    "dedup_incremental_batch",
+    # the oracle replays the CORPUS-WIDE banding (the verbatim-shared
+    # _MINHASH_CAND_CTE) restricted to cross pairs — exactly one side in
+    # the arriving batch — then the snapped-rank best match per new doc:
+    # incremental(store, batch) must equal the full recompute's cross
+    # slice (the maintenance-identity device, dedup edition). Jaccard in
+    # basis points by positive-integer floor division; the ≥ 0.8 gate is
+    # the integer cross-multiplication c·10⁴ ≥ 8000·union — EXACTLY
+    # equivalent to the float compare, with no division before the gate
+    oracle=_SHINGLE_CTE
+    + """,
+    """
+    + _MINHASH_CAND_CTE
+    + """,
+    cross_pairs AS (
+      SELECT CASE WHEN c.id_a % 10 = 7 THEN c.id_a ELSE c.id_b END new_id,
+             CASE WHEN c.id_a % 10 = 7 THEN c.id_b ELSE c.id_a END old_id,
+             CAST((s.c * 10000) // (x.n + y.n - s.c) AS BIGINT) jacc_bp
+      FROM cand c JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+      JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+      WHERE (c.id_a % 10 = 7) <> (c.id_b % 10 = 7)
+        AND s.c * 10000 >= 8000 * (x.n + y.n - s.c)),
+    best AS (SELECT new_id, old_id, jacc_bp,
+                    row_number() OVER (PARTITION BY new_id
+                        ORDER BY jacc_bp DESC, old_id) rn
+             FROM cross_pairs)
+    SELECT d.doc_id AS new_id, b.old_id AS matched_id, b.jacc_bp,
+           CASE WHEN b.old_id IS NULL THEN 'unique'
+                ELSE 'duplicate' END AS status
+    FROM documents d LEFT JOIN best b
+      ON b.new_id = d.doc_id AND b.rn = 1
+    WHERE d.doc_id % 10 = 7
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingest — the dedup family's missing day-2
+    operation (the ANN analogs are `emb_ivf_incremental_topk` /
+    `emb_ivf_delete_maintenance`): an arriving batch (the doc_id%10==7
+    tenth) is checked against the SESSION-PERSISTED corpus LSH store
+    (band buckets + shingle-hash sets, written once — the existing
+    corpus is never re-tokenized), each new doc reporting its best
+    corpus match at exact Jaccard ≥ 0.8 (snapped-rank: basis-point
+    floor-division score, old-id tiebreak) or `unique`. This is the
+    production ingest gate: tokenize/shingle/sign the batch only, one
+    bucket equi-join against the store, verify only banding collisions.
+
+    Store-freshness contract (the frozen-quantizer precedent,
+    `emb_centroid_drift`): the store is df-cap-free here (the cap is
+    the SELF-join's scale guard; a bipartite probe's candidate count is
+    already bounded by the banding) and frozen at build — intra-batch
+    duplicates and batch-vs-batch pairs are the NEXT rebuild's problem,
+    exactly like IVF compaction. The oracle replays the corpus-wide
+    banding restricted to cross pairs, so the driver checks
+    incremental(store, batch) ≡ full-recompute-cross-slice — the
+    maintenance identity.
+
+    Scale: the store is the artifact (≈ one 8-byte hash per corpus
+    token + 4 band rows per doc); per ingest the corpus-side cost is
+    ONE equi-join on uniform (band, bh) keys against the bucket store
+    and one id-keyed join against the sets store for verification —
+    at 100 TB both stores live bucketed on their join keys so the
+    probes are shuffle-free; nothing rescans corpus text."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    bpath, spath = _lsh_store_paths(spark, sf_dir)
+    old_buckets = spark.read.parquet(bpath)
+    old_sets = spark.read.parquet(spath)
+    nb = dedup.minhash_band_buckets(new, n=5, num_hashes=8, bands=4)
+    cand = (
+        nb.alias("x")
+        .join(old_buckets.alias("y").hint("merge"), ["band", "bh"])
+        .select(
+            F.col("x.id").alias("new_id"), F.col("y.id").alias("old_id")
+        )
+        .distinct()
+    )
+    ns = dedup.shingle_sets(new, n=5, df_max=None)
+    verified = (
+        cand.join(ns.withColumnRenamed("id", "new_id"), "new_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.col("hs").alias("hs_n"),
+            F.col("n_sh").alias("n_n"),
+        )
+        .join(
+            old_sets.withColumnRenamed("id", "old_id").hint("merge"),
+            "old_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.size(F.array_intersect("hs_n", "hs")).cast("long").alias("c"),
+            "n_n",
+            F.col("n_sh").alias("n_o"),
+        )
+        .withColumn("un", F.col("n_n") + F.col("n_o") - F.col("c"))
+        .filter(F.col("c") * 10000 >= 8000 * F.col("un"))
+        .select(
+            "new_id",
+            "old_id",
+            F.expr("CAST(c * 10000 DIV un AS BIGINT)").alias("jacc_bp"),
+        )
+    )
+    wb = Window.partitionBy("new_id").orderBy(
+        F.col("jacc_bp").desc(), "old_id"
+    )
+    best = verified.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        new.select(F.col("doc_id").alias("new_id"))
+        .join(best.select("new_id", "old_id", "jacc_bp"), "new_id", "left")
+        .select(
+            "new_id",
+            F.col("old_id").alias("matched_id"),
+            "jacc_bp",
+            F.when(F.col("old_id").isNull(), F.lit("unique"))
+            .otherwise(F.lit("duplicate"))
+            .alias("status"),
+        )
+    )

@@ -399,6 +399,37 @@ def minhash_band_buckets(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    df_max: int | None = 10_000,
+) -> DataFrame:
+    """Per-doc shingle-hash sets for exact-Jaccard verification:
+    (id, hs = the set of in-cap shingle hashes, n_sh = the UNCAPPED set
+    size). Factored out of ``minhash_lsh_pairs`` so the incremental
+    ingest entry can PERSIST the corpus side and verify new batches
+    against the store without re-tokenizing old documents — one
+    definition, so the cap/size semantics cannot fork between the
+    self-join and bipartite pipelines."""
+    sh = _hashed_shingles(df, id_col, text_col, n)
+    if df_max is not None:
+        # flag over-cap shingles instead of filtering them so ONE groupBy
+        # yields both the capped set and the uncapped size (shingles are
+        # already distinct per doc, so count(*) == |shingle set|)
+        overcap = (
+            sh.groupBy("h").agg(F.count("*").alias("__df")).filter(F.col("__df") > df_max).select("h")
+        )
+        flagged = sh.join(overcap.withColumn("__over", F.lit(True)), "h", "left")
+    else:
+        flagged = sh.withColumn("__over", F.lit(None).cast("boolean"))
+    return flagged.groupBy("id").agg(
+        F.collect_set(F.when(F.col("__over").isNull(), F.col("h"))).alias("hs"),
+        F.count("*").alias("n_sh"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -441,21 +472,7 @@ def minhash_lsh_pairs(
     )
     # Verify ONLY the candidate pairs (|cand| << all pairs — that is the
     # entire point of LSH), never touching non-colliding pairs.
-    sh = _hashed_shingles(df, id_col, text_col, n)
-    if df_max is not None:
-        # flag over-cap shingles instead of filtering them so ONE groupBy
-        # yields both the capped set and the uncapped size (shingles are
-        # already distinct per doc, so count(*) == |shingle set|)
-        overcap = (
-            sh.groupBy("h").agg(F.count("*").alias("__df")).filter(F.col("__df") > df_max).select("h")
-        )
-        flagged = sh.join(overcap.withColumn("__over", F.lit(True)), "h", "left")
-    else:
-        flagged = sh.withColumn("__over", F.lit(None).cast("boolean"))
-    sets = flagged.groupBy("id").agg(
-        F.collect_set(F.when(F.col("__over").isNull(), F.col("h"))).alias("hs"),
-        F.count("*").alias("n_sh"),
-    )
+    sets = shingle_sets(df, id_col, text_col, n, df_max)
     # both pair-side joins hit the IDENTICAL `sets` projection (renames go on
     # the candidate side) so exchange reuse materializes its subtree — the
     # full shingle explode + groupBy — once, not twice; the merge hint keeps

@@ -320,3 +320,31 @@ def test_ivf_compacted_store_written_once_per_corpus(spark, monkeypatch):
     n2 = cat.STAGED_QUERIES["emb_ivf_compaction"](spark, sf).count()
     assert n1 > 0 and n1 == n2
     assert calls["n"] == 1, f"compaction rewrite ran {calls['n']} times, want 1"
+
+
+def test_lsh_store_written_once_per_corpus(spark, monkeypatch):
+    """The staged dedup_incremental_batch entry's _LSH_STORE_CACHE must
+    reuse the corpus LSH store on repeat invocations — rebuilding it
+    per ingest would re-tokenize the whole corpus per batch, exactly
+    the cost the store exists to avoid."""
+    import steampipe_plugin_terraform_spark.catalog as cat
+
+    app = spark.sparkContext.applicationId
+    for key in [k for k in cat._LSH_STORE_CACHE if k[0] == app]:
+        cat._LSH_STORE_CACHE.pop(key)
+    calls = {"n": 0}
+    real = cat._t
+
+    def counting(*a, **kw):
+        if a[2:3] == ("documents",) or kw.get("name") == "documents":
+            calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cat, "_t", counting)
+    sf = "/root/testdata/sf0.001"
+    n1 = cat.STAGED_QUERIES["dedup_incremental_batch"](spark, sf).count()
+    n2 = cat.STAGED_QUERIES["dedup_incremental_batch"](spark, sf).count()
+    assert n1 > 0 and n1 == n2
+    # 1 store build + 1 per-entry batch read per invocation = 3 reads,
+    # never 4 (a rebuild would add a second store-build read)
+    assert calls["n"] == 3, f"documents loaded {calls['n']} times, want 3"

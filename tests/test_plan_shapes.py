@@ -1653,3 +1653,25 @@ def test_abc_classes_supplier_grain_windows(spark):
     assert len(scans) == 1
     cols = [c.split("#")[0] for c in scans[0].split(",") if c]
     assert set(cols) <= {"l_suppkey", "l_extendedprice"}, cols
+
+
+def test_incremental_batch_probes_store_no_corpus_retokenize(spark):
+    # the ingest contract: corpus text is tokenized only for the NEW
+    # batch — the old side arrives from the two store parquets (scans
+    # WITHOUT a text column), every join is an equi-join, no Python
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["dedup_incremental_batch"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    text_scans = [
+        sc
+        for sc in re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        if "text" in sc
+    ]
+    # documents (text) is scanned only for the new batch's two branches
+    # (buckets + sets); the store scans carry no text column
+    assert 1 <= len(text_scans) <= 2

@@ -1854,3 +1854,81 @@ def test_abc_classes_pure_python_reference(spark):
         assert got["A"][2] <= 8000
     if "A" in got and "B" in got:
         assert got["A"][2] + got["B"][2] <= 9500
+
+
+def test_incremental_batch_pure_python_and_cross_entry(spark):
+    """dedup_incremental_batch two ways: (a) full Python replay of the
+    bipartite pipeline from raw text (shingles → md5 min-hash
+    signatures → 4-band buckets → cross collisions → exact Jaccard ≥
+    0.8 → snapped-rank best match), (b) the cross-entry identity that
+    its duplicate PAIR SET equals the promoted corpus-wide
+    `dedup_minhash_lsh` output restricted to cross pairs (one side in
+    the batch) — membership is snap-independent because the ≥ 0.8 gate
+    is the same integer cross-multiplication on both."""
+    import collections
+    import hashlib
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    shingles, bands = {}, collections.defaultdict(set)
+    for did, text in zip(t["doc_id"], t["text"]):
+        did = int(did)
+        w = text.split(" ")
+        if len(w) >= 5:
+            ss = {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+        else:
+            ss = set()
+        shingles[did] = ss
+        if not ss:
+            continue
+        sig = [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in ss)
+            for i in range(8)
+        ]
+        for b in range(4):
+            bh = hashlib.md5(
+                f"{sig[2 * b]}|{sig[2 * b + 1]}".encode()
+            ).hexdigest()
+            bands[(b, bh)].add(did)
+    cross: dict = collections.defaultdict(set)
+    for ids in bands.values():
+        news = [d for d in ids if d % 10 == 7]
+        olds = [d for d in ids if d % 10 != 7]
+        for nd in news:
+            cross[nd].update(olds)
+    want = {}
+    for nd in (int(d) for d in t["doc_id"] if int(d) % 10 == 7):
+        best = None
+        for od in sorted(cross.get(nd, ())):
+            c = len(shingles[nd] & shingles[od])
+            un = len(shingles[nd]) + len(shingles[od]) - c
+            if un == 0 or c * 10000 < 8000 * un:
+                continue
+            bp = c * 10000 // un
+            if best is None or (bp, -od) > (best[1], -best[0]):
+                best = (od, bp)
+        want[nd] = (
+            (best[0], best[1], "duplicate") if best else (None, None, "unique")
+        )
+    got = {
+        r["new_id"]: (r["matched_id"], r["jacc_bp"], r["status"])
+        for r in _staged(spark, "dedup_incremental_batch").collect()
+    }
+    assert got == want
+    # cross-entry identity against the promoted corpus-wide LSH pairs
+    from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+    promoted_cross = set()
+    for r in QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a % 10 == 7) != (b % 10 == 7):
+            promoted_cross.add((a, b) if a % 10 == 7 else (b, a))
+    mine = set()
+    for nd, ids in cross.items():
+        for od in ids:
+            c = len(shingles[nd] & shingles[od])
+            un = len(shingles[nd]) + len(shingles[od]) - c
+            if un > 0 and c * 10000 >= 8000 * un:
+                mine.add((nd, od))
+    assert mine == promoted_cross
