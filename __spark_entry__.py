@@ -28,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ROTATION POLICY (standing, from round 6; see round-6 comment in git
 # history for the full rationale). The driver's correctness gate checks
-# the first 50 queries() entries in dict order; the catalog holds 211, so
-# the horizon is ceil(211/50) = 5 rounds. Invariant: EVERY entry gets a
+# the first 50 queries() entries in dict order; the catalog holds 220, so
+# the horizon is ceil(220/50) = 5 rounds. Invariant: EVERY entry gets a
 # driver-green row within the horizon; window priority each round:
 #   1. entries changed or added this round (a stale green row proves
 #      nothing about them);
@@ -39,78 +39,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
 # the sf0.01 sweep (`make parity-sf001 parity-sf01`).
 #
-# Round-12 window (executes the r11 verdict's pinned rotation):
-# positions 1-6 are the six entries promoted from the r12 staging area
-# (q_events_bitmap_distinct_users, q_lineitem_flag_status_chi2,
-# tf_unused_locals, emb_mmr_rerank, stream_hourly_topk_types,
-# docs_bpe_merge_pairs) — never driver-checked, so rule 2 puts them
-# first; positions 7-11 are the 5 forced r07 leftovers (incl.
-# q_approx_distinct, the r10 verdict's undercount fix — last rows-only
-# green r07); positions 12-50 are the 39 alphabetically-first r08 rows
-# (the r08 cohort is 50; the alphabetically-last 11 become the r13
-# forced leftovers, pinned in docs/OPERATORS.md). Catalog 211 → horizon
-# stays ceil(211/50) = 5 rounds. After the window: the 11 r08 leftovers
-# (due r13), then r09-green, r10-green, and the r11 window rows
-# (newest last).
+# Round-13 window (executes the r12 verdict's pinned rotation):
+# positions 1-9 are the nine entries promoted from the r13 staging wave
+# (tf_lifecycle_audit, tf_legacy_interpolation_audit,
+# q_lineitem_mannwhitney_u, q_events_overdispersion,
+# q_events_markov_stationary, tf_unused_data_sources,
+# q_lineitem_kruskal_wallis, q_supplier_abc_classes,
+# dedup_incremental_batch) — never driver-checked, so rule 2 puts them
+# first; positions 10-20 are the 11 forced r08 leftovers (the
+# alphabetically-last 11 of the r08 cohort); positions 21-50 are the 30
+# alphabetically-first r09 rows (the r09 cohort is 50; the last 20
+# become the r14 forced leftovers, pinned in docs/OPERATORS.md).
+# Catalog 220 → horizon stays ceil(220/50) = 5 rounds. After the
+# window: the 20 r09 leftovers (due r14), then r10-green, r11-green,
+# and the r12 window rows (newest last).
 _VALIDATE_FIRST = [
-    # -- r12 window: the six entries promoted from the r12 staging area
-    # (never driver-checked; rotation rule 2 puts them first) --
-    "q_events_bitmap_distinct_users",
-    "q_lineitem_flag_status_chi2",
-    "tf_unused_locals",
-    "emb_mmr_rerank",
-    "stream_hourly_topk_types",
-    "docs_bpe_merge_pairs",
-    # -- r12 window: the 5 forced r07 leftovers (incl. q_approx_distinct,
-    # rows-only by design — its last driver row is r07) --
-    "q_approx_distinct",
-    "stream_countmin_sketch",
-    "stream_foreachbatch_sink",
-    "stream_hopping_counts",
-    "stream_hourly_append_closed",
-    # -- r12 window: the 39 alphabetically-first r08 rows (the r08
-    # cohort is 50; pinned in docs/OPERATORS.md forward rotation plan) --
-    "dedup_golden_record",
-    "dedup_linkage_clusters",
-    "dedup_lsh_recall",
-    "docs_bigram_logprob",
-    "docs_chunk_overlap",
-    "docs_k_anonymity",
-    "docs_lang_confusion",
-    "docs_leakage_safe_split",
-    "docs_novelty",
-    "emb_dim_stats",
-    "emb_intra_class_outliers",
-    "emb_nearest_centroid_label",
-    "media_ahash_pairs",
-    "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q_basket_brand_lift",
-    "q_bloom_semi_join",
-    "q_customer_activity_reconciliation",
-    "q_customer_gini",
-    "q_customer_rfm",
-    "q_dq_audit",
-    "q_events_ab_significance",
-    "q_events_autocorr24",
-    "q_events_cep_pattern",
-    "q_events_duplicate_payments",
-    "q_events_lateness_profile",
-    "q_events_moving_avg",
-    "q_events_seasonal_anomaly",
-    "q_events_stickiness",
-    "q_events_top_paths",
-    "q_fulfillment_latency",
-    "q_join_size_cms_estimate",
-    "q_nation_share_of_region",
-    "q_ntile_acctbal_deciles",
-    "q_orders_checksum",
-    "q_orders_cohort_ltv",
-    "q_orders_equidepth_histogram",
-    "q_orders_interval_merge",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r08: the 11 leftovers, due r13 (forced) --
+    # -- r13 window: the nine entries promoted from the r13 staging
+    # wave (never driver-checked; rotation rule 2 puts them first) --
+    "tf_lifecycle_audit",
+    "tf_legacy_interpolation_audit",
+    "q_lineitem_mannwhitney_u",
+    "q_events_overdispersion",
+    "q_events_markov_stationary",
+    "tf_unused_data_sources",
+    "q_lineitem_kruskal_wallis",
+    "q_supplier_abc_classes",
+    "dedup_incremental_batch",
+    # -- r13 window: the 11 forced r08 leftovers (the
+    # alphabetically-last 11 of the 50-row r08 cohort) --
     "q_part_kcore",
     "q_part_triangles",
     "q_session_incident_overlap",
@@ -122,7 +78,9 @@ _VALIDATE_FIRST = [
     "stream_record_highs",
     "tf_resource_provider_join",
     "tf_untagged_resources",
-    # -- last driver row r09 --
+    # -- r13 window: the 30 alphabetically-first r09 rows (the r09
+    # cohort is 50; the alphabetically-last 20 become the r14 forced
+    # leftovers, pinned in docs/OPERATORS.md) --
     "dedup_first_event",
     "dedup_jaccard_pairs",
     "dedup_simhash",
@@ -153,6 +111,8 @@ _VALIDATE_FIRST = [
     "q22_idle_rich_customers",
     "q9_profit_by_nation",
     "q_bucketed_cokey_join",
+    # ---- 50-entry window boundary ----
+    # -- last driver row r09: the 20 leftovers, due r14 (forced) --
     "q_events_daily_rollup",
     "q_events_hourly",
     "q_events_json_props",
@@ -224,7 +184,7 @@ _VALIDATE_FIRST = [
     "tf_resource_count_by_type",
     "tf_resources",
     "tf_unused_variables",
-    # -- last driver row r11 (newest rows; recheck last) --
+    # -- last driver row r11 --
     "tf_resource_reference_graph",
     "tf_sensitive_output_audit",
     "q_orders_incremental_rollup",
@@ -275,6 +235,57 @@ _VALIDATE_FIRST = [
     "q_user_scd2_segments",
     "q_zorder_pruned_scan",
     "stream_click_error_left_join",
+    # -- last driver row r12 (newest rows; recheck last) --
+    "q_events_bitmap_distinct_users",
+    "q_lineitem_flag_status_chi2",
+    "tf_unused_locals",
+    "emb_mmr_rerank",
+    "stream_hourly_topk_types",
+    "docs_bpe_merge_pairs",
+    "q_approx_distinct",
+    "stream_countmin_sketch",
+    "stream_foreachbatch_sink",
+    "stream_hopping_counts",
+    "stream_hourly_append_closed",
+    "dedup_golden_record",
+    "dedup_linkage_clusters",
+    "dedup_lsh_recall",
+    "docs_bigram_logprob",
+    "docs_chunk_overlap",
+    "docs_k_anonymity",
+    "docs_lang_confusion",
+    "docs_leakage_safe_split",
+    "docs_novelty",
+    "emb_dim_stats",
+    "emb_intra_class_outliers",
+    "emb_nearest_centroid_label",
+    "media_ahash_pairs",
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q_basket_brand_lift",
+    "q_bloom_semi_join",
+    "q_customer_activity_reconciliation",
+    "q_customer_gini",
+    "q_customer_rfm",
+    "q_dq_audit",
+    "q_events_ab_significance",
+    "q_events_autocorr24",
+    "q_events_cep_pattern",
+    "q_events_duplicate_payments",
+    "q_events_lateness_profile",
+    "q_events_moving_avg",
+    "q_events_seasonal_anomaly",
+    "q_events_stickiness",
+    "q_events_top_paths",
+    "q_fulfillment_latency",
+    "q_join_size_cms_estimate",
+    "q_nation_share_of_region",
+    "q_ntile_acctbal_deciles",
+    "q_orders_checksum",
+    "q_orders_cohort_ltv",
+    "q_orders_equidepth_histogram",
+    "q_orders_interval_merge",
 ]
 
 

@@ -13122,7 +13122,7 @@ def tf_count_foreach_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_lifecycle_audit",
     # golden rows from the dedicated corpus, one resource per lifecycle
     # class: prevent_destroy=true (protected), create_before_destroy
@@ -13182,6 +13182,15 @@ def tf_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False),
     )
     ic = F.get_json_object("lifecycle", "$.ignore_changes")
+    # ENCODING CONTRACT: `ignore_changes = all` is the bare keyword
+    # `all` in HCL; the parser encodes every bare traversal as the
+    # interpolation string "${<traversal>}" (hcl/parser.py, the kics
+    # output contract — same encoding tf_count_foreach_expansion keys
+    # on for `count = var.x`). A list value encodes as a JSON array
+    # instead, so the string compare below cannot collide with it; if
+    # the parser's traversal encoding ever changes, the golden-corpus
+    # oracle row for aws_s3_bucket.legacy (drift_blind_all) fails
+    # loudly rather than silently reclassifying to drift_blind/default.
     ignores_all = F.coalesce(ic == "${all}", F.lit(False))
     n_ignored = F.expr(
         "json_array_length(get_json_object(lifecycle, '$.ignore_changes'))"
@@ -13215,7 +13224,7 @@ _LEGACY_INTERP_RE = (
 )
 
 
-@staged_query(
+@query(
     "tf_legacy_interpolation_audit",
     # golden rows from the dedicated corpus: a resource with TWO pure
     # legacy wraps (ami + availability_zone), one with one (bucket;
@@ -13279,7 +13288,7 @@ def tf_legacy_interpolation_audit(
     )
 
 
-@staged_query(
+@query(
     "q_lineitem_mannwhitney_u",
     # the rank-sum test stated as contingency-grid algebra: U needs no
     # ranks at all — 2U = 2·Σ[qa>qb] nA·nB + Σ[qa=qb] nA·nB over group
@@ -13296,8 +13305,8 @@ def tf_legacy_interpolation_audit(
       FROM lineitem GROUP BY 1, 2),
     a AS (SELECT q, n FROM grid WHERE g = 'F'),
     b AS (SELECT q, n FROM grid WHERE g = 'O'),
-    tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM a) n_a,
-                   (SELECT CAST(sum(n) AS BIGINT) FROM b) n_b),
+    tot AS (SELECT (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM a) n_a,
+                   (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM b) n_b),
     c AS (SELECT CAST(coalesce(sum(CASE WHEN a.q > b.q
                         THEN a.n::HUGEINT * b.n END), 0) AS HUGEINT) conc,
                  CAST(coalesce(sum(CASE WHEN a.q = b.q
@@ -13310,11 +13319,13 @@ def tf_legacy_interpolation_audit(
           FROM tot, c, t3)
     SELECT CAST(n_a AS BIGINT) n_a, CAST(n_b AS BIGINT) n_b,
            CAST(u2 AS BIGINT) u2,
-           CAST((((u2 - mean2) * (u2 - mean2) * 1000)
-                 // (n_a::HUGEINT * n_b))
-                * 3 * nn * (nn - 1)
-                // ((nn + 1)::HUGEINT * nn * (nn - 1) - ties_sum)
-                AS BIGINT) z2_e3
+           CAST(CASE WHEN mean2 > 0
+                      AND (nn + 1)::HUGEINT * nn * (nn - 1) - ties_sum > 0
+                THEN (((u2 - mean2) * (u2 - mean2) * 1000)
+                      // (n_a::HUGEINT * n_b))
+                     * 3 * nn * (nn - 1)
+                     // ((nn + 1)::HUGEINT * nn * (nn - 1) - ties_sum)
+                END AS BIGINT) z2_e3
     FROM f
     """,
 )
@@ -13372,15 +13383,25 @@ def q_lineitem_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean2 = n_a * n_b
     denom = (nn + 1) * nn * (nn - 1) - ties_sum
+    # degenerate guard (mirrored by the oracle's CASE): a missing group
+    # (mean2 = 0) or an all-tied pool (denom = 0) leaves z undefined —
+    # both sides emit NULL instead of leaning on engine-specific
+    # divide-by-zero behavior (Spark non-ANSI DIV → NULL, DuckDB // →
+    # error); the scalars are plan-time Python ints, so the branch costs
+    # nothing on healthy inputs
+    if mean2 > 0 and denom > 0:
+        z2 = F.expr(
+            f"CAST(((2 * conc + tie_n - {mean2}) "
+            f"* (2 * conc + tie_n - {mean2}) * 1000 DIV {mean2}) "
+            f"* {3 * nn * (nn - 1)} DIV {denom} AS BIGINT)"
+        )
+    else:
+        z2 = F.lit(None).cast("long")
     return pairs.select(
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),
         F.expr("CAST(2 * conc + tie_n AS BIGINT)").alias("u2"),
-        F.expr(
-            f"CAST(((2 * conc + tie_n - {mean2}) "
-            f"* (2 * conc + tie_n - {mean2}) * 1000 DIV {mean2}) "
-            f"* {3 * nn * (nn - 1)} DIV {denom} AS BIGINT)"
-        ).alias("z2_e3"),
+        z2.alias("z2_e3"),
     )
 
 
@@ -13447,7 +13468,7 @@ def _overdispersion_report(hc: DataFrame) -> DataFrame:
     )
 
 
-@staged_query("q_events_overdispersion", oracle=_OVERDISPERSION_SQL)
+@query("q_events_overdispersion", oracle=_OVERDISPERSION_SQL)
 def q_events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson overdispersion screen per event type — variance-to-mean
     ratio (Fisher's dispersion index) of hourly arrival counts, the
@@ -13480,7 +13501,7 @@ def q_events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _overdispersion_report(hc)
 
 
-@staged_query(
+@query(
     "q_events_markov_stationary",
     # three power-iteration steps UNROLLED as CTEs over the transition
     # grid (the pagerank device pointed at the row-normalized chain):
@@ -13632,10 +13653,13 @@ def stream_overdispersion_monitor(
     dev AS (SELECT n_a, n_b, max(abs(ca * n_b - cb * n_a)) dev_max
             FROM cum GROUP BY 1, 2)
     SELECT n_a, n_b,
-           CAST(dev_max * 1000000 // (n_a::HUGEINT * n_b) AS BIGINT)
-             AS d_e6,
-           dev_max * dev_max * 1000000
-             > 1844164::HUGEINT * n_a * n_b * (n_a + n_b) AS reject_05
+           CAST(CASE WHEN n_a > 0 AND n_b > 0
+                THEN dev_max * 1000000 // (n_a::HUGEINT * n_b) END
+                AS BIGINT) AS d_e6,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN dev_max * dev_max * 1000000
+                     > 1844164::HUGEINT * n_a * n_b * (n_a + n_b)
+                END AS reject_05
     FROM dev
     """,
 )
@@ -13687,16 +13711,21 @@ def q_lineitem_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = cum.groupBy("n_a", "n_b").agg(
         F.expr("max(abs(ca * n_b - cb * n_a))").alias("dev_max")
     )
+    # degenerate guard (mirrored by the oracle's CASE): a missing
+    # linestatus group makes nA·nB = 0 and both the D denominator and
+    # the decision undefined — NULL on both sides, the
+    # q_lineitem_mannwhitney_u device
     return dev.select(
         "n_a",
         "n_b",
         F.expr(
-            "CAST(dev_max * 1000000"
-            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN dev_max * 1000000"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) END AS BIGINT)"
         ).alias("d_e6"),
         F.expr(
-            "dev_max * dev_max * 1000000"
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN dev_max * dev_max * 1000000"
             " > CAST(1844164 AS DECIMAL(38,0)) * n_a * n_b * (n_a + n_b)"
+            " END"
         ).alias("reject_05"),
     )
 
@@ -13791,8 +13820,20 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qtr", "cut_id")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
-    return ndocs.join(vocab, ["qtr", "cut_id"]).select(
-        "qtr", "cut_id", "n_docs", "vocab_size"
+    # assemble FROM the 4-row cut frame with left joins (r12 advice): a
+    # quarter with zero docs (cut_id < lo when the id span is < 4) or
+    # zero trigram vocab must still emit its row with count 0, exactly
+    # like the oracle's scalar subqueries
+    return (
+        cuts.join(ndocs, ["qtr", "cut_id"], "left")
+        .join(vocab, ["qtr", "cut_id"], "left")
+        .select(
+            "qtr",
+            "cut_id",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("vocab_size", F.lit(0)).cast("long")
+            .alias("vocab_size"),
+        )
     )
 
 
@@ -13932,7 +13973,7 @@ _DATA_TOKEN_RE = (
 )
 
 
-@staged_query(
+@query(
     "tf_unused_data_sources",
     # golden rows from the dedicated corpus, one data source per usage
     # class: referenced from a resource (aws_ami.ubuntu), from an
@@ -13978,7 +14019,7 @@ def tf_unused_data_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "q_lineitem_kruskal_wallis",
     # tie correction comes FREE from the variance-form denominator:
     # with doubled mid-ranks (rank2 = 2·cum_before + t + 1, integer by
@@ -14011,8 +14052,12 @@ def tf_unused_data_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rk, tot)
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM gr) AS n_groups,
            nn AS n_rows,
-           CAST(s_num * (nn - 1) * 1000000 // s_den AS BIGINT) AS h_e6,
-           s_num * (nn - 1) * 1000000 // s_den > 5991464 AS reject_05
+           CAST(CASE WHEN s_den > 0
+                THEN s_num * (nn - 1) * 1000000 // s_den END
+                AS BIGINT) AS h_e6,
+           CASE WHEN s_den > 0
+                THEN s_num * (nn - 1) * 1000000 // s_den > 5991464
+                END AS reject_05
     FROM num, den, tot
     """,
 )
@@ -14082,7 +14127,12 @@ def q_lineitem_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (rank2 - (nn + 1))) AS DECIMAL(38,0))"
         ).alias("s_den")
     )
-    h = "s_num * (nn - 1) * 1000000 DIV s_den"
+    # degenerate guard (mirrored by the oracle's CASE): a single pooled
+    # quantity level makes every rank2 = nn+1, so s_den = 0 and H is
+    # undefined — emit NULL on both sides rather than leaning on
+    # engine-specific divide-by-zero (Spark DIV → NULL, DuckDB // →
+    # error); same device as q_lineitem_mannwhitney_u's z guard
+    h = "CASE WHEN s_den > 0 THEN s_num * (nn - 1) * 1000000 DIV s_den END"
     return num.crossJoin(F.broadcast(den)).select(
         "n_groups",
         F.col("nn").alias("n_rows"),
@@ -14091,7 +14141,7 @@ def q_lineitem_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "q_supplier_abc_classes",
     # class rule pinned: a supplier is A while its INCLUSIVE cumulative
     # revenue stays ≤ 80 % of total (crev·100 ≤ tot·80 — integer
@@ -14204,7 +14254,7 @@ def _lsh_store_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _LSH_STORE_CACHE[key]
 
 
-@staged_query(
+@query(
     "dedup_incremental_batch",
     # the oracle replays the CORPUS-WIDE banding (the verbatim-shared
     # _MINHASH_CAND_CTE) restricted to cross pairs — exactly one side in

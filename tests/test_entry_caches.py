@@ -323,7 +323,7 @@ def test_ivf_compacted_store_written_once_per_corpus(spark, monkeypatch):
 
 
 def test_lsh_store_written_once_per_corpus(spark, monkeypatch):
-    """The staged dedup_incremental_batch entry's _LSH_STORE_CACHE must
+    """The dedup_incremental_batch entry's _LSH_STORE_CACHE must
     reuse the corpus LSH store on repeat invocations — rebuilding it
     per ingest would re-tokenize the whole corpus per batch, exactly
     the cost the store exists to avoid."""
@@ -342,8 +342,8 @@ def test_lsh_store_written_once_per_corpus(spark, monkeypatch):
 
     monkeypatch.setattr(cat, "_t", counting)
     sf = "/root/testdata/sf0.001"
-    n1 = cat.STAGED_QUERIES["dedup_incremental_batch"](spark, sf).count()
-    n2 = cat.STAGED_QUERIES["dedup_incremental_batch"](spark, sf).count()
+    n1 = cat.QUERIES["dedup_incremental_batch"](spark, sf).count()
+    n2 = cat.QUERIES["dedup_incremental_batch"](spark, sf).count()
     assert n1 > 0 and n1 == n2
     # 1 store build + 1 per-entry batch read per invocation = 3 reads,
     # never 4 (a rebuild would add a second store-build read)

@@ -1461,7 +1461,7 @@ def test_lifecycle_audit_shuffle_free(spark):
     # wide frame — the settings-audit contract: no exchange, no join
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_lifecycle_audit"](spark, SF))
+    plan = _plan_df(QUERIES["tf_lifecycle_audit"](spark, SF))
     assert "Exchange" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct", "Generate"):
@@ -1475,7 +1475,7 @@ def test_legacy_interpolation_single_scan_no_join(spark):
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
     plan = _plan_df(
-        STAGED_QUERIES["tf_legacy_interpolation_audit"](spark, SF)
+        QUERIES["tf_legacy_interpolation_audit"](spark, SF)
     )
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
@@ -1490,7 +1490,7 @@ def test_mannwhitney_grid_localized_no_filescan(spark):
     # nested-loop join is the grid-sized non-equi pair join
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["q_lineitem_mannwhitney_u"](spark, SF))
+    plan = _plan_df(QUERIES["q_lineitem_mannwhitney_u"](spark, SF))
     assert "FileScan" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
@@ -1505,7 +1505,7 @@ def test_overdispersion_single_scan_keyed_aggs(spark):
 
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["q_events_overdispersion"](spark, SF))
+    plan = _plan_df(QUERIES["q_events_overdispersion"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
@@ -1523,7 +1523,7 @@ def test_markov_stationary_localized_broadcast_iterations(spark):
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
     plan = _plan_df(
-        STAGED_QUERIES["q_events_markov_stationary"](spark, SF)
+        QUERIES["q_events_markov_stationary"](spark, SF)
     )
     assert "FileScan" not in plan
     assert "CartesianProduct" not in plan
@@ -1611,7 +1611,7 @@ def test_unused_data_sources_single_broadcast_join(spark):
     # join onto the declaration rows — no SMJ, no cartesian, no Python
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_unused_data_sources"](spark, SF))
+    plan = _plan_df(QUERIES["tf_unused_data_sources"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
@@ -1627,7 +1627,7 @@ def test_kruskal_wallis_single_scan_grid_windows(spark):
 
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["q_lineitem_kruskal_wallis"](spark, SF))
+    plan = _plan_df(QUERIES["q_lineitem_kruskal_wallis"](spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row den attach
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
@@ -1644,7 +1644,7 @@ def test_abc_classes_supplier_grain_windows(spark):
 
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["q_supplier_abc_classes"](spark, SF))
+    plan = _plan_df(QUERIES["q_supplier_abc_classes"](spark, SF))
     assert "CartesianProduct" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin"):
@@ -1663,7 +1663,7 @@ def test_incremental_batch_probes_store_no_corpus_retokenize(spark):
 
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["dedup_incremental_batch"](spark, SF))
+    plan = _plan_df(QUERIES["dedup_incremental_batch"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
