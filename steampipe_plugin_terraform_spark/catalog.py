@@ -14377,3 +14377,338 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@staged_query(
+    "q_lineitem_spearman",
+    # Spearman via the doubled-mid-rank grid device (the kruskal/
+    # mannwhitney rank2 = 2·cum_before + t + 1 — integer midranks, no
+    # interpolation): center both margins' doubled ranks at nn+1, then
+    # S = Σ n·ax·ay, Dx = Σ t·ax², Dy = Σ t·ay² and ρ = S/√(Dx·Dy) —
+    # reported sqrt-free as sign(S)·(ρ²·10⁶) through the DOCUMENTED
+    # two-stage positive floor division ((S·S // Dx)·10⁶ // Dy, |S|²
+    # is sign-free so the sign multiplies after) — both engines replay
+    # the identical stage order; degenerate margins (a single pooled
+    # level → Dx or Dy = 0) emit NULL on both sides (the r13 guard
+    # device)
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(l_quantity AS BIGINT) x,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) y,
+             CAST(count(*) AS BIGINT) n
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) nn FROM grid),
+    xr AS (SELECT x, t,
+                  2*(CAST(sum(t) OVER (ORDER BY x) AS BIGINT) - t) + t + 1
+                    AS r2
+           FROM (SELECT x, CAST(sum(n) AS BIGINT) t FROM grid GROUP BY 1)),
+    yr AS (SELECT y, t,
+                  2*(CAST(sum(t) OVER (ORDER BY y) AS BIGINT) - t) + t + 1
+                    AS r2
+           FROM (SELECT y, CAST(sum(n) AS BIGINT) t FROM grid GROUP BY 1)),
+    s AS (SELECT CAST(sum(n::HUGEINT * (xr.r2 - (nn+1))
+                          * (yr.r2 - (nn+1))) AS HUGEINT) s
+          FROM grid JOIN xr ON xr.x = grid.x
+                    JOIN yr ON yr.y = grid.y, tot),
+    dx AS (SELECT CAST(sum(t::HUGEINT * (r2-(nn+1)) * (r2-(nn+1)))
+                  AS HUGEINT) dx FROM xr, tot),
+    dy AS (SELECT CAST(sum(t::HUGEINT * (r2-(nn+1)) * (r2-(nn+1)))
+                  AS HUGEINT) dy FROM yr, tot)
+    SELECT nn AS n_rows,
+           CAST(CASE WHEN dx > 0 AND dy > 0
+                THEN (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                     * (((s * s) // dx) * 1000000 // dy)
+                END AS BIGINT) AS rho2_e6_signed
+    FROM s, dx, dy, tot
+    """,
+)
+def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount — the
+    RANK-correlation member completing the association battery
+    (`q_lineitem_gamma_correlation` = ordinal concordance,
+    `q_lineitem_mannwhitney_u`/`q_lineitem_kruskal_wallis` = location,
+    this = monotone-relationship strength): both margins are small
+    integer grids (≤50 quantity levels × ≤11 discount-cent levels), so
+    per-row ranks never exist — doubled mid-ranks (rank2 = 2·cum_before
+    + t + 1, integer by construction) come from cumulative windows over
+    each MARGIN's level frame, and Spearman is the Pearson of centered
+    doubled ranks: S = Σ n·ax·ay over grid cells, Dx/Dy the margin
+    second moments. Reported sqrt-free as sign(S)·⌊ρ²·10⁶⌋ via the
+    documented two-stage positive floor division ((S² // Dx)·10⁶ //
+    Dy — S² is sign-free, the sign multiplies after), replayed in the
+    identical stage order by both engines; a degenerate margin (single
+    pooled level → zero variance) yields NULL on both sides per the
+    r13 guard device.
+
+    Scale: one scan pruned to two columns, one keyed partial-agg
+    shuffle to the ≤550-cell grid, margin windows over level frames
+    (the post-agg-tiny-frame exemption), a 1-row answer. Headroom:
+    S ≤ 4N³ keeps S² inside HUGEINT/DECIMAL(38) to N ≈ 10⁹ rows —
+    past that evaluate on a sampled slice (sample statistic) or drop
+    the snap to 10³ on both sides."""
+    grid = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.expr(
+                "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+            ).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def margin(col: str) -> DataFrame:
+        lvl = grid.groupBy(col).agg(F.sum("n").cast("long").alias("t"))
+        wc = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return lvl.select(
+            col,
+            "t",
+            (2 * (F.sum("t").over(wc) - F.col("t")) + F.col("t") + 1)
+            .cast("long")
+            .alias("r2"),
+            F.sum("t").over(wall).cast("long").alias("nn"),
+        )
+
+    xr, yr = margin("x"), margin("y")
+    s = (
+        grid.join(F.broadcast(xr.select("x", F.col("r2").alias("rx"), "nn")), "x")
+        .join(F.broadcast(yr.select("y", F.col("r2").alias("ry"))), "y")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(n AS DECIMAL(38,0)) * (rx - (nn+1))"
+                " * (ry - (nn+1))) AS DECIMAL(38,0))"
+            ).alias("s"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    mom = (
+        "CAST(sum(CAST(t AS DECIMAL(38,0)) * (r2-(nn+1)) * (r2-(nn+1)))"
+        " AS DECIMAL(38,0))"
+    )
+    dx = xr.agg(F.expr(mom).alias("dx"))
+    dy = yr.agg(F.expr(mom).alias("dy"))
+    return (
+        s.crossJoin(F.broadcast(dx))
+        .crossJoin(F.broadcast(dy))
+        .select(
+            F.col("nn").alias("n_rows"),
+            F.expr(
+                "CAST(CASE WHEN dx > 0 AND dy > 0"
+                " THEN (CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+                " * (((s * s) DIV dx) * 1000000 DIV dy)"
+                " END AS BIGINT)"
+            ).alias("rho2_e6_signed"),
+        )
+    )
+
+
+def _sign_words(df: DataFrame) -> DataFrame:
+    """1-bit (sign) quantization of the 64-dim embedding into TWO 32-bit
+    words carried as BIGINTs (w0 = dims 0-31, w1 = dims 32-63) — two
+    words instead of one so no value ever touches the BIGINT sign bit:
+    the packing is pure non-negative integer arithmetic on both engines
+    (shiftleft sums here ≡ DuckDB ``1::BIGINT << i`` sums), with none of
+    the 2⁶³ wraparound a single 64-bit word would need. The bit rule is
+    strictly-positive (``> 0``): float→double widening is exact, so the
+    comparison is engine-portable."""
+    word = (
+        "aggregate(transform(sequence(0, 31),"
+        " i -> CASE WHEN embedding[i{off}] > 0"
+        " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT)"
+        " END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return df.select(
+        "vec_id",
+        F.expr(word.format(off="")).alias("w0"),
+        F.expr(word.format(off="+32")).alias("w1"),
+    )
+
+
+@staged_query(
+    "emb_sign_hamming_recall",
+    # both rankings engine-replayed exactly: the sign words are integer
+    # sums of power-of-two terms (bit-identical across engines — the
+    # strictly-positive rule on exactly-widened doubles), Hamming is
+    # bit_count(xor) per word, ties broken by neighbor id; the exact
+    # ranking is the emb_cosine_topk device (_cos_sql rounded score, id
+    # tiebreak); recall@10 in basis points is n·1000 — no division
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+    sg AS (SELECT vec_id,
+             CAST(sum(CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i
+                      ELSE 0 END) AS BIGINT) w0,
+             CAST(sum(CASE WHEN v[i+33] > 0 THEN 1::BIGINT << i
+                      ELSE 0 END) AS BIGINT) w1
+           FROM e, unnest(range(0, 32)) r(i) GROUP BY vec_id),
+    q AS (SELECT vec_id qid, v FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id nid, v FROM e WHERE vec_id >= 10),
+    fr AS (SELECT qid, nid FROM (
+             SELECT q.qid, c.nid, row_number() OVER (PARTITION BY q.qid
+                    ORDER BY floor(list_dot_product(q.v,c.v)
+                        / (sqrt(list_dot_product(q.v,q.v))
+                           * sqrt(list_dot_product(c.v,c.v)))
+                        * 1000000 + 0.5) / 1000000 DESC, c.nid) rn
+             FROM q, c) WHERE rn <= 10),
+    hr AS (SELECT qid, nid FROM (
+             SELECT a.vec_id qid, b.vec_id nid, row_number() OVER (
+                    PARTITION BY a.vec_id
+                    ORDER BY bit_count(xor(a.w0, b.w0))
+                           + bit_count(xor(a.w1, b.w1)), b.vec_id) rn
+             FROM sg a JOIN sg b ON a.vec_id < 10 AND b.vec_id >= 10)
+           WHERE rn <= 10),
+    ov AS (SELECT fr.qid, CAST(count(*) AS BIGINT) n FROM fr
+           JOIN hr ON fr.qid = hr.qid AND fr.nid = hr.nid GROUP BY fr.qid)
+    SELECT qs.qid AS query_id,
+           CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n, 0) * 1000 AS BIGINT) AS recall_x1e4
+    FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN ov ON ov.qid = qs.qid
+    """,
+)
+def emb_sign_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT (sign) quantization recall — the fourth member of the
+    lossy-compression self-eval family (`emb_quantize_int8` = 8-bit,
+    `emb_pq_recall` = product codes, `emb_matryoshka_prefix_recall` =
+    truncated dims; this = the extreme 64×-compression point every
+    binary-embedding serving stack ships): each vector collapses to its
+    64 sign bits packed as two 32-bit words, candidates rank by Hamming
+    distance (XOR + popcount — integer-exact, engine-portable), and the
+    entry reports per query how many of the exact-cosine top-10 the
+    sign-bit top-10 recovers (recall@10 = n_overlap·1000 bp, no
+    division). Sign bits are invariant under any positive per-vector
+    scaling — exactly the invariance cosine has — which is why this
+    1-bit code preserves angular neighborhoods at all (the independent
+    test pins both the invariance and a full numpy replay).
+
+    Scale: the sign pass moves 8 BYTES per vector (64× less than the
+    float[64] corpus) and Hamming is SIMD popcount — the designed
+    candidate generator in front of a full-precision rerank; here the
+    query side (|Q| = 10) broadcasts and the corpus is scanned once per
+    ranking. Sublinear candidate generation at 100 TB bands the 64 bits
+    into 4×16-bit bucket keys exactly like `dedup_simhash` — the
+    relational tail is already in the catalog.
+
+    Both rankings and the overlap are deterministic: Hamming ties break
+    on neighbor id, the exact side is the `emb_cosine_topk` device
+    (rounded score + id tiebreak)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    qw = _sign_words(q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    cw = _sign_words(c)
+    wb = Window.partitionBy("qid").orderBy("ham", "vec_id")
+    approx = (
+        cw.crossJoin(F.broadcast(qw))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                F.expr("bit_count(w0 ^ qw0)") + F.expr("bit_count(w1 ^ qw1)")
+            ).alias("ham"),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+    )
+    full = similarity.cosine_topk(q, c, k=10).select("query_id", "neighbor_id")
+    ov = (
+        full.join(F.broadcast(approx), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(ov), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0).cast("long")) * 1000)
+            .cast("long")
+            .alias("recall_x1e4"),
+        )
+    )
+
+
+@staged_query(
+    "docs_simpson_diversity",
+    # unbiased Simpson concentration Σn(n−1)/(N(N−1)) stays entirely in
+    # integers: pair counts are exact products, one positive floor
+    # division onto the millionths grid (the integer-exact-statistics
+    # device), top-token share in basis points the same way; a
+    # single-token language (N ≤ 1) emits NULL per the r13 guard device.
+    # HUGEINT sums CAST back to BIGINT for the driver compare
+    oracle="""
+    WITH tok AS (SELECT lang, ws[i] term
+                 FROM (SELECT lang, string_split(text, ' ') ws
+                       FROM documents),
+                      unnest(range(1, len(ws) + 1)) r(i)),
+    tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) n
+           FROM tok GROUP BY 1, 2),
+    ag AS (SELECT lang, CAST(sum(n) AS BIGINT) n_tokens,
+                  CAST(count(*) AS BIGINT) vocab,
+                  CAST(sum(n::HUGEINT * (n - 1)) AS HUGEINT) pairs,
+                  CAST(max(n) AS BIGINT) top_n
+           FROM tc GROUP BY 1)
+    SELECT lang, n_tokens, vocab,
+           CAST(CASE WHEN n_tokens > 1 THEN pairs * 1000000
+                // (n_tokens::HUGEINT * (n_tokens - 1)) END AS BIGINT)
+             AS simpson_e6,
+           CAST(CASE WHEN n_tokens > 0 THEN top_n * 10000 // n_tokens
+                END AS BIGINT) AS top_share_bp
+    FROM ag
+    """,
+)
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity / concentration of the token distribution per
+    language — the collision-probability complement of entropy
+    (`q_user_entropy` needs logs and a float grid; Simpson's unbiased
+    form λ = Σn(n−1)/(N(N−1)) is the probability two tokens drawn
+    WITHOUT replacement coincide, and stays integer-exact end to end —
+    the HHI of text, `q_supplier_hhi`'s corpus sibling). High λ = a
+    repetitive, template-dominated language slice; low λ = diverse
+    vocabulary — the per-language data-mix screen that pairs with
+    `docs_vocab_growth` (corpus saturation) and `docs_repetition`
+    (within-doc boilerplate). Reports exact token/vocab counts, λ on
+    the millionths grid, and the top token's share in basis points;
+    a degenerate slice (N ≤ 1) yields NULL per the r13 guard device.
+
+    Scale: one corpus scan + explode, one (lang, term)-keyed partial
+    agg (the O(tokens) → O(vocab) collapse — counts combine map-side),
+    one lang-keyed roll-up of the vocab-sized frame; the answer is
+    |langs| rows. Pair products: n(n−1) per term fits HUGEINT/
+    DECIMAL(38) to ~10¹⁸ occurrences of a single term."""
+    tc = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ag = tc.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.expr(
+            "CAST(sum(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0))"
+        ).alias("pairs"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    return ag.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 1 THEN pairs * 1000000"
+            " DIV (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+            " END AS BIGINT)"
+        ).alias("simpson_e6"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN top_n * 10000 DIV n_tokens"
+            " END AS BIGINT)"
+        ).alias("top_share_bp"),
+    )

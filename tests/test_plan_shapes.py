@@ -1675,3 +1675,55 @@ def test_incremental_batch_probes_store_no_corpus_retokenize(spark):
     # documents (text) is scanned only for the new batch's two branches
     # (buckets + sets); the store scans carry no text column
     assert 1 <= len(text_scans) <= 2
+
+
+def test_spearman_grid_agg_no_rank_shuffle(spark):
+    # rank-free execution: one partial-agg shuffle to the (x, y) grid,
+    # margin windows over level frames, broadcast rank attaches — no
+    # global sort of the fact table, no Python, scan pruned to the two
+    # stat columns
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_spearman"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    for sc in scans:
+        cols = [c.split("#")[0] for c in sc.split(",") if c]
+        assert set(cols) <= {"l_quantity", "l_discount"}, cols
+
+
+def test_sign_hamming_broadcast_query_side_no_cartesian(spark):
+    # the sign pass is a JVM-side projection (two shiftleft sums, no
+    # Python); the Hamming ranking broadcasts the 10-row query side
+    # (BNLJ over the corpus words, never CartesianProduct); the exact
+    # side is ONE blocked-matmul cogroup pass; overlap + fan-back joins
+    # broadcast
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_sign_hamming_recall"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_simpson_diversity_two_keyed_aggs_no_join(spark):
+    # explode → (lang, term) partial agg → lang roll-up: no join
+    # anywhere, no Python, scan pruned to (lang, text)
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_simpson_diversity"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = [c.split("#")[0] for c in scans[0].split(",") if c]
+    assert set(cols) <= {"lang", "text"}, cols

@@ -1932,3 +1932,162 @@ def test_incremental_batch_pure_python_and_cross_entry(spark):
             if un > 0 and c * 10000 >= 8000 * un:
                 mine.add((nd, od))
     assert mine == promoted_cross
+
+
+def test_spearman_pure_python_and_textbook(spark):
+    """q_lineitem_spearman three ways: (a) exact bigint replay of the
+    doubled-mid-rank grid algebra including the two-stage snapped
+    division, (b) agreement with the TEXTBOOK average-rank Pearson form
+    of Spearman to 1e-6 (the identity the docstring claims — Spearman
+    IS Pearson on mid-ranks, and doubling cancels in the ratio), (c)
+    the sign of the reported value equals the sign of the rank
+    covariance."""
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    ).to_pandas()
+    grid: collections.Counter = collections.Counter()
+    for q, d in zip(t["l_quantity"], t["l_discount"]):
+        grid[(int(q), math.floor(d * 100 + 0.5))] += 1
+    xs: collections.Counter = collections.Counter()
+    ys: collections.Counter = collections.Counter()
+    for (x, y), n in grid.items():
+        xs[x] += n
+        ys[y] += n
+    nn = sum(xs.values())
+
+    def rank2(margin):
+        out, cum = {}, 0
+        for v in sorted(margin):
+            out[v] = 2 * cum + margin[v] + 1
+            cum += margin[v]
+        return out
+
+    rx, ry = rank2(xs), rank2(ys)
+    s = sum(
+        n * (rx[x] - (nn + 1)) * (ry[y] - (nn + 1))
+        for (x, y), n in grid.items()
+    )
+    dx = sum(tx * (rx[x] - (nn + 1)) ** 2 for x, tx in xs.items())
+    dy = sum(ty * (ry[y] - (nn + 1)) ** 2 for y, ty in ys.items())
+    want = (-1 if s < 0 else 1) * (((s * s) // dx) * 1000000 // dy)
+    rows = _staged(spark, "q_lineitem_spearman").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_rows"], r["rho2_e6_signed"]) == (nn, want)
+    # textbook: Pearson correlation of average mid-ranks (floats)
+    ax = {x: rx[x] / 2 for x in rx}
+    ay = {y: ry[y] / 2 for y in ry}
+    mx = (nn + 1) / 2  # mean rank is always (N+1)/2
+    cov = sum(
+        n * (ax[x] - mx) * (ay[y] - mx) for (x, y), n in grid.items()
+    )
+    vx = sum(tx * (ax[x] - mx) ** 2 for x, tx in xs.items())
+    vy = sum(ty * (ay[y] - mx) ** 2 for y, ty in ys.items())
+    rho = cov / math.sqrt(vx * vy)
+    got = r["rho2_e6_signed"] / 1e6
+    assert abs(abs(rho) * rho - got) <= 2e-6
+    assert (got < 0) == (cov < 0)
+
+
+def test_sign_hamming_numpy_replay_and_scale_invariance(spark):
+    """emb_sign_hamming_recall two ways: (a) full numpy replay — sign
+    words, Hamming top-10 with (distance, id) tie-break, exact cosine
+    top-10 with the rounded-score + id device, per-query overlap — must
+    match the entry rows exactly; (b) the invariance claim: scaling
+    every vector by a positive constant changes no sign word, so the
+    replayed Hamming ranking is identical on the scaled corpus (the
+    same invariance cosine has — the reason a 1-bit code preserves
+    angular neighborhoods)."""
+    import math
+
+    import numpy as np
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    vecs = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+
+    def words(m):
+        bits = m > 0
+        w0 = (bits[:, :32] * (1 << np.arange(32, dtype=np.int64))).sum(1)
+        w1 = (bits[:, 32:64] * (1 << np.arange(32, dtype=np.int64))).sum(1)
+        return w0.astype(np.int64), w1.astype(np.int64)
+
+    w0, w1 = words(vecs)
+    s0, s1 = words(vecs * 2.5)  # positive scaling flips no sign bit
+    assert (w0 == s0).all() and (w1 == s1).all()
+
+    qm = ids < 10
+    cm = ~qm
+
+    def hamming_top10(qi):
+        h = [
+            (
+                int(bin(int(w0[qi]) ^ int(w0[ci])).count("1"))
+                + int(bin(int(w1[qi]) ^ int(w1[ci])).count("1")),
+                int(ids[ci]),
+            )
+            for ci in np.where(cm)[0]
+        ]
+        return {nid for _h, nid in sorted(h)[:10]}
+
+    def cosine_top10(qi):
+        qv = vecs[qi]
+        scored = []
+        for ci in np.where(cm)[0]:
+            cv = vecs[ci]
+            cos = float(qv @ cv) / (
+                math.sqrt(float(qv @ qv)) * math.sqrt(float(cv @ cv))
+            )
+            snapped = math.floor(cos * 1000000 + 0.5) / 1000000
+            scored.append((-snapped, int(ids[ci])))
+        return {nid for _s, nid in sorted(scored)[:10]}
+
+    want = {}
+    for qi in np.where(qm)[0]:
+        n = len(hamming_top10(qi) & cosine_top10(qi))
+        want[int(ids[qi])] = (n, n * 1000)
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall_x1e4"])
+        for r in _staged(spark, "emb_sign_hamming_recall").collect()
+    }
+    assert got == want
+
+
+def test_simpson_diversity_pure_python_and_uniform_identity(spark):
+    """docs_simpson_diversity two ways: (a) exact bigint replay from the
+    parquet with collections.Counter — token counts, unbiased pair
+    algebra, both floor divisions; (b) the analytic identity λ of an
+    exactly-uniform distribution (every term appearing m times over v
+    terms) is (m−1)/(N−1) — checked on the replayed counters for any
+    language that happens to be uniform, and on a constructed uniform
+    counter to pin the formula itself."""
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["lang", "text"]
+    ).to_pandas()
+    counts: dict = {}
+    for lang, text in zip(t["lang"], t["text"]):
+        c = counts.setdefault(lang, collections.Counter())
+        c.update(text.split(" "))
+    want = {}
+    for lang, c in counts.items():
+        nn = sum(c.values())
+        pairs = sum(n * (n - 1) for n in c.values())
+        simpson = (
+            pairs * 1000000 // (nn * (nn - 1)) if nn > 1 else None
+        )
+        top = max(c.values()) * 10000 // nn if nn > 0 else None
+        want[lang] = (nn, len(c), simpson, top)
+    got = {
+        r["lang"]: (
+            r["n_tokens"], r["vocab"], r["simpson_e6"], r["top_share_bp"]
+        )
+        for r in _staged(spark, "docs_simpson_diversity").collect()
+    }
+    assert got == want
+    # formula pin: uniform m=3, v=7 → λ = (m−1)/(N−1) = 2/20
+    uni = collections.Counter({f"t{i}": 3 for i in range(7)})
+    nn = sum(uni.values())
+    pairs = sum(n * (n - 1) for n in uni.values())
+    assert pairs * 1000000 // (nn * (nn - 1)) == 2 * 1000000 // 20
