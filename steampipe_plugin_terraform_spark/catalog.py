@@ -14254,17 +14254,20 @@ def _lsh_store_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _LSH_STORE_CACHE[key]
 
 
-@query(
-    "dedup_incremental_batch",
-    # the oracle replays the CORPUS-WIDE banding (the verbatim-shared
-    # _MINHASH_CAND_CTE) restricted to cross pairs — exactly one side in
-    # the arriving batch — then the snapped-rank best match per new doc:
-    # incremental(store, batch) must equal the full recompute's cross
-    # slice (the maintenance-identity device, dedup edition). Jaccard in
-    # basis points by positive-integer floor division; the ≥ 0.8 gate is
-    # the integer cross-multiplication c·10⁴ ≥ 8000·union — EXACTLY
-    # equivalent to the float compare, with no division before the gate
-    oracle=_SHINGLE_CTE
+# The incremental-ingest oracle replays the CORPUS-WIDE banding (the
+# verbatim-shared _MINHASH_CAND_CTE) restricted to cross pairs — exactly
+# one side in the arriving batch — then the snapped-rank best match per
+# new doc: incremental(store, batch) must equal the full recompute's
+# cross slice (the maintenance-identity device, dedup edition). Jaccard
+# in basis points by positive-integer floor division; the ≥ 0.8 gate is
+# the integer cross-multiplication c·10⁴ ≥ 8000·union — EXACTLY
+# equivalent to the float compare, with no division before the gate.
+# A module constant because the STREAMING leg (`stream_incremental_dedup`)
+# uses it VERBATIM — the stream≡batch identity device: the store is
+# frozen, each new doc's probe is independent, so the append-union over
+# micro-batches must equal the one-shot batch result row for row.
+_INCR_DEDUP_ORACLE = (
+    _SHINGLE_CTE
     + """,
     """
     + _MINHASH_CAND_CTE
@@ -14287,41 +14290,21 @@ def _lsh_store_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     FROM documents d LEFT JOIN best b
       ON b.new_id = d.doc_id AND b.rn = 1
     WHERE d.doc_id % 10 = 7
-    """,
+    """
 )
-def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL near-dup ingest — the dedup family's missing day-2
-    operation (the ANN analogs are `emb_ivf_incremental_topk` /
-    `emb_ivf_delete_maintenance`): an arriving batch (the doc_id%10==7
-    tenth) is checked against the SESSION-PERSISTED corpus LSH store
-    (band buckets + shingle-hash sets, written once — the existing
-    corpus is never re-tokenized), each new doc reporting its best
-    corpus match at exact Jaccard ≥ 0.8 (snapped-rank: basis-point
-    floor-division score, old-id tiebreak) or `unique`. This is the
-    production ingest gate: tokenize/shingle/sign the batch only, one
-    bucket equi-join against the store, verify only banding collisions.
 
-    Store-freshness contract (the frozen-quantizer precedent,
-    `emb_centroid_drift`): the store is df-cap-free here (the cap is
-    the SELF-join's scale guard; a bipartite probe's candidate count is
-    already bounded by the banding) and frozen at build — intra-batch
-    duplicates and batch-vs-batch pairs are the NEXT rebuild's problem,
-    exactly like IVF compaction. The oracle replays the corpus-wide
-    banding restricted to cross pairs, so the driver checks
-    incremental(store, batch) ≡ full-recompute-cross-slice — the
-    maintenance identity.
 
-    Scale: the store is the artifact (≈ one 8-byte hash per corpus
-    token + 4 band rows per doc); per ingest the corpus-side cost is
-    ONE equi-join on uniform (band, bh) keys against the bucket store
-    and one id-keyed join against the sets store for verification —
-    at 100 TB both stores live bucketed on their join keys so the
-    probes are shuffle-free; nothing rescans corpus text."""
-    docs = _t(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 10 == 7)
-    bpath, spath = _lsh_store_paths(spark, sf_dir)
-    old_buckets = spark.read.parquet(bpath)
-    old_sets = spark.read.parquet(spath)
+def _incremental_probe(
+    new: DataFrame, old_buckets: DataFrame, old_sets: DataFrame
+) -> DataFrame:
+    """The ingest-gate probe shared VERBATIM by `dedup_incremental_batch`
+    and the streaming leg (`stream_incremental_dedup`) — one definition
+    so the stream≡batch identity cannot fork: band-sign the NEW docs
+    only, one (band, bh) equi-join against the frozen bucket store for
+    candidates, one id-keyed join against the frozen sets store for
+    exact-Jaccard verification (integer cross-multiplied ≥ 0.8 gate,
+    basis-point floor-division score), snapped-rank best match per new
+    doc or `unique`."""
     nb = dedup.minhash_band_buckets(new, n=5, num_hashes=8, bands=4)
     cand = (
         nb.alias("x")
@@ -14376,6 +14359,43 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("duplicate"))
             .alias("status"),
         )
+    )
+
+
+@query("dedup_incremental_batch", oracle=_INCR_DEDUP_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingest — the dedup family's missing day-2
+    operation (the ANN analogs are `emb_ivf_incremental_topk` /
+    `emb_ivf_delete_maintenance`): an arriving batch (the doc_id%10==7
+    tenth) is checked against the SESSION-PERSISTED corpus LSH store
+    (band buckets + shingle-hash sets, written once — the existing
+    corpus is never re-tokenized), each new doc reporting its best
+    corpus match at exact Jaccard ≥ 0.8 (snapped-rank: basis-point
+    floor-division score, old-id tiebreak) or `unique`. This is the
+    production ingest gate: tokenize/shingle/sign the batch only, one
+    bucket equi-join against the store, verify only banding collisions.
+
+    Store-freshness contract (the frozen-quantizer precedent,
+    `emb_centroid_drift`): the store is df-cap-free here (the cap is
+    the SELF-join's scale guard; a bipartite probe's candidate count is
+    already bounded by the banding) and frozen at build — intra-batch
+    duplicates and batch-vs-batch pairs are the NEXT rebuild's problem,
+    exactly like IVF compaction. The oracle replays the corpus-wide
+    banding restricted to cross pairs, so the driver checks
+    incremental(store, batch) ≡ full-recompute-cross-slice — the
+    maintenance identity.
+
+    Scale: the store is the artifact (≈ one 8-byte hash per corpus
+    token + 4 band rows per doc); per ingest the corpus-side cost is
+    ONE equi-join on uniform (band, bh) keys against the bucket store
+    and one id-keyed join against the sets store for verification —
+    at 100 TB both stores live bucketed on their join keys so the
+    probes are shuffle-free; nothing rescans corpus text."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    bpath, spath = _lsh_store_paths(spark, sf_dir)
+    return _incremental_probe(
+        new, spark.read.parquet(bpath), spark.read.parquet(spath)
     )
 
 
@@ -14711,4 +14731,86 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n_tokens > 0 THEN top_n * 10000 DIV n_tokens"
             " END AS BIGINT)"
         ).alias("top_share_bp"),
+    )
+
+
+# (applicationId, corpus-digest) → (sink root, checkpoint) for the
+# streaming ingest-dedup leg; checkpoint reuse across invocations makes
+# a restarted availableNow drain a no-op over committed offsets, and
+# each micro-batch overwrites its own batch_id dir (idempotent writes ×
+# checkpointed offsets = exactly-once — the stream_foreachbatch_sink
+# device pointed at the dedup gate)
+_STREAM_DEDUP_CACHE: dict = {}
+
+
+@staged_query("stream_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-dedup gate AS A STREAM — the production deployment of
+    `dedup_incremental_batch` (crawl shards land in object storage and
+    must be admitted or rejected as they arrive, not in a nightly
+    batch): new documents stream in, and each micro-batch runs the SAME
+    `_incremental_probe` against the SAME session-persisted frozen LSH
+    store (band buckets + shingle sets — the batch entry built them;
+    this entry only reads), appending verdicts through a foreachBatch
+    parquet sink. Because the store is frozen and every new doc's probe
+    is independent, the append-union over micro-batches equals the
+    one-shot batch result row for row — the oracle IS the batch
+    entry's oracle verbatim (the stream≡batch identity device, third
+    instance after the funnel and overdispersion monitors). Intra-batch
+    and batch-vs-batch duplicates stay the next store rebuild's problem
+    — the frozen-quantizer contract, unchanged by streaming.
+
+    Exactly-once: micro-batch writes overwrite their own
+    ``batch_id=<n>`` directory (idempotent), offsets are checkpointed,
+    and repeat invocations restart the drain on the SAME checkpoint —
+    committed offsets make it a no-op (the foreachBatch sink device,
+    pinned by test_entry_caches for this entry too).
+
+    Scale: per micro-batch the work is the batch probe's — tokenize the
+    batch only, one uniform-key equi-join per store; state lives in the
+    store parquet, not the stream (no watermark, no streaming state at
+    all — the gate is stateless given the store), so an indefinitely
+    running deployment holds ZERO in-flight aggregation state and the
+    sink grows with verdicts, not with corpus rescans."""
+    import atexit
+    import shutil
+    import tempfile
+
+    # ensure the frozen store exists (built once per session+corpus by
+    # the batch entry's cache — shared, never rebuilt here)
+    bpath, spath = _lsh_store_paths(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, _corpus_digest(sf_dir))
+    if key not in _STREAM_DEDUP_CACHE:
+        root = tempfile.mkdtemp(prefix="stream_dedup_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _STREAM_DEDUP_CACHE[key] = (root + "/verdicts", root + "/ckpt")
+    sink, ckpt = _STREAM_DEDUP_CACHE[key]
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 10 == 7)
+    )
+    old_buckets = spark.read.parquet(bpath)
+    old_sets = spark.read.parquet(spath)
+
+    def probe_batch(bdf: DataFrame, batch_id: int) -> None:
+        _incremental_probe(bdf, old_buckets, old_sets).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch_id={batch_id}")
+
+    q = (
+        src.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_incremental_dedup drain exceeded 600s")
+    return (
+        spark.read.option("basePath", sink)
+        .parquet(sink + "/batch_id=*")
+        .select("new_id", "matched_id", "jacc_bp", "status")
     )

@@ -348,3 +348,34 @@ def test_lsh_store_written_once_per_corpus(spark, monkeypatch):
     # 1 store build + 1 per-entry batch read per invocation = 3 reads,
     # never 4 (a rebuild would add a second store-build read)
     assert calls["n"] == 3, f"documents loaded {calls['n']} times, want 3"
+
+
+def test_stream_incremental_dedup_restart_noop_and_batch_identity(spark):
+    """The streaming ingest-dedup leg: (a) restarting the availableNow
+    drain on the same checkpoint rewrites nothing (committed offsets →
+    no new batch dirs, untouched mtimes) and returns identical rows —
+    the exactly-once contract of the foreachBatch sink device; (b) the
+    drained verdict set equals the one-shot batch entry's result row
+    for row (the stream≡batch identity the frozen store guarantees:
+    every new doc's probe is batching-independent)."""
+    import glob
+    import os
+
+    from steampipe_plugin_terraform_spark import catalog
+
+    sf = SF_A
+    first = _rows(catalog.STAGED_QUERIES["stream_incremental_dedup"](spark, sf))
+    sink, _ = next(
+        v for k, v in catalog._STREAM_DEDUP_CACHE.items()
+        if k[0] == spark.sparkContext.applicationId
+    )
+    files = sorted(glob.glob(sink + "/batch_id=*/*.parquet"))
+    assert files, "drain wrote no batch dirs"
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    second = _rows(catalog.STAGED_QUERIES["stream_incremental_dedup"](spark, sf))
+    assert first == second
+    files2 = sorted(glob.glob(sink + "/batch_id=*/*.parquet"))
+    assert files2 == files, "restart must not add or rewrite batch dirs"
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files)
+    batch = _rows(catalog.QUERIES["dedup_incremental_batch"](spark, sf))
+    assert sorted(first) == sorted(batch)

@@ -1727,3 +1727,28 @@ def test_simpson_diversity_two_keyed_aggs_no_join(spark):
     assert len(scans) == 1
     cols = [c.split("#")[0] for c in scans[0].split(",") if c]
     assert set(cols) <= {"lang", "text"}, cols
+
+
+def test_stream_incremental_dedup_serves_from_sink_scan(spark):
+    # the returned frame is a PLAIN scan of the verdict sink (4 columns,
+    # no join, no Python) — every probe join ran at ingest inside
+    # foreachBatch, whose plan is the batch entry's `_incremental_probe`
+    # (pinned by test_incremental_batch_probes_store_no_corpus_retokenize
+    # — one shared definition, so this pin cannot silently diverge)
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_incremental_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = [c.split("#")[0] for c in scans[0].split(",") if c]
+    # batch_id is the sink's partition directory column
+    assert set(cols) <= {
+        "new_id", "matched_id", "jacc_bp", "status", "batch_id"
+    }, cols
