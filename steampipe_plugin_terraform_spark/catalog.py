@@ -14814,3 +14814,189 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sink + "/batch_id=*")
         .select("new_id", "matched_id", "jacc_bp", "status")
     )
+
+
+@staged_query(
+    "q_orders_dow_chi2",
+    # χ² goodness-of-fit against uniform needs ONE exact division: with
+    # E = N/7, χ² = Σ(7·O_d − N)²/(7N) — multiply out, one positive
+    # floor division onto the millionths grid. Day-of-week = epoch-day
+    # % 7 (integer day index, NOT the engines' dow() functions — Spark
+    # numbers Sunday 1, DuckDB Sunday 0; the modulo device sidesteps
+    # the convention mismatch entirely). A dow class with ZERO orders
+    # is absent from the grouped frame, so its (7·0 − N)² = N² term is
+    # added algebraically via (7 − count(*))·N²; N = 0 emits NULL per
+    # the r13 guard device. Decision constant 12591587 =
+    # ⌊χ²₀.₉₅(df=6)·10⁶⌋, re-derived by the independent test from the
+    # closed-form even-df CDF by bisection (no scipy anywhere)
+    oracle="""
+    WITH d AS (SELECT (epoch_us(o_orderdate) // 86400000000) % 7 AS dow,
+                      CAST(count(*) AS BIGINT) n
+               FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) nn FROM d),
+    dev AS (SELECT CAST(coalesce(sum((7*n - nn)::HUGEINT * (7*n - nn)), 0)
+                        + (7 - count(*)) * nn::HUGEINT * nn AS HUGEINT) s
+            FROM d, tot GROUP BY nn)
+    SELECT nn AS n_orders,
+           CAST(CASE WHEN nn > 0 THEN s * 1000000 // (7::HUGEINT * nn)
+                END AS BIGINT) AS chi2_e6,
+           CASE WHEN nn > 0
+                THEN s * 1000000 // (7::HUGEINT * nn) > 12591587
+                END AS reject_05
+    FROM dev, tot
+    """,
+)
+def q_orders_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week uniformity χ² GOODNESS-OF-FIT over order dates — the
+    second χ² species (`q_lineitem_flag_status_chi2` tests
+    INDEPENDENCE of two margins; this tests one margin against a fixed
+    uniform null — the seasonality/DQ screen behind "is order volume
+    actually flat across the week, or is the generator/upstream feed
+    skewed?"). Against E = N/7 the statistic collapses to ONE exact
+    division: χ²·10⁶ = Σ(7·O_d − N)²·10⁶ DIV (7N), every factor
+    multiplied out (integer-exact statistics device). Day-of-week is
+    the integer epoch-day % 7 — deliberately NOT dayofweek()/dow():
+    Spark numbers Sunday 1 and DuckDB Sunday 0, and the modulo device
+    removes the convention from the surface entirely (class labels are
+    anonymous residues; uniformity is label-invariant). Zero-count
+    classes contribute N² algebraically; N = 0 yields NULL per the r13
+    guard device. The α=0.05 decision uses ⌊χ²₀.₉₅(6)·10⁶⌋ = 12591587,
+    re-derived from the closed-form even-df χ² CDF by bisection in the
+    independent test (the re-derived-constants device — df = 6 because
+    the week has exactly 7 classes).
+
+    Scale: one scan pruned to one column, one 7-cell keyed agg (counts
+    combine map-side), a 1-row answer. Σ(7O−N)² ≤ 36N² fits
+    DECIMAL(38)/HUGEINT·10⁶ to N ≈ 10¹⁵ orders."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " DIV 86400000000 % 7"
+            ).alias("dow")
+        )
+        .groupBy("dow")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dev = d.select(
+        "n", F.sum("n").over(wall).cast("long").alias("nn")
+    ).groupBy("nn").agg(
+        F.expr(
+            "CAST(coalesce(sum(CAST(7*n - nn AS DECIMAL(38,0))"
+            " * (7*n - nn)), 0)"
+            " + (7 - count(*)) * CAST(nn AS DECIMAL(38,0)) * nn"
+            " AS DECIMAL(38,0))"
+        ).alias("s")
+    )
+    chi = "s * 1000000 DIV (7 * CAST(nn AS DECIMAL(38,0)))"
+    return dev.select(
+        F.col("nn").alias("n_orders"),
+        F.expr(
+            f"CAST(CASE WHEN nn > 0 THEN {chi} END AS BIGINT)"
+        ).alias("chi2_e6"),
+        F.expr(
+            f"CASE WHEN nn > 0 THEN {chi} > 12591587 END"
+        ).alias("reject_05"),
+    )
+
+
+@staged_query(
+    "q_lineitem_trimmed_mean",
+    # the 10 % two-sided trimmed mean from the level grid WITHOUT
+    # sorting rows: each tail's sum is Σ min(t, max(k − cum_before, 0))·q
+    # over levels (the partial-level clamp — the order-statistics device
+    # generalized from "pick the k-th" to "sum the first k"), the
+    # trimmed sum is total − both tails, and the mean takes ONE positive
+    # floor division onto the 1e-4 grid; N − 2k = 0 emits NULL per the
+    # r13 guard device
+    oracle="""
+    WITH g AS (SELECT CAST(l_quantity AS BIGINT) q,
+                      CAST(count(*) AS BIGINT) t
+               FROM lineitem GROUP BY 1),
+    c AS (SELECT q, t,
+                 CAST(sum(t) OVER (ORDER BY q) AS BIGINT) - t AS cb,
+                 CAST(sum(t) OVER () AS BIGINT) nn
+          FROM g),
+    k AS (SELECT nn AS knn, nn // 10 AS tk
+          FROM (SELECT DISTINCT nn FROM c)),
+    tails AS (SELECT max(c.nn) nn, max(tk) tk,
+        CAST(sum(least(t, greatest(tk - cb, 0)) * q::HUGEINT) AS HUGEINT) lo,
+        CAST(sum(least(t, greatest(tk - (c.nn - cb - t), 0)) * q::HUGEINT)
+             AS HUGEINT) hi,
+        CAST(sum(t * q::HUGEINT) AS HUGEINT) tot
+      FROM c, k)
+    SELECT nn AS n_rows, tk AS trim_k,
+           CAST(tot - lo - hi AS BIGINT) AS trimmed_sum,
+           CAST(CASE WHEN nn - 2*tk > 0
+                THEN (tot - lo - hi) * 10000 // (nn - 2*tk)
+                END AS BIGINT) AS trimmed_mean_e4
+    FROM tails
+    """,
+)
+def q_lineitem_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 % two-sided TRIMMED mean of quantity — the robust-location
+    estimator between the mean (breakdown 0) and the median (breakdown
+    ½), the standard way a metrics pipeline reports a center that
+    survives fat tails without discarding 50 % of the information.
+    Computed from the level grid with NO row sort: k = N DIV 10 rows
+    trim from each side, and each tail's sum is the grid identity
+    Σ min(t, max(k − cum_before, 0))·q — the order-statistics device
+    generalized from "select the k-th" (`q_weighted_median_price`) to
+    "sum the first k", with the boundary level contributing a PARTIAL
+    count via the clamp. Trimmed sum = total − both tails (exact
+    integers), then one positive floor division onto the 1e-4 grid;
+    the degenerate all-trimmed frame (N − 2k = 0) yields NULL per the
+    r13 guard device. The independent test checks the grid algebra
+    against the definitional replay (sort, slice, sum) exactly.
+
+    Scale: one scan pruned to one column, one keyed partial agg to the
+    ≤50-level grid, cumulative windows over that grid (the post-agg
+    tiny-frame exemption), a 1-row answer — the fact table is never
+    sorted, which is the entire point (a row-level 10 % trim at 100 TB
+    would be a global sort; the grid form is one partial-agg
+    shuffle)."""
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_quantity").cast("long").alias("q"))
+        .groupBy("q")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "q",
+        "t",
+        (F.sum("t").over(wq) - F.col("t")).cast("long").alias("cb"),
+        F.sum("t").over(wall).cast("long").alias("nn"),
+    ).withColumn("tk", F.expr("nn DIV 10"))
+    tails = c.agg(
+        F.max("nn").alias("nn"),
+        F.max("tk").alias("tk"),
+        F.expr(
+            "CAST(sum(least(t, greatest(tk - cb, 0))"
+            " * CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("lo"),
+        F.expr(
+            "CAST(sum(least(t, greatest(tk - (nn - cb - t), 0))"
+            " * CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("hi"),
+        F.expr(
+            "CAST(sum(t * CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("tot"),
+    )
+    return tails.select(
+        F.col("nn").alias("n_rows"),
+        F.col("tk").alias("trim_k"),
+        F.expr("CAST(tot - lo - hi AS BIGINT)").alias("trimmed_sum"),
+        F.expr(
+            "CAST(CASE WHEN nn - 2*tk > 0"
+            " THEN (tot - lo - hi) * 10000 DIV (nn - 2*tk)"
+            " END AS BIGINT)"
+        ).alias("trimmed_mean_e4"),
+    )

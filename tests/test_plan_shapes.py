@@ -1752,3 +1752,41 @@ def test_stream_incremental_dedup_serves_from_sink_scan(spark):
     assert set(cols) <= {
         "new_id", "matched_id", "jacc_bp", "status", "batch_id"
     }, cols
+
+
+def test_dow_chi2_single_scan_seven_cell_agg(spark):
+    # one column scanned, one keyed agg to the 7-cell dow grid, no join
+    # (the algebraic zero-class term replaces a spine), no Python
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_orders_dow_chi2"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = [c.split("#")[0] for c in scans[0].split(",") if c]
+    assert set(cols) <= {"o_orderdate"}, cols
+
+
+def test_trimmed_mean_grid_windows_no_row_sort(spark):
+    # the fact table is never globally sorted: one partial-agg shuffle
+    # to the level grid, cumulative windows over THAT frame only, no
+    # join, no Python, scan pruned to l_quantity
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_trimmed_mean"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = [c.split("#")[0] for c in scans[0].split(",") if c]
+    assert set(cols) <= {"l_quantity"}, cols

@@ -2091,3 +2091,70 @@ def test_simpson_diversity_pure_python_and_uniform_identity(spark):
     nn = sum(uni.values())
     pairs = sum(n * (n - 1) for n in uni.values())
     assert pairs * 1000000 // (nn * (nn - 1)) == 2 * 1000000 // 20
+
+
+def test_dow_chi2_pure_python_and_rederived_constant(spark):
+    """q_orders_dow_chi2 three ways: (a) exact bigint replay of the
+    multiplied-out statistic including the zero-class N² terms, (b) the
+    textbook float form Σ(O−E)²/E agrees to 1e-6 relative, (c) the
+    12591587 decision constant re-derived from the CLOSED-FORM even-df
+    χ² CDF (df=6: P(X ≤ x) = 1 − e^{−x/2}(1 + x/2 + x²/8)) by pure-
+    Python bisection — no scipy, no table transcription to trust."""
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderdate"]
+    ).to_pandas()
+    cnt: collections.Counter = collections.Counter()
+    for ts in t["o_orderdate"]:
+        # pandas datetime64[us/ns] → epoch µs → day index → % 7
+        us = ts.value // (1000 if ts.value > 10**16 else 1)
+        cnt[(us // 86400000000) % 7] += 1
+    nn = sum(cnt.values())
+    s = sum((7 * cnt.get(d, 0) - nn) ** 2 for d in range(7))
+    chi_e6 = s * 1000000 // (7 * nn)
+    rows = _staged(spark, "q_orders_dow_chi2").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_orders"], r["chi2_e6"]) == (nn, chi_e6)
+    # textbook float form
+    e = nn / 7
+    chib = sum((cnt.get(d, 0) - e) ** 2 / e for d in range(7))
+    assert abs(chib - chi_e6 / 1e6) <= max(1e-6 * chib, 2e-6)
+    # closed-form even-df CDF: df=6 → k=3 terms
+    def cdf6(x):
+        h = x / 2
+        return 1.0 - math.exp(-h) * (1 + h + h * h / 2)
+    lo, hi = 0.0, 100.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if cdf6(mid) < 0.95:
+            lo = mid
+        else:
+            hi = mid
+    assert math.floor(lo * 1e6) == 12591587
+    assert r["reject_05"] == (chi_e6 > 12591587)
+
+
+def test_trimmed_mean_definitional_replay(spark):
+    """q_lineitem_trimmed_mean vs the DEFINITION: materialize the sorted
+    quantity list, slice off k = N DIV 10 from each end, sum and snap —
+    the grid partial-level clamp must reproduce it exactly. Plus the
+    robustness sandwich: min ≤ trimmed mean ≤ max of the kept slice."""
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity"]
+    ).to_pandas()
+    qs = sorted(int(q) for q in t["l_quantity"])
+    nn = len(qs)
+    k = nn // 10
+    kept = qs[k: nn - k]
+    rows = _staged(spark, "q_lineitem_trimmed_mean").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_rows"], r["trim_k"], r["trimmed_sum"]) == (
+        nn, k, sum(kept),
+    )
+    want_mean = sum(kept) * 10000 // len(kept) if kept else None
+    assert r["trimmed_mean_e4"] == want_mean
+    if kept:
+        assert kept[0] * 10000 <= r["trimmed_mean_e4"] <= kept[-1] * 10000
