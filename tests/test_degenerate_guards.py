@@ -1,0 +1,167 @@
+"""Drive the r13 degenerate-division guards on BOTH engines (the r12
+advice's complaint was precisely that these branches were an
+UNEXERCISED divergence: Spark's non-ANSI DIV yields NULL where DuckDB's
+// raises — the guards exist so both sides emit NULL deliberately, and
+this module is the only place the branches actually fire).
+
+A synthetic corpus directory is assembled per test class: the table
+under test is replaced by a crafted degenerate parquet (single
+linestatus group, all-tied quantities, zero-variance discount margin,
+single-token language) and every other table symlinks to sf0.001 so
+``parity.duckdb_con`` can still bind all ten views. Each test then runs
+the EXACT driver compare — not just the Spark side — and additionally
+asserts the guarded column is genuinely NULL (a compare that passed
+with non-NULL values would prove nothing about the branch)."""
+
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from steampipe_plugin_terraform_spark.catalog import (
+    ORACLES,
+    QUERIES,
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+)
+
+from .parity import TABLES, compare, duckdb_con
+
+SF_SRC = "/root/testdata/sf0.001"
+
+
+def _corpus(tmp_path, overrides: dict) -> str:
+    """Build a corpus dir: crafted parquet for `overrides`, symlinks to
+    the sf0.001 files for every other table."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for t in TABLES:
+        if t in overrides:
+            pq.write_table(overrides[t], str(d / f"{t}.parquet"))
+        else:
+            os.symlink(f"{SF_SRC}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _lineitem(rows) -> pa.Table:
+    return pa.table(
+        {
+            "l_quantity": pa.array([r[0] for r in rows], pa.float64()),
+            "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
+            "l_returnflag": pa.array([r[2] for r in rows], pa.string()),
+            "l_discount": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _entry(name):
+    fn = STAGED_QUERIES.get(name) or QUERIES[name]
+    sql = STAGED_ORACLES.get(name) or ORACLES[name]
+    return fn, sql
+
+
+def _run(spark, tmp_path, name, overrides):
+    sf = _corpus(tmp_path, overrides)
+    fn, sql = _entry(name)
+    df = fn(spark, sf)
+    rows = df.collect()
+    con = duckdb_con(sf)
+    try:
+        ok, msg = compare(fn(spark, sf), con, sql)
+    finally:
+        con.close()
+    assert ok, f"{name} degenerate parity: {msg}"
+    return rows
+
+
+def test_mannwhitney_missing_group_nulls_z(spark, tmp_path):
+    # only linestatus 'F' exists → n_b = 0 → mean2 = 0 → z2_e3 NULL on
+    # BOTH sides (DuckDB would raise on // 0 without the CASE guard)
+    rows = _run(
+        spark, tmp_path, "q_lineitem_mannwhitney_u",
+        {"lineitem": _lineitem([(1.0, "F", "A", 0.0), (2.0, "F", "A", 0.0),
+                                (3.0, "F", "R", 0.0)])},
+    )
+    assert len(rows) == 1 and rows[0]["z2_e3"] is None
+    assert (rows[0]["n_a"], rows[0]["n_b"]) == (3, 0)
+
+
+def test_kruskal_all_tied_pool_nulls_h(spark, tmp_path):
+    # every quantity identical → a single pooled level → every rank2 =
+    # nn+1 → s_den = 0 → h_e6 and reject_05 NULL on both sides
+    rows = _run(
+        spark, tmp_path, "q_lineitem_kruskal_wallis",
+        {"lineitem": _lineitem([(5.0, "F", "A", 0.0), (5.0, "O", "N", 0.0),
+                                (5.0, "F", "R", 0.0), (5.0, "O", "A", 0.0)])},
+    )
+    assert len(rows) == 1
+    assert rows[0]["h_e6"] is None and rows[0]["reject_05"] is None
+
+
+def test_ks_missing_group_nulls_d(spark, tmp_path):
+    rows = _run(
+        spark, tmp_path, "q_lineitem_ks_test",
+        {"lineitem": _lineitem([(1.0, "O", "A", 0.0), (4.0, "O", "N", 0.0)])},
+    )
+    assert len(rows) == 1
+    assert rows[0]["d_e6"] is None and rows[0]["reject_05"] is None
+
+
+def test_spearman_zero_variance_margin_nulls_rho(spark, tmp_path):
+    # constant discount → Dy = 0 → rho2_e6_signed NULL on both sides
+    rows = _run(
+        spark, tmp_path, "q_lineitem_spearman",
+        {"lineitem": _lineitem([(1.0, "F", "A", 0.05), (2.0, "O", "N", 0.05),
+                                (3.0, "F", "R", 0.05)])},
+    )
+    assert len(rows) == 1 and rows[0]["rho2_e6_signed"] is None
+
+
+def test_simpson_single_token_lang_nulls_lambda(spark, tmp_path):
+    # lang 'xx' has ONE token total → N = 1 → simpson_e6 NULL while
+    # top_share_bp still reports 10000 (mixed null/non-null row)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["solo", "two tokens here two"], pa.string()),
+            "lang": pa.array(["xx", "en"], pa.string()),
+            "source": pa.array(["s", "s"], pa.string()),
+            "n_chars": pa.array([4, 19], pa.int64()),
+        }
+    )
+    rows = _run(
+        spark, tmp_path, "docs_simpson_diversity", {"documents": docs}
+    )
+    by_lang = {r["lang"]: r for r in rows}
+    assert by_lang["xx"]["simpson_e6"] is None
+    assert by_lang["xx"]["top_share_bp"] == 10000
+    # the en slice is healthy: 4 tokens, 'two' twice → pairs=2, λ·1e6
+    assert by_lang["en"]["simpson_e6"] == 2 * 1000000 // (4 * 3)
+
+
+def test_dow_chi2_empty_orders_empty_result(spark, tmp_path):
+    # zero orders: both engines produce ZERO rows (the GROUP BY nn
+    # collapses an empty input to no groups) — emptiness parity, the
+    # guard's N = 0 edge can never emit a row to disagree on
+    orders = pa.table(
+        {"o_orderdate": pa.array([], pa.timestamp("us"))}
+    )
+    rows = _run(spark, tmp_path, "q_orders_dow_chi2", {"orders": orders})
+    assert rows == []
+
+
+def test_trimmed_mean_tiny_frame_no_trim(spark, tmp_path):
+    # N = 4 → k = 0: nothing trims, the clamp contributes zero from
+    # both tails, and the mean is the plain snapped mean — the boundary
+    # the partial-level clamp must get right
+    rows = _run(
+        spark, tmp_path, "q_lineitem_trimmed_mean",
+        {"lineitem": _lineitem([(1.0, "F", "A", 0.0), (2.0, "O", "N", 0.0),
+                                (3.0, "F", "R", 0.0), (6.0, "O", "A", 0.0)])},
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_rows"], r["trim_k"], r["trimmed_sum"]) == (4, 0, 12)
+    assert r["trimmed_mean_e4"] == 12 * 10000 // 4
