@@ -15000,3 +15000,83 @@ def q_lineitem_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("trimmed_mean_e4"),
     )
+
+
+def _phash_oracle() -> str:
+    """DuckDB replay of the integer pHash pipeline: the DCT basis is the
+    SAME hard-coded `multimodal.PHASH_DCT` literals rendered as a VALUES
+    table (shared-constants device — the independent test re-derives
+    them from math.cos), the 2-D transform is an integer triple sum,
+    the median is the 32nd-smallest AC order statistic, and the pair
+    tail is the aHash/dHash capped hash-equality bucket join."""
+    cm = ", ".join(
+        f"({u}, {x}, {multimodal.PHASH_DCT[u][x]})"
+        for u in range(8)
+        for x in range(8)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, substring(text, 1, 64) AS p
+               FROM documents WHERE n_chars >= 64),
+    cm(u, x, c) AS (SELECT * FROM (VALUES {cm})),
+    b AS (SELECT doc_id, r, cl,
+                 CAST(ord(substring(p, r * 8 + cl + 1, 1)) AS BIGINT) v
+          FROM d, unnest(range(0, 8)) rr(r), unnest(range(0, 8)) cc(cl)),
+    dct AS (SELECT b.doc_id, cu.u AS u, cv.u AS v,
+                   CAST(sum(cu.c * b.v * cv.c) AS BIGINT) AS dc
+            FROM b JOIN cm cu ON cu.x = b.r JOIN cm cv ON cv.x = b.cl
+            GROUP BY 1, 2, 3),
+    ac AS (SELECT doc_id, u, v, dc FROM dct WHERE NOT (u = 0 AND v = 0)),
+    med AS (SELECT doc_id, dc AS m FROM (
+              SELECT doc_id, dc, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY dc, u, v) rn FROM ac) WHERE rn = 32),
+    bits AS (SELECT ac.doc_id,
+                    string_agg(CASE WHEN ac.dc > med.m THEN '1' ELSE '0'
+                               END, '' ORDER BY ac.u, ac.v) AS h
+             FROM ac JOIN med ON med.doc_id = ac.doc_id GROUP BY 1),
+    bc AS (SELECT h, count(*) c FROM bits GROUP BY 1)
+    SELECT a.doc_id AS doc_id1, b2.doc_id AS doc_id2, a.h AS phash
+    FROM bits a JOIN bits b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+    JOIN bc ON bc.h = a.h
+    WHERE bc.c <= 64
+    """
+
+
+@staged_query("media_phash_pairs", oracle=_phash_oracle())
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs by DCT hash (pHash) — the third and
+    most structure-aware member of the perceptual triad
+    (`media_ahash_pairs` = global brightness structure,
+    `media_dhash_pairs` = local gradients, this = which spatial
+    FREQUENCIES carry the energy): the stub codec grids the first 64
+    payload bytes 8×8, applies the fixed-point integer 2-D DCT
+    (`multimodal.PHASH_DCT` — rounded 8192-scale cosines whose u ≥ 1
+    rows sum to EXACTLY zero, so a uniform brightness shift moves only
+    the dropped DC coefficient and the 63 AC bits are invariant by
+    construction), and thresholds each AC coefficient against the
+    low-median order statistic. Production pipelines run all three
+    hashes and OR the candidate sets — each is blind to a different
+    edit class.
+
+    Same relational tail as the aHash/dHash entries: hash-equality
+    buckets with the deterministic 64-per-bucket cap, pairs within
+    buckets.
+
+    Scale: narrow Arrow-batched map (one 8×8 int64 matmul per payload —
+    dense linear algebra, the sanctioned Python path; 63 bits out per
+    payload), ONE shuffle on the hash, pair output bounded by
+    O(buckets·cap²). Hamming-tolerant variants band the 63 bits exactly
+    like `dedup_simhash`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
+    h = multimodal.phash63(multimodal.documents_as_binary(docs))
+    wb = Window.partitionBy("phash")
+    k = h.withColumn("c", F.count("*").over(wb)).filter(F.col("c") <= 64)
+    a, c = k.alias("a"), k.alias("c")
+    return a.join(
+        c,
+        (F.col("a.phash") == F.col("c.phash"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id1"),
+        F.col("c.doc_id").alias("doc_id2"),
+        F.col("a.phash").alias("phash"),
+    )

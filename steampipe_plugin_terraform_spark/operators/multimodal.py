@@ -536,3 +536,76 @@ def dhash64(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         hsh, schema=DHASH_SCHEMA
     )
+
+
+# Fixed-point 8-point DCT-II basis, c[u][x] = round(8192·cos(π(2x+1)u/16))
+# — HARD-CODED literals shared verbatim with the DuckDB oracle (the
+# shared-constants device; tests/test_staged_independent.py re-derives
+# every entry from math.cos). The ± symmetry of the cosine arguments
+# makes each u ≥ 1 row sum EXACTLY zero in the rounded values, so a
+# global brightness shift (+k on every byte) moves ONLY the DC
+# coefficient: C·(B + k·J)·Cᵀ = C·B·Cᵀ + k·rowsum(u)·rowsum(v)/…, and
+# the AC bits are invariant BY CONSTRUCTION, not approximately.
+PHASH_DCT = [
+    [8192, 8192, 8192, 8192, 8192, 8192, 8192, 8192],
+    [8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035],
+    [7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568],
+    [6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811],
+    [5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793],
+    [4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551],
+    [3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135],
+    [1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598],
+]
+
+PHASH_SCHEMA = "doc_id long, phash string"
+
+
+def phash63(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) — the FREQUENCY-domain member of the
+    triad (``ahash64`` thresholds cells against the global mean,
+    ``dhash64`` encodes local gradients; pHash encodes which spatial
+    FREQUENCIES carry the energy, the most structure-aware of the
+    three): the stub codec reads the first 64 bytes as an 8×8 grayscale
+    block, applies the fixed-point integer 2-D DCT (``PHASH_DCT``,
+    D = C·B·Cᵀ — pure int64 arithmetic, max |D| ≤ 8·8·8192²·255 ≈
+    1.1e12), drops the DC coefficient, and emits one bit per AC
+    coefficient: 1 iff strictly above the low median (the 32nd smallest
+    of 63 — an exact order statistic, no interpolation). Because every
+    u ≥ 1 basis row sums to exactly zero, a uniform brightness shift
+    changes only the DC coefficient and the 63-bit hash is EXACTLY
+    invariant — the property the independent test demonstrates (aHash
+    is too: its mean moves with the cells; dHash is; pHash adds
+    robustness to local contrast scaling the others lack).
+
+    Callers must pre-filter payloads ≥ 64 bytes.
+
+    Scale: narrow Arrow-batched map (one 8×8 integer matmul per
+    payload — dense linear algebra, the sanctioned Python path), no
+    shuffle; 63 bits leave the executor per payload."""
+    import numpy as np
+    import pandas as pd
+
+    id_name, payload_name = id_col, payload_col
+    C = np.array(PHASH_DCT, dtype=np.int64)
+
+    def hsh(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, payload in zip(pdf[id_name], pdf[payload_name]):
+                b = np.frombuffer(bytes(payload)[:64], dtype=np.uint8).astype(
+                    np.int64
+                ).reshape(8, 8)
+                d = C @ b @ C.T
+                ac = np.delete(d.ravel(), 0)
+                med = int(np.sort(ac, kind="stable")[31])
+                ids.append(int(i))
+                hs.append("".join("1" if x > med else "0" for x in ac))
+            yield pd.DataFrame({"doc_id": ids, "phash": hs})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        hsh, schema=PHASH_SCHEMA
+    )

@@ -1790,3 +1790,15 @@ def test_trimmed_mean_grid_windows_no_row_sort(spark):
     assert len(scans) == 1
     cols = [c.split("#")[0] for c in scans[0].split(",") if c]
     assert set(cols) <= {"l_quantity"}, cols
+
+
+def test_phash_pairs_narrow_map_single_hash_shuffle(spark):
+    # narrow Arrow map (one int64 matmul per payload, 63 bits out),
+    # bucket-cap window + hash-equality pair join — the aHash/dHash
+    # plan contract verbatim
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["media_phash_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the inherently-Python media decode
+    assert "BatchEvalPython" not in plan

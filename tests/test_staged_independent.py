@@ -2158,3 +2158,70 @@ def test_trimmed_mean_definitional_replay(spark):
     assert r["trimmed_mean_e4"] == want_mean
     if kept:
         assert kept[0] * 10000 <= r["trimmed_mean_e4"] <= kept[-1] * 10000
+
+
+def test_phash_rederived_constants_replay_and_brightness_invariance(spark):
+    """media_phash_pairs three ways: (a) every PHASH_DCT constant
+    re-derived from math.cos (round(8192·cos(π(2x+1)u/16)) — the
+    re-derived-constants device: the table is shared verbatim by both
+    engines, so only first principles can catch a transposition), plus
+    the zero-row-sum property that makes brightness invariance exact;
+    (b) a pure-Python triple-loop DCT replay (no numpy, no SQL) of the
+    full hash pipeline against the operator's own output; (c) EXACT
+    brightness invariance: +10 on every byte (docs whose bytes stay
+    ≤ 255) leaves all 63 AC bits untouched."""
+    import math
+
+    from steampipe_plugin_terraform_spark.operators import multimodal
+
+    C = multimodal.PHASH_DCT
+    for u in range(8):
+        for x in range(8):
+            want = round(8192 * math.cos(math.pi * (2 * x + 1) * u / 16))
+            assert C[u][x] == want, (u, x)
+        if u >= 1:
+            assert sum(C[u]) == 0, u
+
+    def replay(bs):
+        d = [
+            [
+                sum(
+                    C[u][r] * bs[r * 8 + cl] * C[v][cl]
+                    for r in range(8)
+                    for cl in range(8)
+                )
+                for v in range(8)
+            ]
+            for u in range(8)
+        ]
+        ac = [d[u][v] for u in range(8) for v in range(8) if (u, v) != (0, 0)]
+        med = sorted(ac)[31]
+        return "".join("1" if x > med else "0" for x in ac)
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).to_pandas()
+    docs = {
+        int(r.doc_id): r.text.encode("utf-8")[:64]
+        for r in t.itertuples()
+        if r.n_chars >= 64
+    }
+    from steampipe_plugin_terraform_spark.catalog import _t
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.phash63(
+            multimodal.documents_as_binary(
+                _t(spark, SF_DIR, "documents").filter("n_chars >= 64")
+            )
+        ).collect()
+    }
+    assert set(got) == set(docs)
+    for i, bs in docs.items():
+        assert got[i] == replay(list(bs)), i
+    # exact invariance: +10 brightness moves only the DC coefficient
+    shifted = 0
+    for i, bs in docs.items():
+        if max(bs) <= 245:
+            assert replay([b + 10 for b in bs]) == got[i], i
+            shifted += 1
+    assert shifted > 0, "no doc eligible for the brightness-shift check"
