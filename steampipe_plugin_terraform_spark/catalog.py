@@ -14405,7 +14405,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mannwhitney rank2 = 2·cum_before + t + 1 — integer midranks, no
     # interpolation): center both margins' doubled ranks at nn+1, then
     # S = Σ n·ax·ay, Dx = Σ t·ax², Dy = Σ t·ay² and ρ = S/√(Dx·Dy) —
-    # reported sqrt-free as sign(S)·(ρ²·10⁶) through the DOCUMENTED
+    # reported sqrt-free as sign(S)·(ρ²·10⁸) through the DOCUMENTED
     # two-stage positive floor division ((S·S // Dx)·10⁶ // Dy, |S|²
     # is sign-free so the sign multiplies after) — both engines replay
     # the identical stage order; degenerate margins (a single pooled
@@ -14437,8 +14437,8 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nn AS n_rows,
            CAST(CASE WHEN dx > 0 AND dy > 0
                 THEN (CASE WHEN s < 0 THEN -1 ELSE 1 END)
-                     * (((s * s) // dx) * 1000000 // dy)
-                END AS BIGINT) AS rho2_e6_signed
+                     * (((s * s) // dx) * 100000000 // dy)
+                END AS BIGINT) AS rho2_e8_signed
     FROM s, dx, dy, tot
     """,
 )
@@ -14476,6 +14476,9 @@ def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.count("*").cast("long").alias("n"))
+        # eager localCheckpoint, NEVER .persist() (cache-manager
+        # plan-matching contaminates sibling entries' pinned plans)
+        .localCheckpoint(eager=True)
     )
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -14519,9 +14522,9 @@ def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(CASE WHEN dx > 0 AND dy > 0"
                 " THEN (CASE WHEN s < 0 THEN -1 ELSE 1 END)"
-                " * (((s * s) DIV dx) * 1000000 DIV dy)"
+                " * (((s * s) DIV dx) * 100000000 DIV dy)"
                 " END AS BIGINT)"
-            ).alias("rho2_e6_signed"),
+            ).alias("rho2_e8_signed"),
         )
     )
 

@@ -110,13 +110,13 @@ def test_ks_missing_group_nulls_d(spark, tmp_path):
 
 
 def test_spearman_zero_variance_margin_nulls_rho(spark, tmp_path):
-    # constant discount → Dy = 0 → rho2_e6_signed NULL on both sides
+    # constant discount → Dy = 0 → rho2_e8_signed NULL on both sides
     rows = _run(
         spark, tmp_path, "q_lineitem_spearman",
         {"lineitem": _lineitem([(1.0, "F", "A", 0.05), (2.0, "O", "N", 0.05),
                                 (3.0, "F", "R", 0.05)])},
     )
-    assert len(rows) == 1 and rows[0]["rho2_e6_signed"] is None
+    assert len(rows) == 1 and rows[0]["rho2_e8_signed"] is None
 
 
 def test_simpson_single_token_lang_nulls_lambda(spark, tmp_path):

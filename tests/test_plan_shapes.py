@@ -1678,10 +1678,11 @@ def test_incremental_batch_probes_store_no_corpus_retokenize(spark):
 
 
 def test_spearman_grid_agg_no_rank_shuffle(spark):
-    # rank-free execution: one partial-agg shuffle to the (x, y) grid,
-    # margin windows over level frames, broadcast rank attaches — no
-    # global sort of the fact table, no Python, scan pruned to the two
-    # stat columns
+    # rank-free execution: ONE partial-agg shuffle to the (x, y) grid,
+    # eagerly localCheckpointed (5 subtrees reuse it — the ≥4-reuse
+    # break-even), so the FINAL plan carries no FileScan at all; margin
+    # windows over level frames, broadcast rank attaches, no global
+    # sort of the fact table, no Python
     import re
 
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
@@ -1689,10 +1690,7 @@ def test_spearman_grid_agg_no_rank_shuffle(spark):
     plan = _plan_df(STAGED_QUERIES["q_lineitem_spearman"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
-    for sc in scans:
-        cols = [c.split("#")[0] for c in sc.split(",") if c]
-        assert set(cols) <= {"l_quantity", "l_discount"}, cols
+    assert not re.findall(r"FileScan parquet", plan)
 
 
 def test_sign_hamming_broadcast_query_side_no_cartesian(spark):

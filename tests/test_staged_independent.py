@@ -1971,11 +1971,11 @@ def test_spearman_pure_python_and_textbook(spark):
     )
     dx = sum(tx * (rx[x] - (nn + 1)) ** 2 for x, tx in xs.items())
     dy = sum(ty * (ry[y] - (nn + 1)) ** 2 for y, ty in ys.items())
-    want = (-1 if s < 0 else 1) * (((s * s) // dx) * 1000000 // dy)
+    want = (-1 if s < 0 else 1) * (((s * s) // dx) * 100000000 // dy)
     rows = _staged(spark, "q_lineitem_spearman").collect()
     assert len(rows) == 1
     r = rows[0]
-    assert (r["n_rows"], r["rho2_e6_signed"]) == (nn, want)
+    assert (r["n_rows"], r["rho2_e8_signed"]) == (nn, want)
     # textbook: Pearson correlation of average mid-ranks (floats)
     ax = {x: rx[x] / 2 for x in rx}
     ay = {y: ry[y] / 2 for y in ry}
@@ -1986,8 +1986,8 @@ def test_spearman_pure_python_and_textbook(spark):
     vx = sum(tx * (ax[x] - mx) ** 2 for x, tx in xs.items())
     vy = sum(ty * (ay[y] - mx) ** 2 for y, ty in ys.items())
     rho = cov / math.sqrt(vx * vy)
-    got = r["rho2_e6_signed"] / 1e6
-    assert abs(abs(rho) * rho - got) <= 2e-6
+    got = r["rho2_e8_signed"] / 1e8
+    assert abs(abs(rho) * rho - got) <= 2e-8
     assert (got < 0) == (cov < 0)
 
 
