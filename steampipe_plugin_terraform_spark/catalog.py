@@ -15083,3 +15083,162 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.doc_id").alias("doc_id2"),
         F.col("a.phash").alias("phash"),
     )
+
+
+@staged_query(
+    "q_lineitem_brown_forsythe",
+    # variance homogeneity as pure integer algebra: z = |q − group LOW
+    # median| lives on the same ≤3×50 grid (medians are order
+    # statistics — cum ≥ (tot+1)//2, no interpolation), and the ANOVA
+    # decomposition multiplies out with N²: SSB·N² = Σ(N·Tᵢ − T·nᵢ)²/nᵢ
+    # and SSW·N² = N²·Σn·z² − Σ(N·Tᵢ)²/nᵢ — the per-group /nᵢ floored
+    # identically on both sides (the kruskal device), N² cancelling in
+    # F. One final snapped division to the millionths grid; ssw = 0 or
+    # a single group emits NULL per the r13 guard device. The α=0.05
+    # decision uses the large-N χ² approximation (k−1)·F ≈ χ²(k−1):
+    # df = 2 for the three returnflags, the SAME 5991464 constant the
+    # kruskal entry re-derives — emitted only for k = 3 (else NULL)
+    oracle="""
+    WITH grid AS (SELECT l_returnflag g, CAST(l_quantity AS BIGINT) q,
+                         CAST(count(*) AS BIGINT) n
+                  FROM lineitem GROUP BY 1, 2),
+    gm AS (SELECT g, min(q) m FROM (
+             SELECT g, q,
+                    CAST(sum(n) OVER (PARTITION BY g ORDER BY q)
+                         AS BIGINT) cum,
+                    CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) tot
+             FROM grid) WHERE cum >= (tot + 1) // 2 GROUP BY g),
+    z AS (SELECT grid.g, abs(q - m) AS z, CAST(sum(n) AS BIGINT) n
+          FROM grid JOIN gm ON gm.g = grid.g GROUP BY 1, 2),
+    gr AS (SELECT g, CAST(sum(n) AS BIGINT) n_i,
+                  CAST(sum(n::HUGEINT * z) AS HUGEINT) t_i,
+                  CAST(sum(n::HUGEINT * z * z) AS HUGEINT) ss_i
+           FROM z GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_i) AS BIGINT) nn,
+                   CAST(sum(t_i) AS HUGEINT) t,
+                   CAST(count(*) AS BIGINT) k,
+                   CAST(sum(ss_i) AS HUGEINT) ss
+            FROM gr),
+    parts AS (SELECT
+        CAST(sum((nn*t_i - t*n_i) * (nn*t_i - t*n_i) // n_i)
+             AS HUGEINT) ssb,
+        CAST(sum((nn*t_i) * (nn*t_i) // n_i) AS HUGEINT) tsq
+      FROM gr, tot),
+    f AS (SELECT nn, k, ssb,
+                 nn::HUGEINT * nn * ss - tsq AS ssw FROM parts, tot)
+    SELECT CAST(nn AS BIGINT) n_rows, CAST(k AS BIGINT) n_groups,
+           CAST(CASE WHEN k > 1 AND ssw > 0
+                THEN (nn - k) * ssb * 1000000 // ((k - 1) * ssw)
+                END AS BIGINT) AS f_e6,
+           CASE WHEN k = 3 AND ssw > 0
+                THEN (k - 1) * ((nn - k) * ssb * 1000000
+                                // ((k - 1) * ssw)) > 5991464
+                END AS reject_05
+    FROM f
+    """,
+)
+def q_lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across the returnflag
+    quantity populations — the DISPERSION member completing the
+    classical battery (location: Mann–Whitney/Kruskal–Wallis; shape:
+    KS; independence/GoF: the two χ²; correlation: Spearman/gamma;
+    this asks "do the groups SPREAD equally?" — the assumption check
+    every ANOVA and pooled-variance test leans on, in the
+    median-centered robust form that survives non-normality). z =
+    |q − group low median| stays on the ≤3×50 integer grid (medians
+    are order statistics, no interpolation), and the one-way ANOVA of
+    z multiplies out exactly: SSB·N² = Σ(N·Tᵢ − T·nᵢ)²/nᵢ, SSW·N² =
+    N²·Σn·z² − Σ(N·Tᵢ)²/nᵢ — per-group /nᵢ floored identically on
+    both sides (the kruskal device), N² cancelling in F = (N−k)·SSB /
+    ((k−1)·SSW). One final snapped division to the millionths grid;
+    degenerate inputs (one group, or all z equal) yield NULL per the
+    r13 guard device. The α=0.05 decision applies the large-N χ²
+    approximation (k−1)·F ≈ χ²(k−1) with the SAME re-derived 5991464
+    constant the kruskal entry pins (df = 2; emitted only for k = 3 —
+    the exact F quantile depends on N and is deliberately not
+    hardcoded).
+
+    Scale: one scan pruned to two columns, one keyed partial-agg
+    shuffle to the grid, PER-GROUP windows over the grid frame (keyed,
+    bounded — never a global sort), a 1-row answer. (N·Tᵢ)² ≈ N⁴·z̄²
+    crosses 10³⁸ near N ≈ 10⁸ rows — past that, sample (it is a
+    sample test) or drop the snap."""
+    grid = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("g", "q")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wg = Window.partitionBy("g").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("g")
+    gm = (
+        grid.select(
+            "g",
+            "q",
+            F.sum("n").over(wg).cast("long").alias("cum"),
+            F.sum("n").over(wt).cast("long").alias("tot"),
+        )
+        .filter(F.expr("cum >= (tot + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("q").alias("m"))
+    )
+    z = (
+        grid.join(F.broadcast(gm), "g")
+        .select("g", F.abs(F.col("q") - F.col("m")).alias("z"), "n")
+        .groupBy("g", "z")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    gr = z.groupBy("g").agg(
+        F.sum("n").cast("long").alias("n_i"),
+        F.expr(
+            "CAST(sum(CAST(n AS DECIMAL(38,0)) * z) AS DECIMAL(38,0))"
+        ).alias("t_i"),
+        F.expr(
+            "CAST(sum(CAST(n AS DECIMAL(38,0)) * z * z) AS DECIMAL(38,0))"
+        ).alias("ss_i"),
+    )
+    # the N/T/k/SS scalars attach via a broadcast 1-row frame (the
+    # documented scalar-crossJoin class), then the per-group floored
+    # quadratics fold in one more keyed agg
+    tot = gr.agg(
+        F.sum("n_i").cast("long").alias("nn"),
+        F.expr("CAST(sum(t_i) AS DECIMAL(38,0))").alias("t"),
+        F.count("*").cast("long").alias("k"),
+        F.expr("CAST(sum(ss_i) AS DECIMAL(38,0))").alias("ss"),
+    )
+    withtot = gr.crossJoin(F.broadcast(tot))
+    agg2 = withtot.groupBy("nn", "t", "k", "ss").agg(
+        F.expr(
+            "CAST(sum((CAST(nn AS DECIMAL(38,0)) * t_i - t * n_i)"
+            " * (CAST(nn AS DECIMAL(38,0)) * t_i - t * n_i) DIV n_i)"
+            " AS DECIMAL(38,0))"
+        ).alias("ssb"),
+        F.expr(
+            "CAST(sum((CAST(nn AS DECIMAL(38,0)) * t_i)"
+            " * (CAST(nn AS DECIMAL(38,0)) * t_i) DIV n_i)"
+            " AS DECIMAL(38,0))"
+        ).alias("tsq"),
+    )
+    fe = "(nn - k) * ssb * 1000000 DIV ((k - 1) * ssw)"
+    return agg2.withColumn(
+        "ssw",
+        F.expr(
+            "CAST(CAST(nn AS DECIMAL(38,0)) * nn * ss - tsq"
+            " AS DECIMAL(38,0))"
+        ),
+    ).select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.expr(
+            f"CAST(CASE WHEN k > 1 AND ssw > 0 THEN {fe} END AS BIGINT)"
+        ).alias("f_e6"),
+        F.expr(
+            f"CASE WHEN k = 3 AND ssw > 0"
+            f" THEN (k - 1) * ({fe}) > 5991464 END"
+        ).alias("reject_05"),
+    )

@@ -165,3 +165,16 @@ def test_trimmed_mean_tiny_frame_no_trim(spark, tmp_path):
     r = rows[0]
     assert (r["n_rows"], r["trim_k"], r["trimmed_sum"]) == (4, 0, 12)
     assert r["trimmed_mean_e4"] == 12 * 10000 // 4
+
+
+def test_brown_forsythe_all_tied_groups_null_f(spark, tmp_path):
+    # every quantity identical → z ≡ 0 in every group → ssw = 0 →
+    # f_e6 and reject_05 NULL on both sides (and the k = 3 decision
+    # gate is moot)
+    rows = _run(
+        spark, tmp_path, "q_lineitem_brown_forsythe",
+        {"lineitem": _lineitem([(5.0, "F", "A", 0.0), (5.0, "O", "N", 0.0),
+                                (5.0, "F", "R", 0.0), (5.0, "O", "A", 0.0)])},
+    )
+    assert len(rows) == 1
+    assert rows[0]["f_e6"] is None and rows[0]["reject_05"] is None

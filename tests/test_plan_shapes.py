@@ -1800,3 +1800,21 @@ def test_phash_pairs_narrow_map_single_hash_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan  # the inherently-Python media decode
     assert "BatchEvalPython" not in plan
+
+
+def test_brown_forsythe_keyed_windows_no_global_sort(spark):
+    # per-GROUP median windows (partitioned — never a global Sort of
+    # the fact table), broadcast median/scalar attaches, one pruned
+    # scan, no Python
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_brown_forsythe"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    for sc in scans:
+        cols = [c.split("#")[0] for c in sc.split(",") if c]
+        assert set(cols) <= {"l_returnflag", "l_quantity"}, cols

@@ -2225,3 +2225,54 @@ def test_phash_rederived_constants_replay_and_brightness_invariance(spark):
             assert replay([b + 10 for b in bs]) == got[i], i
             shifted += 1
     assert shifted > 0, "no doc eligible for the brightness-shift check"
+
+
+def test_brown_forsythe_pure_python_and_textbook(spark):
+    """q_lineitem_brown_forsythe two ways: (a) exact bigint replay of
+    the multiplied-out ANOVA-on-|deviations| algebra including both
+    per-group floor divisions; (b) the textbook float Brown–Forsythe
+    F = [(N−k)/(k−1)]·Σnᵢ(z̄ᵢ−z̄)²/ΣΣ(z−z̄ᵢ)² recomputed from raw rows
+    agrees to 1e-6 relative (the floors lose at most k units on
+    ~1e20-scale sums)."""
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    grid: collections.Counter = collections.Counter()
+    for g, q in zip(t["l_returnflag"], t["l_quantity"]):
+        grid[(g, int(q))] += 1
+    groups = sorted({g for g, _ in grid})
+    med = {}
+    for g in groups:
+        tot = sum(n for (gg, _q), n in grid.items() if gg == g)
+        cum = 0
+        for q in sorted(q for (gg, q) in grid if gg == g):
+            cum += grid[(g, q)]
+            if cum >= (tot + 1) // 2:
+                med[g] = q
+                break
+    z: collections.Counter = collections.Counter()
+    for (g, q), n in grid.items():
+        z[(g, abs(q - med[g]))] += n
+    n_i = {g: sum(n for (gg, _z), n in z.items() if gg == g) for g in groups}
+    t_i = {g: sum(n * zz for (gg, zz), n in z.items() if gg == g)
+           for g in groups}
+    ss = sum(n * zz * zz for (_g, zz), n in z.items())
+    nn, tt, k = sum(n_i.values()), sum(t_i.values()), len(groups)
+    ssb = sum((nn * t_i[g] - tt * n_i[g]) ** 2 // n_i[g] for g in groups)
+    tsq = sum((nn * t_i[g]) ** 2 // n_i[g] for g in groups)
+    ssw = nn * nn * ss - tsq
+    f_e6 = (nn - k) * ssb * 1000000 // ((k - 1) * ssw)
+    rows = _staged(spark, "q_lineitem_brown_forsythe").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_rows"], r["n_groups"], r["f_e6"]) == (nn, k, f_e6)
+    assert r["reject_05"] == ((k - 1) * f_e6 > 5991464)
+    # textbook float form from raw deviations
+    zbar_i = {g: t_i[g] / n_i[g] for g in groups}
+    zbar = tt / nn
+    num = sum(n_i[g] * (zbar_i[g] - zbar) ** 2 for g in groups) / (k - 1)
+    den = sum(
+        n * (zz - zbar_i[g]) ** 2 for (g, zz), n in z.items()
+    ) / (nn - k)
+    fb = num / den
+    assert abs(fb - f_e6 / 1e6) <= max(1e-6 * fb, 2e-6)
