@@ -175,6 +175,15 @@ EXTENDED = [
     "q_lineitem_kruskal_wallis",
     "q_supplier_abc_classes",
     "dedup_incremental_batch",
+    # r19/r20-wave additions drafted in r13
+    "q_lineitem_spearman",
+    "emb_sign_hamming_recall",
+    "docs_simpson_diversity",
+    "stream_incremental_dedup",
+    "q_orders_dow_chi2",
+    "q_lineitem_trimmed_mean",
+    "media_phash_pairs",
+    "q_lineitem_brown_forsythe",
     # r14-wave starter entries (drafted in r10)
     "tf_required_providers_audit",
     "tf_state_lineage_audit",

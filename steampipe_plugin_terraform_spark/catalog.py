@@ -15090,11 +15090,21 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variance homogeneity as pure integer algebra: z = |q − group LOW
     # median| lives on the same ≤3×50 grid (medians are order
     # statistics — cum ≥ (tot+1)//2, no interpolation), and the ANOVA
-    # decomposition multiplies out with N²: SSB·N² = Σ(N·Tᵢ − T·nᵢ)²/nᵢ
-    # and SSW·N² = N²·Σn·z² − Σ(N·Tᵢ)²/nᵢ — the per-group /nᵢ floored
-    # identically on both sides (the kruskal device), N² cancelling in
-    # F. One final snapped division to the millionths grid; ssw = 0 or
-    # a single group emits NULL per the r13 guard device. The α=0.05
+    # machine formula keeps every division SMALL: SSB* = Σ(Tᵢ²//nᵢ) −
+    # T²//N (clamped at 0 — the floors can undershoot a true-zero SSB
+    # by < k units) and SSW* = Σn·z² − Σ(Tᵢ²//nᵢ) — per-group floors
+    # replayed identically on both sides (the kruskal device). The
+    # deviations are carried in MILLI-units (z·10³ → sums scale by 10⁶)
+    # because SSB is a catastrophic cancellation of ~Σn·z̄²-sized terms:
+    # unit-scale floors cost ~k on an SSB of ~10² (6 % at sf0.001); the
+    # 10⁶ scale turns that into 6e-8 while the floored quotients
+    # (~nᵢ·z̄²·10⁶) stay far inside BIGINT. The
+    # quotients are ~n·z̄² (NEVER the N²-scaled form: its (N·Tᵢ)²//nᵢ
+    # quotient crosses 2⁶³ already at sf0.1, and Spark's decimal DIV
+    # returns BIGINT — ANSI raises where DuckDB's HUGEINT // sails on,
+    # an engine-divergence the first draft hit). One final snapped
+    # division to the millionths grid; ssw = 0 or a single group emits
+    # NULL per the r13 guard device. The α=0.05
     # decision uses the large-N χ² approximation (k−1)·F ≈ χ²(k−1):
     # df = 2 for the three returnflags, the SAME 5991464 constant the
     # kruskal entry re-derives — emitted only for k = 3 (else NULL)
@@ -15108,7 +15118,8 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS BIGINT) cum,
                     CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) tot
              FROM grid) WHERE cum >= (tot + 1) // 2 GROUP BY g),
-    z AS (SELECT grid.g, abs(q - m) AS z, CAST(sum(n) AS BIGINT) n
+    z AS (SELECT grid.g, abs(q - m) * 1000 AS z,
+                 CAST(sum(n) AS BIGINT) n
           FROM grid JOIN gm ON gm.g = grid.g GROUP BY 1, 2),
     gr AS (SELECT g, CAST(sum(n) AS BIGINT) n_i,
                   CAST(sum(n::HUGEINT * z) AS HUGEINT) t_i,
@@ -15117,15 +15128,12 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(n_i) AS BIGINT) nn,
                    CAST(sum(t_i) AS HUGEINT) t,
                    CAST(count(*) AS BIGINT) k,
-                   CAST(sum(ss_i) AS HUGEINT) ss
+                   CAST(sum(ss_i) AS HUGEINT) ss,
+                   CAST(sum(t_i * t_i // n_i) AS HUGEINT) sb
             FROM gr),
-    parts AS (SELECT
-        CAST(sum((nn*t_i - t*n_i) * (nn*t_i - t*n_i) // n_i)
-             AS HUGEINT) ssb,
-        CAST(sum((nn*t_i) * (nn*t_i) // n_i) AS HUGEINT) tsq
-      FROM gr, tot),
-    f AS (SELECT nn, k, ssb,
-                 nn::HUGEINT * nn * ss - tsq AS ssw FROM parts, tot)
+    f AS (SELECT nn, k,
+                 greatest(sb - t::HUGEINT * t // nn, 0) AS ssb,
+                 ss - sb AS ssw FROM tot)
     SELECT CAST(nn AS BIGINT) n_rows, CAST(k AS BIGINT) n_groups,
            CAST(CASE WHEN k > 1 AND ssw > 0
                 THEN (nn - k) * ssb * 1000000 // ((k - 1) * ssw)
@@ -15147,10 +15155,18 @@ def q_lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     median-centered robust form that survives non-normality). z =
     |q − group low median| stays on the ≤3×50 integer grid (medians
     are order statistics, no interpolation), and the one-way ANOVA of
-    z multiplies out exactly: SSB·N² = Σ(N·Tᵢ − T·nᵢ)²/nᵢ, SSW·N² =
-    N²·Σn·z² − Σ(N·Tᵢ)²/nᵢ — per-group /nᵢ floored identically on
-    both sides (the kruskal device), N² cancelling in F = (N−k)·SSB /
-    ((k−1)·SSW). One final snapped division to the millionths grid;
+    z uses the MACHINE formula so every division stays small: SSB* =
+    Σ(Tᵢ²//nᵢ) − T²//N (clamped at 0), SSW* = Σn·z² − Σ(Tᵢ²//nᵢ) —
+    per-group floors replayed identically on both sides (the kruskal
+    device), quotients ~nᵢ·z̄²·10⁶ (deviations carried in milli-units:
+    SSB is a catastrophic cancellation, and the 10⁶ scale buys 6 guard
+    digits against the floors — verified to 1e-6 against the textbook
+    float form). The N²-scaled form is deliberately NOT
+    used: its (N·Tᵢ)²//nᵢ quotient crosses 2⁶³ already at sf0.1, and
+    Spark's decimal DIV returns BIGINT — ANSI raises where DuckDB's
+    HUGEINT // continues, an engine FAILURE-MODE divergence (the
+    decimal-overflow class). One snapped division to the millionths
+    grid;
     degenerate inputs (one group, or all z equal) yield NULL per the
     r13 guard device. The α=0.05 decision applies the large-N χ²
     approximation (k−1)·F ≈ χ²(k−1) with the SAME re-derived 5991464
@@ -15160,9 +15176,11 @@ def q_lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one scan pruned to two columns, one keyed partial-agg
     shuffle to the grid, PER-GROUP windows over the grid frame (keyed,
-    bounded — never a global sort), a 1-row answer. (N·Tᵢ)² ≈ N⁴·z̄²
-    crosses 10³⁸ near N ≈ 10⁸ rows — past that, sample (it is a
-    sample test) or drop the snap."""
+    bounded — never a global sort), a 1-row answer. Headroom: Tᵢ² ≈
+    Nᵢ²·z̄²·10⁶ lives in DECIMAL(38)/HUGEINT (fine to Nᵢ ≈ 10¹³ per
+    group), and the floored quotients ~Nᵢ·z̄²·10⁶ stay inside BIGINT to
+    Nᵢ ≈ 5·10¹⁰ — past that drop the milli-unit scale to 10¹·5 on both
+    sides or sample (it is a sample test)."""
     grid = (
         _t(spark, sf_dir, "lineitem")
         .select(
@@ -15189,7 +15207,9 @@ def q_lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (
         grid.join(F.broadcast(gm), "g")
-        .select("g", F.abs(F.col("q") - F.col("m")).alias("z"), "n")
+        .select(
+            "g", (F.abs(F.col("q") - F.col("m")) * 1000).alias("z"), "n"
+        )
         .groupBy("g", "z")
         .agg(F.sum("n").cast("long").alias("n"))
     )
@@ -15202,35 +15222,25 @@ def q_lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(n AS DECIMAL(38,0)) * z * z) AS DECIMAL(38,0))"
         ).alias("ss_i"),
     )
-    # the N/T/k/SS scalars attach via a broadcast 1-row frame (the
-    # documented scalar-crossJoin class), then the per-group floored
-    # quadratics fold in one more keyed agg
+    # one roll-up computes every scalar, INCLUDING the per-group floored
+    # Tᵢ²//nᵢ (the machine formula keeps the quotients at ~nᵢ·z̄² — the
+    # N²-scaled form's quotients cross 2⁶³ at sf0.1 and Spark's decimal
+    # DIV returns BIGINT, so ANSI raises where DuckDB's HUGEINT //
+    # continues: the engine-divergence this formulation exists to avoid)
     tot = gr.agg(
         F.sum("n_i").cast("long").alias("nn"),
         F.expr("CAST(sum(t_i) AS DECIMAL(38,0))").alias("t"),
         F.count("*").cast("long").alias("k"),
         F.expr("CAST(sum(ss_i) AS DECIMAL(38,0))").alias("ss"),
-    )
-    withtot = gr.crossJoin(F.broadcast(tot))
-    agg2 = withtot.groupBy("nn", "t", "k", "ss").agg(
         F.expr(
-            "CAST(sum((CAST(nn AS DECIMAL(38,0)) * t_i - t * n_i)"
-            " * (CAST(nn AS DECIMAL(38,0)) * t_i - t * n_i) DIV n_i)"
-            " AS DECIMAL(38,0))"
-        ).alias("ssb"),
-        F.expr(
-            "CAST(sum((CAST(nn AS DECIMAL(38,0)) * t_i)"
-            " * (CAST(nn AS DECIMAL(38,0)) * t_i) DIV n_i)"
-            " AS DECIMAL(38,0))"
-        ).alias("tsq"),
+            "CAST(sum(t_i * t_i DIV n_i) AS DECIMAL(38,0))"
+        ).alias("sb"),
     )
     fe = "(nn - k) * ssb * 1000000 DIV ((k - 1) * ssw)"
-    return agg2.withColumn(
-        "ssw",
-        F.expr(
-            "CAST(CAST(nn AS DECIMAL(38,0)) * nn * ss - tsq"
-            " AS DECIMAL(38,0))"
-        ),
+    return tot.withColumn(
+        "ssb", F.expr("greatest(sb - t * t DIV nn, CAST(0 AS BIGINT))")
+    ).withColumn(
+        "ssw", F.expr("CAST(ss - sb AS DECIMAL(38,0))")
     ).select(
         F.col("nn").alias("n_rows"),
         F.col("k").alias("n_groups"),

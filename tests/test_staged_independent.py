@@ -2229,8 +2229,8 @@ def test_phash_rederived_constants_replay_and_brightness_invariance(spark):
 
 def test_brown_forsythe_pure_python_and_textbook(spark):
     """q_lineitem_brown_forsythe two ways: (a) exact bigint replay of
-    the multiplied-out ANOVA-on-|deviations| algebra including both
-    per-group floor divisions; (b) the textbook float Brown–Forsythe
+    the machine-formula ANOVA-on-|deviations| algebra including the
+    per-group floored Tᵢ²//nᵢ and the clamped SSB; (b) the textbook float Brown–Forsythe
     F = [(N−k)/(k−1)]·Σnᵢ(z̄ᵢ−z̄)²/ΣΣ(z−z̄ᵢ)² recomputed from raw rows
     agrees to 1e-6 relative (the floors lose at most k units on
     ~1e20-scale sums)."""
@@ -2252,15 +2252,15 @@ def test_brown_forsythe_pure_python_and_textbook(spark):
                 break
     z: collections.Counter = collections.Counter()
     for (g, q), n in grid.items():
-        z[(g, abs(q - med[g]))] += n
+        z[(g, abs(q - med[g]) * 1000)] += n  # milli-unit deviations
     n_i = {g: sum(n for (gg, _z), n in z.items() if gg == g) for g in groups}
     t_i = {g: sum(n * zz for (gg, zz), n in z.items() if gg == g)
            for g in groups}
     ss = sum(n * zz * zz for (_g, zz), n in z.items())
     nn, tt, k = sum(n_i.values()), sum(t_i.values()), len(groups)
-    ssb = sum((nn * t_i[g] - tt * n_i[g]) ** 2 // n_i[g] for g in groups)
-    tsq = sum((nn * t_i[g]) ** 2 // n_i[g] for g in groups)
-    ssw = nn * nn * ss - tsq
+    sb = sum(t_i[g] ** 2 // n_i[g] for g in groups)
+    ssb = max(sb - tt * tt // nn, 0)
+    ssw = ss - sb
     f_e6 = (nn - k) * ssb * 1000000 // ((k - 1) * ssw)
     rows = _staged(spark, "q_lineitem_brown_forsythe").collect()
     assert len(rows) == 1
