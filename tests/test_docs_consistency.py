@@ -49,3 +49,22 @@ def test_readme_counts_match_catalog():
     assert int(s.group(1)) == len(STAGED_QUERIES), (
         f"README says {s.group(1)} staged; registry has {len(STAGED_QUERIES)}"
     )
+
+
+def test_every_staged_entry_is_benched_at_sf01():
+    """Every staged entry must appear in bench.py's HEADLINE or EXTENDED
+    list: the per-round solo bench at sf0.1 is the ONLY place staged
+    code executes at 100× the parity SF before promotion, and it is
+    what catches scale-only failures — the r13 brown-forsythe draft
+    passed both parity SFs yet overflowed BIGINT (ANSI raise vs DuckDB
+    HUGEINT — a failure-mode divergence) first at sf0.1. A one-time r13
+    audit also executed all 91 promoted-but-unbenched entries at sf0.1
+    clean; keeping NEW entries in the bench list keeps that property."""
+    import bench
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    covered = set(bench.EXTENDED) | set(bench.HEADLINE)
+    missing = sorted(set(STAGED_QUERIES) - covered)
+    assert not missing, (
+        f"staged entries absent from bench.py HEADLINE/EXTENDED: {missing}"
+    )
