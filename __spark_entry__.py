@@ -39,80 +39,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
 # the sf0.01 sweep (`make parity-sf001 parity-sf01`).
 #
-# Round-13 window (executes the r12 verdict's pinned rotation):
-# positions 1-9 are the nine entries promoted from the r13 staging wave
-# (tf_lifecycle_audit, tf_legacy_interpolation_audit,
-# q_lineitem_mannwhitney_u, q_events_overdispersion,
-# q_events_markov_stationary, tf_unused_data_sources,
-# q_lineitem_kruskal_wallis, q_supplier_abc_classes,
-# dedup_incremental_batch) — never driver-checked, so rule 2 puts them
-# first; positions 10-20 are the 11 forced r08 leftovers (the
-# alphabetically-last 11 of the r08 cohort); positions 21-50 are the 30
-# alphabetically-first r09 rows (the r09 cohort is 50; the last 20
-# become the r14 forced leftovers, pinned in docs/OPERATORS.md).
-# Catalog 220 → horizon stays ceil(220/50) = 5 rounds. After the
-# window: the 20 r09 leftovers (due r14), then r10-green, r11-green,
-# and the r12 window rows (newest last).
+# Round-14 window (executes the r13 verdict's pinned rotation — the
+# red test_horizon_holds tripwire after CORRECTNESS_r13.json landed):
+# positions 1-7 are the seven entries promoted from the r14 staging
+# wave (tf_required_providers_audit, tf_state_lineage_audit,
+# tf_backend_audit, tf_provider_version_matrix,
+# stream_state_serial_watch, emb_cluster_quality, docs_pipeline_funnel)
+# — never driver-checked, so rule 2 puts them first; positions 8-27 are
+# the 20 forced r09 leftovers (the alphabetically-last 20 of the r09
+# cohort, named by the tripwire); positions 28-50 are the 23
+# alphabetically-first r10 rows (the r10 cohort is 50; the last 27
+# become the r15 forced leftovers, pinned in docs/OPERATORS.md).
+# Catalog 227 → horizon stays ceil(227/50) = 5 rounds. After the
+# window: the 27 r10 leftovers (due r15), then r11-green, r12-green,
+# and the r13 window rows (newest last).
 _VALIDATE_FIRST = [
-    # -- r13 window: the nine entries promoted from the r13 staging
+    # -- r14 window: the seven entries promoted from the r14 staging
     # wave (never driver-checked; rotation rule 2 puts them first) --
-    "tf_lifecycle_audit",
-    "tf_legacy_interpolation_audit",
-    "q_lineitem_mannwhitney_u",
-    "q_events_overdispersion",
-    "q_events_markov_stationary",
-    "tf_unused_data_sources",
-    "q_lineitem_kruskal_wallis",
-    "q_supplier_abc_classes",
-    "dedup_incremental_batch",
-    # -- r13 window: the 11 forced r08 leftovers (the
-    # alphabetically-last 11 of the 50-row r08 cohort) --
-    "q_part_kcore",
-    "q_part_triangles",
-    "q_session_incident_overlap",
-    "q_stats_by_returnflag",
-    "q_user_entropy",
-    "q_user_segment_asof_snapshot",
-    "q_weighted_median_price",
-    "stream_click_error_full_join",
-    "stream_record_highs",
-    "tf_resource_provider_join",
-    "tf_untagged_resources",
-    # -- r13 window: the 30 alphabetically-first r09 rows (the r09
-    # cohort is 50; the alphabetically-last 20 become the r14 forced
-    # leftovers, pinned in docs/OPERATORS.md) --
-    "dedup_first_event",
-    "dedup_jaccard_pairs",
-    "dedup_simhash",
-    "docs_bpe_tokens",
-    "docs_contamination_screen",
-    "docs_fingerprint",
-    "docs_lang_id",
-    "docs_quality",
-    "docs_semantic_dedup",
-    "docs_stratified_sample",
-    "docs_temperature_sample",
-    "docs_token_stats",
-    "docs_top_bigrams",
-    "docs_zscore_by_lang",
-    "emb_ivf_store_topk",
-    "emb_near_dup_pairs",
-    "emb_two_level_topk",
-    "media_byte_histogram",
-    "media_resize",
-    "q12_priority_lines",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_quantity_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q9_profit_by_nation",
-    "q_bucketed_cokey_join",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r09: the 20 leftovers, due r14 (forced) --
+    "tf_required_providers_audit",
+    "tf_state_lineage_audit",
+    "tf_backend_audit",
+    "tf_provider_version_matrix",
+    "stream_state_serial_watch",
+    "emb_cluster_quality",
+    "docs_pipeline_funnel",
+    # -- r14 window: the 20 forced r09 leftovers (the
+    # alphabetically-last 20 of the 50-row r09 cohort) --
     "q_events_daily_rollup",
     "q_events_hourly",
     "q_events_json_props",
@@ -133,7 +85,9 @@ _VALIDATE_FIRST = [
     "tf_modules",
     "tf_providers",
     "tf_variables",
-    # -- last driver row r10 --
+    # -- r14 window: the 23 alphabetically-first r10 rows (the r10
+    # cohort is 50; the alphabetically-last 27 become the r15 forced
+    # leftovers, pinned in docs/OPERATORS.md) --
     "dedup_clusters",
     "dedup_minhash_lsh",
     "docs_benchmark_contamination",
@@ -157,6 +111,8 @@ _VALIDATE_FIRST = [
     "q10_returned_items",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # ---- 50-entry window boundary ----
+    # -- last driver row r10: the 27 leftovers, due r15 (forced) --
     "q5_region_revenue",
     "q7_volume_shipping",
     "q_big_spenders_semi",
@@ -286,6 +242,57 @@ _VALIDATE_FIRST = [
     "q_orders_cohort_ltv",
     "q_orders_equidepth_histogram",
     "q_orders_interval_merge",
+    # -- last driver row r13 (newest rows; recheck last) --
+    "tf_lifecycle_audit",
+    "tf_legacy_interpolation_audit",
+    "q_lineitem_mannwhitney_u",
+    "q_events_overdispersion",
+    "q_events_markov_stationary",
+    "tf_unused_data_sources",
+    "q_lineitem_kruskal_wallis",
+    "q_supplier_abc_classes",
+    "dedup_incremental_batch",
+    "q_part_kcore",
+    "q_part_triangles",
+    "q_session_incident_overlap",
+    "q_stats_by_returnflag",
+    "q_user_entropy",
+    "q_user_segment_asof_snapshot",
+    "q_weighted_median_price",
+    "stream_click_error_full_join",
+    "stream_record_highs",
+    "tf_resource_provider_join",
+    "tf_untagged_resources",
+    "dedup_first_event",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "docs_bpe_tokens",
+    "docs_contamination_screen",
+    "docs_fingerprint",
+    "docs_lang_id",
+    "docs_quality",
+    "docs_semantic_dedup",
+    "docs_stratified_sample",
+    "docs_temperature_sample",
+    "docs_token_stats",
+    "docs_top_bigrams",
+    "docs_zscore_by_lang",
+    "emb_ivf_store_topk",
+    "emb_near_dup_pairs",
+    "emb_two_level_topk",
+    "media_byte_histogram",
+    "media_resize",
+    "q12_priority_lines",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_quantity_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q9_profit_by_nation",
+    "q_bucketed_cokey_join",
 ]
 
 

@@ -11018,7 +11018,7 @@ def _required_provider_entries(st: DataFrame) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_required_providers_audit",
     # golden rows from the dedicated corpus: a fully-pinned block-form
     # provider, the legacy single-string constraint form, a block-form
@@ -11086,7 +11086,7 @@ def tf_required_providers_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_state_lineage_audit",
     # golden rows from the dedicated corpus: two files sharing a lineage
     # (serial 7 current vs serial 4 stale backup — the left-behind copy
@@ -11154,7 +11154,7 @@ def tf_state_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_backend_audit",
     # golden rows from the dedicated corpus: an encrypted s3 backend, an
     # s3 backend WITHOUT the encrypt flag (the unencrypted-at-rest
@@ -11233,7 +11233,7 @@ def tf_backend_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_provider_version_matrix",
     # golden rows from the dedicated corpus: aws constrained+configured+
     # used, random constrained via the legacy string form and used but
@@ -11332,7 +11332,7 @@ def tf_provider_version_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "stream_state_serial_watch",
     # final-answer closure: a complete-mode aggregation with an
     # availableNow drain converges to the batch answer over the corpus —
@@ -11406,7 +11406,7 @@ _CLUSTER_QUALITY_SQL = f"""
 """
 
 
-@staged_query("emb_cluster_quality", oracle=_CLUSTER_QUALITY_SQL)
+@query("emb_cluster_quality", oracle=_CLUSTER_QUALITY_SQL)
 def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster QA over the shared corpus k-means — the audit a
     curation pipeline runs before trusting its clusters (SemDeDup prunes
@@ -11551,7 +11551,7 @@ def _funnel_report(t: DataFrame) -> DataFrame:
     )
 
 
-@staged_query("docs_pipeline_funnel", oracle=_PIPELINE_FUNNEL_SQL)
+@query("docs_pipeline_funnel", oracle=_PIPELINE_FUNNEL_SQL)
 def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation-pipeline FUNNEL report: how many documents each gate
     of the docs_curation_pipeline chain admits — language gate first

@@ -1096,7 +1096,7 @@ def test_required_providers_audit_shuffle_free(spark):
     # the per-row JSON extraction grew a shuffle
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_required_providers_audit"](spark, SF))
+    plan = _plan_df(QUERIES["tf_required_providers_audit"](spark, SF))
     assert "Exchange" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
@@ -1110,7 +1110,7 @@ def test_state_lineage_audit_single_keyed_window(spark):
     # state header is read Spark-natively, not through the HCL parser)
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_state_lineage_audit"](spark, SF))
+    plan = _plan_df(QUERIES["tf_state_lineage_audit"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
@@ -1123,7 +1123,7 @@ def test_backend_audit_shuffle_free(spark):
     # one-backend-per-block element_at design regressed to a shuffle
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_backend_audit"](spark, SF))
+    plan = _plan_df(QUERIES["tf_backend_audit"](spark, SF))
     assert "Exchange" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct", "Generate"):
@@ -1136,7 +1136,7 @@ def test_provider_matrix_broadcast_spine(spark):
     # the broadcast shape
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["tf_provider_version_matrix"](spark, SF))
+    plan = _plan_df(QUERIES["tf_provider_version_matrix"](spark, SF))
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -1149,7 +1149,7 @@ def test_cluster_quality_broadcast_and_two_aggs(spark):
     # keyed exchanges (per-cluster agg, k-row sep agg)
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["emb_cluster_quality"](spark, SF))
+    plan = _plan_df(QUERIES["emb_cluster_quality"](spark, SF))
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert plan.count("Exchange hashpartitioning") == 2
     assert "SortMergeJoin" not in plan
@@ -1163,7 +1163,7 @@ def test_pipeline_funnel_counter_rollup(spark):
     # single 1-row aggregate (counter-sized by construction)
     from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
 
-    plan = _plan_df(STAGED_QUERIES["docs_pipeline_funnel"](spark, SF))
+    plan = _plan_df(QUERIES["docs_pipeline_funnel"](spark, SF))
     assert plan.count("Exchange SinglePartition") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
