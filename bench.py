@@ -43,17 +43,22 @@ HEADLINE = [
     "dedup_linkage_clusters",
     "emb_ivf_pq_topk",
     "q_partition_pruned_join",
-    # PROPOSAL to the driver (r12 verdict item 6, not acted on
-    # unilaterally): this streaming drain is ~6 s of micro-batch harness
+    # ADOPTED contract change (r13 verdict item 2 approved the r12
+    # proposal): this streaming drain is ~6 s of micro-batch harness
     # FIXED COST at toy SF — >20 % of the 25-query headline and growing
-    # as the batch queries get faster, so it increasingly sets the
-    # headline's noise floor. Proposed contract change: report its
-    # drain separately (a "streaming_drain" key next to the headline,
-    # like tf_parse_500_files' dedicated key) and drop it from the
-    # summed total. Until the driver/judge adopts this, it stays IN the
-    # headline — a bench-contract change must not happen silently.
+    # as the batch queries get faster, so it increasingly set the
+    # headline's noise floor. It is still timed every run (same warm +
+    # 3-pass protocol) but reported under its own "streaming_drain" key
+    # and EXCLUDED from the summed "value"; the transition-round
+    # compatibility field "value_incl_stream_drain" keeps r13↔r14
+    # totals comparable (compare r13 "value" against r14
+    # "value_incl_stream_drain", or per-query dicts directly).
     "stream_click_error_full_join",
 ]
+
+# timed with the headline protocol but reported under a dedicated JSON
+# key instead of being summed into "value" (r13 verdict item 2)
+_DRAIN_KEY = "stream_click_error_full_join"
 
 
 # extension flagships timed into the BENCH_EXTENDED.json side file
@@ -402,6 +407,11 @@ def main() -> None:
 
     record("tf_parse_500_files", lambda: bench_tf_parse(spark, 500), 2)
 
+    # r13 verdict item 2: the stream-stream full-outer drain is reported
+    # under its own key and dropped from the summed headline; the
+    # compatibility field below keeps r13<->r14 totals comparable for
+    # exactly the transition round.
+    streaming_drain = timings.pop(_DRAIN_KEY)
     total = round(sum(timings.values()), 3)
     # Round-7 contract fix: round 6's single JSON line grew to ~9.3 KB
     # (samples + spread + 77-entry extended) and overflowed the driver's
@@ -429,6 +439,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "streaming_drain": streaming_drain,
+        "value_incl_stream_drain": round(total + streaming_drain, 3),
         "sf": sf,
     }))
 

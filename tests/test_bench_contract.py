@@ -40,7 +40,20 @@ def test_driver_line_stays_small():
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            # r13 verdict item 2: the stream drain rides its own keys
+            "streaming_drain": 9999.999,
+            "value_incl_stream_drain": round(
+                sum(timings.values()) + 9999.999, 3
+            ),
             "sf": 0.1,
         }
     )
     assert len(line) < 4096, f"driver line would be {len(line)} bytes"
+
+
+def test_drain_key_stays_timed_and_out_of_the_sum():
+    """The adopted r13 contract change is structural: the drained entry
+    must remain in HEADLINE (so it keeps the warm+3-pass protocol) and
+    be the one main() pops into the dedicated key."""
+    assert bench._DRAIN_KEY in bench.HEADLINE
+    assert bench._DRAIN_KEY == "stream_click_error_full_join"
