@@ -14453,19 +14453,29 @@ def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     + t + 1, integer by construction) come from cumulative windows over
     each MARGIN's level frame, and Spearman is the Pearson of centered
     doubled ranks: S = Σ n·ax·ay over grid cells, Dx/Dy the margin
-    second moments. Reported sqrt-free as sign(S)·⌊ρ²·10⁶⌋ via the
-    documented two-stage positive floor division ((S² // Dx)·10⁶ //
+    second moments. Reported sqrt-free as sign(S)·⌊ρ²·10⁸⌋ via the
+    documented two-stage positive floor division ((S² // Dx)·10⁸ //
     Dy — S² is sign-free, the sign multiplies after), replayed in the
     identical stage order by both engines; a degenerate margin (single
     pooled level → zero variance) yields NULL on both sides per the
-    r13 guard device.
+    r13 guard device. The Spark side casts the stage-1 BIGINT quotient
+    back to DECIMAL(38,0) before the ×10⁸: the quotient is bounded only
+    by Dy (at |ρ|=1), so quotient·10⁸ ≤ 4N³·10⁸ needs decimal headroom
+    — as a BIGINT multiply it would wrap/NULL silently where DuckDB's
+    HUGEINT continues (the r13 failure-mode-divergence class).
 
     Scale: one scan pruned to two columns, one keyed partial-agg
     shuffle to the ≤550-cell grid, margin windows over level frames
-    (the post-agg-tiny-frame exemption), a 1-row answer. Headroom:
-    S ≤ 4N³ keeps S² inside HUGEINT/DECIMAL(38) to N ≈ 10⁹ rows —
-    past that evaluate on a sampled slice (sample statistic) or drop
-    the snap to 10³ on both sides."""
+    (the post-agg-tiny-frame exemption), a 1-row answer. Headroom —
+    worst-case (|ρ|=1, both margins full-spread) the binding terms are
+    S² ≤ Dx·Dy ≤ 16N⁶ in DECIMAL(38)/HUGEINT and the stage-1 quotient
+    S²//Dx ≤ Dy ≤ 4N³ in BIGINT (Spark DIV yields BIGINT), both exact
+    to N ≈ 10⁶ rows; sf0.1's N = 6×10⁵ fits, and real ρ² ≪ 1 stretches
+    both (S² = ρ⁴·Dx·Dy, quotient = ρ²·Dy). The decimal cast matters at
+    FIXED N: without it the ×10⁸ runs in BIGINT and wraps once
+    quotient > 9.2×10¹⁰ — at sf0.1 that is |ρ| only ~3× the sample's.
+    Beyond ~10⁶ rows evaluate on a sampled slice (sample statistic) or
+    rescale the doubled ranks to a coarser grid before squaring."""
     grid = (
         _t(spark, sf_dir, "lineitem")
         .select(
@@ -14519,10 +14529,18 @@ def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dy))
         .select(
             F.col("nn").alias("n_rows"),
+            # the stage-1 quotient DIV returns BIGINT in Spark; cast it
+            # back to DECIMAL(38,0) BEFORE the *1e8 so the intermediate
+            # (<= Dy*1e8 <= 4N^3*1e8) lives in decimal headroom instead
+            # of wrapping/NULLing a BIGINT multiply at |rho| beyond the
+            # sample's (~3x) or at sf1 — the r13 failure-mode-divergence
+            # class (DuckDB's HUGEINT // continues where non-ANSI Spark
+            # wraps silently); value and stage order unchanged
             F.expr(
                 "CAST(CASE WHEN dx > 0 AND dy > 0"
                 " THEN (CASE WHEN s < 0 THEN -1 ELSE 1 END)"
-                " * (((s * s) DIV dx) * 100000000 DIV dy)"
+                " * (CAST((s * s) DIV dx AS DECIMAL(38,0))"
+                "    * 100000000 DIV dy)"
                 " END AS BIGINT)"
             ).alias("rho2_e8_signed"),
         )
