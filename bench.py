@@ -221,6 +221,9 @@ EXTENDED = [
     "dedup_lsh_band_curve",
     "q_orders_runs_test",
     "tf_count_foreach_expansion",
+    # r18-wave additions (drafted in r14; simulation re-run at 4→6)
+    "q_lineitem_mood_median",
+    "docs_zipf_slope",
     # r19-wave starters (drafted in r12)
     "tf_lifecycle_audit",
     "tf_legacy_interpolation_audit",

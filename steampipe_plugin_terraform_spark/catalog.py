@@ -15270,3 +15270,247 @@ def q_lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN (k - 1) * ({fe}) > 5991464 END"
         ).alias("reject_05"),
     )
+
+
+@staged_query(
+    "q_lineitem_mood_median",
+    # Mood's median test as 2×k contingency algebra: one POOLED low
+    # median from the level grid (order-statistics device), per-group
+    # above-median counts a_j, and the χ² independence statistic
+    # collapses (rows = {>m, ≤m}) to χ² = Σ d_j²/(n_j·A·(N−A)) with
+    # d_j = a_j·N − n_j·A — per-group floors d_j²//n_j replayed
+    # identically on both sides (the kruskal device; d² is sign-free so
+    # truncation ≡ floor), then ONE snapped division by A·(N−A) onto
+    # the millionths grid; A = 0, A = N, or a single group emit NULL
+    # per the r13 guard device, and the α=0.05 decision reuses the
+    # re-derived 5991464 = ⌊χ²₀.₉₅(2)·10⁶⌋ constant (emitted only for
+    # k = 3 — the exact quantile depends on df)
+    oracle="""
+    WITH grid AS (SELECT l_returnflag g, CAST(l_quantity AS BIGINT) q,
+                         CAST(count(*) AS BIGINT) n
+                  FROM lineitem GROUP BY 1, 2),
+    lvl AS (SELECT q, CAST(sum(n) AS BIGINT) t FROM grid GROUP BY 1),
+    c AS (SELECT q, CAST(sum(t) OVER (ORDER BY q) AS BIGINT) cum,
+                 CAST(sum(t) OVER () AS BIGINT) nn
+          FROM lvl),
+    m AS (SELECT min(q) m, max(nn) nn FROM c WHERE cum >= (nn + 1) // 2),
+    pg AS (SELECT g, CAST(sum(n) AS BIGINT) n_j,
+                  CAST(sum(CASE WHEN q > m THEN n ELSE 0 END) AS BIGINT) a_j,
+                  max(nn) nn
+           FROM grid, m GROUP BY g),
+    pg2 AS (SELECT g, n_j, a_j, nn,
+                   CAST(sum(a_j) OVER () AS BIGINT) a FROM pg),
+    terms AS (SELECT n_j, a_j, nn, a,
+                     ((a_j::HUGEINT * nn - n_j::HUGEINT * a)
+                      * (a_j::HUGEINT * nn - n_j::HUGEINT * a)) // n_j
+                       AS term
+              FROM pg2),
+    st AS (SELECT CAST(count(*) AS BIGINT) k, max(nn) nn, max(a) a,
+                  CAST(sum(term) AS HUGEINT) s
+           FROM terms)
+    SELECT nn AS n_rows, k AS n_groups, a AS n_above,
+           CAST(CASE WHEN k >= 2 AND a > 0 AND a < nn
+                THEN s * 1000000 // (a::HUGEINT * (nn - a))
+                END AS BIGINT) AS chi2_e6,
+           CASE WHEN k = 3 AND a > 0 AND a < nn
+                THEN s * 1000000 // (a::HUGEINT * (nn - a)) > 5991464
+                END AS reject_05
+    FROM st
+    """,
+)
+def q_lineitem_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's MEDIAN test across the returnflag quantity populations —
+    the k-sample location member that assumes the least (Kruskal–Wallis
+    compares full rank distributions; this only asks "does each group
+    straddle the POOLED median the same way?", the coarsest and most
+    outlier-immune of the location tests — the screen a DQ pipeline
+    runs first because it survives anything with a median). One pooled
+    low median comes off the level grid (order-statistics device, no
+    interpolation and no row sort), the 2×k contingency {> m, ≤ m} ×
+    group collapses algebraically to χ² = Σ_j d_j²/(n_j·A·(N−A)) with
+    d_j = a_j·N − n_j·A (A = total above-median count) — the per-group
+    d_j²//n_j floors are replayed identically on both sides (the
+    kruskal device; d² is sign-free so trunc-toward-zero ≡ floor),
+    then ONE positive snapped division by A·(N−A) onto the millionths
+    grid. Degenerate inputs (single group, or a median so heavy that
+    A = 0 or A = N) yield NULL per the r13 guard device; the α=0.05
+    decision applies the large-N χ²(k−1) quantile via the SAME
+    independently re-derived 5991464 constant the kruskal and
+    brown-forsythe entries pin (df = 2; emitted only for k = 3).
+
+    Scale: one scan pruned to two columns, one keyed partial-agg
+    shuffle to the ≤3×50 grid, cumulative windows over the pooled
+    level frame (post-agg-tiny-frame exemption), a broadcast 1-row
+    median attach, a 1-row answer. Headroom: d_j ≤ n_j·N keeps d_j²
+    ≤ N⁴ inside DECIMAL(38)/HUGEINT to N ≈ 10⁹, and the stage-1
+    BIGINT quotient d_j²//n_j ≤ n_j·N² ≤ N³ binds at N ≈ 2×10⁶
+    worst-case (the spearman class — real d_j ≪ n_j·N stretches it);
+    past that sample (it is a sample test) or coarsen the grid."""
+    grid = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("g", "q")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = (
+        grid.groupBy("q")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .select(
+            "q",
+            F.sum("t").over(wq).cast("long").alias("cum"),
+            F.sum("t").over(wall).cast("long").alias("nn"),
+        )
+        .filter(F.expr("cum >= (nn + 1) DIV 2"))
+        .agg(F.min("q").alias("m"), F.max("nn").alias("nn"))
+    )
+    pg = (
+        grid.crossJoin(F.broadcast(m))
+        .groupBy("g")
+        .agg(
+            F.sum("n").cast("long").alias("n_j"),
+            F.expr(
+                "CAST(sum(CASE WHEN q > m THEN n ELSE 0 END) AS BIGINT)"
+            ).alias("a_j"),
+            F.max("nn").alias("nn"),
+        )
+        .select(
+            "n_j", "a_j", "nn",
+            F.sum("a_j").over(wall).cast("long").alias("a"),
+        )
+    )
+    # stage-1 per-group floor: d² is DECIMAL(38,0); Spark DIV returns
+    # BIGINT, so the quotient is cast straight back to DECIMAL before
+    # the sum (the r14 spearman device — never let a decimal-scale
+    # intermediate ride a BIGINT multiply/sum)
+    st = pg.select(
+        "n_j", "a_j", "nn", "a",
+        F.expr(
+            "CAST((CAST(a_j AS DECIMAL(38,0)) * nn"
+            " - CAST(n_j AS DECIMAL(38,0)) * a)"
+            " * (CAST(a_j AS DECIMAL(38,0)) * nn"
+            "    - CAST(n_j AS DECIMAL(38,0)) * a)"
+            " DIV n_j AS DECIMAL(38,0))"
+        ).alias("term"),
+    ).groupBy("nn", "a").agg(
+        F.count("*").cast("long").alias("k"),
+        F.expr("CAST(sum(term) AS DECIMAL(38,0))").alias("s"),
+    )
+    chi = "s * 1000000 DIV (CAST(a AS DECIMAL(38,0)) * (nn - a))"
+    return st.select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.col("a").alias("n_above"),
+        F.expr(
+            f"CAST(CASE WHEN k >= 2 AND a > 0 AND a < nn THEN {chi}"
+            f" END AS BIGINT)"
+        ).alias("chi2_e6"),
+        F.expr(
+            f"CASE WHEN k = 3 AND a > 0 AND a < nn"
+            f" THEN {chi} > 5991464 END"
+        ).alias("reject_05"),
+    )
+
+
+@staged_query(
+    "docs_zipf_slope",
+    # Zipf/power-law health of the token frequency distribution via the
+    # FREQUENCY SPECTRUM (cnt_f = how many words occur exactly f times;
+    # Zipf exponent s ⇒ spectrum slope −(1+1/s)): exact integer log₂
+    # buckets from binary-string length (length(bin(n))−1 ≡
+    # n.bit_length()−1 — no float log anywhere), unweighted least
+    # squares over the spectrum points with every sum an integer, and
+    # the slope reported through the spearman sign device
+    # sign(num)·(|num|·10⁶ DIV D) — |num| is sign-free so the one
+    # division is positive-floor on both engines; D = 0 (≤1 distinct
+    # x bucket) emits NULL per the r13 guard device
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT word, CAST(count(*) AS BIGINT) f FROM w
+           WHERE word <> '' GROUP BY 1),
+    sp AS (SELECT f, CAST(count(*) AS BIGINT) c FROM wf GROUP BY 1),
+    pts AS (SELECT c, CAST(length(bin(f)) - 1 AS BIGINT) x,
+                   CAST(length(bin(c)) - 1 AS BIGINT) y
+            FROM sp),
+    s AS (SELECT CAST(count(*) AS BIGINT) p, CAST(sum(c) AS BIGINT) nv,
+                 CAST(sum(x) AS HUGEINT) sx, CAST(sum(y) AS HUGEINT) sy,
+                 CAST(sum(x * y) AS HUGEINT) sxy,
+                 CAST(sum(x * x) AS HUGEINT) sxx
+          FROM pts)
+    SELECT nv AS n_vocab, p AS n_points,
+           CAST(CASE WHEN p * sxx - sx * sx > 0
+                THEN (CASE WHEN p * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                     * (abs(p * sxy - sx * sy) * 1000000
+                        // (p * sxx - sx * sx))
+                END AS BIGINT) AS slope_e6_signed
+    FROM s
+    """,
+)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law health check of the corpus token distribution —
+    the vocabulary-shape screen a training pipeline runs next to Heaps
+    growth (`docs_vocab_growth`): natural text keeps a near-Zipfian
+    frequency spectrum, and boilerplate floods, template spam, or
+    tokenizer damage bend it. Measured on the FREQUENCY SPECTRUM
+    (cnt_f vs f — for Zipf exponent s the spectrum is a power law of
+    slope −(1+1/s), ≈ −2 for s = 1) rather than rank-frequency:
+    rank-frequency needs a GLOBAL ordering of the vocabulary (a sort
+    that grows with vocab — the rank-tertile trap), while the spectrum
+    is two keyed aggregations and a frame of ≤ log-many dozens of
+    points. Both axes take EXACT integer log₂ buckets via binary-string
+    length (length(bin(n))−1, identical on both engines — never a
+    float log whose 1-ulp boundary wobble would flip a bucket), the
+    least-squares slope multiplies out to integers (num = P·Σxy −
+    Σx·Σy, D = P·Σx² − (Σx)²), and the answer lands on the millionths
+    grid through the spearman SIGN device: sign(num)·(|num|·10⁶ DIV D)
+    — |num| is sign-free, so the single division is a positive floor
+    replayed identically by both engines (never a negative-numerator
+    truncation divergence). A degenerate spectrum (all frequencies in
+    one log₂ bucket → D = 0) yields NULL per the r13 guard device.
+
+    Scale: one corpus scan pruned to the text column, one vocab-keyed
+    partial-agg shuffle (map-side combine — the same shape as
+    `docs_top_bigrams`), one spectrum-keyed agg (≤ |distinct f|
+    rows, sublinear in vocab), then a 1-row scalar fold; no window, no
+    sort, no collect. Integer headroom is structural: x, y ≤ 63, so
+    every sum fits BIGINT to P ≈ 10¹⁴ spectrum points and the DECIMAL
+    intermediates never approach 10³⁸."""
+    wf = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    sp = wf.groupBy("f").agg(F.count("*").cast("long").alias("c"))
+    pts = sp.select(
+        "c",
+        F.expr("CAST(length(bin(f)) - 1 AS BIGINT)").alias("x"),
+        F.expr("CAST(length(bin(c)) - 1 AS BIGINT)").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("p"),
+        F.sum("c").cast("long").alias("nv"),
+        F.expr("CAST(sum(x) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(sum(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(sum(x * y) AS DECIMAL(38,0))").alias("sxy"),
+        F.expr("CAST(sum(x * x) AS DECIMAL(38,0))").alias("sxx"),
+    )
+    return s.select(
+        F.col("nv").alias("n_vocab"),
+        F.col("p").alias("n_points"),
+        F.expr(
+            "CAST(CASE WHEN p * sxx - sx * sx > 0"
+            " THEN (CASE WHEN p * sxy - sx * sy < 0 THEN -1 ELSE 1 END)"
+            "      * (CAST(abs(p * sxy - sx * sy) AS DECIMAL(38,0))"
+            "         * 1000000 DIV (p * sxx - sx * sx))"
+            " END AS BIGINT)"
+        ).alias("slope_e6_signed"),
+    )

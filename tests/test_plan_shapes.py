@@ -1818,3 +1818,40 @@ def test_brown_forsythe_keyed_windows_no_global_sort(spark):
     for sc in scans:
         cols = [c.split("#")[0] for c in sc.split(",") if c]
         assert set(cols) <= {"l_returnflag", "l_quantity"}, cols
+
+
+def test_mood_median_grid_agg_no_global_sort(spark):
+    # pooled-median windows run over the LEVEL frame (post-agg tiny),
+    # the 1-row median attaches via broadcast (BNLJ, never
+    # CartesianProduct), one pruned scan, no Python anywhere
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_mood_median"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    for sc in scans:
+        cols = [c.split("#")[0] for c in sc.split(",") if c]
+        assert set(cols) <= {"l_returnflag", "l_quantity"}, cols
+
+
+def test_zipf_slope_spectrum_aggs_no_window_no_sort(spark):
+    # two keyed aggs (vocab, then spectrum) and a scalar fold — NO
+    # window, NO sort, NO join: the spectrum design exists precisely to
+    # avoid the global rank-frequency ordering (the rank-tertile trap)
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_zipf_slope"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    cols = [c.split("#")[0] for c in scans[0].split(",") if c]
+    assert set(cols) <= {"text"}, cols

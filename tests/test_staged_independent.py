@@ -2276,3 +2276,102 @@ def test_brown_forsythe_pure_python_and_textbook(spark):
     ) / (nn - k)
     fb = num / den
     assert abs(fb - f_e6 / 1e6) <= max(1e-6 * fb, 2e-6)
+
+
+def test_mood_median_pure_python_and_textbook(spark):
+    """q_lineitem_mood_median two ways: (a) exact bigint replay of the
+    pooled-low-median + 2×k collapse χ² = Σ d_j²/(n_j·A·(N−A))
+    including the per-group d²//n floors; (b) the textbook float χ²
+    over the {>m, ≤m} × group contingency recomputed with expected
+    counts agrees to 1e-5 relative (the k floors lose < k units on
+    ~1e15-scale sums)."""
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    grid: collections.Counter = collections.Counter()
+    for g, q in zip(t["l_returnflag"], t["l_quantity"]):
+        grid[(g, int(q))] += 1
+    lvl: collections.Counter = collections.Counter()
+    for (_g, q), n in grid.items():
+        lvl[q] += n
+    nn = sum(lvl.values())
+    cum, med = 0, None
+    for q in sorted(lvl):
+        cum += lvl[q]
+        if cum >= (nn + 1) // 2:
+            med = q
+            break
+    groups = sorted({g for g, _ in grid})
+    n_j = {g: sum(n for (gg, _q), n in grid.items() if gg == g)
+           for g in groups}
+    a_j = {g: sum(n for (gg, q), n in grid.items() if gg == g and q > med)
+           for g in groups}
+    a, k = sum(a_j.values()), len(groups)
+    s = sum((a_j[g] * nn - n_j[g] * a) ** 2 // n_j[g] for g in groups)
+    chi2_e6 = s * 1_000_000 // (a * (nn - a))
+    rows = _staged(spark, "q_lineitem_mood_median").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_rows"], r["n_groups"], r["n_above"], r["chi2_e6"]) == (
+        nn, k, a, chi2_e6,
+    )
+    assert r["reject_05"] == (chi2_e6 > 5991464)
+    # textbook float χ² from the 2×k contingency with expected counts
+    chi_f = 0.0
+    for g in groups:
+        for obs, row_tot in ((a_j[g], a), (n_j[g] - a_j[g], nn - a)):
+            e = n_j[g] * row_tot / nn
+            chi_f += (obs - e) ** 2 / e
+    assert abs(chi_f - chi2_e6 / 1e6) <= max(1e-5 * chi_f, 2e-6)
+
+
+def test_zipf_slope_pure_python_and_bucket_boundaries(spark):
+    """docs_zipf_slope two ways: (a) exact bigint replay — whitespace
+    Counter → frequency spectrum → bit_length log₂ buckets → integer
+    least squares with the sign device; (b) the binary-string-length
+    bucket device pinned against int.bit_length at every power-of-two
+    boundary up to 2⁶² (the exact points a float log2 could misbucket
+    by 1 ulp)."""
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    words: collections.Counter = collections.Counter()
+    for txt in t["text"].to_pylist():
+        for w in (txt or "").split(" "):
+            if w:
+                words[w] += 1
+    spectrum: collections.Counter = collections.Counter()
+    for f in words.values():
+        spectrum[f] += 1
+    pts = [(f.bit_length() - 1, c.bit_length() - 1)
+           for f, c in spectrum.items()]
+    p = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num, d = p * sxy - sx * sy, p * sxx - sx * sx
+    expect = None
+    if d > 0:
+        expect = (-1 if num < 0 else 1) * (abs(num) * 1_000_000 // d)
+    rows = _staged(spark, "docs_zipf_slope").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_vocab"], r["n_points"], r["slope_e6_signed"]) == (
+        sum(spectrum.values()), p, expect,
+    )
+    # the synthetic corpus has a ~31-word vocabulary and is NOT
+    # Zipfian (spectrum slope comes out slightly positive) — the
+    # screen reporting that honestly is the point; pin only that the
+    # spectrum is non-degenerate so the slope actually computed
+    assert r["slope_e6_signed"] is not None
+    # (b) boundary pin: the Spark-side bucket expression at 2^k and
+    # 2^k − 1 for every k ≤ 62 equals bit_length − 1 exactly
+    vals = [1] + [v for k in range(1, 63) for v in (2**k - 1, 2**k)]
+    df = spark.createDataFrame([(v,) for v in vals], "n: long")
+    got = {
+        r["n"]: r["b"]
+        for r in df.selectExpr(
+            "n", "CAST(length(bin(n)) - 1 AS BIGINT) AS b"
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == v.bit_length() - 1, v
