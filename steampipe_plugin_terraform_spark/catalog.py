@@ -15418,19 +15418,17 @@ def q_lineitem_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
-    "docs_zipf_slope",
-    # Zipf/power-law health of the token frequency distribution via the
-    # FREQUENCY SPECTRUM (cnt_f = how many words occur exactly f times;
-    # Zipf exponent s ⇒ spectrum slope −(1+1/s)): exact integer log₂
-    # buckets from binary-string length (length(bin(n))−1 ≡
-    # n.bit_length()−1 — no float log anywhere), unweighted least
-    # squares over the spectrum points with every sum an integer, and
-    # the slope reported through the spearman sign device
-    # sign(num)·(|num|·10⁶ DIV D) — |num| is sign-free so the one
-    # division is positive-floor on both engines; D = 0 (≤1 distinct
-    # x bucket) emits NULL per the r13 guard device
-    oracle="""
+# Zipf/power-law health via the FREQUENCY SPECTRUM (cnt_f = how many
+# words occur exactly f times; Zipf exponent s ⇒ spectrum slope
+# −(1+1/s)): exact integer log₂ buckets from binary-string length
+# (length(bin(n))−1 ≡ n.bit_length()−1 — no float log anywhere),
+# unweighted least squares over the spectrum points with every sum an
+# integer, and the slope reported through the spearman sign device
+# sign(num)·(|num|·10⁶ DIV D) — |num| is sign-free so the one division
+# is positive-floor on both engines; D = 0 (≤1 distinct x bucket) emits
+# NULL per the r13 guard device. Shared verbatim by the batch entry AND
+# the streaming monitor (the stream≡batch identity device).
+_ZIPF_SLOPE_SQL = """
     WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                FROM documents),
     wf AS (SELECT word, CAST(count(*) AS BIGINT) f FROM w
@@ -15451,8 +15449,41 @@ def q_lineitem_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                         // (p * sxx - sx * sx))
                 END AS BIGINT) AS slope_e6_signed
     FROM s
-    """,
-)
+"""
+
+
+def _zipf_slope_report(wf: DataFrame) -> DataFrame:
+    """Spectrum → exact log₂ buckets → integer least squares, from a
+    per-word frequency frame (column ``f``). Shared by the batch entry
+    and the streaming monitor so the report logic cannot fork."""
+    sp = wf.groupBy("f").agg(F.count("*").cast("long").alias("c"))
+    pts = sp.select(
+        "c",
+        F.expr("CAST(length(bin(f)) - 1 AS BIGINT)").alias("x"),
+        F.expr("CAST(length(bin(c)) - 1 AS BIGINT)").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("p"),
+        F.sum("c").cast("long").alias("nv"),
+        F.expr("CAST(sum(x) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(sum(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(sum(x * y) AS DECIMAL(38,0))").alias("sxy"),
+        F.expr("CAST(sum(x * x) AS DECIMAL(38,0))").alias("sxx"),
+    )
+    return s.select(
+        F.col("nv").alias("n_vocab"),
+        F.col("p").alias("n_points"),
+        F.expr(
+            "CAST(CASE WHEN p * sxx - sx * sx > 0"
+            " THEN (CASE WHEN p * sxy - sx * sy < 0 THEN -1 ELSE 1 END)"
+            "      * (CAST(abs(p * sxy - sx * sy) AS DECIMAL(38,0))"
+            "         * 1000000 DIV (p * sxx - sx * sx))"
+            " END AS BIGINT)"
+        ).alias("slope_e6_signed"),
+    )
+
+
+@staged_query("docs_zipf_slope", oracle=_ZIPF_SLOPE_SQL)
 def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law health check of the corpus token distribution —
     the vocabulary-shape screen a training pipeline runs next to Heaps
@@ -15489,28 +15520,175 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("f"))
     )
-    sp = wf.groupBy("f").agg(F.count("*").cast("long").alias("c"))
-    pts = sp.select(
-        "c",
-        F.expr("CAST(length(bin(f)) - 1 AS BIGINT)").alias("x"),
-        F.expr("CAST(length(bin(c)) - 1 AS BIGINT)").alias("y"),
+    return _zipf_slope_report(wf)
+
+
+@staged_query("stream_zipf_monitor", oracle=_ZIPF_SLOPE_SQL)
+def stream_zipf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zipf health screen as a STREAM: documents arrive (crawl
+    shards landing in object storage) and the per-word counts update
+    as they stream through — the live vocabulary-shape dashboard next
+    to `stream_docs_pipeline_funnel`'s gate counters. Running state is
+    the (word → count) table in complete mode: counts are monotone
+    ADD-merges, so micro-batches fold in exactly like batch partials
+    and no watermark is needed (the `stream_bitmap_distinct` /
+    `stream_overdispersion_monitor` state class — state bounded by
+    VOCABULARY, not stream volume; at 100 TB the state is the same
+    vocab table every corpus statistic materializes, aged out by
+    dropping singleton tails if a boundless vocab ever matters). The
+    spectrum, log₂ buckets, and regression run batch-side over the
+    drained counts via the SHARED `_zipf_slope_report` (the report
+    logic cannot fork from the batch entry), and the oracle is the
+    batch entry's SQL verbatim — the driver checks the stream≡batch
+    identity itself.
+
+    Scale: each micro-batch contributes map-side partial word counts —
+    the identical shuffle shape as the batch vocab agg,
+    incrementalized; the drained spectrum fold is sublinear in vocab
+    (see `docs_zipf_slope`)."""
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
     )
-    s = pts.agg(
-        F.count("*").cast("long").alias("p"),
-        F.sum("c").cast("long").alias("nv"),
-        F.expr("CAST(sum(x) AS DECIMAL(38,0))").alias("sx"),
-        F.expr("CAST(sum(y) AS DECIMAL(38,0))").alias("sy"),
-        F.expr("CAST(sum(x * y) AS DECIMAL(38,0))").alias("sxy"),
-        F.expr("CAST(sum(x * x) AS DECIMAL(38,0))").alias("sxx"),
+    wf = (
+        src.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
     )
-    return s.select(
-        F.col("nv").alias("n_vocab"),
-        F.col("p").alias("n_points"),
+    t = _drain_memory_sink(spark, wf, "stream_zipf_monitor", "complete")
+    return _zipf_slope_report(t)
+
+
+@staged_query(
+    "docs_source_drift_chi2",
+    # χ² INDEPENDENCE of the source × lang contingency, the corpus-mix
+    # drift screen: the full margin spine (sources × langs cross of two
+    # post-agg tiny frames) prices ABSENT cells algebraically (O = 0 →
+    # d = −R·C — the real corpus has genuinely empty cells, so the
+    # zero-cell path is exercised, not decorative); per-cell
+    # (O·N − R·C)²·10⁶ // (R·C·N) floors replayed identically on both
+    # sides (the kruskal device; d² is sign-free), summed to χ²·10⁶.
+    # Empty corpus emits NULL per the r13 guard device; the α=0.05
+    # decision uses ⌊χ²₀.₉₅(76)·10⁶⌋ = 97350970, re-derived from the
+    # closed-form even-df CDF by bisection in the independent test (df
+    # = 76 because the corpus is 20 sources × 5 langs; emitted only at
+    # that df — the exact quantile depends on the table shape)
+    oracle="""
+    WITH grid AS (SELECT source, lang, CAST(count(*) AS BIGINT) o
+                  FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, CAST(sum(o) AS BIGINT) rt FROM grid GROUP BY 1),
+    c AS (SELECT lang, CAST(sum(o) AS BIGINT) ct FROM grid GROUP BY 1),
+    tot AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) nn FROM grid),
+    cells AS (SELECT r.source, c.lang, r.rt, c.ct, nn,
+                     CAST(coalesce(g.o, 0) AS BIGINT) o
+              FROM r CROSS JOIN c CROSS JOIN tot
+              LEFT JOIN grid g ON g.source = r.source AND g.lang = c.lang),
+    terms AS (SELECT source, lang, nn,
+                     ((o::HUGEINT * nn - rt::HUGEINT * ct)
+                      * (o::HUGEINT * nn - rt::HUGEINT * ct) * 1000000)
+                       // (rt::HUGEINT * ct * nn) AS term
+              FROM cells),
+    st AS (SELECT max(nn) nn,
+                  CAST(count(DISTINCT source) AS BIGINT) ns,
+                  CAST(count(DISTINCT lang) AS BIGINT) nl,
+                  CAST(sum(term) AS HUGEINT) s
+           FROM terms)
+    SELECT nn AS n_docs, ns AS n_sources, nl AS n_langs,
+           CAST(CASE WHEN nn > 0 THEN s END AS BIGINT) AS chi2_e6,
+           CASE WHEN nn > 0 AND (ns - 1) * (nl - 1) = 76
+                THEN s > 97350970 END AS reject_05
+    FROM st
+    """,
+)
+def docs_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift screen: χ² INDEPENDENCE of the source × lang
+    contingency — "did some crawl source shift its language mix?", the
+    significance test behind the `docs_source_mix` report (the report
+    shows shares; this says whether the differences exceed chance).
+    Third χ² species in the battery: `q_lineitem_flag_status_chi2` is
+    2×2 independence with all cells present, `q_orders_dow_chi2` is
+    one-margin goodness-of-fit — this is r×k independence over a spine
+    with genuinely ABSENT cells, priced algebraically via the full
+    margin cross (O = 0 → d = −R·C; the synthetic corpus has empty
+    (source, lang) cells, so the path is exercised). Per-cell
+    (O·N − R·C)²·10⁶ // (R·C·N) floors are replayed identically on
+    both engines (the kruskal device — d² is sign-free so
+    trunc-toward-zero ≡ floor), and χ²·10⁶ is their exact sum — never
+    a float. An empty corpus yields NULL per the r13 guard device; the
+    α=0.05 decision applies ⌊χ²₀.₉₅(76)·10⁶⌋ = 97350970 (re-derived
+    from the closed-form even-df χ² CDF by bisection in the
+    independent test — the re-derived-constants device; emitted only
+    when (ns−1)·(nl−1) = 76 since the quantile depends on df).
+
+    Scale: one scan pruned to two metadata columns, one keyed
+    partial-agg shuffle to the ≤(sources×langs) grid (map-side
+    combine), margins and spine entirely over post-agg tiny frames
+    (broadcast crosses — BNLJ, never CartesianProduct), a 1-row
+    answer. Headroom: d ≤ N² keeps d²·10⁶ inside DECIMAL(38)/HUGEINT
+    to N ≈ 10⁸ documents; per-cell quotients ≤ χ²·10⁶ ≤ N·10⁶ fit
+    BIGINT to N ≈ 9×10¹² — past 10⁸ docs drop the snap to 10³ on both
+    sides or sample."""
+    grid = (
+        _t(spark, sf_dir, "documents")
+        .select("source", "lang")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("o"))
+        # eager localCheckpoint, NEVER .persist() (cache-manager
+        # plan-matching contaminates sibling entries' pinned plans);
+        # 4 reuses (both margins, the total, the spine join) — at the
+        # measured break-even
+        .localCheckpoint(eager=True)
+    )
+    r = grid.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    c = grid.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
+    tot = grid.agg(
+        F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("nn")
+    )
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(grid), ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "rt",
+            "ct",
+            "nn",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    # per-cell floor: d² rides DECIMAL(38,0); Spark DIV returns BIGINT,
+    # cast straight back to DECIMAL before the sum (the r14 spearman
+    # device)
+    st = cells.select(
+        "source",
+        "lang",
+        "nn",
         F.expr(
-            "CAST(CASE WHEN p * sxx - sx * sx > 0"
-            " THEN (CASE WHEN p * sxy - sx * sy < 0 THEN -1 ELSE 1 END)"
-            "      * (CAST(abs(p * sxy - sx * sy) AS DECIMAL(38,0))"
-            "         * 1000000 DIV (p * sxx - sx * sx))"
-            " END AS BIGINT)"
-        ).alias("slope_e6_signed"),
+            "CAST((CAST(o AS DECIMAL(38,0)) * nn"
+            " - CAST(rt AS DECIMAL(38,0)) * ct)"
+            " * (CAST(o AS DECIMAL(38,0)) * nn"
+            "    - CAST(rt AS DECIMAL(38,0)) * ct)"
+            " * 1000000 DIV (CAST(rt AS DECIMAL(38,0)) * ct * nn)"
+            " AS DECIMAL(38,0))"
+        ).alias("term"),
+    ).agg(
+        F.max("nn").alias("nn"),
+        F.countDistinct("source").cast("long").alias("ns"),
+        F.countDistinct("lang").cast("long").alias("nl"),
+        F.expr("CAST(sum(term) AS DECIMAL(38,0))").alias("s"),
+    )
+    return st.select(
+        F.col("nn").alias("n_docs"),
+        F.col("ns").alias("n_sources"),
+        F.col("nl").alias("n_langs"),
+        F.expr("CAST(CASE WHEN nn > 0 THEN s END AS BIGINT)").alias(
+            "chi2_e6"
+        ),
+        F.expr(
+            "CASE WHEN nn > 0 AND (ns - 1) * (nl - 1) = 76"
+            " THEN s > 97350970 END"
+        ).alias("reject_05"),
     )

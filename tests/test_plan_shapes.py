@@ -1855,3 +1855,32 @@ def test_zipf_slope_spectrum_aggs_no_window_no_sort(spark):
     assert len(scans) == 1
     cols = [c.split("#")[0] for c in scans[0].split(",") if c]
     assert set(cols) <= {"text"}, cols
+
+
+def test_source_drift_chi2_broadcast_spine_no_cartesian(spark):
+    # the margin spine is two broadcast crosses of post-agg tiny frames
+    # (BNLJ, never CartesianProduct) plus a broadcast left join pricing
+    # absent cells; one pruned scan feeds the localCheckpointed grid
+    # (4 reuses — the measured break-even), so the FINAL plan carries
+    # no FileScan; no Python, no sort-merge
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_source_drift_chi2"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert not re.findall(r"FileScan parquet", plan)
+
+
+def test_stream_zipf_monitor_drained_report_shape(spark):
+    # the drained (word -> count) state feeds the SHARED spectrum
+    # report: no cartesian, no Python, no window — same pins as the
+    # batch entry's report stage
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_zipf_monitor"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan

@@ -2375,3 +2375,74 @@ def test_zipf_slope_pure_python_and_bucket_boundaries(spark):
     }
     for v in vals:
         assert got[v] == v.bit_length() - 1, v
+
+
+def test_source_drift_chi2_pure_python_textbook_and_constant(spark):
+    """docs_source_drift_chi2 three ways: (a) exact bigint replay over
+    the FULL margin spine including absent cells; (b) textbook float χ²
+    with expected counts agrees to 1e-5 relative; (c) the 97350970
+    decision constant re-derived from the closed-form even-df χ² CDF by
+    bisection (df = 76 — no scipy anywhere)."""
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["source", "lang"]
+    )
+    grid = collections.Counter(
+        zip(t["source"].to_pylist(), t["lang"].to_pylist())
+    )
+    rt = collections.Counter()
+    ct = collections.Counter()
+    for (s_, l_), n in grid.items():
+        rt[s_] += n
+        ct[l_] += n
+    nn = sum(grid.values())
+    s = 0
+    for src in rt:
+        for lg in ct:  # the FULL spine — absent cells contribute too
+            o = grid.get((src, lg), 0)
+            d = o * nn - rt[src] * ct[lg]
+            s += d * d * 1_000_000 // (rt[src] * ct[lg] * nn)
+    rows = _staged(spark, "docs_source_drift_chi2").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["n_sources"], r["n_langs"], r["chi2_e6"]) == (
+        nn, len(rt), len(ct), s,
+    )
+    df_ = (len(rt) - 1) * (len(ct) - 1)
+    assert df_ == 76 and r["reject_05"] == (s > 97350970)
+    # (b) textbook float form
+    chi_f = sum(
+        (grid.get((src, lg), 0) - rt[src] * ct[lg] / nn) ** 2
+        / (rt[src] * ct[lg] / nn)
+        for src in rt
+        for lg in ct
+    )
+    assert abs(chi_f - s / 1e6) <= max(1e-5 * chi_f, 2e-6)
+    # (c) re-derive floor(chi2_0.95(76) * 1e6) via the closed-form
+    # even-df CDF: P(X <= x) = 1 - exp(-x/2) * sum_{i<38} (x/2)^i / i!
+    def cdf(x: float) -> float:
+        acc, term = 0.0, 1.0
+        for i in range(38):
+            if i:
+                term *= (x / 2) / i
+            acc += term
+        return 1 - math.exp(-x / 2) * acc
+
+    lo, hi = 0.0, 500.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if cdf(mid) < 0.95:
+            lo = mid
+        else:
+            hi = mid
+    assert math.floor(lo * 1e6) == 97350970
+
+
+def test_stream_zipf_equals_batch_zipf(spark):
+    """stream_zipf_monitor ≡ docs_zipf_slope on the same corpus — the
+    stream≡batch identity (complete-mode word counts are monotone
+    ADD-merges), checked on actual rows, not SQL."""
+    batch = _staged(spark, "docs_zipf_slope").collect()
+    stream = _staged(spark, "stream_zipf_monitor").collect()
+    assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
