@@ -15398,7 +15398,14 @@ def q_lineitem_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    - CAST(n_j AS DECIMAL(38,0)) * a)"
             " DIV n_j AS DECIMAL(38,0))"
         ).alias("term"),
-    ).groupBy("nn", "a").agg(
+    ).agg(
+        # GLOBAL agg (not groupBy on the constant nn/a): one row comes
+        # out even on a degenerate empty input, matching the oracle's
+        # ungrouped aggregate exactly (a grouped agg would emit ZERO
+        # rows on empty where DuckDB's global agg emits one NULL row —
+        # an empty-input row-count divergence)
+        F.max("nn").alias("nn"),
+        F.max("a").alias("a"),
         F.count("*").cast("long").alias("k"),
         F.expr("CAST(sum(term) AS DECIMAL(38,0))").alias("s"),
     )

@@ -178,3 +178,82 @@ def test_brown_forsythe_all_tied_groups_null_f(spark, tmp_path):
     )
     assert len(rows) == 1
     assert rows[0]["f_e6"] is None and rows[0]["reject_05"] is None
+
+
+def test_mood_median_all_above_impossible_a_zero_nulls_chi2(spark, tmp_path):
+    # every quantity identical → pooled low median = that value → no row
+    # is strictly above it → A = 0 → chi2_e6 and reject_05 NULL on both
+    # sides (DuckDB would raise on // (a * (nn - a)) without the guard)
+    rows = _run(
+        spark, tmp_path, "q_lineitem_mood_median",
+        {"lineitem": _lineitem([(5.0, "F", "A", 0.0), (5.0, "O", "N", 0.0),
+                                (5.0, "F", "R", 0.0), (5.0, "O", "A", 0.0)])},
+    )
+    assert len(rows) == 1
+    assert rows[0]["n_above"] == 0
+    assert rows[0]["chi2_e6"] is None and rows[0]["reject_05"] is None
+
+
+def test_mood_median_empty_lineitem_one_null_row(spark, tmp_path):
+    # empty input: the GLOBAL aggregate (deliberately not a groupBy on
+    # the constant keys) emits ONE all-NULL row on BOTH engines — the
+    # empty-input row-count agreement the global-agg shape exists for
+    rows = _run(
+        spark, tmp_path, "q_lineitem_mood_median",
+        {"lineitem": _lineitem([])},
+    )
+    assert len(rows) == 1
+    assert rows[0]["n_rows"] is None and rows[0]["chi2_e6"] is None
+
+
+def test_zipf_slope_single_bucket_spectrum_nulls_slope(spark, tmp_path):
+    # every word occurs exactly once → one spectrum point → D = 0 →
+    # slope NULL on both sides (the ≤1-distinct-x guard)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["alpha beta gamma"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["s"], pa.string()),
+            "n_chars": pa.array([16], pa.int64()),
+        }
+    )
+    rows = _run(spark, tmp_path, "docs_zipf_slope", {"documents": docs})
+    assert len(rows) == 1
+    assert rows[0]["n_points"] == 1
+    assert rows[0]["slope_e6_signed"] is None
+
+
+def test_source_drift_empty_documents_one_null_row(spark, tmp_path):
+    # empty corpus: margins empty → the global aggregate emits one row
+    # with NULL n_docs / chi2_e6 / reject_05 on BOTH sides
+    docs = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    rows = _run(spark, tmp_path, "docs_source_drift_chi2", {"documents": docs})
+    assert len(rows) == 1
+    assert rows[0]["chi2_e6"] is None and rows[0]["reject_05"] is None
+    assert (rows[0]["n_sources"], rows[0]["n_langs"]) == (0, 0)
+
+
+def test_source_drift_single_source_zero_chi2(spark, tmp_path):
+    # one source → every cell equals its lang margin → every d = 0 →
+    # chi2 exactly 0 (not NULL); df = 0 ≠ 76 → reject_05 NULL
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a", "b", "c"], pa.string()),
+            "lang": pa.array(["en", "fr", "en"], pa.string()),
+            "source": pa.array(["s0", "s0", "s0"], pa.string()),
+            "n_chars": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    rows = _run(spark, tmp_path, "docs_source_drift_chi2", {"documents": docs})
+    assert len(rows) == 1
+    assert rows[0]["chi2_e6"] == 0 and rows[0]["reject_05"] is None
