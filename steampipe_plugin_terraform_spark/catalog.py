@@ -15699,3 +15699,191 @@ def docs_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN s > 97350970 END"
         ).alias("reject_05"),
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division for b > 0 — the exact
+    semantics BOTH engines share (Spark DIV and DuckDB // truncate
+    toward zero; Python's // floors toward −inf, which diverges on
+    negative numerators — the power-iteration rescale divides signed
+    components, so the replay must truncate, not floor)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _cov_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The corpus-sized half of `emb_cov_top_eigen`: milli-quantized
+    column sums (posexplode agg, 64 rows) and the integer Gram matrix
+    (Arrow-batched mapInPandas BLAS partials, 4096 rows) — split out so
+    the plan shape is pinnable in tests."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = emb.select(
+        F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "i",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+        ).alias("qi"),
+    )
+    svec = qrows.groupBy("i").agg(F.sum("qi").alias("si"))
+
+    def gram(batches):
+        acc = np.zeros((64, 64), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 1000.0
+                + 0.5
+            ).astype(np.int64)
+            acc += q.T @ q
+        if not seen:
+            return
+        ii, jj = np.indices((64, 64))
+        yield pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "p": acc.ravel()}
+        )
+
+    gdf = (
+        emb.select("embedding")
+        .mapInPandas(gram, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sij"))
+    )
+    return svec, gdf
+
+
+@staged_query(
+    "emb_cov_top_eigen",
+    # top covariance eigenvalue via 3 unrolled power-iteration steps on
+    # the INTEGER matrix M = N·Σqqᵀ − ssᵀ (= N²·Cov of the milli-unit
+    # quantized embeddings — exact, no floored means): q = floor(x·10³
+    # + 0.5) per element makes every corpus sum an order-free integer
+    # (a float Σ over N rows would differ between engines' partial-sum
+    # orders); each step rescales by greatest(max|w| // 1000, 1) —
+    # trunc-toward-zero on SIGNED components, identical on both
+    # engines; Rayleigh λ̂ = (vᵀMv // vᵀv) // N², energy share
+    # (vᵀMv // vᵀv)·10⁴ // trace(M); M = 0 (all vectors identical →
+    # den = 0) and the empty corpus emit NULL per the r13 guard device
+    oracle="""
+    WITH q AS (SELECT vec_id, i,
+                      CAST(floor(embedding[i] * 1000 + 0.5) AS BIGINT) qi
+               FROM embeddings, range(1, 65) r(i)),
+    n AS (SELECT CAST(count(*) AS BIGINT) nn FROM embeddings),
+    s AS (SELECT i, CAST(sum(qi) AS HUGEINT) si FROM q GROUP BY i),
+    g AS (SELECT a.i, b.i AS j, CAST(sum(a.qi * b.qi) AS HUGEINT) sij
+          FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+    m AS (SELECT g.i, g.j, nn * g.sij - sa.si * sb.si AS mv
+          FROM g CROSS JOIN n
+          JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j),
+    tr AS (SELECT CAST(sum(mv) AS HUGEINT) t FROM m WHERE i = j),
+    w1 AS (SELECT i, CAST(sum(mv) AS HUGEINT) w FROM m GROUP BY i),
+    c1 AS (SELECT greatest(max(abs(w)) // 1000, 1) sc FROM w1),
+    v1 AS (SELECT i, w // sc AS v FROM w1, c1),
+    w2 AS (SELECT m.i, CAST(sum(m.mv * v1.v) AS HUGEINT) w
+           FROM m JOIN v1 ON v1.i = m.j GROUP BY m.i),
+    c2 AS (SELECT greatest(max(abs(w)) // 1000, 1) sc FROM w2),
+    v2 AS (SELECT i, w // sc AS v FROM w2, c2),
+    w3 AS (SELECT m.i, CAST(sum(m.mv * v2.v) AS HUGEINT) w
+           FROM m JOIN v2 ON v2.i = m.j GROUP BY m.i),
+    c3 AS (SELECT greatest(max(abs(w)) // 1000, 1) sc FROM w3),
+    v3 AS (SELECT i, w // sc AS v FROM w3, c3),
+    w4 AS (SELECT m.i, CAST(sum(m.mv * v3.v) AS HUGEINT) w
+           FROM m JOIN v3 ON v3.i = m.j GROUP BY m.i),
+    ray AS (SELECT CAST(sum(v3.v * w4.w) AS HUGEINT) num,
+                   CAST(sum(v3.v * v3.v) AS HUGEINT) den
+            FROM v3 JOIN w4 ON w4.i = v3.i)
+    SELECT nn AS n_vecs,
+           CAST(CASE WHEN den > 0 THEN (num // den) // (nn * nn)
+                END AS BIGINT) AS top_eigen_e6,
+           CAST(CASE WHEN nn > 0 THEN t // (nn * nn)
+                END AS BIGINT) AS trace_e6,
+           CAST(CASE WHEN den > 0 AND t > 0
+                THEN ((num // den) * 10000) // t
+                END AS BIGINT) AS top_energy_bp
+    FROM n LEFT JOIN ray ON TRUE LEFT JOIN tr ON TRUE
+    """,
+)
+def emb_cov_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-collapse screen: the top eigenvalue of the corpus
+    covariance and its share of total variance — anisotropy/"dimension
+    collapse" is the classic failure of a degrading embedding model
+    (all vectors drift into a cone; one direction swallows the energy),
+    and top-eigen share is its standard detector next to the per-axis
+    `emb_dim_stats`. Everything is integer-exact: elements quantize to
+    milli-units (q = floor(x·10³ + 0.5) — float32→float64 widening is
+    exact and the single multiply-add is the same IEEE op on every
+    engine), so M = N·Σqqᵀ − ssᵀ = N²·Cov(q) is an exact 64×64 integer
+    matrix whose corpus sums are ORDER-FREE (a float Σ over N rows
+    would differ across engines' partial-sum orders — the hazard the
+    quantize-first design removes). Three power-iteration steps from
+    the all-ones vector run on the bounded 64×64 grid with a
+    trunc-toward-zero rescale (greatest(max|w| // 1000, 1)) per step —
+    Spark DIV, DuckDB //, and the driver's `_tdiv` all truncate toward
+    zero on the signed components, replayed identically; the Rayleigh
+    quotient then reports λ̂ and its trace share through the documented
+    staged divisions. M = 0 (all vectors identical) or an empty corpus
+    yield NULL per the r13 guard device. λ̂ is a ≤-λ_max estimate
+    (Rayleigh), tight when one direction dominates — exactly the
+    regime the screen exists to flag.
+
+    Scale: the ONLY corpus-sized work is one Arrow-batched mapInPandas
+    pass computing per-partition integer Gram partials with a BLAS
+    matmul (Qᵀ Q per batch — the sanctioned dense-linear-algebra path;
+    4096-row partials per partition, map-side combinable) plus one
+    posexplode agg for the 64 column sums; the 64×64 collect is the
+    bounded-collect class (corpus-independent, like `_kmeans16`
+    centroids) and the iteration is driver-side O(d²) arithmetic on
+    exact Python ints. Headroom: |q| ≤ 10³ ⇒ |M| ≤ 2N²·10⁶ — BIGINT
+    partials to N ≈ 3·10⁶ per partition and DECIMAL/HUGEINT/Python-int
+    everywhere after; at larger N shard the Gram into more partitions
+    (partials stay int64-safe per batch) — the driver never sees more
+    than 4096 cells."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    svec, gdf = _cov_frames(emb)
+    # bounded collects: 64 column sums + the 64×64 Gram (corpus-
+    # independent — the _kmeans16 centroid class) + one count
+    n = emb.count()
+    s = [0] * 64
+    for r in svec.collect():
+        s[r["i"]] = r["si"]
+    gm = {(r["i"], r["j"]): r["sij"] for r in gdf.collect()}
+    out_schema = (
+        "n_vecs long, top_eigen_e6 long, trace_e6 long, top_energy_bp long"
+    )
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None, None)], out_schema
+        )
+    m = [
+        [n * gm.get((i, j), 0) - s[i] * s[j] for j in range(64)]
+        for i in range(64)
+    ]
+    tr = sum(m[i][i] for i in range(64))
+    v = [1] * 64
+    for _ in range(3):
+        w = [sum(m[i][j] * v[j] for j in range(64)) for i in range(64)]
+        sc = max(max(abs(x) for x in w) // 1000, 1)
+        v = [_tdiv(x, sc) for x in w]
+    den = sum(x * x for x in v)
+    if den == 0:
+        return spark.createDataFrame(
+            [(n, None, _tdiv(tr, n * n) if n > 0 else None, None)],
+            out_schema,
+        )
+    w4 = [sum(m[i][j] * v[j] for j in range(64)) for i in range(64)]
+    num = sum(v[i] * w4[i] for i in range(64))
+    r1 = num // den  # num ≥ 0 (M is PSD), so trunc ≡ floor
+    return spark.createDataFrame(
+        [(
+            n,
+            r1 // (n * n),
+            tr // (n * n),
+            (r1 * 10000) // tr if tr > 0 else None,
+        )],
+        out_schema,
+    )

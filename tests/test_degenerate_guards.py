@@ -257,3 +257,37 @@ def test_source_drift_single_source_zero_chi2(spark, tmp_path):
     rows = _run(spark, tmp_path, "docs_source_drift_chi2", {"documents": docs})
     assert len(rows) == 1
     assert rows[0]["chi2_e6"] == 0 and rows[0]["reject_05"] is None
+
+
+def _embeddings(vectors) -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array(range(1, len(vectors) + 1), pa.int64()),
+            "embedding": pa.array(vectors, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vectors), pa.int32()),
+        }
+    )
+
+
+def test_cov_top_eigen_identical_vectors_null_eigen(spark, tmp_path):
+    # all vectors identical → M = N·Σqqᵀ − ssᵀ = 0 → every power step
+    # is 0 → den = 0 → top_eigen_e6 / top_energy_bp NULL on both sides
+    # while trace_e6 reports exactly 0
+    v = [0.25] * 64
+    rows = _run(
+        spark, tmp_path, "emb_cov_top_eigen",
+        {"embeddings": _embeddings([v, v, v])},
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_vecs"] == 3 and r["trace_e6"] == 0
+    assert r["top_eigen_e6"] is None and r["top_energy_bp"] is None
+
+
+def test_cov_top_eigen_empty_embeddings_null_row(spark, tmp_path):
+    rows = _run(
+        spark, tmp_path, "emb_cov_top_eigen", {"embeddings": _embeddings([])},
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_vecs"] == 0 and r["top_eigen_e6"] is None

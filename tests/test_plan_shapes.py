@@ -1884,3 +1884,27 @@ def test_stream_zipf_monitor_drained_report_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_cov_gram_mapinpandas_pruned_scan(spark):
+    # the only corpus-sized work in emb_cov_top_eigen: the Gram pass is
+    # ONE Arrow-batched mapInPandas (sanctioned dense-linear-algebra
+    # path) over a scan pruned to the embedding column, combined with a
+    # 4096-key agg; the column-sum leg is a JVM-side posexplode agg —
+    # no row-at-a-time Python, no cartesian anywhere
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import _cov_frames, _t
+
+    emb = _t(spark, SF, "embeddings").select("vec_id", "embedding")
+    svec, gdf = _cov_frames(emb)
+    gplan = _plan_df(gdf)
+    assert "MapInPandas" in gplan
+    assert "BatchEvalPython" not in gplan
+    assert "CartesianProduct" not in gplan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", gplan)
+    assert len(scans) == 1
+    cols = [c.split("#")[0] for c in scans[0].split(",") if c]
+    assert set(cols) <= {"embedding"}, cols
+    splan = _plan_df(svec)
+    assert "BatchEvalPython" not in splan and "MapInPandas" not in splan
