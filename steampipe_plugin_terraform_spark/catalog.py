@@ -15568,21 +15568,21 @@ def stream_zipf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _zipf_slope_report(t)
 
 
-@staged_query(
-    "docs_source_drift_chi2",
-    # χ² INDEPENDENCE of the source × lang contingency, the corpus-mix
-    # drift screen: the full margin spine (sources × langs cross of two
-    # post-agg tiny frames) prices ABSENT cells algebraically (O = 0 →
-    # d = −R·C — the real corpus has genuinely empty cells, so the
-    # zero-cell path is exercised, not decorative); per-cell
-    # (O·N − R·C)²·10⁶ // (R·C·N) floors replayed identically on both
-    # sides (the kruskal device; d² is sign-free), summed to χ²·10⁶.
-    # Empty corpus emits NULL per the r13 guard device; the α=0.05
-    # decision uses ⌊χ²₀.₉₅(76)·10⁶⌋ = 97350970, re-derived from the
-    # closed-form even-df CDF by bisection in the independent test (df
-    # = 76 because the corpus is 20 sources × 5 langs; emitted only at
-    # that df — the exact quantile depends on the table shape)
-    oracle="""
+# χ² INDEPENDENCE of the source × lang contingency, the corpus-mix
+# drift screen: the full margin spine (sources × langs cross of two
+# post-agg tiny frames) prices ABSENT cells algebraically (O = 0 →
+# d = −R·C — the real corpus has genuinely empty cells, so the
+# zero-cell path is exercised, not decorative); per-cell
+# (O·N − R·C)²·10⁶ // (R·C·N) floors replayed identically on both
+# sides (the kruskal device; d² is sign-free), summed to χ²·10⁶.
+# Empty corpus emits NULL per the r13 guard device; the α=0.05
+# decision uses ⌊χ²₀.₉₅(76)·10⁶⌋ = 97350970, re-derived from the
+# closed-form even-df CDF by bisection in the independent test (df
+# = 76 because the corpus is 20 sources × 5 langs; emitted only at
+# that df — the exact quantile depends on the table shape). Shared
+# verbatim by the batch entry AND the streaming monitor (the
+# stream≡batch identity device).
+_SOURCE_DRIFT_SQL = """
     WITH grid AS (SELECT source, lang, CAST(count(*) AS BIGINT) o
                   FROM documents GROUP BY 1, 2),
     r AS (SELECT source, CAST(sum(o) AS BIGINT) rt FROM grid GROUP BY 1),
@@ -15607,8 +15607,84 @@ def stream_zipf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN nn > 0 AND (ns - 1) * (nl - 1) = 76
                 THEN s > 97350970 END AS reject_05
     FROM st
-    """,
-)
+"""
+
+
+def _source_drift_report(grid: DataFrame) -> DataFrame:
+    """Margins → full spine → per-cell floored χ² terms → 1-row fold,
+    from a (source, lang, o) count frame. Shared by the batch entry and
+    the streaming monitor so the report logic cannot fork. The input
+    frame is reused four times (both margins, the total, the spine
+    join) — the batch entry localCheckpoints it; the stream passes the
+    drained in-memory sink, which re-reads for free."""
+    r = grid.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    c = grid.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
+    tot = grid.agg(
+        F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("nn")
+    )
+    # fresh aliases for the observation side: margins AND the probe
+    # derive from the SAME input frame, and without re-aliased exprIds
+    # the spine⋈grid join is a self-join with conflicting attributes
+    # (bites when the input is a drained memory-sink view)
+    gobs = grid.select(
+        F.col("source").alias("g_source"),
+        F.col("lang").alias("g_lang"),
+        F.col("o").alias("g_o"),
+    )
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(gobs),
+            (F.col("source") == F.col("g_source"))
+            & (F.col("lang") == F.col("g_lang")),
+            "left",
+        )
+        .select(
+            "source",
+            "lang",
+            "rt",
+            "ct",
+            "nn",
+            F.coalesce(F.col("g_o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    # per-cell floor: d² rides DECIMAL(38,0); Spark DIV returns BIGINT,
+    # cast straight back to DECIMAL before the sum (the r14 spearman
+    # device)
+    st = cells.select(
+        "source",
+        "lang",
+        "nn",
+        F.expr(
+            "CAST((CAST(o AS DECIMAL(38,0)) * nn"
+            " - CAST(rt AS DECIMAL(38,0)) * ct)"
+            " * (CAST(o AS DECIMAL(38,0)) * nn"
+            "    - CAST(rt AS DECIMAL(38,0)) * ct)"
+            " * 1000000 DIV (CAST(rt AS DECIMAL(38,0)) * ct * nn)"
+            " AS DECIMAL(38,0))"
+        ).alias("term"),
+    ).agg(
+        F.max("nn").alias("nn"),
+        F.countDistinct("source").cast("long").alias("ns"),
+        F.countDistinct("lang").cast("long").alias("nl"),
+        F.expr("CAST(sum(term) AS DECIMAL(38,0))").alias("s"),
+    )
+    return st.select(
+        F.col("nn").alias("n_docs"),
+        F.col("ns").alias("n_sources"),
+        F.col("nl").alias("n_langs"),
+        F.expr("CAST(CASE WHEN nn > 0 THEN s END AS BIGINT)").alias(
+            "chi2_e6"
+        ),
+        F.expr(
+            "CASE WHEN nn > 0 AND (ns - 1) * (nl - 1) = 76"
+            " THEN s > 97350970 END"
+        ).alias("reject_05"),
+    )
+
+
+@staged_query("docs_source_drift_chi2", oracle=_SOURCE_DRIFT_SQL)
 def docs_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mix drift screen: χ² INDEPENDENCE of the source × lang
     contingency — "did some crawl source shift its language mix?", the
@@ -15648,57 +15724,41 @@ def docs_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured break-even
         .localCheckpoint(eager=True)
     )
-    r = grid.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
-    c = grid.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
-    tot = grid.agg(
-        F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("nn")
+    return _source_drift_report(grid)
+
+
+@staged_query("stream_source_drift_monitor", oracle=_SOURCE_DRIFT_SQL)
+def stream_source_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-mix drift screen as a STREAM: documents arrive and
+    the (source, lang) contingency updates as they land — the live
+    "did a crawl source shift its language mix" alarm next to
+    `stream_zipf_monitor` and `stream_docs_pipeline_funnel`. Running
+    state is the (source, lang) → count grid in complete mode: counts
+    are monotone ADD-merges, micro-batches fold in like batch partials,
+    no watermark needed (state bounded by sources × langs — SPINE-sized,
+    the `stream_overdispersion_monitor` state class, far smaller than
+    the vocab-bounded zipf state). Margins, the absent-cell spine, the
+    per-cell floored χ² terms, and the df-pinned decision all run
+    batch-side over the drained grid through the SHARED
+    `_source_drift_report` (the report logic cannot fork from the batch
+    entry), and the oracle is the batch entry's SQL verbatim — the
+    driver checks the stream≡batch identity itself.
+
+    Scale: each micro-batch contributes map-side partial (source, lang)
+    counts — the identical shuffle shape as the batch grid agg,
+    incrementalized; everything after the drain is spine-sized."""
+    src = (
+        spark.readStream.schema("doc_id long, source string, lang string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
     )
-    cells = (
-        r.crossJoin(F.broadcast(c))
-        .crossJoin(F.broadcast(tot))
-        .join(F.broadcast(grid), ["source", "lang"], "left")
-        .select(
-            "source",
-            "lang",
-            "rt",
-            "ct",
-            "nn",
-            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
-        )
+    grid = src.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("o")
     )
-    # per-cell floor: d² rides DECIMAL(38,0); Spark DIV returns BIGINT,
-    # cast straight back to DECIMAL before the sum (the r14 spearman
-    # device)
-    st = cells.select(
-        "source",
-        "lang",
-        "nn",
-        F.expr(
-            "CAST((CAST(o AS DECIMAL(38,0)) * nn"
-            " - CAST(rt AS DECIMAL(38,0)) * ct)"
-            " * (CAST(o AS DECIMAL(38,0)) * nn"
-            "    - CAST(rt AS DECIMAL(38,0)) * ct)"
-            " * 1000000 DIV (CAST(rt AS DECIMAL(38,0)) * ct * nn)"
-            " AS DECIMAL(38,0))"
-        ).alias("term"),
-    ).agg(
-        F.max("nn").alias("nn"),
-        F.countDistinct("source").cast("long").alias("ns"),
-        F.countDistinct("lang").cast("long").alias("nl"),
-        F.expr("CAST(sum(term) AS DECIMAL(38,0))").alias("s"),
+    t = _drain_memory_sink(
+        spark, grid, "stream_source_drift_monitor", "complete"
     )
-    return st.select(
-        F.col("nn").alias("n_docs"),
-        F.col("ns").alias("n_sources"),
-        F.col("nl").alias("n_langs"),
-        F.expr("CAST(CASE WHEN nn > 0 THEN s END AS BIGINT)").alias(
-            "chi2_e6"
-        ),
-        F.expr(
-            "CASE WHEN nn > 0 AND (ns - 1) * (nl - 1) = 76"
-            " THEN s > 97350970 END"
-        ).alias("reject_05"),
-    )
+    return _source_drift_report(t)
 
 
 def _tdiv(a: int, b: int) -> int:

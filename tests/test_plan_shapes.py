@@ -1908,3 +1908,15 @@ def test_cov_gram_mapinpandas_pruned_scan(spark):
     assert set(cols) <= {"embedding"}, cols
     splan = _plan_df(svec)
     assert "BatchEvalPython" not in splan and "MapInPandas" not in splan
+
+
+def test_stream_source_drift_drained_report_shape(spark):
+    # the drained spine-sized grid feeds the SHARED drift report: no
+    # cartesian, no Python, no sort-merge — same pins as the batch
+    # entry's report stage
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_source_drift_monitor"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan

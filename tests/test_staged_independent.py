@@ -2481,3 +2481,12 @@ def test_cov_top_eigen_numpy_spectrum_bounds(spark):
     # cross-column identity on the snapped grid: energy ≈ λ̂/trace
     approx_bp = r["top_eigen_e6"] * 10_000 // max(r["trace_e6"], 1)
     assert abs(r["top_energy_bp"] - approx_bp) <= 2
+
+
+def test_stream_source_drift_equals_batch(spark):
+    """stream_source_drift_monitor ≡ docs_source_drift_chi2 on the same
+    corpus — the stream≡batch identity (complete-mode grid counts are
+    monotone ADD-merges), checked on actual rows."""
+    batch = _staged(spark, "docs_source_drift_chi2").collect()
+    stream = _staged(spark, "stream_source_drift_monitor").collect()
+    assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
