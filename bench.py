@@ -224,12 +224,13 @@ EXTENDED = [
     # r18-wave additions (drafted in r14; simulation re-run at 4→6)
     "q_lineitem_mood_median",
     "docs_zipf_slope",
-    # r19/r20-wave additions (drafted in r14; waves grown 9/9 -> 11/11,
+    # r19/r20-wave additions (drafted in r14; waves grown 9/9 -> 12/11,
     # simulation re-run)
     "docs_source_drift_chi2",
     "stream_zipf_monitor",
     "emb_cov_top_eigen",
     "stream_source_drift_monitor",
+    "q_lineitem_kendall_tau_b",
     # r19-wave starters (drafted in r12)
     "tf_lifecycle_audit",
     "tf_legacy_interpolation_audit",

@@ -15947,3 +15947,135 @@ def emb_cov_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         out_schema,
     )
+
+
+@staged_query(
+    "q_lineitem_kendall_tau_b",
+    # Kendall τ-b completes the rank-association trio (gamma ignores
+    # ties; Spearman mid-ranks them; τ-b CORRECTS for them): C and D
+    # are the gamma entry's grid pair counts VERBATIM, the tie terms
+    # come off the margins (n0 = N(N−1)/2, n1 = Σtₓ(tₓ−1)/2,
+    # n2 = Σt_y(t_y−1)/2 — all exact, t(t−1) is even so //2 is exact),
+    # and the sqrt disappears by squaring: sign(C−D)·(((C−D)² //
+    # (n0−n1))·10⁸ // (n0−n2)) — the spearman sign + two-stage device,
+    # both divisions positive-floor, the stage-1 BIGINT quotient cast
+    # back to DECIMAL before the ×10⁸ (the r14 device); a degenerate
+    # margin (single level → n0 = n1 or n0 = n2) emits NULL per the
+    # r13 guard device
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               // 1000000 y,
+             CAST(count(*) AS BIGINT) n
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) nn FROM cells),
+    tx AS (SELECT CAST(coalesce(sum(t::HUGEINT * (t - 1) // 2), 0)
+                  AS HUGEINT) n1
+           FROM (SELECT CAST(sum(n) AS BIGINT) t FROM cells GROUP BY x)),
+    ty AS (SELECT CAST(coalesce(sum(t::HUGEINT * (t - 1) // 2), 0)
+                  AS HUGEINT) n2
+           FROM (SELECT CAST(sum(n) AS BIGINT) t FROM cells GROUP BY y)),
+    pairs AS (
+      SELECT CAST(coalesce(sum(CASE WHEN b.y > a.y
+                   THEN a.n::HUGEINT * b.n END), 0) AS BIGINT) c_pairs,
+             CAST(coalesce(sum(CASE WHEN b.y < a.y
+                   THEN a.n::HUGEINT * b.n END), 0) AS BIGINT) d_pairs
+      FROM cells a JOIN cells b ON b.x > a.x AND b.y <> a.y),
+    s AS (SELECT c_pairs, d_pairs,
+                 nn::HUGEINT * (nn - 1) // 2 AS n0, n1, n2
+          FROM pairs, tot, tx, ty)
+    SELECT c_pairs, d_pairs,
+           CAST(CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0
+                THEN (CASE WHEN c_pairs < d_pairs THEN -1 ELSE 1 END)
+                     * ((((c_pairs::HUGEINT - d_pairs)
+                          * (c_pairs::HUGEINT - d_pairs))
+                         // (n0 - n1)) * 100000000 // (n0 - n2))
+                END AS BIGINT) AS tau2_e8_signed
+    FROM s
+    """,
+)
+def q_lineitem_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between quantity and price band — the third member
+    of the rank-association trio (`q_lineitem_gamma_correlation`
+    IGNORES ties, `q_lineitem_spearman` mid-ranks them; τ-b CORRECTS
+    for them, the standard report when both axes are coarse ordinal
+    grids and tie mass is the story). C and D are the gamma entry's
+    contingency-grid pair counts VERBATIM — same grid, same non-equi
+    cell join, cross-entry-pinned by the independent test — and the
+    tie corrections are margin algebra: n0 = N(N−1)/2, n1 = Σtₓ(tₓ−1)/2
+    over the quantity margin, n2 likewise over the price margin (every
+    term exact — t(t−1) is even, so the halving never floors). τ-b =
+    (C−D)/√((n0−n1)(n0−n2)) reaches the 10⁻⁸ grid sqrt-free by
+    squaring through the spearman sign device: sign(C−D)·(((C−D)² //
+    (n0−n1))·10⁸ // (n0−n2)) — both divisions positive-floor replayed
+    in the same stage order, the stage-1 BIGINT quotient cast back to
+    DECIMAL(38,0) before the ×10⁸ (the r14 spearman lesson, applied at
+    design time). A margin with a single level (n0 = n1 or n0 = n2)
+    yields NULL on both sides per the r13 guard device.
+
+    Scale: identical to gamma — one scan pruned to two columns, one
+    keyed partial-agg shuffle to the ~550-cell grid, the
+    bounded-collect device re-emitting local frames so the non-equi
+    pair join is grid-sized and the fact table is scanned ONCE; the
+    margins fold from the same collected rows as exact Python ints.
+    Headroom: (C−D)² ≤ n0² ≈ N⁴/4 holds DECIMAL(38)/HUGEINT to
+    N ≈ 10⁹ rows, the stage-1 quotient ≤ n0 fits BIGINT to the same
+    point, and quotient·10⁸ rides DECIMAL — past 10⁹ rows evaluate on
+    a sampled slice (it is a sample statistic)."""
+    grid = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " DIV 1000000"
+            ).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rows = grid.collect()  # bounded: grid-sized, corpus-independent
+    nn = sum(r["n"] for r in rows)
+    txs: dict = {}
+    tys: dict = {}
+    for r in rows:
+        txs[r["x"]] = txs.get(r["x"], 0) + r["n"]
+        tys[r["y"]] = tys.get(r["y"], 0) + r["n"]
+    n0 = nn * (nn - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in txs.values())
+    n2 = sum(t * (t - 1) // 2 for t in tys.values())
+    local = spark.createDataFrame(rows, grid.schema)
+    a, b = local.alias("a"), F.broadcast(local.alias("b"))
+    prod = "CAST(a.n AS DECIMAL(38,0)) * b.n"
+    pairs = (
+        a.join(
+            b, (F.col("b.x") > F.col("a.x")) & (F.col("b.y") != F.col("a.y"))
+        )
+        .agg(
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN b.y > a.y THEN {prod} END),"
+                f" 0) AS BIGINT)"
+            ).alias("c_pairs"),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN b.y < a.y THEN {prod} END),"
+                f" 0) AS BIGINT)"
+            ).alias("d_pairs"),
+        )
+    )
+    # degenerate guard mirrored by the oracle's CASE: the margin
+    # scalars are plan-time Python ints, so the branch costs nothing
+    # on healthy inputs
+    if n0 - n1 > 0 and n0 - n2 > 0:
+        tau2 = F.expr(
+            "CAST((CASE WHEN c_pairs < d_pairs THEN -1 ELSE 1 END)"
+            " * (CAST((CAST(c_pairs AS DECIMAL(38,0)) - d_pairs)"
+            "     * (CAST(c_pairs AS DECIMAL(38,0)) - d_pairs)"
+            f"    DIV {n0 - n1} AS DECIMAL(38,0))"
+            f"   * 100000000 DIV {n0 - n2}) AS BIGINT)"
+        )
+    else:
+        tau2 = F.lit(None).cast("long")
+    return pairs.select(
+        "c_pairs", "d_pairs", tau2.alias("tau2_e8_signed")
+    )

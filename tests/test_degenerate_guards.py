@@ -291,3 +291,19 @@ def test_cov_top_eigen_empty_embeddings_null_row(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r["n_vecs"] == 0 and r["top_eigen_e6"] is None
+
+
+def test_kendall_tau_b_single_level_margin_nulls_tau(spark, tmp_path):
+    # every price in one $10k band → n0 = n2 → the tie-corrected
+    # denominator vanishes → tau2_e8_signed NULL on both sides (gamma
+    # would also see C = D = 0 here; τ-b's guard is the margin, not
+    # the pair counts)
+    rows = _run(
+        spark, tmp_path, "q_lineitem_kendall_tau_b",
+        {"lineitem": pa.table({
+            "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "l_extendedprice": pa.array([100.0, 200.0, 300.0], pa.float64()),
+        })},
+    )
+    assert len(rows) == 1
+    assert rows[0]["tau2_e8_signed"] is None

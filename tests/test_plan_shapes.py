@@ -1920,3 +1920,18 @@ def test_stream_source_drift_drained_report_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kendall_tau_b_local_pair_join_no_filescan(spark):
+    # the gamma device: the returned frame folds from the COLLECTED
+    # grid's local frames — one broadcast non-equi cell join, no
+    # FileScan (the fact table was scanned once upstream), no Python,
+    # no cartesian
+    import re
+
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_kendall_tau_b"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert not re.findall(r"FileScan parquet", plan)

@@ -14,6 +14,7 @@ All run at sf0.001 where a full pure-Python replay is cheap.
 """
 
 import collections
+import math
 
 import pyarrow.parquet as pq
 
@@ -2490,3 +2491,51 @@ def test_stream_source_drift_equals_batch(spark):
     batch = _staged(spark, "docs_source_drift_chi2").collect()
     stream = _staged(spark, "stream_source_drift_monitor").collect()
     assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
+
+
+def test_kendall_tau_b_python_cross_entry_and_textbook(spark):
+    """q_lineitem_kendall_tau_b three ways: (a) C/D must EQUAL the
+    promoted gamma entry's pair counts (same grid, same pair algebra —
+    a cross-entry identity sharing no tie machinery); (b) exact bigint
+    replay of the tie terms and the two-stage snap; (c) the textbook
+    float τ-b agrees to 1e-6 on τ² (the two floors lose <2 units on
+    ~1e11-scale denominators)."""
+    gamma = _staged(spark, "q_lineitem_gamma_correlation").collect()[0]
+    rows = _staged(spark, "q_lineitem_kendall_tau_b").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["c_pairs"], r["d_pairs"]) == (
+        gamma["c_pairs"], gamma["d_pairs"],
+    )
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    grid: collections.Counter = collections.Counter()
+    for q, p in zip(
+        t["l_quantity"].to_pylist(), t["l_extendedprice"].to_pylist()
+    ):
+        grid[(int(q), int(math.floor(p * 100 + 0.5)) // 1_000_000)] += 1
+    tx: collections.Counter = collections.Counter()
+    ty: collections.Counter = collections.Counter()
+    for (x, y), n in grid.items():
+        tx[x] += n
+        ty[y] += n
+    nn = sum(grid.values())
+    n0 = nn * (nn - 1) // 2
+    n1 = sum(v * (v - 1) // 2 for v in tx.values())
+    n2 = sum(v * (v - 1) // 2 for v in ty.values())
+    c = d = 0
+    cells = list(grid.items())
+    for (x1, y1), na in cells:
+        for (x2, y2), nb in cells:
+            if x2 > x1 and y2 > y1:
+                c += na * nb
+            elif x2 > x1 and y2 < y1:
+                d += na * nb
+    assert (r["c_pairs"], r["d_pairs"]) == (c, d)
+    sign = -1 if c < d else 1
+    expect = sign * ((((c - d) * (c - d)) // (n0 - n1)) * 10**8 // (n0 - n2))
+    assert r["tau2_e8_signed"] == expect
+    tau_f = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert abs(abs(tau_f) * tau_f - r["tau2_e8_signed"] / 1e8) <= 2e-6
