@@ -39,80 +39,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
 # the sf0.01 sweep (`make parity-sf001 parity-sf01`).
 #
-# Round-14 window (executes the r13 verdict's pinned rotation — the
-# red test_horizon_holds tripwire after CORRECTNESS_r13.json landed):
-# positions 1-7 are the seven entries promoted from the r14 staging
-# wave (tf_required_providers_audit, tf_state_lineage_audit,
-# tf_backend_audit, tf_provider_version_matrix,
-# stream_state_serial_watch, emb_cluster_quality, docs_pipeline_funnel)
-# — never driver-checked, so rule 2 puts them first; positions 8-27 are
-# the 20 forced r09 leftovers (the alphabetically-last 20 of the r09
-# cohort, named by the tripwire); positions 28-50 are the 23
-# alphabetically-first r10 rows (the r10 cohort is 50; the last 27
-# become the r15 forced leftovers, pinned in docs/OPERATORS.md).
-# Catalog 227 → horizon stays ceil(227/50) = 5 rounds. After the
-# window: the 27 r10 leftovers (due r15), then r11-green, r12-green,
-# and the r13 window rows (newest last).
+# Round-15 window (executes the r14 verdict's pinned rotation — the
+# red test_horizon_holds tripwire after CORRECTNESS_r14.json landed):
+# positions 1-5 are the five entries promoted from the r15 staging
+# wave (tf_variable_hygiene, docs_perplexity_buckets,
+# stream_docs_pipeline_funnel, emb_ann_recall_curve,
+# docs_dedup_rate_report) — never driver-checked, so rule 2 puts them
+# first; positions 6-32 are the 27 forced r10 leftovers (the
+# alphabetically-last 27 of the r10 cohort, named by the tripwire);
+# positions 33-50 are the 18 alphabetically-first r11 rows (the r11
+# cohort is 50; the last 32 become the r16 forced leftovers, pinned in
+# docs/OPERATORS.md). Catalog 232 → horizon stays ceil(232/50) = 5
+# rounds. After the window: the 32 r11 leftovers (due r16), then
+# r12-green, r13-green, and the r14 window rows (newest last).
 _VALIDATE_FIRST = [
-    # -- r14 window: the seven entries promoted from the r14 staging
+    # -- r15 window: the five entries promoted from the r15 staging
     # wave (never driver-checked; rotation rule 2 puts them first) --
-    "tf_required_providers_audit",
-    "tf_state_lineage_audit",
-    "tf_backend_audit",
-    "tf_provider_version_matrix",
-    "stream_state_serial_watch",
-    "emb_cluster_quality",
-    "docs_pipeline_funnel",
-    # -- r14 window: the 20 forced r09 leftovers (the
-    # alphabetically-last 20 of the 50-row r09 cohort) --
-    "q_events_daily_rollup",
-    "q_events_hourly",
-    "q_events_json_props",
-    "q_events_last_order_asof",
-    "q_events_sessions",
-    "q_incident_click_range_join",
-    "q_quantile_logsketch",
-    "q_user_scd2_merge",
-    "stream_click_error_join",
-    "stream_deduped_events",
-    "stream_events_hourly",
-    "stream_segment_enriched",
-    "stream_sessions_per_user",
-    "stream_user_running_totals",
-    "tf_config_state_drift",
-    "tf_data_sources",
-    "tf_locals",
-    "tf_modules",
-    "tf_providers",
-    "tf_variables",
-    # -- r14 window: the 23 alphabetically-first r10 rows (the r10
-    # cohort is 50; the alphabetically-last 27 become the r15 forced
-    # leftovers, pinned in docs/OPERATORS.md) --
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "docs_benchmark_contamination",
-    "docs_curation_pipeline",
-    "docs_pack_sequences",
-    "docs_redact_pii",
-    "docs_repetition",
-    "docs_source_mix",
-    "docs_span_dedup",
-    "docs_unigram_logprob",
-    "docs_winnow_fingerprint",
-    "emb_cosine_topk",
-    "emb_ivf_incremental_topk",
-    "emb_ivf_recall",
-    "emb_ivf_topk",
-    "emb_lang_centroids",
-    "emb_lsh_topk",
-    "emb_quantize_int8",
-    "media_frame_sample",
-    "media_metadata",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r10: the 27 leftovers, due r15 (forced) --
+    "tf_variable_hygiene",
+    "docs_perplexity_buckets",
+    "stream_docs_pipeline_funnel",
+    "emb_ann_recall_curve",
+    "docs_dedup_rate_report",
+    # -- r15 window: the 27 forced r10 leftovers (the
+    # alphabetically-last 27 of the 50-row r10 cohort) --
     "q5_region_revenue",
     "q7_volume_shipping",
     "q_big_spenders_semi",
@@ -140,12 +89,9 @@ _VALIDATE_FIRST = [
     "tf_resource_count_by_type",
     "tf_resources",
     "tf_unused_variables",
-    # -- last driver row r11 --
-    "tf_resource_reference_graph",
-    "tf_sensitive_output_audit",
-    "q_orders_incremental_rollup",
-    "emb_matryoshka_prefix_recall",
-    "tf_tags_inheritance_audit",
+    # -- r15 window: the 18 alphabetically-first r11 rows (the r11
+    # cohort is 50; the alphabetically-last 32 become the r16 forced
+    # leftovers, pinned in docs/OPERATORS.md) --
     "dedup_edit_distance_pairs",
     "dedup_tfidf_cosine_pairs",
     "docs_bm25_topk",
@@ -158,11 +104,14 @@ _VALIDATE_FIRST = [
     "emb_curation_pipeline",
     "emb_hard_negatives",
     "emb_ivf_pq_topk",
+    "emb_matryoshka_prefix_recall",
     "emb_pq_topk",
     "emb_rp_reduce",
     "q11_important_parts",
     "q2_min_cost_supplier",
     "q_customer_pareto",
+    # ---- 50-entry window boundary ----
+    # -- last driver row r11: the 32 leftovers, due r16 (forced) --
     "q_customer_skyline",
     "q_customer_supplier_pagerank",
     "q_events_anomaly",
@@ -182,6 +131,7 @@ _VALIDATE_FIRST = [
     "q_events_trend",
     "q_kmv_distinct",
     "q_kmv_set_ops",
+    "q_orders_incremental_rollup",
     "q_orders_open_interval_sweep",
     "q_orders_price_histogram",
     "q_partition_pruned_join",
@@ -191,7 +141,10 @@ _VALIDATE_FIRST = [
     "q_user_scd2_segments",
     "q_zorder_pruned_scan",
     "stream_click_error_left_join",
-    # -- last driver row r12 (newest rows; recheck last) --
+    "tf_resource_reference_graph",
+    "tf_sensitive_output_audit",
+    "tf_tags_inheritance_audit",
+    # -- last driver row r12 --
     "q_events_bitmap_distinct_users",
     "q_lineitem_flag_status_chi2",
     "tf_unused_locals",
@@ -242,7 +195,7 @@ _VALIDATE_FIRST = [
     "q_orders_cohort_ltv",
     "q_orders_equidepth_histogram",
     "q_orders_interval_merge",
-    # -- last driver row r13 (newest rows; recheck last) --
+    # -- last driver row r13 --
     "tf_lifecycle_audit",
     "tf_legacy_interpolation_audit",
     "q_lineitem_mannwhitney_u",
@@ -293,6 +246,57 @@ _VALIDATE_FIRST = [
     "q22_idle_rich_customers",
     "q9_profit_by_nation",
     "q_bucketed_cokey_join",
+    # -- last driver row r14 (newest rows; recheck last) --
+    "tf_required_providers_audit",
+    "tf_state_lineage_audit",
+    "tf_backend_audit",
+    "tf_provider_version_matrix",
+    "stream_state_serial_watch",
+    "emb_cluster_quality",
+    "docs_pipeline_funnel",
+    "q_events_daily_rollup",
+    "q_events_hourly",
+    "q_events_json_props",
+    "q_events_last_order_asof",
+    "q_events_sessions",
+    "q_incident_click_range_join",
+    "q_quantile_logsketch",
+    "q_user_scd2_merge",
+    "stream_click_error_join",
+    "stream_deduped_events",
+    "stream_events_hourly",
+    "stream_segment_enriched",
+    "stream_sessions_per_user",
+    "stream_user_running_totals",
+    "tf_config_state_drift",
+    "tf_data_sources",
+    "tf_locals",
+    "tf_modules",
+    "tf_providers",
+    "tf_variables",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "docs_benchmark_contamination",
+    "docs_curation_pipeline",
+    "docs_pack_sequences",
+    "docs_redact_pii",
+    "docs_repetition",
+    "docs_source_mix",
+    "docs_span_dedup",
+    "docs_unigram_logprob",
+    "docs_winnow_fingerprint",
+    "emb_cosine_topk",
+    "emb_ivf_incremental_topk",
+    "emb_ivf_recall",
+    "emb_ivf_topk",
+    "emb_lang_centroids",
+    "emb_lsh_topk",
+    "emb_quantize_int8",
+    "media_frame_sample",
+    "media_metadata",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
 ]
 
 

@@ -11576,7 +11576,7 @@ def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "tf_variable_hygiene",
     # golden rows from the dedicated corpus: a fully-documented variable,
     # a sensitive one (source-anchored detection; extra.tf's commented
@@ -11687,7 +11687,7 @@ _PPL_BUCKETS_SQL = f"""
 """.replace("{inner}", ORACLES["docs_bigram_logprob"])
 
 
-@staged_query("docs_perplexity_buckets", oracle=_PPL_BUCKETS_SQL)
+@query("docs_perplexity_buckets", oracle=_PPL_BUCKETS_SQL)
 def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail split by language-model score
     (Wenzek et al. 2020: bucket a corpus by LM perplexity tertiles, then
@@ -11732,7 +11732,7 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle IS the batch funnel SQL, shared verbatim — the driver then
 # checks the stream≡batch identity itself (the strongest oracle form for
 # a streaming leg, same device as stream_bitmap_distinct / scd2_merge)
-@staged_query("stream_docs_pipeline_funnel", oracle=_PIPELINE_FUNNEL_SQL)
+@query("stream_docs_pipeline_funnel", oracle=_PIPELINE_FUNNEL_SQL)
 def stream_docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming leg of docs_pipeline_funnel: documents ARRIVE (crawl
     shards landing in object storage) and the funnel counters update as
@@ -11800,7 +11800,7 @@ _RECALL_CURVE_SQL = f"""
 """
 
 
-@staged_query("emb_ann_recall_curve", oracle=_RECALL_CURVE_SQL)
+@query("emb_ann_recall_curve", oracle=_RECALL_CURVE_SQL)
 def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN tuning report: recall@5 vs brute force at nprobe ∈
     {1, 2, 4} in one entry — the curve an IVF deployment reads to pick
@@ -11893,7 +11893,7 @@ _DEDUP_RATE_SQL = (
 )
 
 
-@staged_query("docs_dedup_rate_report", oracle=_DEDUP_RATE_SQL)
+@query("docs_dedup_rate_report", oracle=_DEDUP_RATE_SQL)
 def docs_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level dedup run-report — the one-row summary a dedup pass
     publishes next to its output (the sibling of docs_pipeline_funnel's

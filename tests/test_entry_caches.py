@@ -235,7 +235,7 @@ def test_ivf_incremental_base_built_once_per_corpus(spark, monkeypatch):
 
 
 def test_ppl_scores_built_once_per_corpus(spark, monkeypatch):
-    """The staged docs_perplexity_buckets entry's _PPL_SCORE_CACHE must
+    """The docs_perplexity_buckets entry's _PPL_SCORE_CACHE must
     reuse the persisted per-doc NLL frame on repeat invocations — the
     bigram-LM chain is the entry's entire cost, and rebuilding it per
     call (or once per pass) is exactly what the persist exists to
@@ -255,8 +255,8 @@ def test_ppl_scores_built_once_per_corpus(spark, monkeypatch):
     # the catalog imported `text` as a module attribute — patch there too
     monkeypatch.setattr(cat.text, "bigram_logprob", counting)
     sf = "/root/testdata/sf0.001"
-    n1 = cat.STAGED_QUERIES["docs_perplexity_buckets"](spark, sf).count()
-    n2 = cat.STAGED_QUERIES["docs_perplexity_buckets"](spark, sf).count()
+    n1 = cat.QUERIES["docs_perplexity_buckets"](spark, sf).count()
+    n2 = cat.QUERIES["docs_perplexity_buckets"](spark, sf).count()
     assert n1 > 0 and n1 == n2
     assert calls["n"] == 1, f"LM chain built {calls['n']} times, want 1"
 

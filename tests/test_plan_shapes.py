@@ -1172,9 +1172,7 @@ def test_pipeline_funnel_counter_rollup(spark):
 def test_variable_hygiene_shuffle_free(spark):
     # variable metadata lint: one projection over the parsed wide frame
     # — no exchange, no join (the MapInPandas is the HCL parse itself)
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["tf_variable_hygiene"](spark, SF))
+    plan = _plan_df(QUERIES["tf_variable_hygiene"](spark, SF))
     assert "Exchange" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
@@ -1186,9 +1184,7 @@ def test_perplexity_buckets_no_global_sort(spark):
     # mergeable sketch, so there must be NO global sort and no Window
     # over the document frame (the single Window is over the ≤1.9k-row
     # sketch); broadcast joins only
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["docs_perplexity_buckets"](spark, SF))
+    plan = _plan_df(QUERIES["docs_perplexity_buckets"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
@@ -1202,9 +1198,7 @@ def test_recall_curve_broadcast_and_localized_truth(spark):
     # broadcast — unknown-size top-k stats would otherwise pick SMJ —
     # and the brute-force cogroup must be absent from the final plan
     # (it ran once at build time, driver-side bounded by |Q|*k)
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["emb_ann_recall_curve"](spark, SF))
+    plan = _plan_df(QUERIES["emb_ann_recall_curve"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
@@ -1215,9 +1209,7 @@ def test_recall_curve_broadcast_and_localized_truth(spark):
 def test_dedup_rate_report_counter_rollup(spark):
     # one pass over the persisted cluster map: a cluster-keyed count,
     # then a single one-row roll-up — nothing touches document text
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
-    plan = _plan_df(STAGED_QUERIES["docs_dedup_rate_report"](spark, SF))
+    plan = _plan_df(QUERIES["docs_dedup_rate_report"](spark, SF))
     assert plan.count("Exchange SinglePartition") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
