@@ -15831,7 +15831,7 @@ def _cov_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     # den = 0) and the empty corpus emit NULL per the r13 guard device
     oracle="""
     WITH q AS (SELECT vec_id, i,
-                      CAST(floor(embedding[i] * 1000 + 0.5) AS BIGINT) qi
+                      CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) qi
                FROM embeddings, range(1, 65) r(i)),
     n AS (SELECT CAST(count(*) AS BIGINT) nn FROM embeddings),
     s AS (SELECT i, CAST(sum(qi) AS HUGEINT) si FROM q GROUP BY i),
@@ -15877,7 +15877,11 @@ def emb_cov_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     `emb_dim_stats`. Everything is integer-exact: elements quantize to
     milli-units (q = floor(x·10³ + 0.5) — float32→float64 widening is
     exact and the single multiply-add is the same IEEE op on every
-    engine), so M = N·Σqqᵀ − ssᵀ = N²·Cov(q) is an exact 64×64 integer
+    engine; the oracle casts embedding[i]::DOUBLE BEFORE the multiply
+    for exactly this reason — DuckDB would otherwise promote the
+    FLOAT[] element to f32 arithmetic and quantize a few elements ±1
+    off the f64 grid, the r14 advisory's latent divergence), so
+    M = N·Σqqᵀ − ssᵀ = N²·Cov(q) is an exact 64×64 integer
     matrix whose corpus sums are ORDER-FREE (a float Σ over N rows
     would differ across engines' partial-sum orders — the hazard the
     quantize-first design removes). Three power-iteration steps from
