@@ -49,10 +49,10 @@ HEADLINE = [
     # as the batch queries get faster, so it increasingly set the
     # headline's noise floor. It is still timed every run (same warm +
     # 3-pass protocol) but reported under its own "streaming_drain" key
-    # and EXCLUDED from the summed "value"; the transition-round
-    # compatibility field "value_incl_stream_drain" keeps r13↔r14
-    # totals comparable (compare r13 "value" against r14
-    # "value_incl_stream_drain", or per-query dicts directly).
+    # and EXCLUDED from the summed "value". The one-round compatibility
+    # field "value_incl_stream_drain" (compare r13 "value" against r14
+    # "value_incl_stream_drain") was REMOVED in r15 per the r14
+    # advisory — r15+ totals compare "value" to "value" directly.
     "stream_click_error_full_join",
 ]
 
@@ -257,6 +257,32 @@ _EXT_HEAVY = {
     "q_basket_brand_lift",
 }
 
+# r14 verdict item 3 (the single-sample extended-bench blind spot): the
+# box's noise is one-sided — a hypervisor-steal window can only ADD
+# seconds — so a 1-sample extended entry occasionally commits a spike
+# (r14 shipped q2_min_cost_supplier at 4.40 s vs 1.72 s settled) while
+# the headline's zero-spread re-run criterion never sees it. Any
+# extended entry whose single timed sample exceeds this threshold gets
+# ONE extra sample and reports the min — bounded cost (~the slow tail
+# only), spike-proof by the min-of-warm-runs argument.
+_EXT_RESAMPLE_THRESHOLD = 2.0
+
+
+def _timed_samples(run, n: int, resample_over: float | None = None) -> list[float]:
+    """n timed passes of run(); if a single-sample measurement lands
+    above resample_over seconds, take one extra sample (see
+    _EXT_RESAMPLE_THRESHOLD). Reported value is min(samples)."""
+    out = []
+    for _ in range(n):
+        start = time.perf_counter()
+        run()
+        out.append(time.perf_counter() - start)
+    if resample_over is not None and len(out) == 1 and out[0] > resample_over:
+        start = time.perf_counter()
+        run()
+        out.append(time.perf_counter() - start)
+    return out
+
 
 def _tf_corpus(n_files: int) -> str:
     """Deterministic synthetic .tf corpus (~n_files files, 3 resources +
@@ -361,21 +387,13 @@ def main() -> None:
     # "spread" = (max - min) / min of the timed samples goes into the JSON
     # so the next judge can separate noise from regression from the
     # artifact alone; all raw samples stay under "samples".
-    def timed_runs(run, n: int) -> list[float]:
-        out = []
-        for _ in range(n):
-            start = time.perf_counter()
-            run()
-            out.append(time.perf_counter() - start)
-        return out
-
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
 
-    def record(name: str, run, n_timed: int) -> None:
+    def record(name: str, run, n_timed: int, resample_over: float | None = None) -> None:
         run()  # warm pass: codegen JIT + session caches, untimed
-        samples = timed_runs(run, n_timed)
+        samples = _timed_samples(run, n_timed, resample_over)
         best = min(samples)
         timings[name] = round(best, 3)
         spreads[name] = round((max(samples) - best) / max(best, 1e-9), 3)
@@ -412,6 +430,7 @@ def main() -> None:
             name,
             lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
             2 if name in _EXT_HEAVY else 1,
+            resample_over=None if name in _EXT_HEAVY else _EXT_RESAMPLE_THRESHOLD,
         )
         extended[name] = timings.pop(name)
 
@@ -450,7 +469,6 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "streaming_drain": streaming_drain,
-        "value_incl_stream_drain": round(total + streaming_drain, 3),
         "sf": sf,
     }))
 

@@ -40,15 +40,50 @@ def test_driver_line_stays_small():
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
-            # r13 verdict item 2: the stream drain rides its own keys
+            # r13 verdict item 2: the stream drain rides its own key
+            # (the r14 transition-round value_incl_stream_drain field
+            # was removed in r15 per the r14 advisory)
             "streaming_drain": 9999.999,
-            "value_incl_stream_drain": round(
-                sum(timings.values()) + 9999.999, 3
-            ),
             "sf": 0.1,
         }
     )
     assert len(line) < 4096, f"driver line would be {len(line)} bytes"
+
+
+def test_extended_tail_resamples_over_threshold(monkeypatch):
+    """r14 verdict item 3: a single-sample extended entry that lands
+    above the resample threshold must take ONE extra sample (min wins —
+    the box's steal noise is one-sided), and a fast entry must not pay
+    for a second pass."""
+    clock = {"t": 0.0, "script": []}
+
+    def fake_perf_counter():
+        return clock["t"]
+
+    def make_run(durations):
+        it = iter(durations)
+
+        def run():
+            clock["t"] += next(it)
+
+        return run
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_perf_counter)
+
+    # slow first sample (3.0 s > 2.0) -> one resample (1.5 s), 2 samples
+    samples = bench._timed_samples(
+        make_run([3.0, 1.5]), 1, resample_over=bench._EXT_RESAMPLE_THRESHOLD
+    )
+    assert [round(s, 9) for s in samples] == [3.0, 1.5]
+    # fast first sample -> no resample
+    samples = bench._timed_samples(
+        make_run([0.4]), 1, resample_over=bench._EXT_RESAMPLE_THRESHOLD
+    )
+    assert [round(s, 9) for s in samples] == [0.4]
+    # multi-sample (heavy) entries never trigger the adaptive pass
+    samples = bench._timed_samples(make_run([3.0, 3.0]), 2, resample_over=None)
+    assert [round(s, 9) for s in samples] == [3.0, 3.0]
+    assert bench._EXT_RESAMPLE_THRESHOLD == 2.0
 
 
 def test_drain_key_stays_timed_and_out_of_the_sum():
