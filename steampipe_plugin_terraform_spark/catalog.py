@@ -16083,3 +16083,278 @@ def q_lineitem_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "c_pairs", "d_pairs", tau2.alias("tau2_e8_signed")
     )
+
+
+@staged_query(
+    "docs_hapax_legomena",
+    # all-positive integer divisions -> trunc == floor on both engines;
+    # the empty corpus collapses every count to 0 and the CASE guards
+    # emit NULL ratios (global-agg device: exactly one row either way)
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) t FROM documents),
+    v AS (SELECT t, count(*) cnt FROM tok GROUP BY 1),
+    agg AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) n_tokens,
+                   CAST(count(*) AS BIGINT) n_types,
+                   CAST(coalesce(sum(CASE WHEN cnt = 1 THEN 1 END), 0)
+                        AS BIGINT) n_hapax
+            FROM v)
+    SELECT n_tokens, n_types, n_hapax,
+           CAST(CASE WHEN n_tokens > 0 THEN n_types * 10000 // n_tokens
+                END AS BIGINT) AS ttr_bp,
+           CAST(CASE WHEN n_types > 0 THEN n_hapax * 10000 // n_types
+                END AS BIGINT) AS hapax_share_bp
+    FROM agg
+    """,
+)
+def docs_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness report of the corpus in one row: token count,
+    type (distinct-token) count, hapax legomena (types occurring exactly
+    once), type/token ratio and hapax share in basis points — the
+    corpus-health triple behind dedup and data-mix decisions (a
+    shrinking hapax share under corpus growth is the classic symptom of
+    template/boilerplate flooding; Heaps-law saturation shows up here
+    before it shows up in loss curves). Completes the vocabulary family
+    next to docs_vocab_growth (curve) and docs_zipf_slope (spectrum
+    shape). Ratios are all-positive integer floor divisions (Spark DIV
+    == DuckDB //); the empty corpus emits one row of zeros with NULL
+    ratios via the global-agg device (r14: agg over empty input yields
+    one row on both engines, a groupBy would yield zero rows).
+
+    Scale: the only corpus-sized work is the tokenize+explode feeding a
+    vocabulary-keyed count (map-side combinable, one shuffle on the
+    token key — the docs_unigram_logprob shuffle shape); the roll-up
+    over the vocabulary frame is a global agg with partial aggregation,
+    and the result is ONE row — nothing data-sized ever reaches the
+    driver."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    v = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = v.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 1, 1)), F.lit(0)
+        ).cast("long").alias("n_hapax"),
+    )
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN n_types * 10000 DIV n_tokens"
+            " END AS BIGINT)"
+        ).alias("ttr_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_types > 0 THEN n_hapax * 10000 DIV n_types"
+            " END AS BIGINT)"
+        ).alias("hapax_share_bp"),
+    )
+
+
+@staged_query(
+    "emb_sign_bit_balance",
+    # sign comparison is the ONLY per-element op (no arithmetic at all,
+    # so no f32/f64 promotion hazard — the r14 cov_top_eigen lesson);
+    # grouped rows always have n_vecs >= 1, so the share division needs
+    # no zero guard; the empty corpus emits zero rows on both engines
+    oracle="""
+    WITH d AS (SELECT r.i, CASE WHEN embedding[r.i] > 0 THEN 1 ELSE 0 END p
+               FROM embeddings, range(1, 65) r(i)),
+    per AS (SELECT i, CAST(count(*) AS BIGINT) n_vecs,
+                   CAST(sum(p) AS BIGINT) n_pos
+            FROM d GROUP BY i)
+    SELECT CAST(i AS BIGINT) AS dim, n_vecs, n_pos,
+           CAST(n_pos * 10000 // n_vecs AS BIGINT) AS pos_share_bp,
+           (n_pos * 10000 // n_vecs) BETWEEN 2000 AND 8000 AS balanced
+    FROM per
+    """,
+)
+def emb_sign_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension sign balance of the embedding corpus: for each of
+    the 64 dimensions, how many vectors are positive there, the positive
+    share in basis points, and a balanced flag (share within
+    [2000, 8000]) — the health check BEHIND the 1-bit family
+    (emb_sign_hamming_recall quantizes to sign bits; a dimension whose
+    sign is 95 % constant carries ~0 bits of Hamming information, and a
+    batch of dead/saturated dimensions silently halves effective
+    resolution). Per-element work is ONE float comparison — no
+    arithmetic, so no f32-vs-f64 promotion hazard on either engine —
+    and the share is an all-positive integer floor division.
+
+    Scale: posexplode + a 64-key grouped count — partial aggregation
+    collapses each partition to <= 64 rows before the one tiny shuffle;
+    the plan never materializes anything data-sized and the output is
+    exactly 64 rows at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    per = d.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.coalesce(F.sum(F.when(F.col("x") > 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    return per.select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "n_vecs",
+        "n_pos",
+        F.expr("CAST(n_pos * 10000 DIV n_vecs AS BIGINT)").alias(
+            "pos_share_bp"
+        ),
+        F.expr(
+            "(n_pos * 10000 DIV n_vecs) BETWEEN 2000 AND 8000"
+        ).alias("balanced"),
+    )
+
+
+@staged_query(
+    "docs_code_detect",
+    # every marker is counted via length differences (translate /
+    # replace — Postgres-semantics in BOTH engines, verified), never a
+    # regex: the r12 regexp-escaping hazard class has no surface here.
+    # n_lines >= 1 by construction; the empty-text guard is the only
+    # division guard needed
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) n_chars,
+             CAST(length(text)
+                  - length(translate(text, '{}();=<>[]', '')) AS BIGINT)
+               n_sym,
+             CAST(1 + length(text)
+                  - length(replace(text, chr(10), '')) AS BIGINT) n_lines,
+             CAST((length(text)
+                  - length(replace(text, chr(10) || '  ', ''))) // 3
+               AS BIGINT) n_indent
+      FROM documents),
+    s AS (SELECT doc_id, n_lines,
+                 CAST(CASE WHEN n_chars > 0 THEN n_sym * 10000 // n_chars
+                      END AS BIGINT) sym_bp,
+                 CAST(n_indent * 10000 // n_lines AS BIGINT) indent_bp
+          FROM m)
+    SELECT doc_id, n_lines, sym_bp, indent_bp,
+           (coalesce(sym_bp, 0) >= 300 OR indent_bp >= 2000) AS looks_code
+    FROM s
+    """,
+)
+def docs_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose gate per document — the curation classifier a
+    pretraining mix needs before routing text into code-weighted or
+    prose-weighted buckets (symbol-dense or indent-structured text
+    behaves very differently under dedup, quality scoring, and LM
+    filtering): structural-symbol density ({}();=<>[] per character)
+    and indented-line density (leading two-space lines per line), both
+    in basis points, with looks_code = sym >= 3 % OR indent >= 20 % of
+    lines. Every marker is a LENGTH-DIFFERENCE count (translate for the
+    symbol class, replace for the newline/indent patterns — identical
+    Postgres semantics on both engines, so no regex and none of the
+    regexp-escaping hazard class); divisions are all-positive floors
+    with the empty-text NULL guard on n_chars.
+
+    Scale: a pure per-row projection — no join, no aggregation, no
+    window; the only exchange in the plan is the gated scan-parallelism
+    repartition (`_par_floor`), and the classifier runs entirely inside
+    whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.translate("text", "{}();=<>[]", ""))
+        ).cast("long").alias("n_sym"),
+        (
+            F.lit(1)
+            + F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))
+        ).cast("long").alias("n_lines"),
+        (
+            (
+                F.length("text")
+                - F.length(
+                    F.replace(F.col("text"), F.lit("\n  "), F.lit(""))
+                )
+            )
+            / 3
+        ).cast("long").alias("n_indent"),
+    )
+    s = m.select(
+        "doc_id",
+        "n_lines",
+        F.expr(
+            "CAST(CASE WHEN n_chars > 0 THEN n_sym * 10000 DIV n_chars"
+            " END AS BIGINT)"
+        ).alias("sym_bp"),
+        F.expr("CAST(n_indent * 10000 DIV n_lines AS BIGINT)").alias(
+            "indent_bp"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        "n_lines",
+        "sym_bp",
+        "indent_bp",
+        F.expr(
+            "coalesce(sym_bp, 0) >= 300 OR indent_bp >= 2000"
+        ).alias("looks_code"),
+    )
+
+
+@staged_query(
+    "tf_resource_naming_convention",
+    # golden rows from the dedicated corpus: a clean snake_case name, an
+    # UpperCamel name, a dash name that ALSO echoes its type (2
+    # violations), a snake name echoing the type suffix, and two
+    # cross-file rows (one clean, one echoing) — pinning both lint
+    # axes and their combination
+    oracle="""
+    SELECT * FROM (VALUES
+      ('extra.tf', 'aws_security_group', 'main',          true,  false,
+       0::BIGINT, 'clean'),
+      ('extra.tf', 'aws_sqs_queue',      'retry_queue_2', true,  true,
+       1::BIGINT, 'needs_attention'),
+      ('main.tf',  'aws_instance',       'WebServer',     false, false,
+       1::BIGINT, 'needs_attention'),
+      ('main.tf',  'aws_instance',       'web_server',    true,  false,
+       0::BIGINT, 'clean'),
+      ('main.tf',  'aws_s3_bucket',      'data-bucket',   false, true,
+       2::BIGINT, 'needs_attention'),
+      ('main.tf',  'aws_s3_bucket',      'logs_bucket',   true,  true,
+       1::BIGINT, 'needs_attention')
+    ) t(file, type, name, is_snake_case, echoes_type, n_violations,
+        status)
+    """,
+)
+def tf_resource_naming_convention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-naming lint — the style-guide audit the reference's
+    delegated-SQL surface invites but never tables (HashiCorp's style
+    conventions: resource names are snake_case and do NOT repeat the
+    resource type; `aws_instance.web_instance` reads as
+    'aws_instance.web_instance' in every address). Per config resource:
+    snake_case conformance (``^[a-z][a-z0-9_]*$``), whether the name
+    echoes the type's last underscore segment (the redundancy lint —
+    `logs_bucket` under `aws_s3_bucket`), a violation count, and
+    clean / needs_attention. Both checks run Spark-side only (the
+    oracle is golden rows, so no cross-engine regex surface).
+
+    Scale: O(resource blocks) metadata — one projection over the parsed
+    wide frame like the other settings audits; no exchange beyond the
+    parse itself, no join."""
+    wide = _tf_corpus_engine(spark, "naming").wide()
+    r = wide.filter(F.col("tf_table") == "terraform_resource").select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("file"),
+        "type",
+        "name",
+        F.col("name").rlike("^[a-z][a-z0-9_]*$").alias("is_snake_case"),
+        F.expr(
+            "contains(name, element_at(split(type, '_'), -1))"
+        ).alias("echoes_type"),
+    )
+    viol = (~F.col("is_snake_case")).cast("long") + F.col(
+        "echoes_type"
+    ).cast("long")
+    return r.withColumn("n_violations", viol).withColumn(
+        "status",
+        F.when(F.col("n_violations") == 0, F.lit("clean")).otherwise(
+            F.lit("needs_attention")
+        ),
+    )

@@ -307,3 +307,89 @@ def test_kendall_tau_b_single_level_margin_nulls_tau(spark, tmp_path):
     )
     assert len(rows) == 1
     assert rows[0]["tau2_e8_signed"] is None
+
+
+def _docs(rows) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_hapax_empty_corpus_one_zeros_row(spark, tmp_path):
+    # empty corpus → the global-agg device emits exactly ONE row of
+    # zero counts with NULL ratios on BOTH engines (a groupBy would
+    # emit zero rows and silently diverge from the oracle's agg)
+    rows = _run(spark, tmp_path, "docs_hapax_legomena", {"documents": _docs([])})
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (0, 0, 0)
+    assert r["ttr_bp"] is None and r["hapax_share_bp"] is None
+
+
+def test_hapax_all_hapax_corpus(spark, tmp_path):
+    # every token unique → n_hapax = n_types = n_tokens → both ratios
+    # exactly 10000 (the division grid's upper edge, no rounding)
+    rows = _run(
+        spark, tmp_path, "docs_hapax_legomena",
+        {"documents": _docs([(1, "alpha beta"), (2, "gamma delta")])},
+    )
+    r = rows[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (4, 4, 4)
+    assert r["ttr_bp"] == 10000 and r["hapax_share_bp"] == 10000
+
+
+def test_code_detect_empty_text_null_sym_bp(spark, tmp_path):
+    # empty text: n_chars = 0 → sym_bp NULL on BOTH sides (Spark DIV
+    # NULL vs DuckDB // error is the divergence class the CASE guard
+    # exists for); n_lines = 1 → indent_bp = 0 → looks_code false via
+    # the coalesce fuse
+    rows = _run(
+        spark, tmp_path, "docs_code_detect", {"documents": _docs([(1, "")])},
+    )
+    r = rows[0]
+    assert r["n_lines"] == 1 and r["sym_bp"] is None
+    assert r["indent_bp"] == 0 and r["looks_code"] is False
+
+
+def test_code_detect_codey_text_trips_both_axes(spark, tmp_path):
+    # a genuinely code-shaped doc crosses BOTH thresholds: symbol
+    # density > 3 % and indented-line share > 20 %
+    code = "def f(x):\n  return {x: (x + 1)};\n  # comment\nz = f(2)"
+    rows = _run(
+        spark, tmp_path, "docs_code_detect", {"documents": _docs([(7, code)])},
+    )
+    r = rows[0]
+    assert r["sym_bp"] >= 300 and r["indent_bp"] >= 2000
+    assert r["looks_code"] is True
+
+
+def test_sign_bit_balance_empty_corpus_zero_rows(spark, tmp_path):
+    # no vectors → no (dim, vector) pairs → ZERO rows on both engines
+    # (the grouped shape's empty contract, unlike the global-agg
+    # entries' one-NULL-row contract — documented, not accidental)
+    rows = _run(
+        spark, tmp_path, "emb_sign_bit_balance", {"embeddings": _embeddings([])},
+    )
+    assert rows == []
+
+
+def test_sign_bit_balance_constant_sign_extremes(spark, tmp_path):
+    # an all-positive dimension reports share 10000 / balanced false;
+    # an all-non-positive one reports 0 / false — the saturated-dim
+    # signal the screen exists to flag (0.0 > 0 is FALSE: zeros count
+    # as non-positive on both engines)
+    v1 = [1.0] * 32 + [-1.0] * 16 + [0.0] * 16
+    rows = _run(
+        spark, tmp_path, "emb_sign_bit_balance",
+        {"embeddings": _embeddings([v1, v1, v1])},
+    )
+    by = {r["dim"]: r for r in rows}
+    assert by[1]["pos_share_bp"] == 10000 and by[1]["balanced"] is False
+    assert by[33]["pos_share_bp"] == 0 and by[33]["balanced"] is False
+    assert by[49]["pos_share_bp"] == 0 and by[49]["balanced"] is False

@@ -1927,3 +1927,65 @@ def test_kendall_tau_b_local_pair_join_no_filescan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert not re.findall(r"FileScan parquet", plan)
+
+
+def test_hapax_legomena_vocab_shuffle_then_global_agg(spark):
+    # ONE vocabulary-keyed shuffle (map-side combinable) + ONE global
+    # roll-up — the docs_unigram_logprob shuffle shape; nothing joins
+    # and nothing data-sized leaves the aggregation pipeline
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_hapax_legomena"](spark, SF))
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate" in plan  # the tokenize explode
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "Window"):
+        assert node not in plan
+
+
+def test_sign_bit_balance_partial_agg_64_keys(spark):
+    # posexplode feeding a 64-key grouped count: exactly one key shuffle
+    # (partial aggregation collapses each partition to <= 64 rows first)
+    # and NO global single-partition stage — the output is the grouped
+    # frame itself
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_sign_bit_balance"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Generate" in plan  # the posexplode
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "Window"):
+        assert node not in plan
+
+
+def test_code_detect_pure_projection(spark):
+    # the classifier is a per-row projection: no aggregate, no window,
+    # no explode, no join — everything inside whole-stage codegen; the
+    # only permitted exchange is the gated _par_floor round-robin
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_code_detect"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "Window", "Generate", "HashAggregate",
+                 "SortAggregate"):
+        assert node not in plan
+    # column pruning reaches the scan: the classifier touches only
+    # doc_id + text, so lang/source/n_chars must not be read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_naming_convention_shuffle_free(spark):
+    # resource metadata lint: one projection over the parsed wide frame
+    # — no exchange, no join (the MapInPandas is the HCL parse itself)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_resource_naming_convention"](spark, SF))
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan

@@ -2539,3 +2539,108 @@ def test_kendall_tau_b_python_cross_entry_and_textbook(spark):
     assert r["tau2_e8_signed"] == expect
     tau_f = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
     assert abs(abs(tau_f) * tau_f - r["tau2_e8_signed"] / 1e8) <= 2e-6
+
+
+def test_hapax_legomena_pure_python_reference(spark):
+    """docs_hapax_legomena vs a collections.Counter replay over the
+    parquet text — independent of Spark's split/explode/agg pipeline and
+    of the oracle's SQL."""
+    import collections
+
+    tab = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    cnt = collections.Counter()
+    for t in tab["text"].to_pylist():
+        cnt.update(t.split(" "))
+    n_tokens = sum(cnt.values())
+    n_types = len(cnt)
+    n_hapax = sum(1 for v in cnt.values() if v == 1)
+    row = _staged(spark, "docs_hapax_legomena").collect()[0]
+    assert row["n_tokens"] == n_tokens
+    assert row["n_types"] == n_types
+    assert row["n_hapax"] == n_hapax
+    assert row["ttr_bp"] == (
+        n_types * 10000 // n_tokens if n_tokens else None
+    )
+    assert row["hapax_share_bp"] == (
+        n_hapax * 10000 // n_types if n_types else None
+    )
+
+
+def test_sign_bit_balance_numpy_reference(spark):
+    """emb_sign_bit_balance vs a numpy replay (sign counting per
+    dimension), plus the inclusive-boundary pin of the balanced band:
+    2000 and 8000 are balanced, 1999/8001 are not — BETWEEN is closed
+    on both ends on both engines."""
+    import numpy as np
+
+    tab = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    m = np.stack(tab["embedding"].to_numpy())
+    n = m.shape[0]
+    pos = (m > 0).sum(axis=0)
+    rows = {r["dim"]: r for r in _staged(spark, "emb_sign_bit_balance").collect()}
+    assert sorted(rows) == list(range(1, 65))
+    for d in range(64):
+        r = rows[d + 1]
+        assert r["n_vecs"] == n
+        assert r["n_pos"] == int(pos[d])
+        share = int(pos[d]) * 10000 // n
+        assert r["pos_share_bp"] == share
+        assert r["balanced"] == (2000 <= share <= 8000)
+    # boundary pin (pure arithmetic, engine-free)
+    assert 2000 <= 2000 <= 8000 and 2000 <= 8000 <= 8000
+    assert not (2000 <= 1999 <= 8000) and not (2000 <= 8001 <= 8000)
+
+
+def test_code_detect_pure_python_reference(spark):
+    """docs_code_detect vs a str.count/str.translate replay — Python's
+    non-overlapping count matches both engines' replace-removal count by
+    definition, so any divergence is a marker-definition bug."""
+    tab = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    strip = str.maketrans("", "", "{}();=<>[]")
+    want = {}
+    for i, t in zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()):
+        n_chars = len(t)
+        n_sym = n_chars - len(t.translate(strip))
+        n_lines = 1 + t.count("\n")
+        n_indent = t.count("\n  ")
+        sym_bp = n_sym * 10000 // n_chars if n_chars else None
+        indent_bp = n_indent * 10000 // n_lines
+        want[i] = (
+            n_lines, sym_bp, indent_bp,
+            (sym_bp or 0) >= 300 or indent_bp >= 2000,
+        )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["sym_bp"], r["indent_bp"], r["looks_code"])
+        for r in _staged(spark, "docs_code_detect").collect()
+    }
+    assert got == want
+
+
+def test_naming_convention_pure_python_reference(spark):
+    """tf_resource_naming_convention vs a regex scanner over the fixture
+    corpus — both lint axes re-derived without the HCL parser or the
+    golden rows."""
+    import pathlib
+    import re
+
+    fix = pathlib.Path(__file__).resolve().parent / "fixtures" / "naming"
+    want = set()
+    for p in sorted(fix.glob("*.tf")):
+        for rtype, name in re.findall(
+            r'(?m)^resource\s*"([\w-]+)"\s*"([\w-]+)"', p.read_text()
+        ):
+            snake = bool(re.fullmatch(r"[a-z][a-z0-9_]*", name))
+            echo = rtype.split("_")[-1] in name
+            n_viol = (not snake) + echo
+            want.add(
+                (p.name, rtype, name, snake, echo, n_viol,
+                 "clean" if n_viol == 0 else "needs_attention")
+            )
+    got = {
+        (r["file"], r["type"], r["name"], r["is_snake_case"],
+         r["echoes_type"], r["n_violations"], r["status"])
+        for r in _staged(spark, "tf_resource_naming_convention").collect()
+    }
+    assert got == want
