@@ -16085,12 +16085,12 @@ def q_lineitem_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
-    "docs_hapax_legomena",
-    # all-positive integer divisions -> trunc == floor on both engines;
-    # the empty corpus collapses every count to 0 and the CASE guards
-    # emit NULL ratios (global-agg device: exactly one row either way)
-    oracle="""
+# all-positive integer divisions -> trunc == floor on both engines; the
+# empty corpus collapses every count to 0 and the CASE guards emit NULL
+# ratios (global-agg device: exactly one row either way). Shared
+# verbatim by the batch entry AND the streaming monitor (the
+# stream≡batch identity device).
+_HAPAX_SQL = """
     WITH tok AS (SELECT unnest(string_split(text, ' ')) t FROM documents),
     v AS (SELECT t, count(*) cnt FROM tok GROUP BY 1),
     agg AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) n_tokens,
@@ -16104,8 +16104,37 @@ def q_lineitem_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN n_types > 0 THEN n_hapax * 10000 // n_types
                 END AS BIGINT) AS hapax_share_bp
     FROM agg
-    """,
-)
+"""
+
+
+def _hapax_report(v: DataFrame) -> DataFrame:
+    """Vocabulary-richness roll-up from a per-token count frame (column
+    ``cnt``). Shared by the batch entry and the streaming monitor so
+    the report logic cannot fork (the r14 `_zipf_slope_report` /
+    `_source_drift_report` template)."""
+    agg = v.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 1, 1)), F.lit(0)
+        ).cast("long").alias("n_hapax"),
+    )
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN n_types * 10000 DIV n_tokens"
+            " END AS BIGINT)"
+        ).alias("ttr_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_types > 0 THEN n_hapax * 10000 DIV n_types"
+            " END AS BIGINT)"
+        ).alias("hapax_share_bp"),
+    )
+
+
+@staged_query("docs_hapax_legomena", oracle=_HAPAX_SQL)
 def docs_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness report of the corpus in one row: token count,
     type (distinct-token) count, hapax legomena (types occurring exactly
@@ -16129,26 +16158,7 @@ def docs_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
     v = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    agg = v.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.coalesce(
-            F.sum(F.when(F.col("cnt") == 1, 1)), F.lit(0)
-        ).cast("long").alias("n_hapax"),
-    )
-    return agg.select(
-        "n_tokens",
-        "n_types",
-        "n_hapax",
-        F.expr(
-            "CAST(CASE WHEN n_tokens > 0 THEN n_types * 10000 DIV n_tokens"
-            " END AS BIGINT)"
-        ).alias("ttr_bp"),
-        F.expr(
-            "CAST(CASE WHEN n_types > 0 THEN n_hapax * 10000 DIV n_types"
-            " END AS BIGINT)"
-        ).alias("hapax_share_bp"),
-    )
+    return _hapax_report(v)
 
 
 @staged_query(
@@ -16358,3 +16368,40 @@ def tf_resource_naming_convention(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit("needs_attention")
         ),
     )
+
+
+@staged_query("stream_hapax_monitor", oracle=_HAPAX_SQL)
+def stream_hapax_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary-richness screen as a STREAM: crawl shards land and
+    the (token → count) state updates as they stream through — the live
+    hapax/TTR dashboard next to `stream_zipf_monitor`'s spectrum slope
+    (richness level and spectrum shape are the two axes of the same
+    vocabulary health check). Running state is the token count table in
+    complete mode: counts are monotone ADD-merges, so micro-batches
+    fold in exactly like batch partials and no watermark is needed (the
+    `stream_zipf_monitor` state class — state bounded by VOCABULARY,
+    not stream volume). The roll-up runs batch-side over the drained
+    counts via the SHARED `_hapax_report` (report logic cannot fork
+    from the batch entry — the r14 monitor template), and the oracle is
+    the batch entry's SQL verbatim: the driver checks the stream≡batch
+    identity itself. Tokenization deliberately matches the batch leg
+    EXACTLY (split on space, empty tokens counted) — any filter added
+    on one side only is precisely the divergence the identity exists to
+    catch.
+
+    Scale: each micro-batch contributes map-side partial token counts —
+    the identical shuffle shape as the batch vocab agg,
+    incrementalized; the drained roll-up is one global agg over the
+    vocab frame, one row out."""
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    v = (
+        src.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = _drain_memory_sink(spark, v, "stream_hapax_monitor", "complete")
+    return _hapax_report(t)

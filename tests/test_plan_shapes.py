@@ -1989,3 +1989,16 @@ def test_naming_convention_shuffle_free(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
+
+
+def test_stream_hapax_monitor_drained_report_shape(spark):
+    # the drained (token -> count) state feeds the SHARED richness
+    # roll-up: no cartesian, no Python, no window, one global agg —
+    # same pins as the batch entry's report stage
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_hapax_monitor"](spark, SF))
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan

@@ -2644,3 +2644,12 @@ def test_naming_convention_pure_python_reference(spark):
         for r in _staged(spark, "tf_resource_naming_convention").collect()
     }
     assert got == want
+
+
+def test_stream_hapax_equals_batch_hapax(spark):
+    """stream_hapax_monitor ≡ docs_hapax_legomena on the same corpus —
+    the stream≡batch identity (complete-mode token counts are monotone
+    ADD-merges), checked on actual rows, not SQL."""
+    batch = _staged(spark, "docs_hapax_legomena").collect()
+    stream = _staged(spark, "stream_hapax_monitor").collect()
+    assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
