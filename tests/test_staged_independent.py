@@ -2653,3 +2653,44 @@ def test_stream_hapax_equals_batch_hapax(spark):
     batch = _staged(spark, "docs_hapax_legomena").collect()
     stream = _staged(spark, "stream_hapax_monitor").collect()
     assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
+
+
+def test_length_difference_device_duckdb_python_fuzz():
+    """Fuzz the r15 length-difference marker-counting device on the
+    DuckDB side against plain Python string ops (the Spark side is
+    covered by the corpus replay above): translate char-class stripping
+    and replace-based substring counting must agree with
+    str.translate / str.count on arbitrary text — including braces,
+    newlines, runs of spaces, and non-ASCII — or the docs_code_detect
+    oracle would diverge on a corpus regen."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    strip = str.maketrans("", "", "{}();=<>[]")
+    alphabet = st.characters(
+        whitelist_categories=("L", "N", "P", "S", "Zs"),
+        whitelist_characters="\n {}();=<>[]",
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=120))
+    def check(text):
+        n_chars, n_sym, n_lines, n_indent = con.execute(
+            """
+            SELECT length(t),
+                   length(t) - length(translate(t, '{}();=<>[]', '')),
+                   1 + length(t) - length(replace(t, chr(10), '')),
+                   (length(t) - length(replace(t, chr(10) || '  ', ''))) // 3
+            FROM (SELECT ? AS t)
+            """,
+            [text],
+        ).fetchone()
+        assert n_chars == len(text)
+        assert n_sym == len(text) - len(text.translate(strip))
+        assert n_lines == 1 + text.count("\n")
+        assert n_indent == text.count("\n  ")
+
+    check()
+    con.close()
