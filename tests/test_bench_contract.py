@@ -55,7 +55,7 @@ def test_extended_tail_resamples_over_threshold(monkeypatch):
     above the resample threshold must take ONE extra sample (min wins —
     the box's steal noise is one-sided), and a fast entry must not pay
     for a second pass."""
-    clock = {"t": 0.0, "script": []}
+    clock = {"t": 0.0}
 
     def fake_perf_counter():
         return clock["t"]
