@@ -28,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ROTATION POLICY (standing, from round 6; see round-6 comment in git
 # history for the full rationale). The driver's correctness gate checks
-# the first 50 queries() entries in dict order; the catalog holds 220, so
-# the horizon is ceil(220/50) = 5 rounds. Invariant: EVERY entry gets a
+# the first 50 queries() entries in dict order; the catalog holds 232, so
+# the horizon is ceil(232/50) = 5 rounds. Invariant: EVERY entry gets a
 # driver-green row within the horizon; window priority each round:
 #   1. entries changed or added this round (a stale green row proves
 #      nothing about them);
