@@ -17,6 +17,7 @@ import collections
 import math
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from steampipe_plugin_terraform_spark.catalog import QUERIES, STAGED_QUERIES
 
@@ -2694,3 +2695,47 @@ def test_length_difference_device_duckdb_python_fuzz():
 
     check()
     con.close()
+
+
+def test_tokenize_device_three_engine_agreement(spark):
+    """The split-on-space tokenize device underpinning every docs_*
+    vocabulary entry (Spark F.split + explode, DuckDB
+    unnest(string_split), Python str.split(' ')) fuzzed across all
+    THREE engines on one seeded 200-string corpus: token multisets per
+    row must agree exactly — including empty tokens from consecutive /
+    leading / trailing spaces, which all three KEEP (the convention the
+    oracles assume; a silent engine divergence here would skew every
+    token count, TTR, and LM score at once)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1507)
+    chars = "ab {}()\n\tø"
+    texts = [
+        "".join(rng.choice(chars) for _ in range(rng.randrange(0, 40)))
+        for _ in range(198)
+    ] + ["", "  "]
+
+    py = [t.split(" ") for t in texts]
+
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT string_split(?, ' ')", [t]).fetchone()[0]
+        for t in texts
+    ]
+    con.close()
+    assert duck == py
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = (
+        df.select("i", F.explode(F.split("text", " ")).alias("tok"))
+        .collect()
+    )
+    got = collections.defaultdict(list)
+    for r in rows:
+        got[r["i"]].append(r["tok"])
+    # explode preserves array order within a row's output
+    assert {i: toks for i, toks in enumerate(py)} == dict(got)
