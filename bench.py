@@ -243,13 +243,14 @@ EXTENDED = [
     "docs_vocab_growth",
     "emb_ivf_compaction",
     "media_dhash_pairs",
-    # r19/r20-wave additions (drafted in r15; waves grown 12/11 -> 15/13,
+    # r19/r20-wave additions (drafted in r15; waves grown 12/11 -> 15/14,
     # simulation re-run)
     "docs_hapax_legomena",
     "emb_sign_bit_balance",
     "docs_code_detect",
     "tf_resource_naming_convention",
     "stream_hapax_monitor",
+    "media_ahash_clusters",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

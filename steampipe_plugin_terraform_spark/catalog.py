@@ -16405,3 +16405,68 @@ def stream_hapax_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = _drain_memory_sink(spark, v, "stream_hapax_monitor", "complete")
     return _hapax_report(t)
+
+
+@staged_query(
+    "media_ahash_clusters",
+    # pure-ASCII corpus: ord(char) == byte value, so DuckDB replays the
+    # stub decode + the v*64 > sum(v) bit rule exactly (the
+    # media_ahash_pairs bits chain verbatim); short payloads carry no
+    # hash and map to themselves
+    oracle="""
+    WITH d AS (SELECT doc_id, substring(text, 1, 64) AS p
+               FROM documents WHERE n_chars >= 64),
+    b AS (SELECT doc_id, i, ord(substring(p, i, 1)) AS v
+          FROM d, unnest(range(1, 65)) r(i)),
+    s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot FROM b GROUP BY 1),
+    bits AS (SELECT b.doc_id,
+                    string_agg(CASE WHEN v * 64 > tot THEN '1' ELSE '0' END,
+                               '' ORDER BY i) AS h
+             FROM b JOIN s ON b.doc_id = s.doc_id GROUP BY b.doc_id),
+    g AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY h) AS cluster_id,
+                 count(*) OVER (PARTITION BY h) AS cluster_size
+          FROM bits)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM g
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster_id, 1::BIGINT AS cluster_size
+    FROM documents WHERE n_chars < 64
+    """,
+)
+def media_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup CLUSTER MAP over media payloads — the group
+    view of `media_ahash_pairs` (the media analog of `dedup_clusters`):
+    every payload maps to cluster_id = min doc_id sharing its aHash,
+    with cluster size; payloads too short to hash are their own
+    singletons, so the map covers the whole corpus like the text-side
+    cluster map. Two structural notes the entry exists to pin: (1) hash
+    EQUALITY is transitive, so the clusters are the hash groups
+    themselves — no star-contraction closure needed, unlike the
+    Jaccard-threshold pair graph (similarity is not transitive); (2) the
+    pair view must df-cap huge buckets (pair output is quadratic in
+    bucket size) but the GROUP view has no quadratic hazard — cluster
+    assignment is one window over the hash partition, linear in corpus
+    size — so this map is exact even where the pair list is capped.
+
+    Scale: narrow Arrow hash map (no shuffle), ONE shuffle on the
+    64-bit hash for the two same-partition windows, plus the
+    metadata-cheap singleton union; output is corpus-sized, never
+    pair-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    h = multimodal.ahash64(
+        multimodal.documents_as_binary(docs.filter(F.col("n_chars") >= 64))
+    )
+    wb = Window.partitionBy("ahash")
+    grouped = h.select(
+        "doc_id",
+        F.min("doc_id").over(wb).alias("cluster_id"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("cluster_size"),
+    )
+    singles = docs.filter(F.col("n_chars") < 64).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return grouped.unionByName(singles)

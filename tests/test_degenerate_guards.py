@@ -393,3 +393,20 @@ def test_sign_bit_balance_constant_sign_extremes(spark, tmp_path):
     assert by[1]["pos_share_bp"] == 10000 and by[1]["balanced"] is False
     assert by[33]["pos_share_bp"] == 0 and by[33]["balanced"] is False
     assert by[49]["pos_share_bp"] == 0 and by[49]["balanced"] is False
+
+
+def test_ahash_clusters_all_short_payloads_all_singletons(spark, tmp_path):
+    # nothing reaches the hasher: every doc is its own cluster of size 1
+    # on both engines (the full-coverage contract, unlike the pair view
+    # which would emit zero rows)
+    rows = _run(
+        spark, tmp_path, "media_ahash_clusters",
+        {"documents": _docs([(1, "tiny"), (2, "also tiny")])},
+    )
+    assert {(r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in rows} \
+        == {(1, 1, 1), (2, 2, 1)}
+
+
+def test_ahash_clusters_empty_corpus_zero_rows(spark, tmp_path):
+    rows = _run(spark, tmp_path, "media_ahash_clusters", {"documents": _docs([])})
+    assert rows == []

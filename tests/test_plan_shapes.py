@@ -2002,3 +2002,17 @@ def test_stream_hapax_monitor_drained_report_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_ahash_clusters_single_hash_shuffle(spark):
+    # the group view's structural claim: ONE hash-keyed exchange feeds
+    # both same-partition windows, the singleton leg is a union (no
+    # join anywhere), and the only Python is the Arrow hash map
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["media_ahash_clusters"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython"):
+        assert node not in plan

@@ -2739,3 +2739,42 @@ def test_tokenize_device_three_engine_agreement(spark):
         got[r["i"]].append(r["tok"])
     # explode preserves array order within a row's output
     assert {i: toks for i, toks in enumerate(py)} == dict(got)
+
+
+def test_ahash_clusters_python_replay_and_pair_consistency(spark):
+    """media_ahash_clusters vs a pure-Python aHash+grouping replay over
+    the parquet text, plus the cross-entry pin: every media_ahash_pairs
+    pair must land inside ONE cluster (pairs are a capped subset of the
+    group view, never the other way around)."""
+    import collections
+
+    from steampipe_plugin_terraform_spark.catalog import QUERIES
+
+    tab = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    groups = collections.defaultdict(list)
+    want = {}
+    for i, t, n in zip(
+        tab["doc_id"].to_pylist(), tab["text"].to_pylist(),
+        tab["n_chars"].to_pylist(),
+    ):
+        if n >= 64:
+            v = [ord(c) for c in t[:64]]
+            tot = sum(v)
+            h = "".join("1" if x * 64 > tot else "0" for x in v)
+            groups[h].append(i)
+        else:
+            want[i] = (i, 1)
+    for members in groups.values():
+        cid = min(members)
+        for i in members:
+            want[i] = (cid, len(members))
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in _staged(spark, "media_ahash_clusters").collect()
+    }
+    assert got == want
+    # cross-entry pin: the promoted pair view is a subset of the groups
+    for r in QUERIES["media_ahash_pairs"](spark, SF_DIR).collect():
+        assert got[r["doc_id1"]][0] == got[r["doc_id2"]][0]
