@@ -251,6 +251,13 @@ EXTENDED = [
     "tf_resource_naming_convention",
     "stream_hapax_monitor",
     "media_ahash_clusters",
+    # late-r15 drafts (waves grown 15/14 -> 18/17, simulation re-run)
+    "q_lineitem_cramers_v",
+    "emb_norm_buckets",
+    "docs_code_mix",
+    "docs_ari_readability",
+    "tf_variable_type_mismatch",
+    "stream_code_mix_monitor",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

@@ -16216,19 +16216,23 @@ def emb_sign_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
-    "docs_code_detect",
-    # every marker is counted via length differences (translate /
-    # replace — Postgres-semantics in BOTH engines, verified), never a
-    # regex: the r12 regexp-escaping hazard class has no surface here.
-    # n_lines >= 1 by construction; the empty-text guard is the only
-    # division guard needed
-    oracle="""
-    WITH m AS (
-      SELECT doc_id,
+def _code_marker_parts(extra_cols: str = "") -> str:
+    """Oracle CTE fragment computing the code-classifier markers (the
+    `m`/`s` stages shared VERBATIM by the docs_code_detect oracle and
+    the code-mix roll-ups, so the classifier SQL cannot fork — the
+    `_lloyd_parts` parametric-fragment device). ``extra_cols`` threads
+    pass-through columns (``, lang``) into both stages. Every marker is
+    counted via length differences (translate / replace —
+    Postgres-semantics in BOTH engines, verified), never a regex: the
+    r12 regexp-escaping hazard class has no surface here. n_lines >= 1
+    by construction; the empty-text guard is the only division guard
+    needed."""
+    return f"""
+    m AS (
+      SELECT doc_id{extra_cols},
              CAST(length(text) AS BIGINT) n_chars,
              CAST(length(text)
-                  - length(translate(text, '{}();=<>[]', '')) AS BIGINT)
+                  - length(translate(text, '{{}}();=<>[]', '')) AS BIGINT)
                n_sym,
              CAST(1 + length(text)
                   - length(replace(text, chr(10), '')) AS BIGINT) n_lines,
@@ -16236,11 +16240,71 @@ def emb_sign_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - length(replace(text, chr(10) || '  ', ''))) // 3
                AS BIGINT) n_indent
       FROM documents),
-    s AS (SELECT doc_id, n_lines,
+    s AS (SELECT doc_id{extra_cols}, n_lines,
                  CAST(CASE WHEN n_chars > 0 THEN n_sym * 10000 // n_chars
                       END AS BIGINT) sym_bp,
                  CAST(n_indent * 10000 // n_lines AS BIGINT) indent_bp
-          FROM m)
+          FROM m)"""
+
+
+def _code_flags(docs: DataFrame) -> DataFrame:
+    """Per-document code-vs-prose classification frame — doc_id, lang,
+    n_lines, sym_bp, indent_bp, looks_code. Shared by docs_code_detect,
+    docs_code_mix, and stream_code_mix_monitor so the classifier logic
+    cannot fork between the per-doc gate, the corpus roll-up, and the
+    stream (the `_zipf_slope_report` shared-logic template, applied to
+    the classifier instead of the report)."""
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.translate("text", "{}();=<>[]", ""))
+        ).cast("long").alias("n_sym"),
+        (
+            F.lit(1)
+            + F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))
+        ).cast("long").alias("n_lines"),
+        (
+            (
+                F.length("text")
+                - F.length(
+                    F.replace(F.col("text"), F.lit("\n  "), F.lit(""))
+                )
+            )
+            / 3
+        ).cast("long").alias("n_indent"),
+    )
+    s = m.select(
+        "doc_id",
+        "lang",
+        "n_lines",
+        F.expr(
+            "CAST(CASE WHEN n_chars > 0 THEN n_sym * 10000 DIV n_chars"
+            " END AS BIGINT)"
+        ).alias("sym_bp"),
+        F.expr("CAST(n_indent * 10000 DIV n_lines AS BIGINT)").alias(
+            "indent_bp"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_lines",
+        "sym_bp",
+        "indent_bp",
+        F.expr(
+            "coalesce(sym_bp, 0) >= 300 OR indent_bp >= 2000"
+        ).alias("looks_code"),
+    )
+
+
+@staged_query(
+    "docs_code_detect",
+    oracle=f"""
+    WITH {_code_marker_parts()}
     SELECT doc_id, n_lines, sym_bp, indent_bp,
            (coalesce(sym_bp, 0) >= 300 OR indent_bp >= 2000) AS looks_code
     FROM s
@@ -16265,47 +16329,8 @@ def docs_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition (`_par_floor`), and the classifier runs entirely inside
     whole-stage codegen."""
     docs = _t(spark, sf_dir, "documents")
-    m = docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        (
-            F.length("text")
-            - F.length(F.translate("text", "{}();=<>[]", ""))
-        ).cast("long").alias("n_sym"),
-        (
-            F.lit(1)
-            + F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))
-        ).cast("long").alias("n_lines"),
-        (
-            (
-                F.length("text")
-                - F.length(
-                    F.replace(F.col("text"), F.lit("\n  "), F.lit(""))
-                )
-            )
-            / 3
-        ).cast("long").alias("n_indent"),
-    )
-    s = m.select(
-        "doc_id",
-        "n_lines",
-        F.expr(
-            "CAST(CASE WHEN n_chars > 0 THEN n_sym * 10000 DIV n_chars"
-            " END AS BIGINT)"
-        ).alias("sym_bp"),
-        F.expr("CAST(n_indent * 10000 DIV n_lines AS BIGINT)").alias(
-            "indent_bp"
-        ),
-    )
-    return s.select(
-        "doc_id",
-        "n_lines",
-        "sym_bp",
-        "indent_bp",
-        F.expr(
-            "coalesce(sym_bp, 0) >= 300 OR indent_bp >= 2000"
-        ).alias("looks_code"),
+    return _code_flags(docs).select(
+        "doc_id", "n_lines", "sym_bp", "indent_bp", "looks_code"
     )
 
 
@@ -16470,3 +16495,518 @@ def media_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("cluster_size"),
     )
     return grouped.unionByName(singles)
+
+
+# the cell CTE wraps the PROMOTED q_lineitem_flag_status_chi2 oracle
+# verbatim (composed from ORACLES at module load — zero text
+# duplication, the _PPL_BUCKETS_SQL device — so the grid and the
+# effect-size roll-up cannot drift); sums of contrib_e6 are HUGEINT in
+# DuckDB, CAST back to BIGINT per the standing device
+_CRAMERS_V_SQL = f"""
+    WITH chi AS ({ORACLES["q_lineitem_flag_status_chi2"]}),
+    agg AS (SELECT CAST(coalesce(sum(observed), 0) AS BIGINT) n_tot,
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT) r_levels,
+                   CAST(count(DISTINCT l_linestatus) AS BIGINT) c_levels,
+                   CAST(coalesce(sum(contrib_e6), 0) AS BIGINT) chi2_e6
+            FROM chi),
+    v AS (SELECT n_tot, r_levels, c_levels,
+                 CAST(greatest(r_levels - 1, 0)
+                      * greatest(c_levels - 1, 0) AS BIGINT) AS df,
+                 chi2_e6,
+                 CAST(CASE WHEN n_tot > 0 AND least(r_levels, c_levels) >= 2
+                      THEN chi2_e6 * 100
+                           // (n_tot * (least(r_levels, c_levels) - 1))
+                      END AS BIGINT) AS v2_e8
+          FROM agg)
+    SELECT n_tot, r_levels, c_levels, df, chi2_e6, v2_e8,
+           CASE WHEN v2_e8 IS NULL THEN 'undefined'
+                WHEN v2_e8 < 1000000 THEN 'negligible'
+                WHEN v2_e8 < 9000000 THEN 'small'
+                WHEN v2_e8 < 25000000 THEN 'medium'
+                ELSE 'large' END AS effect
+    FROM v
+"""
+
+
+@staged_query("q_lineitem_cramers_v", oracle=_CRAMERS_V_SQL)
+def q_lineitem_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the returnflag × linestatus
+    association — the practical-significance companion the χ² family
+    was missing: at TPC-H row counts *every* dependence is
+    "significant" (χ² grows linearly in N at fixed association), so the
+    dashboards the independence entries feed need the N-normalized
+    V² = χ² / (N · min(r−1, c−1)) to say whether the dependence is
+    worth acting on. One row out: N, level counts, df, the χ²
+    statistic in millionths, V² in 10⁻⁸ units (the spearman
+    near-zero-grid precedent: χ²/N association at warehouse N is tiny
+    — TPC-H's flag×status lands at V² ≈ 3·10⁻⁶, which the e6 grid
+    would snap to single digits; headroom chi2_e6·100 ≤ N·m·10⁸ stays
+    under 2⁶³ past N = 10⁹), and the conventional effect band
+    (negligible < 0.1 ≤ small < 0.3 ≤ medium < 0.5 ≤ large, thresholds
+    squared onto the integer grid so the banding is division-free).
+    The contingency grid and per-cell χ² contributions
+    are the PROMOTED `q_lineitem_flag_status_chi2` frame VERBATIM —
+    both the Spark side (it consumes that entry's DataFrame) and the
+    oracle (its SQL is composed in as a CTE at module load), the
+    kendall-reuses-gamma cross-entry device — so the two entries
+    cannot drift. V² is one all-positive floor division (every
+    contrib_e6 ≥ 0); fewer than two levels on either margin → V
+    undefined → NULL + 'undefined' via the r13 degenerate-guard
+    device, and the empty table emits one zeros row through the
+    global-agg device.
+
+    Scale: everything data-sized is inherited from the promoted entry
+    (one pruned scan, one cell-keyed partial-agg shuffle); this adds a
+    global roll-up over the ≤ |flags|×|statuses| cell frame — the
+    post-agg-tiny-frame exemption — and returns exactly one row at any
+    corpus size."""
+    cells = q_lineitem_flag_status_chi2(spark, sf_dir)
+    agg = cells.agg(
+        F.coalesce(F.sum("observed"), F.lit(0)).cast("long").alias("n_tot"),
+        F.countDistinct("l_returnflag").cast("long").alias("r_levels"),
+        F.countDistinct("l_linestatus").cast("long").alias("c_levels"),
+        F.coalesce(F.sum("contrib_e6"), F.lit(0)).cast("long").alias(
+            "chi2_e6"
+        ),
+    )
+    v = agg.select(
+        "n_tot",
+        "r_levels",
+        "c_levels",
+        F.expr(
+            "CAST(greatest(r_levels - 1, 0)"
+            " * greatest(c_levels - 1, 0) AS BIGINT)"
+        ).alias("df"),
+        "chi2_e6",
+        F.expr(
+            "CAST(CASE WHEN n_tot > 0 AND least(r_levels, c_levels) >= 2"
+            " THEN chi2_e6 * 100"
+            " DIV (n_tot * (least(r_levels, c_levels) - 1))"
+            " END AS BIGINT)"
+        ).alias("v2_e8"),
+    )
+    return v.select(
+        "n_tot",
+        "r_levels",
+        "c_levels",
+        "df",
+        "chi2_e6",
+        "v2_e8",
+        F.expr(
+            "CASE WHEN v2_e8 IS NULL THEN 'undefined'"
+            " WHEN v2_e8 < 1000000 THEN 'negligible'"
+            " WHEN v2_e8 < 9000000 THEN 'small'"
+            " WHEN v2_e8 < 25000000 THEN 'medium'"
+            " ELSE 'large' END"
+        ).alias("effect"),
+    )
+
+
+@staged_query(
+    "emb_norm_buckets",
+    # per-element milli-quantize in f64 (the c62fc0b device: cast each
+    # FLOAT element to DOUBLE before any arithmetic, never DuckDB's f32
+    # promotion), then an exact integer Σq² per vector — order-free, no
+    # float sum anywhere; log2 buckets via length(bin(n))-1 (the
+    # docs_zipf_slope device); list_sum of an EMPTY list is NULL in
+    # DuckDB where Spark's aggregate seed gives 0, hence the coalesce
+    oracle="""
+    WITH q AS (SELECT vec_id,
+                 CAST(coalesce(list_sum(list_transform(
+                        list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                               AS BIGINT)),
+                        y -> y * y)), 0) AS BIGINT) norm2
+               FROM embeddings),
+    b AS (SELECT CAST(length(bin(norm2)) - 1 AS BIGINT) bucket, norm2
+          FROM q),
+    g AS (SELECT bucket, CAST(count(*) AS BIGINT) n_vecs,
+                 CAST(min(norm2) AS BIGINT) min_norm2,
+                 CAST(max(norm2) AS BIGINT) max_norm2
+          FROM b GROUP BY 1),
+    t AS (SELECT g.*, CAST(sum(n_vecs) OVER () AS BIGINT) tot FROM g)
+    SELECT bucket, n_vecs, min_norm2, max_norm2,
+           CAST(n_vecs * 10000 // tot AS BIGINT) AS share_bp
+    FROM t
+    """,
+)
+def emb_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm distribution of the embedding corpus in exact log₂
+    buckets — the scale-drift screen next to `emb_sign_bit_balance`
+    (direction health) and `emb_cov_top_eigen` (anisotropy): an
+    embedding batch whose norms jump a bucket between snapshots signals
+    an encoder change, a normalization bug, or a truncated-write
+    corruption long before cosine-ranking metrics move (cosine is
+    norm-invariant, so topk entries are BLIND to exactly this failure).
+    Per vector: norm² in milli-units² as an exact integer (each FLOAT
+    element cast to DOUBLE, floor-quantized to milli, squared and
+    summed — order-free integer arithmetic, so no engine-side float-sum
+    divergence), bucketed by ⌊log₂ norm²⌋ via the length(bin(n))−1
+    device; per bucket: vector count, min/max norm², and the corpus
+    share in basis points (all-positive floor division).
+
+    Scale: the norm is a per-row O(dim) JVM higher-order-function fold
+    (transform + aggregate — no Python, no explode, no shuffle);
+    buckets are a grouped agg with ≤ ~45 possible keys (norm² < 2⁴⁵ at
+    this dimension/scale), partial-agg collapsed before the one tiny
+    exchange; the share window runs over the post-agg bucket frame
+    (post-agg-tiny-frame exemption) and the output is bucket-count
+    rows at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),"
+            " 0L, (acc, y) -> acc + y * y)"
+        ).alias("norm2")
+    )
+    b = q.select(
+        F.expr("CAST(length(bin(norm2)) - 1 AS BIGINT)").alias("bucket"),
+        "norm2",
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("norm2").cast("long").alias("min_norm2"),
+        F.max("norm2").cast("long").alias("max_norm2"),
+    )
+    t = g.withColumn(
+        "tot", F.sum("n_vecs").over(Window.partitionBy()).cast("long")
+    )
+    return t.select(
+        "bucket",
+        "n_vecs",
+        "min_norm2",
+        "max_norm2",
+        F.expr("CAST(n_vecs * 10000 DIV tot AS BIGINT)").alias("share_bp"),
+    )
+
+
+# marker stages composed from _code_marker_parts VERBATIM (lang threaded
+# through), so the three code-classifier entries share one classifier
+# SQL; grouped rows always have n_docs >= 1, so the share division
+# needs no zero guard
+_CODE_MIX_SQL = f"""
+    WITH {_code_marker_parts(", lang")},
+    c AS (SELECT lang,
+                 (coalesce(sym_bp, 0) >= 300 OR indent_bp >= 2000) lc
+          FROM s),
+    g AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+                 CAST(coalesce(sum(CASE WHEN lc THEN 1 END), 0) AS BIGINT)
+                   n_code
+          FROM c GROUP BY 1)
+    SELECT lang, n_docs, n_code,
+           CAST(n_code * 10000 // n_docs AS BIGINT) AS code_share_bp
+    FROM g
+"""
+
+
+def _code_mix_report(grid: DataFrame) -> DataFrame:
+    """Code-share roll-up from a (lang, looks_code, cnt) grid frame.
+    Shared by the batch entry and the streaming monitor so the report
+    logic cannot fork (the r14 `_zipf_slope_report` /
+    `_source_drift_report` / `_hapax_report` template, fourth
+    instance)."""
+    per = grid.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("looks_code"), F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("n_code"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_code",
+        F.expr("CAST(n_code * 10000 DIV n_docs AS BIGINT)").alias(
+            "code_share_bp"
+        ),
+    )
+
+
+@staged_query("docs_code_mix", oracle=_CODE_MIX_SQL)
+def docs_code_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus code-mix report per language — the roll-up a pretraining
+    data-mix decision actually consumes (docs_code_detect answers "is
+    THIS doc code"; the mix designer asks "how much of my English /
+    German / etc. slice is code, and did that move since the last
+    crawl"): per lang, document count, code-classified count, and the
+    code share in basis points. The per-doc classifier is the SHARED
+    `_code_flags` frame (docs_code_detect consumes the same one — the
+    classifier cannot fork), and the roll-up is the SHARED
+    `_code_mix_report` the streaming monitor reuses; the oracle's
+    marker stages are composed from `_code_marker_parts` verbatim. The
+    share is one all-positive floor division (grouped langs have ≥ 1
+    doc by construction); the empty corpus emits zero rows on both
+    engines (the grouped shape's empty contract).
+
+    Scale: the classifier is a per-row whole-stage-codegen projection;
+    the only shuffle carries ≤ |langs|×2 partial-agg rows to the
+    (lang, looks_code) grid, and the report collapses that spine-sized
+    frame — nothing data-sized moves after the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    grid = _code_flags(docs).groupBy("lang", "looks_code").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _code_mix_report(grid)
+
+
+@staged_query("stream_code_mix_monitor", oracle=_CODE_MIX_SQL)
+def stream_code_mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-mix screen as a STREAM: crawl shards land and the
+    (lang, looks_code) count grid updates as they stream through — the
+    live "did code share jump in this slice" dashboard next to
+    `stream_source_drift_monitor` (a code-share jump in a prose slice
+    is the classic symptom of a crawler picking up a code-host mirror).
+    Per-doc classification is STATELESS (the shared `_code_flags`
+    projection applied to each micro-batch); the running state is the
+    (lang, looks_code) → count grid in complete mode — SPINE-sized
+    (≤ |langs|×2 rows), monotone ADD-merges folding in exactly like
+    batch partials, no watermark needed (the `stream_zipf_monitor`
+    state class). The roll-up runs batch-side over the drained grid via
+    the SHARED `_code_mix_report` (report logic cannot fork — the r14
+    monitor template, fourth instance), and the oracle is the batch
+    entry's SQL verbatim: the driver checks the stream≡batch identity
+    itself.
+
+    Scale: each micro-batch contributes map-side partial (lang, flag)
+    counts — the identical shuffle shape as the batch grid agg,
+    incrementalized; state never grows past the lang spine, and the
+    drained report is a spine-sized group-by."""
+    src = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    grid = _code_flags(src).groupBy("lang", "looks_code").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = _drain_memory_sink(spark, grid, "stream_code_mix_monitor", "complete")
+    return _code_mix_report(t)
+
+
+@staged_query(
+    "docs_ari_readability",
+    # counts are length differences (replace — the docs_code_detect
+    # device); the ARI formula is shifted by +21.43 BEFORE dividing:
+    # grade + 21.43 = 4.71·C/W + 0.5·W/S >= 0 always, so the single
+    # floor division is all-positive (trunc ≡ floor on both engines —
+    # the r13 integer-division-parity device, positivity manufactured
+    # algebraically instead of by offset) and the shift is subtracted
+    # back AFTER; S = 0 (no sentence marker) → NULL grade via the
+    # degenerate-guard CASE on both sides
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) - length(replace(text, ' ', ''))
+                  AS BIGINT) n_spaces,
+             CAST(length(text) AS BIGINT) n_chars,
+             CAST(length(text) - length(replace(text, '.', ''))
+                  AS BIGINT) n_sentences
+      FROM documents),
+    w AS (SELECT doc_id, n_chars - n_spaces AS n_chars_ns,
+                 n_spaces + 1 AS n_words, n_sentences
+          FROM m),
+    a AS (SELECT doc_id, n_chars_ns, n_words, n_sentences,
+                 CAST(CASE WHEN n_sentences > 0
+                      THEN (471 * n_chars_ns * n_sentences
+                            + 50 * n_words * n_words)
+                           // (n_words * n_sentences) - 2143
+                      END AS BIGINT) AS ari_centi
+          FROM w)
+    SELECT doc_id, n_chars_ns, n_words, n_sentences, ari_centi,
+           CASE WHEN ari_centi IS NULL THEN 'unmeasurable'
+                WHEN ari_centi <= 500 THEN 'elementary'
+                WHEN ari_centi <= 800 THEN 'middle_school'
+                WHEN ari_centi <= 1200 THEN 'high_school'
+                WHEN ari_centi <= 1600 THEN 'college'
+                ELSE 'graduate' END AS band
+    FROM a
+    """,
+)
+def docs_ari_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document, integer-exact — the
+    audience/complexity gate in curation recipes next to the
+    quality-score and code-detect gates (readability bands are how
+    child-safe, plain-language, and textbook-style slices get routed,
+    and a band-mix shift between crawls is a content-drift signal):
+    ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43, reported
+    in grade centi-units. Counting is the corpus's own devices — words
+    are split-on-space token counts (1 + space count, empty tokens
+    counted, matching the tokenize device), sentences are '.'
+    occurrences, characters exclude spaces; all three are
+    length-difference counts (replace), no regex. The formula lands on
+    the integer grid through ONE all-positive floor division: the
+    +21.43 shift is applied BEFORE dividing (grade + 21.43 =
+    4.71·C/W + 0.5·W/S is a sum of non-negatives, so the numerator
+    471·C·S + 50·W² is never negative — positivity manufactured
+    algebraically, the same trick as the emb_nearest_centroid_label
+    offset device) and subtracted back after. No sentence marker →
+    grade undefined → NULL + 'unmeasurable' (the r13 guard device).
+    The synthetic corpus carries no punctuation at all, so the driver
+    compare exercises the counting columns plus the unmeasurable
+    branch there (the docs_code_detect always-zero-marker precedent);
+    the measurable branch's cross-engine parity is exercised
+    end-to-end by the crafted-corpus degenerate compares.
+    DECIMAL headroom: 471·C·S stays under 2⁶³ until a single document
+    approaches ~60 GB of text — per-document bound, corpus-independent.
+
+    Scale: a pure per-row whole-stage-codegen projection (no join, no
+    aggregation, no window, no Python) — the docs_code_detect plan
+    shape; bands at 100 TB are exactly as parallel as the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).cast("long").alias("n_spaces"),
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))
+        ).cast("long").alias("n_sentences"),
+    )
+    w = m.select(
+        "doc_id",
+        (F.col("n_chars") - F.col("n_spaces")).alias("n_chars_ns"),
+        (F.col("n_spaces") + 1).alias("n_words"),
+        "n_sentences",
+    )
+    a = w.select(
+        "doc_id",
+        "n_chars_ns",
+        "n_words",
+        "n_sentences",
+        F.expr(
+            "CAST(CASE WHEN n_sentences > 0"
+            " THEN (471 * n_chars_ns * n_sentences"
+            " + 50 * n_words * n_words)"
+            " DIV (n_words * n_sentences) - 2143"
+            " END AS BIGINT)"
+        ).alias("ari_centi"),
+    )
+    return a.select(
+        "doc_id",
+        "n_chars_ns",
+        "n_words",
+        "n_sentences",
+        "ari_centi",
+        F.expr(
+            "CASE WHEN ari_centi IS NULL THEN 'unmeasurable'"
+            " WHEN ari_centi <= 500 THEN 'elementary'"
+            " WHEN ari_centi <= 800 THEN 'middle_school'"
+            " WHEN ari_centi <= 1200 THEN 'high_school'"
+            " WHEN ari_centi <= 1600 THEN 'college'"
+            " ELSE 'graduate' END"
+        ).alias("band"),
+    )
+
+
+@staged_query(
+    "tf_variable_type_mismatch",
+    # golden rows from the dedicated vartypes corpus — one variable per
+    # declared-type × default-shape class: exact matches for every base
+    # kind (string/number/bool, list+set→list, map+object→map), the
+    # three gocty coercions terraform performs silently (numeric string
+    # → number incl. negative decimals, "true"/"false" → bool, bare
+    # number → string), genuine mismatches (list default for a map
+    # type, number for bool, non-numeric string for number), and the
+    # two absent-side classes (untyped, no_default)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('extra.tf',     'names',     'set(string)',
+       'set',    'list',   'match'),
+      ('extra.tf',     'offset',    'number',
+       'number', 'string', 'coercible'),
+      ('extra.tf',     'opts',      'object({ mode = string })',
+       'object', 'map',    'match'),
+      ('extra.tf',     'retries',   'number',
+       'number', 'string', 'mismatch'),
+      ('variables.tf', 'api_token', 'string',
+       'string', NULL,     'no_default'),
+      ('variables.tf', 'count_str', 'number',
+       'number', 'string', 'coercible'),
+      ('variables.tf', 'debug',     'bool',
+       'bool',   'string', 'coercible'),
+      ('variables.tf', 'flag',      'bool',
+       'bool',   'number', 'mismatch'),
+      ('variables.tf', 'legacy',    NULL,
+       NULL,     'string', 'untyped'),
+      ('variables.tf', 'port',      'string',
+       'string', 'number', 'coercible'),
+      ('variables.tf', 'region',    'string',
+       'string', 'string', 'match'),
+      ('variables.tf', 'replicas',  'number',
+       'number', 'number', 'match'),
+      ('variables.tf', 'tags',      'map(string)',
+       'map',    'list',   'mismatch'),
+      ('variables.tf', 'zones',     'list(string)',
+       'list',   'list',   'match')
+    ) t(file, name, declared_type, base_type, default_kind, status)
+    """,
+)
+def tf_variable_type_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-vs-declared-type lint over variable blocks — the
+    `terraform validate`-lite check the type and default_value columns
+    invite (a module whose defaults only work through gocty coercion
+    breaks the moment a caller passes the declared type's literal form,
+    and a genuinely mismatched default fails at plan time on every
+    consumer): per variable, the declared type (unwrapped per the F5
+    device), its base constructor (text before the first paren —
+    string/number/bool/list/set/tuple/map/object/any), the JSON shape
+    of the byte-stable encoded default (leading byte: quote → string,
+    bracket → list, brace → map, the bare true/false words → bool,
+    else number), and a five-way status: ``match`` (same kind, with
+    set/tuple collapsing to list and object to map — the JSON-shape
+    equivalences), ``coercible`` (the three conversions terraform
+    performs silently: numeric string → number, "true"/"false" → bool,
+    bare number/bool → string — flagged because they document intent
+    poorly and break under `-var` CLI overrides quoting differently),
+    ``mismatch`` (everything else), ``untyped`` / ``no_default`` (the
+    absent sides, reported not judged — tf_variable_hygiene owns those
+    lints). All checks run Spark-side only (golden-rows oracle, no
+    cross-engine regex surface).
+
+    Scale: O(variable blocks) metadata — one projection over the
+    parsed wide frame, no exchange beyond the parse, no join (the
+    settings-audit plan shape)."""
+    wide = _tf_corpus_engine(spark, "vartypes").wide()
+    v = wide.filter(F.col("tf_table") == "terraform_variable").select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("file"),
+        "name",
+        F.col("type").alias("declared_type"),
+        F.expr("element_at(split(type, '[(]'), 1)").alias("base_type"),
+        F.expr(
+            "CASE WHEN default_value IS NULL THEN NULL"
+            " WHEN left(default_value, 1) = '\"' THEN 'string'"
+            " WHEN left(default_value, 1) = '[' THEN 'list'"
+            " WHEN left(default_value, 1) = '{' THEN 'map'"
+            " WHEN default_value IN ('true', 'false') THEN 'bool'"
+            " ELSE 'number' END"
+        ).alias("default_kind"),
+        "default_value",
+    )
+    return v.select(
+        "file",
+        "name",
+        "declared_type",
+        "base_type",
+        "default_kind",
+        F.expr(
+            "CASE WHEN declared_type IS NULL THEN 'untyped'"
+            " WHEN default_kind IS NULL THEN 'no_default'"
+            " WHEN base_type = 'any' OR base_type = default_kind"
+            "  OR (base_type IN ('list', 'set', 'tuple')"
+            "      AND default_kind = 'list')"
+            "  OR (base_type IN ('map', 'object')"
+            "      AND default_kind = 'map') THEN 'match'"
+            " WHEN base_type = 'number' AND default_kind = 'string'"
+            "  AND default_value RLIKE"
+            r"  '^\"-?[0-9]+([.][0-9]+)?\"$' THEN 'coercible'"
+            " WHEN base_type = 'bool'"
+            "  AND default_value IN ('\"true\"', '\"false\"')"
+            "  THEN 'coercible'"
+            " WHEN base_type = 'string'"
+            "  AND default_kind IN ('number', 'bool') THEN 'coercible'"
+            " ELSE 'mismatch' END"
+        ).alias("status"),
+    )

@@ -410,3 +410,104 @@ def test_ahash_clusters_all_short_payloads_all_singletons(spark, tmp_path):
 def test_ahash_clusters_empty_corpus_zero_rows(spark, tmp_path):
     rows = _run(spark, tmp_path, "media_ahash_clusters", {"documents": _docs([])})
     assert rows == []
+
+
+def test_cramers_v_single_margin_level_undefined(spark, tmp_path):
+    # only one linestatus level → min(r,c) = 1 → m = 0 → V² NULL +
+    # 'undefined' on BOTH sides (Spark DIV-by-zero NULL vs DuckDB //
+    # error is the divergence class the CASE guard exists for); the
+    # chi2 roll-up itself is still well-defined (independence is exact
+    # when a margin is degenerate → every contrib 0)
+    rows = _run(
+        spark, tmp_path, "q_lineitem_cramers_v",
+        {"lineitem": _lineitem([
+            (1.0, "F", "A", 0.0), (2.0, "F", "A", 0.0),
+            (3.0, "F", "N", 0.0),
+        ])},
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["r_levels"], r["c_levels"]) == (2, 1)
+    assert r["df"] == 0 and r["chi2_e6"] == 0
+    assert r["v2_e8"] is None and r["effect"] == "undefined"
+
+
+def test_cramers_v_empty_table_zeros_row(spark, tmp_path):
+    # empty lineitem → the global-agg device emits ONE row of zero
+    # counts with NULL V² on both engines
+    rows = _run(spark, tmp_path, "q_lineitem_cramers_v", {"lineitem": _lineitem([])})
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_tot"], r["r_levels"], r["c_levels"], r["df"]) == (0, 0, 0, 0)
+    assert r["chi2_e6"] == 0
+    assert r["v2_e8"] is None and r["effect"] == "undefined"
+
+
+def test_norm_buckets_zero_vector_bucket_zero(spark, tmp_path):
+    # the all-zeros vector has norm² = 0, which the bin-length device
+    # maps to bucket 0 (bin(0) = '0' → length 1) — covered, not
+    # dropped; with every vector zero the single bucket carries the
+    # whole corpus at share 10000
+    rows = _run(
+        spark, tmp_path, "emb_norm_buckets",
+        {"embeddings": _embeddings([[0.0] * 64, [0.0] * 64])},
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bucket"], r["n_vecs"]) == (0, 2)
+    assert (r["min_norm2"], r["max_norm2"]) == (0, 0)
+    assert r["share_bp"] == 10000
+
+
+def test_norm_buckets_empty_corpus_zero_rows(spark, tmp_path):
+    # no vectors → zero rows on both engines (the grouped shape's
+    # empty contract; DuckDB's NULL list_sum on empty lists never
+    # fires because there are no rows at all)
+    rows = _run(spark, tmp_path, "emb_norm_buckets", {"embeddings": _embeddings([])})
+    assert rows == []
+
+
+def test_ari_no_sentence_marker_unmeasurable(spark, tmp_path):
+    # no '.' anywhere → S = 0 → the guarded division yields NULL +
+    # 'unmeasurable' on BOTH sides; empty text is the same branch
+    # (W = 1 by the split-on-space device, S = 0)
+    rows = _run(
+        spark, tmp_path, "docs_ari_readability",
+        {"documents": _docs([(1, "no terminal punctuation here"), (2, "")])},
+    )
+    by = {r["doc_id"]: r for r in rows}
+    assert by[1]["ari_centi"] is None and by[1]["band"] == "unmeasurable"
+    assert by[2]["n_words"] == 1 and by[2]["n_chars_ns"] == 0
+    assert by[2]["ari_centi"] is None and by[2]["band"] == "unmeasurable"
+
+
+def test_ari_single_word_sentence_floor(spark, tmp_path):
+    # "ok." → C = 3, W = 1, S = 1 → shifted = 471·3 + 50 = 1463 →
+    # grade −680 centi (negative grades are legal output; only the
+    # DIVISION had to stay positive — the algebraic-shift device)
+    rows = _run(
+        spark, tmp_path, "docs_ari_readability",
+        {"documents": _docs([(5, "ok.")])},
+    )
+    r = rows[0]
+    assert (r["n_chars_ns"], r["n_words"], r["n_sentences"]) == (3, 1, 1)
+    assert r["ari_centi"] == (471 * 3 * 1 + 50 * 1) // 1 - 2143
+    assert r["band"] == "elementary"
+
+
+def test_code_mix_empty_corpus_zero_rows(spark, tmp_path):
+    rows = _run(spark, tmp_path, "docs_code_mix", {"documents": _docs([])})
+    assert rows == []
+
+
+def test_code_mix_all_code_lang_share_10000(spark, tmp_path):
+    # a lang whose only doc classifies as code reports share 10000 —
+    # the division grid's upper edge, no rounding
+    code = "def f(x):\n  return {x: (x + 1)};\n  # c\nz = f(2)"
+    rows = _run(
+        spark, tmp_path, "docs_code_mix",
+        {"documents": _docs([(1, code), (2, "plain prose text")])},
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["n_code"], r["code_share_bp"]) == (2, 1, 5000)

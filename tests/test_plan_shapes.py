@@ -2016,3 +2016,97 @@ def test_ahash_clusters_single_hash_shuffle(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                  "BatchEvalPython"):
         assert node not in plan
+
+
+def test_cramers_v_inherits_chi2_plan_plus_tiny_rollup(spark):
+    # the roll-up composes the promoted chi2 frame: its one cell-keyed
+    # exchange + agg-frame windows, plus the Expand-based two-column
+    # distinct count and a final single-partition agg — every stage
+    # past the scan is over the <= |flags|x|statuses| cell frame; the
+    # scan itself prunes to exactly the two categorical columns
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_lineitem_cramers_v"](spark, SF))
+    assert "Expand" in plan  # the countDistinct pair
+    assert "Exchange SinglePartition" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "Generate"):
+        assert node not in plan
+    assert "ReadSchema: struct<l_returnflag:string,l_linestatus:string>" \
+        in plan
+
+
+def test_norm_buckets_fold_no_shuffle_before_spine_agg(spark):
+    # the norm fold is a JVM higher-order projection: NO Generate (no
+    # explode), no Python; one bucket-keyed exchange (partial-agg
+    # collapsed) + the share window's single-partition stage over the
+    # post-agg bucket frame; the scan prunes to the embedding column
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["emb_norm_buckets"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Window") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "Generate", "MapInPandas"):
+        assert node not in plan
+    assert "ReadSchema: struct<embedding:array<float>>" in plan
+
+
+def test_code_mix_two_spine_sized_exchanges(spark):
+    # classifier = per-row projection; exchange #1 keys the
+    # (lang, looks_code) grid, exchange #2 re-keys the spine-sized grid
+    # on lang for the shared report — both carry <= |langs|x2 rows
+    # after partial agg; no window, no join, no single-partition stage;
+    # the scan prunes to text+lang (doc_id unused by the roll-up)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_code_mix"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "Window", "Generate"):
+        assert node not in plan
+    assert "ReadSchema: struct<text:string,lang:string>" in plan
+
+
+def test_ari_readability_pure_projection(spark):
+    # the docs_code_detect plan shape: a per-row whole-stage-codegen
+    # projection — no aggregate, no window, no Python; the only
+    # permitted exchange is the gated _par_floor round-robin; column
+    # pruning reaches the scan (doc_id + text only)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["docs_ari_readability"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "Window", "Generate", "HashAggregate",
+                 "SortAggregate"):
+        assert node not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_variable_type_mismatch_shuffle_free(spark):
+    # settings-audit plan shape: one projection over the parsed wide
+    # frame — no exchange, no join (the MapInPandas is the HCL parse)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["tf_variable_type_mismatch"](spark, SF))
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_stream_code_mix_monitor_drained_report_shape(spark):
+    # the drained (lang, looks_code) grid feeds the SHARED report: one
+    # lang-keyed exchange over the spine-sized sink table — no
+    # cartesian, no Python, no window, no single-partition stage
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_code_mix_monitor"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("CartesianProduct", "BatchEvalPython", "Window",
+                 "Exchange SinglePartition"):
+        assert node not in plan

@@ -2778,3 +2778,227 @@ def test_ahash_clusters_python_replay_and_pair_consistency(spark):
     # cross-entry pin: the promoted pair view is a subset of the groups
     for r in QUERIES["media_ahash_pairs"](spark, SF_DIR).collect():
         assert got[r["doc_id1"]][0] == got[r["doc_id2"]][0]
+
+
+def test_cramers_v_cross_entry_and_python_reference(spark):
+    """q_lineitem_cramers_v two ways: (a) the cross-entry identity —
+    its chi2_e6 / n_tot must equal the PROMOTED
+    q_lineitem_flag_status_chi2 frame's sums exactly (the roll-up
+    consumes that frame verbatim, so any drift is a composition bug);
+    (b) a from-scratch Python-int replay of the whole chain from the
+    parquet (cells → floored contribs → floored V²), plus a float
+    sanity band on V² itself."""
+    cells = QUERIES["q_lineitem_flag_status_chi2"](spark, SF_DIR).collect()
+    r = _staged(spark, "q_lineitem_cramers_v").collect()[0]
+    assert r["chi2_e6"] == sum(c["contrib_e6"] for c in cells)
+    assert r["n_tot"] == sum(c["observed"] for c in cells)
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    )
+    obs = collections.Counter(
+        zip(t["l_returnflag"].to_pylist(), t["l_linestatus"].to_pylist())
+    )
+    n = sum(obs.values())
+    rt = collections.Counter()
+    ct = collections.Counter()
+    for (f_, s_), o in obs.items():
+        rt[f_] += o
+        ct[s_] += o
+    chi2_e6 = sum(
+        (o * n - rt[f_] * ct[s_]) ** 2 * 1000000 // (rt[f_] * ct[s_] * n)
+        for (f_, s_), o in obs.items()
+    )
+    m = min(len(rt), len(ct)) - 1
+    assert r["r_levels"] == len(rt) and r["c_levels"] == len(ct)
+    assert r["df"] == (len(rt) - 1) * (len(ct) - 1)
+    assert r["chi2_e6"] == chi2_e6
+    assert r["v2_e8"] == chi2_e6 * 100 // (n * m)
+    # float sanity: the snapped V² sits within the floors' error band
+    chi2_f = sum(
+        (o - rt[f_] * ct[s_] / n) ** 2 / (rt[f_] * ct[s_] / n)
+        for (f_, s_), o in obs.items()
+    )
+    assert abs(r["v2_e8"] / 1e8 - chi2_f / (n * m)) < 5e-6
+    # effect banding on the squared thresholds (v = 0.1/0.3/0.5)
+    v2 = r["v2_e8"]
+    expect = (
+        "negligible" if v2 < 1000000 else
+        "small" if v2 < 9000000 else
+        "medium" if v2 < 25000000 else "large"
+    )
+    assert r["effect"] == expect
+
+
+def test_norm_buckets_numpy_reference(spark):
+    """emb_norm_buckets vs a numpy replay of the milli-quantize →
+    integer Σq² → ⌊log₂⌋ bucket chain, exact at every column."""
+    import numpy as np
+
+    tab = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    m = np.stack(tab["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+    norm2 = (q * q).sum(axis=1)
+    buckets = collections.defaultdict(list)
+    for v in norm2.tolist():
+        buckets[max(int(v).bit_length() - 1, 0)].append(int(v))
+    tot = len(norm2)
+    rows = {r["bucket"]: r for r in _staged(spark, "emb_norm_buckets").collect()}
+    assert sorted(rows) == sorted(buckets)
+    for b, vals in buckets.items():
+        r = rows[b]
+        assert r["n_vecs"] == len(vals)
+        assert r["min_norm2"] == min(vals)
+        assert r["max_norm2"] == max(vals)
+        assert r["share_bp"] == len(vals) * 10000 // tot
+
+
+def test_norm_buckets_bit_length_identity():
+    """The length(bin(n))−1 bucket equals int.bit_length()−1 for every
+    positive int, and 0 maps to bucket 0 — the device's boundary pin
+    (engine-free arithmetic)."""
+    for v in (1, 2, 3, 4, 7, 8, 1023, 1024, 2**40 - 1, 2**40):
+        assert len(bin(v)) - 2 - 1 == v.bit_length() - 1
+    assert len(bin(0)) - 2 - 1 == 0  # '0b0' → length 1 → bucket 0
+
+
+def test_ari_readability_pure_python_reference(spark):
+    """docs_ari_readability vs a str.count replay with Python ints
+    (exact), plus the float-ARI sanity band and the positivity
+    invariant that justifies the single all-positive division."""
+    tab = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bands = [
+        (500, "elementary"), (800, "middle_school"),
+        (1200, "high_school"), (1600, "college"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in _staged(spark, "docs_ari_readability").collect()
+    }
+    assert len(got) == tab.num_rows
+    for i, t in zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()):
+        spaces = t.count(" ")
+        c = len(t) - spaces
+        w = spaces + 1
+        s = t.count(".")
+        r = got[i]
+        assert r["n_chars_ns"] == c and r["n_words"] == w
+        assert r["n_sentences"] == s
+        if s == 0:
+            assert r["ari_centi"] is None and r["band"] == "unmeasurable"
+            continue
+        num = 471 * c * s + 50 * w * w
+        assert num >= 0  # positivity is algebraic, not an offset
+        ari = num // (w * s) - 2143
+        assert r["ari_centi"] == ari
+        ari_f = 4.71 * c / w + 0.5 * w / s - 21.43
+        assert abs(ari / 100.0 - ari_f) <= 0.02
+        band = next((b for lim, b in bands if ari <= lim), "graduate")
+        assert r["band"] == band
+
+
+def test_variable_type_mismatch_json_semantic_reference(spark):
+    """tf_variable_type_mismatch vs a json.loads-based re-derivation
+    over the fixture corpus: the default's KIND comes from actually
+    parsing the value (semantic), not from the entry's leading-byte
+    dispatch, and coercibility from float()/bool-word checks — so a
+    byte-dispatch bug or a mis-encoded default would split the two."""
+    import json
+    import pathlib
+    import re
+
+    fix = pathlib.Path(__file__).resolve().parent / "fixtures" / "vartypes"
+    want = {}
+    for p in sorted(fix.glob("*.tf")):
+        for blk in re.finditer(
+            r'(?ms)^variable\s*"(\w+)"\s*\{(.*?)^\}', p.read_text()
+        ):
+            name, body = blk.group(1), blk.group(2)
+            tm = re.search(r"(?m)^\s*type\s*=\s*(.+?)\s*$", body)
+            dm = re.search(r"(?m)^\s*default\s*=\s*(.+?)\s*$", body)
+            base = tm.group(1).split("(")[0].strip() if tm else None
+            if dm is None:
+                kind, val = None, None
+            else:
+                val = json.loads(dm.group(1))
+                kind = {
+                    str: "string", bool: "bool", int: "number",
+                    float: "number", list: "list", dict: "map",
+                }[type(val)]
+            if base is None:
+                status = "untyped"
+            elif kind is None:
+                status = "no_default"
+            elif (
+                base == "any" or base == kind
+                or (base in ("list", "set", "tuple") and kind == "list")
+                or (base in ("map", "object") and kind == "map")
+            ):
+                status = "match"
+            elif base == "number" and kind == "string":
+                try:
+                    float(val)
+                    status = "coercible"
+                except ValueError:
+                    status = "mismatch"
+            elif base == "bool" and kind == "string" and val in (
+                "true", "false"
+            ):
+                status = "coercible"
+            elif base == "string" and kind in ("number", "bool"):
+                status = "coercible"
+            else:
+                status = "mismatch"
+            want[(p.name, name)] = (base, kind, status)
+    got = {
+        (r["file"], r["name"]):
+            (r["base_type"], r["default_kind"], r["status"])
+        for r in _staged(spark, "tf_variable_type_mismatch").collect()
+    }
+    assert got == want
+    # the corpus genuinely exercises all five statuses
+    assert {s for _, _, s in want.values()} == {
+        "match", "coercible", "mismatch", "untyped", "no_default"
+    }
+
+
+def test_code_mix_pure_python_reference(spark):
+    """docs_code_mix vs the str.count/str.translate classifier replay
+    rolled up by lang — independent of the shared _code_flags frame and
+    of the oracle's SQL."""
+    tab = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text", "lang"]
+    )
+    strip = str.maketrans("", "", "{}();=<>[]")
+    per = collections.defaultdict(lambda: [0, 0])
+    for t, lang in zip(tab["text"].to_pylist(), tab["lang"].to_pylist()):
+        n_chars = len(t)
+        n_sym = n_chars - len(t.translate(strip))
+        n_lines = 1 + t.count("\n")
+        sym_bp = n_sym * 10000 // n_chars if n_chars else 0
+        indent_bp = (t.count("\n  ") * 10000) // n_lines
+        per[lang][0] += 1
+        per[lang][1] += int(sym_bp >= 300 or indent_bp >= 2000)
+    got = {r["lang"]: r for r in _staged(spark, "docs_code_mix").collect()}
+    assert sorted(got) == sorted(per)
+    for lang, (n_docs, n_code) in per.items():
+        r = got[lang]
+        assert r["n_docs"] == n_docs and r["n_code"] == n_code
+        assert r["code_share_bp"] == n_code * 10000 // n_docs
+
+
+def test_stream_code_mix_equals_batch_code_mix(spark):
+    """stream_code_mix_monitor ≡ docs_code_mix on the same corpus — the
+    stream≡batch identity (complete-mode grid counts are monotone
+    ADD-merges), checked on actual rows, not SQL."""
+    batch = sorted(
+        (r.asDict() for r in _staged(spark, "docs_code_mix").collect()),
+        key=lambda d: d["lang"],
+    )
+    stream = sorted(
+        (r.asDict() for r in _staged(spark, "stream_code_mix_monitor").collect()),
+        key=lambda d: d["lang"],
+    )
+    assert batch == stream
