@@ -258,6 +258,8 @@ EXTENDED = [
     "docs_ari_readability",
     "tf_variable_type_mismatch",
     "stream_code_mix_monitor",
+    "q_part_degree_assortativity",
+    "stream_norm_buckets_monitor",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

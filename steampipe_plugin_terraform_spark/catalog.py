@@ -16602,15 +16602,14 @@ def q_lineitem_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
-    "emb_norm_buckets",
-    # per-element milli-quantize in f64 (the c62fc0b device: cast each
-    # FLOAT element to DOUBLE before any arithmetic, never DuckDB's f32
-    # promotion), then an exact integer Σq² per vector — order-free, no
-    # float sum anywhere; log2 buckets via length(bin(n))-1 (the
-    # docs_zipf_slope device); list_sum of an EMPTY list is NULL in
-    # DuckDB where Spark's aggregate seed gives 0, hence the coalesce
-    oracle="""
+# per-element milli-quantize in f64 (the c62fc0b device: cast each
+# FLOAT element to DOUBLE before any arithmetic, never DuckDB's f32
+# promotion), then an exact integer Σq² per vector — order-free, no
+# float sum anywhere; log2 buckets via length(bin(n))-1 (the
+# docs_zipf_slope device); list_sum of an EMPTY list is NULL in
+# DuckDB where Spark's aggregate seed gives 0, hence the coalesce;
+# shared verbatim with stream_norm_buckets_monitor (stream≡batch)
+_NORM_BUCKETS_SQL = """
     WITH q AS (SELECT vec_id,
                  CAST(coalesce(list_sum(list_transform(
                         list_transform(embedding,
@@ -16628,8 +16627,50 @@ def q_lineitem_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket, n_vecs, min_norm2, max_norm2,
            CAST(n_vecs * 10000 // tot AS BIGINT) AS share_bp
     FROM t
-    """,
-)
+"""
+
+
+def _norm_bucket_report(g: DataFrame) -> DataFrame:
+    """Share roll-up from a (bucket, n_vecs, min_norm2, max_norm2) grid
+    frame. Shared by the batch entry and the streaming monitor so the
+    report logic cannot fork (the r14 monitor template, fifth
+    instance); the window runs over the post-agg bucket spine."""
+    t = g.withColumn(
+        "tot", F.sum("n_vecs").over(Window.partitionBy()).cast("long")
+    )
+    return t.select(
+        "bucket",
+        "n_vecs",
+        "min_norm2",
+        "max_norm2",
+        F.expr("CAST(n_vecs * 10000 DIV tot AS BIGINT)").alias("share_bp"),
+    )
+
+
+def _norm_bucket_grid(vecs: DataFrame) -> DataFrame:
+    """(bucket, n_vecs, min_norm2, max_norm2) grid from an embedding
+    frame — the exact-integer milli-quantize fold + bin-length bucket,
+    shared by the batch entry and (incrementalized by complete-mode
+    state) the streaming monitor."""
+    q = vecs.select(
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),"
+            " 0L, (acc, y) -> acc + y * y)"
+        ).alias("norm2")
+    )
+    b = q.select(
+        F.expr("CAST(length(bin(norm2)) - 1 AS BIGINT)").alias("bucket"),
+        "norm2",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("norm2").cast("long").alias("min_norm2"),
+        F.max("norm2").cast("long").alias("max_norm2"),
+    )
+
+
+@staged_query("emb_norm_buckets", oracle=_NORM_BUCKETS_SQL)
 def emb_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-norm distribution of the embedding corpus in exact log₂
     buckets — the scale-drift screen next to `emb_sign_bit_balance`
@@ -16653,32 +16694,7 @@ def emb_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (post-agg-tiny-frame exemption) and the output is bucket-count
     rows at any corpus size."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.expr(
-            "aggregate(transform(embedding,"
-            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),"
-            " 0L, (acc, y) -> acc + y * y)"
-        ).alias("norm2")
-    )
-    b = q.select(
-        F.expr("CAST(length(bin(norm2)) - 1 AS BIGINT)").alias("bucket"),
-        "norm2",
-    )
-    g = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.min("norm2").cast("long").alias("min_norm2"),
-        F.max("norm2").cast("long").alias("max_norm2"),
-    )
-    t = g.withColumn(
-        "tot", F.sum("n_vecs").over(Window.partitionBy()).cast("long")
-    )
-    return t.select(
-        "bucket",
-        "n_vecs",
-        "min_norm2",
-        "max_norm2",
-        F.expr("CAST(n_vecs * 10000 DIV tot AS BIGINT)").alias("share_bp"),
-    )
+    return _norm_bucket_report(_norm_bucket_grid(emb))
 
 
 # marker stages composed from _code_marker_parts VERBATIM (lang threaded
@@ -17009,4 +17025,188 @@ def tf_variable_type_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  AND default_kind IN ('number', 'bool') THEN 'coercible'"
             " ELSE 'mismatch' END"
         ).alias("status"),
+    )
+
+
+@staged_query("stream_norm_buckets_monitor", oracle=_NORM_BUCKETS_SQL)
+def stream_norm_buckets_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-norm distribution screen as a STREAM: embedding
+    batches land from the encoder and the per-bucket population updates
+    as they stream through — the live "did the norm scale jump"
+    dashboard next to `stream_source_drift_monitor` (an encoder swap or
+    a lost normalization step moves a norm bucket BEFORE any cosine
+    ranking metric reacts, and catching it at ingest beats re-embedding
+    a corpus). The per-vector norm² fold is STATELESS (the shared
+    `_norm_bucket_grid` quantize+fold applied to each micro-batch);
+    running state is the bucket grid in complete mode — spine-sized
+    (≤ ~45 rows), with count/min/max all monotone merge-able
+    aggregates, no watermark needed (the `stream_zipf_monitor` state
+    class). The share roll-up runs batch-side over the drained grid via
+    the SHARED `_norm_bucket_report` (report logic cannot fork — the
+    r14 monitor template, fifth instance), and the oracle is the batch
+    entry's SQL verbatim: the driver checks the stream≡batch identity
+    itself.
+
+    Scale: each micro-batch contributes map-side partial bucket
+    aggregates — the batch grid shuffle incrementalized; state never
+    grows past the bucket spine, and the drained report is one tiny
+    window."""
+    src = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    grid = _norm_bucket_grid(src)
+    t = _drain_memory_sink(
+        spark, grid, "stream_norm_buckets_monitor", "complete"
+    )
+    return _norm_bucket_report(t)
+
+
+@staged_query(
+    "q_part_degree_assortativity",
+    # the SYMMETRIC directed-pair form needs no sqrt: counting every
+    # edge in both directions makes the two endpoint-degree margins
+    # identical, so Pearson r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) is a
+    # ratio of two exact integers (Σx = Σd², Σx² = Σd³, Σxy = 2·Σdadb)
+    # — one signed division via the spearman sign device; num·10⁶
+    # crosses 2⁶³ (≈ 8·10²² at sf0.1's margins), hence HUGEINT here and
+    # DECIMAL(38,0) on the Spark side (the widening device); den = 0
+    # (all degrees equal, incl. the empty graph) → NULL + 'undefined'
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+                WHERE l_shipdate BETWEEN DATE '1995-01-01'
+                                     AND DATE '1995-12-31'),
+    e AS (SELECT DISTINCT x.p a, y.p b FROM li x
+          JOIN li y ON x.o = y.o AND x.p < y.p),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) d
+            FROM (SELECT a n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    nagg AS (SELECT CAST(count(*) AS BIGINT) n_nodes,
+                    CAST(coalesce(sum(d * d), 0) AS BIGINT) s2,
+                    CAST(coalesce(sum(d * d * d), 0) AS BIGINT) s3
+             FROM deg),
+    eagg AS (SELECT CAST(count(*) AS BIGINT) n_edges,
+                    CAST(coalesce(sum(da.d * db.d), 0) AS BIGINT) sxy_half
+             FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+    v AS (SELECT n_nodes, n_edges,
+                 (2 * n_edges)::HUGEINT * (2 * sxy_half)
+                   - s2::HUGEINT * s2 AS num,
+                 (2 * n_edges)::HUGEINT * s3 - s2::HUGEINT * s2 AS den
+          FROM nagg, eagg)
+    SELECT n_nodes, n_edges,
+           CAST(CASE WHEN den > 0 THEN
+                  CASE WHEN num >= 0 THEN (num * 1000000) // den
+                       ELSE -(((-num) * 1000000) // den) END
+                END AS BIGINT) AS r_e6,
+           CASE WHEN den <= 0 THEN 'undefined'
+                WHEN num > 0 THEN 'assortative'
+                WHEN num < 0 THEN 'disassortative'
+                ELSE 'neutral' END AS mixing
+    FROM v
+    """,
+)
+def q_part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the 1995 co-order part graph — completes
+    the graph-health family (PageRank centrality, k-core density,
+    triangle clustering) with Newman's mixing coefficient: do
+    high-degree parts co-occur with other high-degree parts (r > 0,
+    hub-bundle catalogs) or with low-degree ones (r < 0, the
+    hub-and-spoke shape typical of basket data)? The structural trick
+    that keeps it integer-exact: counting every undirected edge in BOTH
+    directions makes the source- and target-degree margins identical,
+    so the Pearson correlation needs NO square root —
+    r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²) with M = 2|E|, Σx = Σd²,
+    Σx² = Σd³ (node-side sums), Σxy = 2·Σ_edges d(a)·d(b) — a ratio of
+    exact integers reported as sign(num)·(|num|·10⁶ DIV den) via the
+    spearman sign device (num can be negative; the division operand
+    cannot). Products run in DECIMAL(38,0) / HUGEINT (the widening
+    device — num·10⁶ ≈ 8·10²² already at sf0.1); a degenerate graph
+    (all degrees equal, incl. empty) has den = 0 → NULL + 'undefined'
+    via the r13 guard device. Same graph build as the promoted
+    `q_part_triangles` (the independent test re-derives the degree
+    frame from the parquet, so the two entries' graphs cannot drift).
+
+    Scale: the co-order self-join is the same candidate-bounded edge
+    build the triangle entry ships (distinct (order, part) pairs,
+    order-keyed equi-join — never a cartesian); past that everything is
+    degree-frame-sized: one union-groupBy for degrees, one broadcast-
+    sized join of degrees onto edges, two global aggs, and a 1×1-row
+    cross join of the two scalar frames (the permitted
+    post-agg-scalar-broadcast class). Output is ONE row at any
+    scale."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            on=F.expr(
+                "x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"
+            ),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+        # the edge subtree appears SEVEN times in the lazy plan (the
+        # degree union references it twice, and eagg rebuilds deg twice
+        # plus probes e itself) — past the measured >=4-reuse
+        # localCheckpoint break-even (CLAUDE.md; the 2-use case LOST
+        # 20% and stays lazy elsewhere)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    nagg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("d * d")), F.lit(0)).cast("long").alias("s2"),
+        F.coalesce(F.sum(F.expr("d * d * d")), F.lit(0))
+        .cast("long")
+        .alias("s3"),
+    )
+    eagg = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.coalesce(F.sum(F.expr("da * db")), F.lit(0))
+            .cast("long")
+            .alias("sxy_half"),
+        )
+    )
+    v = nagg.crossJoin(eagg).select(
+        "n_nodes",
+        "n_edges",
+        F.expr(
+            "CAST(2 * n_edges AS DECIMAL(38,0)) * (2 * sxy_half)"
+            " - CAST(s2 AS DECIMAL(38,0)) * s2"
+        ).alias("num"),
+        F.expr(
+            "CAST(2 * n_edges AS DECIMAL(38,0)) * s3"
+            " - CAST(s2 AS DECIMAL(38,0)) * s2"
+        ).alias("den"),
+    )
+    return v.select(
+        "n_nodes",
+        "n_edges",
+        F.expr(
+            "CAST(CASE WHEN den > 0 THEN"
+            " CASE WHEN num >= 0 THEN (num * 1000000) DIV den"
+            " ELSE -(((-num) * 1000000) DIV den) END"
+            " END AS BIGINT)"
+        ).alias("r_e6"),
+        F.expr(
+            "CASE WHEN den <= 0 THEN 'undefined'"
+            " WHEN num > 0 THEN 'assortative'"
+            " WHEN num < 0 THEN 'disassortative'"
+            " ELSE 'neutral' END"
+        ).alias("mixing"),
     )

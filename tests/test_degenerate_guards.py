@@ -511,3 +511,54 @@ def test_code_mix_all_code_lang_share_10000(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r["n_docs"], r["n_code"], r["code_share_bp"]) == (2, 1, 5000)
+
+
+def _lineitem_graph(rows) -> pa.Table:
+    # (l_orderkey, l_partkey) pairs, all shipped mid-1995
+    import datetime
+    ts = datetime.datetime(1995, 6, 1)
+    return pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_shipdate": pa.array([ts] * len(rows), pa.timestamp("us")),
+        }
+    )
+
+
+def test_assortativity_uniform_degrees_undefined(spark, tmp_path):
+    # one order shipping two parts → one edge, both degrees 1 → zero
+    # degree variance → den = 0 → r NULL + 'undefined' on BOTH sides
+    # (Spark DIV-by-zero NULL vs DuckDB // error is the divergence
+    # class the CASE guard exists for)
+    rows = _run(
+        spark, tmp_path, "q_part_degree_assortativity",
+        {"lineitem": _lineitem_graph([(1, 10), (1, 20)])},
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_nodes"], r["n_edges"]) == (2, 1)
+    assert r["r_e6"] is None and r["mixing"] == "undefined"
+
+
+def test_assortativity_empty_graph_undefined(spark, tmp_path):
+    rows = _run(
+        spark, tmp_path, "q_part_degree_assortativity",
+        {"lineitem": _lineitem_graph([])},
+    )
+    r = rows[0]
+    assert (r["n_nodes"], r["n_edges"]) == (0, 0)
+    assert r["r_e6"] is None and r["mixing"] == "undefined"
+
+
+def test_assortativity_path_graph_exact_minus_one(spark, tmp_path):
+    # the 3-node path a−b−c: directed degree pairs (1,2),(2,1),(2,1),
+    # (1,2) → r = −1 exactly → r_e6 = −1000000, 'disassortative' — the
+    # negative-numerator branch of the sign device, exact on both sides
+    rows = _run(
+        spark, tmp_path, "q_part_degree_assortativity",
+        {"lineitem": _lineitem_graph([(1, 10), (1, 20), (2, 20), (2, 30)])},
+    )
+    r = rows[0]
+    assert (r["n_nodes"], r["n_edges"]) == (3, 2)
+    assert r["r_e6"] == -1000000 and r["mixing"] == "disassortative"

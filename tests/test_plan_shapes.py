@@ -2110,3 +2110,35 @@ def test_stream_code_mix_monitor_drained_report_shape(spark):
     for node in ("CartesianProduct", "BatchEvalPython", "Window",
                  "Exchange SinglePartition"):
         assert node not in plan
+
+
+def test_assortativity_checkpointed_edges_no_rescan(spark):
+    # the 7-reuse edge subtree is eagerly localCheckpointed: the
+    # returned plan reads the materialized edges (Scan ExistingRDD),
+    # never the lineitem parquet — no FileScan, no re-derivation of the
+    # co-order self-join; the only nested-loop join is the 1x1-row
+    # scalar cross join (the permitted post-agg class) and the two
+    # global aggs are the only single-partition stages
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["q_part_degree_assortativity"](spark, SF))
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("Exchange SinglePartition") == 2
+    for node in ("CartesianProduct", "BatchEvalPython", "Generate"):
+        assert node not in plan
+
+
+def test_stream_norm_buckets_monitor_drained_report_shape(spark):
+    # the drained bucket grid feeds the SHARED share report: one
+    # single-partition window over the <= ~45-row sink table — no
+    # cartesian, no Python, no join, no re-aggregation
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_norm_buckets_monitor"](spark, SF))
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Window") == 1
+    for node in ("CartesianProduct", "BatchEvalPython", "Generate",
+                 "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in plan

@@ -3002,3 +3002,83 @@ def test_stream_code_mix_equals_batch_code_mix(spark):
         key=lambda d: d["lang"],
     )
     assert batch == stream
+
+
+def test_stream_norm_buckets_equals_batch(spark):
+    """stream_norm_buckets_monitor ≡ emb_norm_buckets on the same
+    corpus — the stream≡batch identity (complete-mode bucket grid
+    merges count/min/max monotonically), checked on actual rows."""
+    batch = sorted(
+        (r.asDict() for r in _staged(spark, "emb_norm_buckets").collect()),
+        key=lambda d: d["bucket"],
+    )
+    stream = sorted(
+        (r.asDict()
+         for r in _staged(spark, "stream_norm_buckets_monitor").collect()),
+        key=lambda d: d["bucket"],
+    )
+    assert batch == stream and batch
+
+
+def test_degree_assortativity_python_reference(spark):
+    """q_part_degree_assortativity vs a from-scratch Python replay of
+    the graph build (distinct co-order pairs → degrees → exact integer
+    moments) plus a float Pearson over the directed degree pairs — the
+    graph derivation is independent of the entry's joins, so the
+    shared-with-triangles edge semantics cannot silently drift."""
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_shipdate"],
+    )
+    import datetime
+
+    lo, hi = datetime.datetime(1995, 1, 1), datetime.datetime(1995, 12, 31)
+    li = {
+        (o, p)
+        for o, p, d in zip(
+            t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist(),
+            t["l_shipdate"].to_pylist(),
+        )
+        if lo <= d <= hi
+    }
+    by_order = collections.defaultdict(set)
+    for o, p in li:
+        by_order[o].add(p)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    m = 2 * len(edges)
+    s2 = sum(d * d for d in deg.values())
+    s3 = sum(d * d * d for d in deg.values())
+    sxy = 2 * sum(deg[a] * deg[b] for a, b in edges)
+    num = m * sxy - s2 * s2
+    den = m * s3 - s2 * s2
+    r = _staged(spark, "q_part_degree_assortativity").collect()[0]
+    assert r["n_nodes"] == len(deg) and r["n_edges"] == len(edges)
+    expect = (
+        None if den <= 0 else
+        (num * 1000000) // den if num >= 0 else
+        -((-num * 1000000) // den)
+    )
+    assert r["r_e6"] == expect
+    if den > 0:
+        # float sanity: Pearson over the 2E directed degree pairs
+        xs, ys = [], []
+        for a, b in edges:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        mx = sum(xs) / m
+        cov = sum((x - mx) * (y - mx) for x, y in zip(xs, ys))
+        var = sum((x - mx) ** 2 for x in xs)
+        assert abs(r["r_e6"] / 1e6 - cov / var) < 2e-6
+        assert r["mixing"] == (
+            "assortative" if num > 0 else
+            "disassortative" if num < 0 else "neutral"
+        )
