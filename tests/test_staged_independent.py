@@ -3082,3 +3082,94 @@ def test_degree_assortativity_python_reference(spark):
             "assortative" if num > 0 else
             "disassortative" if num < 0 else "neutral"
         )
+
+
+def test_milli_quantize_device_three_engine_agreement(spark):
+    """The f64 milli-quantize device behind emb_norm_buckets /
+    emb_cov_top_eigen (CAST float→DOUBLE, floor(x·1000 + 0.5), BIGINT)
+    fuzzed across Spark, DuckDB, and numpy on one seeded 400-value
+    float32 corpus spanning signs, subnormal-ish magnitudes, exact
+    halves, and the f32-vs-f64 promotion hazard band: the quantized
+    integer must agree exactly on all three engines — the c62fc0b
+    lesson (quantizing in DuckDB's f32 promotion split two sf0.1
+    elements) as a standing regression test."""
+    import random
+    import struct
+
+    import duckdb
+    import numpy as np
+
+    rng = random.Random(2026)
+    vals = [0.0, -0.0, 0.0005, -0.0005, 0.0015, 1.0615, -1.0615]
+    for _ in range(393):
+        v = struct.unpack(
+            "f", struct.pack("f", rng.uniform(-4.0, 4.0))
+        )[0]
+        vals.append(v)
+
+    f32 = np.array(vals, dtype=np.float32)
+    want = np.floor(f32.astype(np.float64) * 1000.0 + 0.5).astype(
+        np.int64
+    ).tolist()
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT CAST(floor(CAST(CAST(? AS FLOAT) AS DOUBLE)"
+            " * 1000 + 0.5) AS BIGINT)", [float(v)]
+        ).fetchone()[0]
+        for v in f32.tolist()
+    ]
+    con.close()
+    assert duck == want
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(f32.tolist())],
+        "i long, x float",
+    )
+    got = {
+        r["i"]: r["q"]
+        for r in df.select(
+            "i",
+            F.expr(
+                "CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+            ).alias("q"),
+        ).collect()
+    }
+    assert [got[i] for i in range(len(want))] == want
+
+
+def test_bin_length_bucket_device_agreement(spark):
+    """The length(bin(n))−1 log₂-bucket device (emb_norm_buckets,
+    docs_zipf_slope) checked on every power-of-two boundary up to 2⁶²
+    plus 0, across Spark, DuckDB, and int.bit_length(): off-by-one at
+    a boundary would silently merge adjacent buckets."""
+    import duckdb
+
+    ns = [0, 1]
+    for k in range(1, 63):
+        ns += [2**k - 1, 2**k, 2**k + 1]
+    want = [max(n.bit_length() - 1, 0) for n in ns]
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT CAST(length(bin(CAST(? AS BIGINT))) - 1 AS BIGINT)",
+            [n],
+        ).fetchone()[0]
+        for n in ns
+    ]
+    con.close()
+    assert duck == want
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(ns)], "i long, n long"
+    )
+    got = {
+        r["i"]: r["b"]
+        for r in df.select(
+            "i",
+            F.expr("CAST(length(bin(n)) - 1 AS BIGINT)").alias("b"),
+        ).collect()
+    }
+    assert [got[i] for i in range(len(ns))] == want
