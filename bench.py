@@ -260,6 +260,7 @@ EXTENDED = [
     "stream_code_mix_monitor",
     "q_part_degree_assortativity",
     "stream_norm_buckets_monitor",
+    "dedup_cluster_size_buckets",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

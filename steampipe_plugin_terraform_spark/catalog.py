@@ -11863,7 +11863,11 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the chain below reuses the dedup_clusters minhash→CC CTEs (same shared
 # _SHINGLE_CTE/_MINHASH_CAND_CTE constants); `csz` avoids the chain's own
 # `sz` (shingle sizes) CTE name
-_DEDUP_RATE_SQL = (
+# shared prefix: the full minhash→LSH→verify→CC chain down to the
+# per-cluster size frame `csz` (and the doc-level map `alln`) — the
+# rate report and the size-bucket histogram both roll up from here, so
+# the replayed chain exists once
+_DEDUP_CSZ_PREFIX = (
     "WITH RECURSIVE "
     + _SHINGLE_CTE.split("WITH", 1)[1]
     + """,
@@ -11881,7 +11885,12 @@ _DEDUP_RATE_SQL = (
     comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
     alln AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) cid
              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-    csz AS (SELECT cid, CAST(count(*) AS BIGINT) n FROM alln GROUP BY cid),
+    csz AS (SELECT cid, CAST(count(*) AS BIGINT) n FROM alln GROUP BY cid)"""
+)
+
+_DEDUP_RATE_SQL = (
+    _DEDUP_CSZ_PREFIX
+    + """,
     tot AS (SELECT CAST(count(*) AS BIGINT) nd FROM alln),
     agg AS (SELECT CAST(count(*) AS BIGINT) nc, CAST(max(n) AS BIGINT) mx FROM csz)
     SELECT tot.nd AS n_docs, agg.nc AS n_clusters,
@@ -17209,4 +17218,71 @@ def q_part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHEN num < 0 THEN 'disassortative'"
             " ELSE 'neutral' END"
         ).alias("mixing"),
+    )
+
+
+@staged_query(
+    "dedup_cluster_size_buckets",
+    # rolls up from the SHARED _DEDUP_CSZ_PREFIX chain (the rate
+    # report's replay verbatim down to the per-cluster size frame), so
+    # the two entries' pipelines cannot drift; buckets via the
+    # length(bin(n))-1 device; csz rows have n >= 1 so bin() never sees
+    # 0 and the share division needs no zero guard beyond non-emptiness
+    oracle=_DEDUP_CSZ_PREFIX + """,
+    szb AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) bucket, n FROM csz),
+    szg AS (SELECT bucket, CAST(count(*) AS BIGINT) n_clusters,
+                   CAST(sum(n) AS BIGINT) n_docs,
+                   CAST(max(n) AS BIGINT) max_size
+            FROM szb GROUP BY 1),
+    szt AS (SELECT szg.*, CAST(sum(n_docs) OVER () AS BIGINT) tot FROM szg)
+    SELECT bucket, n_clusters, n_docs, max_size,
+           CAST(n_docs * 10000 // tot AS BIGINT) AS docs_share_bp
+    FROM szt
+    """,
+)
+def dedup_cluster_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution in exact log₂ buckets — the
+    profile behind `docs_dedup_rate_report`'s single max_cluster_size
+    smoke alarm: a corpus where duplication lives in millions of pairs
+    (bucket 1) needs a different fix (crawl-frontier dedup) than one
+    where a handful of templates exploded into thousand-member clusters
+    (high buckets — trim at the source), and the histogram is what
+    distinguishes them. Per bucket ⌊log₂ size⌋: cluster count, document
+    count, largest member, and the share of the corpus living there in
+    basis points (bucket 0 = the unique documents). Reads the SHARED
+    session cluster map (`_dedup_cluster_map` — the dedup_clusters /
+    curation / golden-record / rate-report build, reused not rebuilt);
+    the oracle rolls up from the rate report's replay chain via the
+    shared `_DEDUP_CSZ_PREFIX`, so the two reports cannot drift, and
+    buckets use the length(bin(n))−1 device (sizes ≥ 1, so bin() never
+    sees zero).
+
+    Scale: everything upstream is the cluster map's own (LSH-bounded)
+    cost, paid once per session; this adds one cluster-keyed count over
+    the map, one ≤ ~45-key bucket agg, and the share window over the
+    post-agg bucket spine — output is bucket-count rows at any corpus
+    size."""
+    m = _dedup_cluster_map(spark, sf_dir)
+    csz = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    b = csz.select(
+        F.expr("CAST(length(bin(n)) - 1 AS BIGINT)").alias("bucket"), "n"
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.max("n").cast("long").alias("max_size"),
+    )
+    t = g.withColumn(
+        "tot", F.sum("n_docs").over(Window.partitionBy()).cast("long")
+    )
+    return t.select(
+        "bucket",
+        "n_clusters",
+        "n_docs",
+        "max_size",
+        F.expr("CAST(n_docs * 10000 DIV tot AS BIGINT)").alias(
+            "docs_share_bp"
+        ),
     )

@@ -562,3 +562,27 @@ def test_assortativity_path_graph_exact_minus_one(spark, tmp_path):
     r = rows[0]
     assert (r["n_nodes"], r["n_edges"]) == (3, 2)
     assert r["r_e6"] == -1000000 and r["mixing"] == "disassortative"
+
+
+def test_cluster_size_buckets_empty_corpus_zero_rows(spark, tmp_path):
+    rows = _run(
+        spark, tmp_path, "dedup_cluster_size_buckets",
+        {"documents": _docs([])},
+    )
+    assert rows == []
+
+
+def test_cluster_size_buckets_pairs_land_in_bucket_one(spark, tmp_path):
+    # two identical docs + one unique: the duplicate pair is one
+    # cluster of size 2 (bucket 1), the unique doc a singleton
+    # (bucket 0) — shares 6667/3333 by the floor division
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = _run(
+        spark, tmp_path, "dedup_cluster_size_buckets",
+        {"documents": _docs([(1, text), (2, text), (3, "totally different words here now")])},
+    )
+    by = {r["bucket"]: r for r in rows}
+    assert by[1]["n_clusters"] == 1 and by[1]["n_docs"] == 2
+    assert by[1]["max_size"] == 2 and by[1]["docs_share_bp"] == 6666
+    assert by[0]["n_clusters"] == 1 and by[0]["n_docs"] == 1
+    assert by[0]["docs_share_bp"] == 3333

@@ -2142,3 +2142,22 @@ def test_stream_norm_buckets_monitor_drained_report_shape(spark):
     for node in ("CartesianProduct", "BatchEvalPython", "Generate",
                  "SortMergeJoin", "BroadcastHashJoin"):
         assert node not in plan
+
+
+def test_cluster_size_buckets_reads_shared_map(spark):
+    # the entry ROLLS UP the persisted session cluster map
+    # (InMemoryTableScan — reused, not rebuilt: no Generate/joins from
+    # the LSH chain appear); past the map it is cluster-keyed count →
+    # bucket agg → the share window over the post-agg bucket spine
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    # (the InMemoryTableScan may print its cached LSH subtree inline
+    # when the map is not yet materialized in this session — joins
+    # inside that subtree belong to the map build, so only the
+    # roll-up-stage properties are pinned here)
+    plan = _plan_df(STAGED_QUERIES["dedup_cluster_size_buckets"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    for node in ("CartesianProduct", "BatchEvalPython"):
+        assert node not in plan

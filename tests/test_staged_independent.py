@@ -3173,3 +3173,37 @@ def test_bin_length_bucket_device_agreement(spark):
         ).collect()
     }
     assert [got[i] for i in range(len(ns))] == want
+
+
+def test_cluster_size_buckets_cross_entry_consistency(spark):
+    """dedup_cluster_size_buckets three ways: (a) the roll-up replayed
+    in Python over the PROMOTED dedup_clusters map (same session build,
+    independent bucketing/grouping math); (b) totals must reconcile
+    with the PROMOTED docs_dedup_rate_report (Σ clusters, Σ docs, max
+    size); (c) the bucket-0 row is exactly the unique-document
+    count."""
+    m = QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    sizes = collections.Counter(r["cluster_id"] for r in m)
+    per_bucket = collections.defaultdict(list)
+    for n in sizes.values():
+        per_bucket[n.bit_length() - 1].append(n)
+    tot = sum(sizes.values())
+    got = {
+        r["bucket"]: r
+        for r in _staged(spark, "dedup_cluster_size_buckets").collect()
+    }
+    assert sorted(got) == sorted(per_bucket)
+    for b, ns in per_bucket.items():
+        r = got[b]
+        assert r["n_clusters"] == len(ns)
+        assert r["n_docs"] == sum(ns)
+        assert r["max_size"] == max(ns)
+        assert r["docs_share_bp"] == sum(ns) * 10000 // tot
+    rate = QUERIES["docs_dedup_rate_report"](spark, SF_DIR).collect()[0]
+    assert sum(r["n_clusters"] for r in got.values()) == rate["n_clusters"]
+    assert sum(r["n_docs"] for r in got.values()) == rate["n_docs"]
+    assert max(r["max_size"] for r in got.values()) \
+        == rate["max_cluster_size"]
+    singles = sum(1 for n in sizes.values() if n == 1)
+    if singles:
+        assert got[0]["n_clusters"] == singles == got[0]["n_docs"]
