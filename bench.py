@@ -261,6 +261,8 @@ EXTENDED = [
     "q_part_degree_assortativity",
     "stream_norm_buckets_monitor",
     "dedup_cluster_size_buckets",
+    "stream_simpson_monitor",
+    "dedup_rate_by_source",
 ]
 
 # heavy flagships get 2 timed passes (spread = the round-5 variance

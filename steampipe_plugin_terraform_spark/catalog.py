@@ -14686,15 +14686,14 @@ def emb_sign_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
-    "docs_simpson_diversity",
-    # unbiased Simpson concentration Σn(n−1)/(N(N−1)) stays entirely in
-    # integers: pair counts are exact products, one positive floor
-    # division onto the millionths grid (the integer-exact-statistics
-    # device), top-token share in basis points the same way; a
-    # single-token language (N ≤ 1) emits NULL per the r13 guard device.
-    # HUGEINT sums CAST back to BIGINT for the driver compare
-    oracle="""
+# unbiased Simpson concentration Σn(n−1)/(N(N−1)) stays entirely in
+# integers: pair counts are exact products, one positive floor
+# division onto the millionths grid (the integer-exact-statistics
+# device), top-token share in basis points the same way; a
+# single-token language (N ≤ 1) emits NULL per the r13 guard device.
+# HUGEINT sums CAST back to BIGINT for the driver compare. Shared
+# verbatim with stream_simpson_monitor (stream≡batch identity)
+_SIMPSON_SQL = """
     WITH tok AS (SELECT lang, ws[i] term
                  FROM (SELECT lang, string_split(text, ' ') ws
                        FROM documents),
@@ -14713,8 +14712,38 @@ def emb_sign_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN n_tokens > 0 THEN top_n * 10000 // n_tokens
                 END AS BIGINT) AS top_share_bp
     FROM ag
-    """,
-)
+"""
+
+
+def _simpson_report(tc: DataFrame) -> DataFrame:
+    """Per-language Simpson roll-up from a (lang, term, n) count frame.
+    Shared by the batch entry and the streaming monitor so the report
+    logic cannot fork (the r14 monitor template, sixth instance)."""
+    ag = tc.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.expr(
+            "CAST(sum(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0))"
+        ).alias("pairs"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    return ag.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 1 THEN pairs * 1000000"
+            " DIV (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+            " END AS BIGINT)"
+        ).alias("simpson_e6"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN top_n * 10000 DIV n_tokens"
+            " END AS BIGINT)"
+        ).alias("top_share_bp"),
+    )
+
+
+@staged_query("docs_simpson_diversity", oracle=_SIMPSON_SQL)
 def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simpson diversity / concentration of the token distribution per
     language — the collision-probability complement of entropy
@@ -14740,28 +14769,7 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "term")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    ag = tc.groupBy("lang").agg(
-        F.sum("n").cast("long").alias("n_tokens"),
-        F.count("*").cast("long").alias("vocab"),
-        F.expr(
-            "CAST(sum(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0))"
-        ).alias("pairs"),
-        F.max("n").cast("long").alias("top_n"),
-    )
-    return ag.select(
-        "lang",
-        "n_tokens",
-        "vocab",
-        F.expr(
-            "CAST(CASE WHEN n_tokens > 1 THEN pairs * 1000000"
-            " DIV (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
-            " END AS BIGINT)"
-        ).alias("simpson_e6"),
-        F.expr(
-            "CAST(CASE WHEN n_tokens > 0 THEN top_n * 10000 DIV n_tokens"
-            " END AS BIGINT)"
-        ).alias("top_share_bp"),
-    )
+    return _simpson_report(tc)
 
 
 # (applicationId, corpus-digest) → (sink root, checkpoint) for the
@@ -17284,5 +17292,100 @@ def dedup_cluster_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_size",
         F.expr("CAST(n_docs * 10000 DIV tot AS BIGINT)").alias(
             "docs_share_bp"
+        ),
+    )
+
+
+@staged_query("stream_simpson_monitor", oracle=_SIMPSON_SQL)
+def stream_simpson_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-language Simpson concentration screen as a STREAM: crawl
+    shards land and the (lang, term) count state updates as they stream
+    through — the live template-flooding alarm per language slice
+    (Simpson spikes when a boilerplate template floods one lang long
+    before loss curves move; the hapax monitor watches richness LEVEL,
+    this watches CONCENTRATION — the two ends of the same distribution).
+    Running state is the (lang, term) → count table in complete mode:
+    counts are monotone ADD-merges, so micro-batches fold in exactly
+    like batch partials and no watermark is needed (the
+    `stream_zipf_monitor` state class — state bounded by vocabulary ×
+    languages, not stream volume). The roll-up runs batch-side over the
+    drained counts via the SHARED `_simpson_report` (report logic
+    cannot fork — the r14 monitor template, sixth instance), and the
+    oracle is the batch entry's SQL verbatim: the driver checks the
+    stream≡batch identity itself. Tokenization deliberately matches the
+    batch leg exactly (split on space, empty tokens counted).
+
+    Scale: each micro-batch contributes map-side partial (lang, term)
+    counts — the batch vocab shuffle incrementalized; the drained
+    roll-up is a lang-keyed agg over the vocab-sized frame, |langs|
+    rows out."""
+    src = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tc = (
+        src.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = _drain_memory_sink(spark, tc, "stream_simpson_monitor", "complete")
+    return _simpson_report(t)
+
+
+@staged_query(
+    "dedup_rate_by_source",
+    # rolls up from the SHARED _DEDUP_CSZ_PREFIX chain's doc-level map
+    # `alln` (duplicate = non-least-id member), joined to documents for
+    # the source label — the rate report's replay verbatim, sliced; the
+    # share division is all-positive (grouped sources have >= 1 doc)
+    oracle=_DEDUP_CSZ_PREFIX + """,
+    src AS (SELECT d.source, CAST(count(*) AS BIGINT) n_docs,
+                   CAST(coalesce(sum(CASE WHEN a.cid <> a.doc_id
+                                     THEN 1 END), 0) AS BIGINT) n_dups
+            FROM alln a JOIN documents d ON a.doc_id = d.doc_id
+            GROUP BY 1)
+    SELECT source, n_docs, n_dups,
+           CAST(n_dups * 10000 // n_docs AS BIGINT) AS dup_rate_bp
+    FROM src
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate sliced BY CRAWL SOURCE — the attribution view
+    behind `docs_dedup_rate_report`'s corpus-level number: dedup
+    savings are an acquisition-pipeline signal (a mirror-heavy source
+    whose docs are 40 % redundant should be down-weighted or
+    frontier-deduped at the crawler, and that decision needs the rate
+    PER SOURCE, not the blend). Per source: document count, duplicate
+    count (docs that are not their cluster's least-id canonical —
+    attribution goes to the duplicate's own source, so a cross-source
+    clone pair charges the source that contributed the redundant copy),
+    and the duplicate rate in basis points (all-positive floor
+    division). Reads the SHARED session cluster map
+    (`_dedup_cluster_map` — reused, not rebuilt) joined back to the
+    documents table for the source label; the oracle rolls up from the
+    rate report's replay chain via the shared `_DEDUP_CSZ_PREFIX`, so
+    the three dedup reports (rate, size histogram, source slice)
+    replay ONE chain.
+
+    Scale: the map is the session build, paid once; this adds one
+    broadcast-sized join of the map to the pruned (doc_id, source)
+    projection and a source-keyed partial agg — |sources| rows out at
+    any corpus size."""
+    m = _dedup_cluster_map(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = m.select("doc_id", "is_canonical").join(docs, "doc_id")
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_canonical"), 1)), F.lit(0)
+        ).cast("long").alias("n_dups"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_dups",
+        F.expr("CAST(n_dups * 10000 DIV n_docs AS BIGINT)").alias(
+            "dup_rate_bp"
         ),
     )

@@ -586,3 +586,25 @@ def test_cluster_size_buckets_pairs_land_in_bucket_one(spark, tmp_path):
     assert by[1]["max_size"] == 2 and by[1]["docs_share_bp"] == 6666
     assert by[0]["n_clusters"] == 1 and by[0]["n_docs"] == 1
     assert by[0]["docs_share_bp"] == 3333
+
+
+def test_rate_by_source_empty_corpus_zero_rows(spark, tmp_path):
+    rows = _run(
+        spark, tmp_path, "dedup_rate_by_source", {"documents": _docs([])},
+    )
+    assert rows == []
+
+
+def test_rate_by_source_duplicate_charged_to_own_source(spark, tmp_path):
+    # 2 identical docs + 1 unique, all one source: the non-canonical
+    # member charges its source with exactly one duplicate → 1/3 =
+    # 3333 bp by the floor division
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = _run(
+        spark, tmp_path, "dedup_rate_by_source",
+        {"documents": _docs([(1, text), (2, text), (3, "other words entirely here now yes")])},
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source"], r["n_docs"], r["n_dups"]) == ("s", 3, 1)
+    assert r["dup_rate_bp"] == 3333

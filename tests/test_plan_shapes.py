@@ -2161,3 +2161,31 @@ def test_cluster_size_buckets_reads_shared_map(spark):
     assert plan.count("Exchange SinglePartition") == 1
     for node in ("CartesianProduct", "BatchEvalPython"):
         assert node not in plan
+
+
+def test_stream_simpson_monitor_drained_report_shape(spark):
+    # the drained (lang, term) count state feeds the SHARED per-lang
+    # roll-up: one lang-keyed exchange, no window, no single-partition
+    # stage, no cartesian, no Python
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["stream_simpson_monitor"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("CartesianProduct", "BatchEvalPython", "Window",
+                 "Exchange SinglePartition", "SortMergeJoin"):
+        assert node not in plan
+
+
+def test_rate_by_source_reads_shared_map(spark):
+    # rolls up the persisted session cluster map (InMemoryTableScan —
+    # reused, not rebuilt) joined to the pruned (doc_id, source)
+    # projection; no window, no global stage, no cartesian, no Python
+    # (joins inside the cached subtree's printout belong to the map
+    # build — only roll-up-stage properties are pinned)
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    plan = _plan_df(STAGED_QUERIES["dedup_rate_by_source"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 1
+    for node in ("CartesianProduct", "BatchEvalPython", "Window",
+                 "Exchange SinglePartition"):
+        assert node not in plan

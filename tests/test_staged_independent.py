@@ -3207,3 +3207,53 @@ def test_cluster_size_buckets_cross_entry_consistency(spark):
     singles = sum(1 for n in sizes.values() if n == 1)
     if singles:
         assert got[0]["n_clusters"] == singles == got[0]["n_docs"]
+
+
+def test_stream_simpson_equals_batch_simpson(spark):
+    """stream_simpson_monitor ≡ docs_simpson_diversity on the same
+    corpus — the stream≡batch identity (complete-mode (lang, term)
+    counts are monotone ADD-merges), checked on actual rows."""
+    batch = sorted(
+        (r.asDict()
+         for r in _staged(spark, "docs_simpson_diversity").collect()),
+        key=lambda d: d["lang"],
+    )
+    stream = sorted(
+        (r.asDict()
+         for r in _staged(spark, "stream_simpson_monitor").collect()),
+        key=lambda d: d["lang"],
+    )
+    assert batch == stream and batch
+
+
+def test_dedup_rate_by_source_cross_entry_consistency(spark):
+    """dedup_rate_by_source vs a Python roll-up over the PROMOTED
+    dedup_clusters map joined to the parquet source column, plus the
+    reconciliation Σ n_dups ≡ the PROMOTED rate report's n_dup_docs
+    and Σ n_docs ≡ its n_docs — the three dedup reports must describe
+    ONE clustering."""
+    src = {
+        i: s
+        for i, s in zip(
+            *(pq.read_table(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+            )[c].to_pylist() for c in ("doc_id", "source"))
+        )
+    }
+    per = collections.defaultdict(lambda: [0, 0])
+    for r in QUERIES["dedup_clusters"](spark, SF_DIR).collect():
+        s = src[r["doc_id"]]
+        per[s][0] += 1
+        per[s][1] += int(not r["is_canonical"])
+    got = {
+        r["source"]: r
+        for r in _staged(spark, "dedup_rate_by_source").collect()
+    }
+    assert sorted(got) == sorted(per)
+    for s, (n_docs, n_dups) in per.items():
+        r = got[s]
+        assert r["n_docs"] == n_docs and r["n_dups"] == n_dups
+        assert r["dup_rate_bp"] == n_dups * 10000 // n_docs
+    rate = QUERIES["docs_dedup_rate_report"](spark, SF_DIR).collect()[0]
+    assert sum(r["n_docs"] for r in got.values()) == rate["n_docs"]
+    assert sum(r["n_dups"] for r in got.values()) == rate["n_dup_docs"]
