@@ -65,13 +65,39 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# (appId, sf_dir, name) → prepared scan DataFrame (a LOGICAL PLAN object:
+# resolved file listing + parquet footer schema + the _par_floor decision).
+# NO row data is cached — every execution still reads the parquet files.
+# This is the session-scoped metadata cache the optimization guide (§6)
+# prescribes for repeated scans of the same table (Spark's own
+# filesourcePartitionFileCacheSize covers only the listing; the measured
+# per-call cost here was ~80-150 ms of spark.read.parquet footer/analysis
+# plus ~30-70 ms of .rdd plan-to-RDD conversion in _par_floor — a fixed
+# driver tax EVERY catalog entry paid once per table per invocation).
+_TABLE_CACHE: dict = {}
+
+# r15 measurement (OPTIMIZATION_r15.md): the blanket round-robin spread
+# made CHEAP-per-row queries slower, not faster — the exchange serializes
+# the full wide rows from the single scan task (plus the sort-before-
+# repartition pass) only for the first real shuffle (join/groupBy/window)
+# to re-distribute them again (q1 noop-timed 0.838 s with the spread vs
+# 0.221 s scanning 1 partition; partial aggregation parallelizes after
+# the FIRST exchange either way). The spread pays off only where heavy
+# per-row work (tokenize/md5/matmul explode) runs BEFORE any shuffle —
+# the text/embedding corpora — so it is now opt-in per table; relational
+# operator pipelines that need parallel per-row work on other tables
+# spread a NARROW projection themselves (operators.dedup._spread).
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NOTE: the two conf sets below deliberately PERSIST on the caller's
     # session — they must be in effect at execution time of the returned
     # (lazy) DataFrame, so a set/restore scope would produce heisenbugs.
     # Both settings are required for oracle-correct results from this
     # catalog; callers needing different semantics should use a separate
-    # session.
+    # session. They run on every call (cache hit or not): the cached plan
+    # executes under the CALLER's session confs.
     if name in ("events", "orders", "lineitem"):
         # timestamp semantics must match the (timezone-naive) DuckDB oracle
         # regardless of the caller session's timezone
@@ -79,13 +105,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is TIMESTAMP(NANOS); Spark reads it only as a long
         # (legacy.parquet.nanosAsLong). Truncate ns → µs exactly like DuckDB
-        # does when it converts to its microsecond TIMESTAMP.
+        # does when it converts to its microsecond TIMESTAMP. Must be set
+        # BEFORE the session's first events read (cache-miss path below).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return _par_floor(df)
-    return _par_floor(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name in _SPREAD_TABLES:
+        df = _par_floor(df)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def _par_floor(df: DataFrame) -> DataFrame:

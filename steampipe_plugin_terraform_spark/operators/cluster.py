@@ -38,9 +38,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+def _star_round(edges: DataFrame, large: bool, dedup_output: bool = True) -> DataFrame:
     """One large-star or small-star round over an undirected edge list with
-    columns (u, v). Returns a deduplicated (u, v) edge list with u != v."""
+    columns (u, v). Returns a (u, v) edge list with u != v, deduplicated
+    unless ``dedup_output=False`` — a large-star round feeding straight
+    into a small-star round skips its distinct (one exchange fewer per
+    iteration, r15 guide §2.4): small-star's collect_set/min aggregation
+    dedups neighbor multisets anyway, so duplicate (a, m) rows cannot
+    change its output, only ride one shuffle (where map-side partial
+    collect_set already collapses them)."""
     if large:
         # symmetric view: every node sees its full neighborhood
         nbrs = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -65,11 +71,10 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
             F.explode(F.array_union("nv", F.array("u"))).alias("a"),
             F.col("m").alias("b"),
         )
-    return (
-        out.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    out = out.select(F.col("a").alias("u"), F.col("b").alias("v")).where(
+        F.col("u") != F.col("v")
     )
+    return out.distinct() if dedup_output else out
 
 
 def connected_components(
@@ -93,7 +98,7 @@ def connected_components(
     prev_count = edges.count()
     converged = False
     for _ in range(max_rounds):
-        after_large = _star_round(edges, large=True)
+        after_large = _star_round(edges, large=True, dedup_output=False)
         after_small = _star_round(after_large, large=False).localCheckpoint(eager=True)
         # fixpoint test: both sides are distinct sets, so equality is
         # count-equality plus an empty one-sided difference (small-star

@@ -56,7 +56,8 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
 def _hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, h) rows — h = xxhash64 of each distinct shingle of the doc.
+    """(id, n_sh, h) rows — h = xxhash64 of each distinct shingle of the
+    doc, n_sh = the doc's FULL distinct-shingle count carried on every row.
 
     All pair-counting joins/aggregations downstream key on the 8-byte hash
     instead of the raw n-gram string (~40+ bytes): a 5×+ smaller shuffle
@@ -71,11 +72,20 @@ def _hashed_shingles(
     mining (the oracle-checked corpora are collision-free). The per-doc
     array_distinct runs on the hashes, so (id, h) needs no extra distinct
     pass.
-    """
+
+    Carrying n_sh (r15, guide §2.3/§2.4): the Jaccard denominator is a
+    per-DOC constant, so attaching it at explode time (size of the array
+    computed once, below the same projection) lets every consumer read it
+    off the posting-list rows — removing the separate sizes aggregation
+    (one groupBy exchange), BOTH size-attach joins, and the second full
+    tokenize+hash pass of the corpus their subtree cost (exchange reuse
+    cannot fire across the id- and h-keyed exchanges). Cost: 8 bytes per
+    posting row in the one remaining shuffle."""
     toks = f"split({text_col}, '{' '}')"
-    return _spread(df, id_col, text_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(
+    return (
+        _spread(df, id_col, text_col)
+        .select(
+            F.col(id_col).alias("id"),
             F.expr(
                 f"CASE WHEN size({toks}) >= {n} THEN "
                 f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
@@ -84,8 +94,28 @@ def _hashed_shingles(
                 # per doc — fatal for long docs); this form is O(len·n)
                 f"i -> xxhash64(transform(slice({toks}, i, {n}), t -> xxhash64(t))))) "
                 f"ELSE array() END"
-            )
-        ).alias("h"),
+            ).alias("__sh"),
+        )
+        # The generator child is deliberately an EXPRESSION over __sh, not
+        # the bare attribute: InferFiltersFromGenerate fires only on
+        # attribute children (its SPARK-36715 cost guard), and the
+        # size()>0 filter it would infer gets alias-substituted by
+        # predicate pushdown below the _spread exchange — re-evaluating
+        # the whole shingle transform TWICE per doc on the UNSPREAD
+        # single scan partition (measured: 1.8 s → 5.1 s for the jaccard
+        # entry when the explode child was the plain attribute). The
+        # struct transform itself is O(len) pointer work per row; the
+        # long cast keeps n_sh's historical count(*) aggregate type.
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(__sh, x -> named_struct("
+                    "'h', x, 'n_sh', CAST(size(__sh) AS BIGINT)))"
+                )
+            ).alias("s"),
+        )
+        .select("id", F.col("s.n_sh").alias("n_sh"), F.col("s.h").alias("h"))
     )
 
 
@@ -153,8 +183,7 @@ def shingle_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
     sh = _hashed_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    joined = _shared_pairs_with_sizes(sh, sizes, df_max)
+    joined = _shared_pairs_with_sizes(sh, df_max)
     return (
         joined.select(
             "id_a",
@@ -165,17 +194,26 @@ def shingle_jaccard_pairs(
     )
 
 
-def _shared_pairs_with_sizes(
-    sh: DataFrame, sizes: DataFrame, df_max: int | None
-) -> DataFrame:
+def _shared_pairs_with_sizes(sh: DataFrame, df_max: int | None) -> DataFrame:
     """(id_a, id_b, shared, n_a, n_b) posting-list pair counts with both
     docs' shingle sizes attached — the shared trunk of the jaccard and
     containment entries (one definition so the df-cap semantics and the
-    chunked pair emission cannot fork)."""
+    chunked pair emission cannot fork).
+
+    The sizes ride the posting lists (``_hashed_shingles`` carries n_sh
+    per row — a per-doc constant): the pair groupBy keys on
+    (id_a, id_b, n_a, n_b), which groups exactly like (id_a, id_b) since
+    n_* are functionally dependent on the ids. r15 restructure (guide
+    §2.4): this replaced a separate sizes aggregation joined on after
+    pair counting — two joins and one groupBy exchange fewer, and the
+    corpus is tokenized/hashed ONCE instead of twice (the sizes subtree
+    could not share the posting subtree's exchange). The df cap is still
+    the posting-list size filter; n_sh still counts EVERY shingle (the
+    cap drops lists, never the denominators)."""
     cap = "true" if df_max is None else f"size(ids) <= {int(df_max)}"
-    pairs = (
+    return (
         sh.groupBy("h")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("ids"))
         .filter(F.expr(f"size(ids) >= 2 AND {cap}"))
         # pair emission is CHUNKED by anchor: explode the anchor index
         # first, then emit only that anchor's pairs per row. A flat
@@ -185,27 +223,17 @@ def _shared_pairs_with_sizes(
         # while producing the identical pair set.
         .select("ids", F.explode(F.expr("sequence(0, size(ids) - 2)")).alias("i"))
         .select(
-            F.explode(
-                F.expr(
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(ids[i] AS id_a, y AS id_b))"
-                )
-            ).alias("p")
+            F.expr("ids[i]").alias("a"),
+            F.explode(F.expr("slice(ids, i + 2, size(ids) - i - 1)")).alias("b"),
         )
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count("*").alias("shared"))
-    )
-    # no broadcast hint on sizes: |docs| rows is broadcast-able at test SF
-    # but not at 10⁹ docs — let AQE pick broadcast when the side is small.
-    # Renames go on the pairs side so both joins hit the IDENTICAL `sizes`
-    # projection and exchange reuse materializes its subtree once.
-    return (
-        pairs.withColumnRenamed("id_a", "id")
-        .join(sizes, "id")
-        .select(F.col("id").alias("id_a"), F.col("id_b").alias("id"), "shared", F.col("n_sh").alias("n_a"))
-        .join(sizes, "id")
-        .select("id_a", F.col("id").alias("id_b"), "shared", "n_a", F.col("n_sh").alias("n_b"))
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
     )
 
 
@@ -229,8 +257,7 @@ def shingle_containment_pairs(
     shingle set is (near-)contained — the smaller side, id_a on ties.
     """
     sh = _hashed_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    joined = _shared_pairs_with_sizes(sh, sizes, df_max)
+    joined = _shared_pairs_with_sizes(sh, df_max)
     return (
         joined.select(
             "id_a",
@@ -416,8 +443,8 @@ def shingle_sets(
     sh = _hashed_shingles(df, id_col, text_col, n)
     if df_max is not None:
         # flag over-cap shingles instead of filtering them so ONE groupBy
-        # yields both the capped set and the uncapped size (shingles are
-        # already distinct per doc, so count(*) == |shingle set|)
+        # yields both the capped set and the uncapped size (n_sh rides the
+        # posting rows — a per-doc constant, so first() recovers it)
         overcap = (
             sh.groupBy("h").agg(F.count("*").alias("__df")).filter(F.col("__df") > df_max).select("h")
         )
@@ -426,7 +453,7 @@ def shingle_sets(
         flagged = sh.withColumn("__over", F.lit(None).cast("boolean"))
     return flagged.groupBy("id").agg(
         F.collect_set(F.when(F.col("__over").isNull(), F.col("h"))).alias("hs"),
-        F.count("*").alias("n_sh"),
+        F.first("n_sh").alias("n_sh"),
     )
 
 

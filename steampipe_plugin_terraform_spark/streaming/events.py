@@ -27,6 +27,13 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+# (appId, sf_dir) → probed ts dtype string: the probe is a full
+# spark.read.parquet footer/analysis pass (~100 ms of driver time) that
+# every stream_* invocation repaid for an immutable file property; same
+# session-scoped metadata-cache rationale as catalog._TABLE_CACHE (r15).
+_TS_DTYPE_CACHE: dict = {}
+
+
 def probe_events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
     """Driver-side footer probe of the events table's ``ts`` physical type.
 
@@ -37,7 +44,12 @@ def probe_events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
     affects genuine nanos columns and deliberately persists on the session
     (same contract as ``catalog._t``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts", "")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TS_DTYPE_CACHE:
+        _TS_DTYPE_CACHE[key] = dict(
+            spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+        ).get("ts", "")
+    return _TS_DTYPE_CACHE[key]
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,3 +61,18 @@ def test_jaccard_denominator_counts_all_shingles(docs):
         return {(r.id_a, r.id_b): r.jaccard for r in rows}[(100, 101)]
 
     assert score(5) == score(None)
+
+
+def test_hashed_shingles_carries_exact_set_size(docs):
+    # r15 restructure: n_sh rides every posting row (a per-doc constant)
+    # instead of a separate count aggregate — it must equal the number of
+    # posting rows the doc emits (its distinct-shingle count), on every row
+    sh = dedup._hashed_shingles(docs, "doc_id", "text", 5)
+    bad = (
+        sh.groupBy("id", "n_sh")
+        .count()
+        .filter("n_sh != count")
+        .count()
+    )
+    assert bad == 0
+    assert dict(sh.dtypes)["n_sh"] == "bigint"  # historical count(*) type

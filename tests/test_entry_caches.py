@@ -379,3 +379,20 @@ def test_stream_incremental_dedup_restart_noop_and_batch_identity(spark):
     assert all(os.path.getmtime(f) == mtimes[f] for f in files)
     batch = _rows(catalog.QUERIES["dedup_incremental_batch"](spark, sf))
     assert sorted(first) == sorted(batch)
+
+
+def test_table_reads_are_plan_cached_never_data_cached(spark):
+    """r15: catalog._t caches the prepared scan DataFrame per
+    (appId, sf_dir, name) — repeat invocations reuse the resolved file
+    listing + footer schema (the guide-§6 metadata cache) but the plan
+    must stay UNPERSISTED: every execution re-reads the parquet bytes."""
+    from steampipe_plugin_terraform_spark import catalog as cat
+
+    a = cat._t(spark, SF_A, "lineitem")
+    b = cat._t(spark, SF_A, "lineitem")
+    assert a is b, "repeat _t calls must hit the session plan cache"
+    lvl = a.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "cached plan must not persist data"
+    # distinct corpora never share a cache slot
+    c = cat._t(spark, "/root/testdata/sf0.01", "lineitem")
+    assert c is not a

@@ -2189,3 +2189,48 @@ def test_rate_by_source_reads_shared_map(spark):
     for node in ("CartesianProduct", "BatchEvalPython", "Window",
                  "Exchange SinglePartition"):
         assert node not in plan
+
+
+# ---- r15 optimization-round pins ----
+
+
+def test_jaccard_single_documents_scan(spark):
+    """r15 posting-list restructure: the Jaccard denominator (n_sh) rides
+    the posting rows, so the pair pipeline tokenizes the corpus ONCE — a
+    second Scan (the old sizes subtree re-deriving every shingle hash) is
+    the regression this pins against."""
+    plan = _plan(spark, "dedup_jaccard_pairs")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_shingle_explode_has_no_inferred_prefilter(spark):
+    """The shingle explode's child must stay an EXPRESSION over the stored
+    array: with a bare attribute child, InferFiltersFromGenerate adds a
+    size()>0 filter whose alias-substituted form predicate pushdown moves
+    below the spread exchange — re-evaluating the whole tokenize+hash
+    transform twice per doc on the unspread scan partition (measured
+    1.8 s -> 5.1 s on the jaccard entry at sf0.1)."""
+    for name in ("dedup_jaccard_pairs", "dedup_minhash_lsh"):
+        plan = _plan(spark, name)
+        assert not any(
+            "Filter" in line and "xxhash64" in line for line in plan.splitlines()
+        ), name
+
+
+def test_cheap_relational_aggregation_has_no_spread_exchange(spark):
+    """r15 spread policy: relational tables no longer pay the blanket
+    round-robin spread (the first REAL shuffle redistributes anyway and
+    partial aggregation parallelizes after it; measured q1 0.838 s with
+    the spread vs 0.221 s without). One Exchange total for q1: the
+    aggregation's hash exchange."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "RoundRobinPartitioning" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_text_corpora_keep_the_spread(spark):
+    """documents/embeddings stay opt-in spread tables: their heavy per-row
+    work (tokenize/md5/matmul) runs BEFORE any shuffle, so the gated
+    round-robin floor is what parallelizes it on single-row-group input."""
+    plan = _plan(spark, "docs_fingerprint")
+    assert "RoundRobinPartitioning" in plan
