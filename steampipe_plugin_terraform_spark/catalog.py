@@ -82,12 +82,17 @@ _TABLE_CACHE: dict = {}
 # repartition pass) only for the first real shuffle (join/groupBy/window)
 # to re-distribute them again (q1 noop-timed 0.838 s with the spread vs
 # 0.221 s scanning 1 partition; partial aggregation parallelizes after
-# the FIRST exchange either way). The spread pays off only where heavy
-# per-row work (tokenize/md5/matmul explode) runs BEFORE any shuffle —
-# the text/embedding corpora — so it is now opt-in per table; relational
-# operator pipelines that need parallel per-row work on other tables
-# spread a NARROW projection themselves (operators.dedup._spread).
-_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+# the FIRST exchange either way). A documents/embeddings-only variant
+# was measured next and ALSO lost to operator-level spreads (batteries
+# in OPTIMIZATION_r15.md: token_stats 0.47×, bm25 0.53×, media 0.38–0.66×
+# without the table-level spread) — the table reader cannot know whether
+# heavy per-row work precedes the first shuffle, so the spread now lives
+# ONLY where that knowledge is: the gated NARROW-projection repartition
+# inside the per-row-heavy operators (dedup._spread, winnowing,
+# repetition, redact_pii, quantize_int8, multimodal.documents_as_binary).
+# The set is kept (empty) so a future corpus with a genuinely
+# always-heavy table has the hook.
+_SPREAD_TABLES: frozenset = frozenset()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -216,8 +216,20 @@ def extract_media_metadata(
 
 def documents_as_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Adapter for the synthetic testdata: treat the utf-8 text bytes as an
-    opaque media payload so the binary plumbing is exercised end-to-end."""
-    return df.select(F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload"))
+    opaque media payload so the binary plumbing is exercised end-to-end.
+
+    Every media operator funnels through this projection before its
+    Arrow-batched decode, so the gated scan-parallelism spread lives HERE
+    (r15; the same narrow-projection device as ``operators.dedup._spread``):
+    a single-split input would otherwise put the whole corpus through ONE
+    mapInPandas task — media decode is the canonical expensive-per-row
+    work. At real scale the input arrives multi-split and the gate skips
+    the shuffle."""
+    proj = df.select(F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() >= max(par // 2, 2):
+        return proj
+    return proj.repartition(par)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -1249,15 +1249,37 @@ def quantize_int8(
     IEEE-double ops, bit-identical in the DuckDB oracle). Zero vectors get
     scale 0 and an all-zero q.
     """
-    v = f"transform({vec_col}, x -> cast(x AS double))"
-    amax = f"array_max(transform({v}, x -> abs(x)))"
-    return df.select(
-        F.col(id_col),
-        F.expr(f"CASE WHEN {amax} = 0 THEN cast(0.0 AS double) ELSE {amax} / 127.0 END").alias("scale"),
-        F.expr(
-            f"CASE WHEN {amax} = 0 THEN transform({v}, x -> cast(0 AS int)) "
-            f"ELSE transform({v}, x -> cast(floor(x * 127.0 / {amax} + 0.5) AS int)) END"
-        ).alias("q"),
+    # STAGED projections (r15): inline, the amax expression (a transform +
+    # array_max pass over the vector) evaluated four times per row and the
+    # double-cast transform three times. Stage them as columns — evaluated
+    # once each; CollapseProject never re-inlines an expensive alias with
+    # multiple consumers. The gated repartition is the per-row-work spread
+    # (zero-shuffle operator, so nothing downstream parallelizes a
+    # single-split input).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    proj = df.select(id_col, vec_col)
+    if proj.rdd.getNumPartitions() < max(par // 2, 2):
+        proj = proj.repartition(par)
+    return (
+        proj.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("__v"),
+        )
+        .select(
+            F.col(id_col),
+            "__v",
+            F.expr("array_max(transform(__v, x -> abs(x)))").alias("__amax"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                "CASE WHEN __amax = 0 THEN cast(0.0 AS double) ELSE __amax / 127.0 END"
+            ).alias("scale"),
+            F.expr(
+                "CASE WHEN __amax = 0 THEN transform(__v, x -> cast(0 AS int)) "
+                "ELSE transform(__v, x -> cast(floor(x * 127.0 / __amax + 0.5) AS int)) END"
+            ).alias("q"),
+        )
     )
 
 

@@ -257,7 +257,14 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     for _, pat, repl in PII_PATTERNS:
         count = count + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
         cur = F.regexp_replace(cur, pat, repl)
-    return df.select(
+    # gated narrow spread (r15): the regex chain is the expensive per-row
+    # work and the operator is zero-shuffle — on single-split input it
+    # would serialize on one core (same device as dedup._spread)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    proj = df.select(id_col, text_col)
+    if proj.rdd.getNumPartitions() < max(par // 2, 2):
+        proj = proj.repartition(par)
+    return proj.select(
         F.col(id_col), cur.alias("clean_text"), count.cast("long").alias("n_redactions")
     )
 
@@ -291,7 +298,7 @@ def repetition_signals(
         f"ELSE array() END"
     )
     scan = (
-        f"aggregate({grams}, "
+        "aggregate(__g, "
         "struct(CAST(NULL AS BIGINT) AS prev, CAST(0 AS BIGINT) AS run, "
         "       CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS nd), "
         "(acc, g) -> struct(g AS prev, "
@@ -299,20 +306,42 @@ def repetition_signals(
         "  greatest(acc.best, IF(g <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT))) AS best, "
         "  acc.nd + IF(g <=> acc.prev, CAST(0 AS BIGINT), CAST(1 AS BIGINT)) AS nd))"
     )
-    total = f"size({grams})"
-    return df.select(
-        F.col(id_col),
-        F.expr(f"CAST({total} AS BIGINT)").alias("n_ngrams"),
-        F.expr(
-            f"CASE WHEN {total} > 0 THEN "
-            + pround(f"CAST(({scan}).best AS DOUBLE) / {total}", 4)
-            + " END"
-        ).alias("top_ngram_frac"),
-        F.expr(
-            f"CASE WHEN {total} > 0 THEN "
-            + pround(f"CAST(1 AS DOUBLE) - CAST(({scan}).nd AS DOUBLE) / {total}", 4)
-            + " END"
-        ).alias("dup_ngram_frac"),
+    # STAGED projections (r15): the original single-select formula inlined
+    # the tokenize+hash+sort `grams` expression into every consumer (~7
+    # evaluations per row — the scan twice, size() five times). Storing
+    # grams, then the scan struct + size, as intermediate columns evaluates
+    # each ONCE per row; CollapseProject keeps the stages separate because
+    # an expensive alias referenced more than once is never re-inlined
+    # (struct-field reads of the stored scan are cheap). Same expressions,
+    # same values — only the evaluation count changes. The gated
+    # repartition is the per-row-work spread (same device as
+    # dedup._spread): this operator is zero-shuffle, so nothing downstream
+    # would otherwise parallelize a single-split input.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    proj = df.select(id_col, text_col)
+    if proj.rdd.getNumPartitions() < max(par // 2, 2):
+        proj = proj.repartition(par)
+    return (
+        proj.select(F.col(id_col), F.expr(grams).alias("__g"))
+        .select(
+            F.col(id_col),
+            F.expr("CAST(size(__g) AS BIGINT)").alias("n_ngrams"),
+            F.expr(scan).alias("__sc"),
+        )
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            F.expr(
+                "CASE WHEN n_ngrams > 0 THEN "
+                + pround("CAST(__sc.best AS DOUBLE) / n_ngrams", 4)
+                + " END"
+            ).alias("top_ngram_frac"),
+            F.expr(
+                "CASE WHEN n_ngrams > 0 THEN "
+                + pround("CAST(1 AS DOUBLE) - CAST(__sc.nd AS DOUBLE) / n_ngrams", 4)
+                + " END"
+            ).alias("dup_ngram_frac"),
+        )
     )
 
 
@@ -600,15 +629,19 @@ def bm25_topk(
     scal = base.agg(
         F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
     )
-    tok = base.select("id", F.explode("w").alias("term")).filter(
+    # dl rides the token rows (a per-doc constant, same device as the
+    # shingle pipelines' n_sh carry, r15): grouping on (id, dl, term)
+    # groups exactly like (id, term), and the join back onto a separate
+    # (id, dl) projection disappears — one join and one full split() pass
+    # over the corpus fewer (the dls subtree re-evaluated the tokenizer
+    # for every doc just to read off its length).
+    tok = base.select("id", "dl", F.explode("w").alias("term")).filter(
         F.col("term").isin(*query_terms)
     )
-    tf = tok.groupBy("id", "term").agg(F.count("*").cast("long").alias("tf"))
+    tf = tok.groupBy("id", "dl", "term").agg(F.count("*").cast("long").alias("tf"))
     dfr = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    dls = base.select("id", "dl")
     scored = (
         tf.join(F.broadcast(dfr), "term")
-        .join(dls, "id")
         .crossJoin(F.broadcast(scal))
         .withColumn("num", F.expr("CAST(22 AS DECIMAL(38,0)) * s * tf * (n + 1)"))
         .withColumn(
