@@ -13592,10 +13592,14 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE user-keyed window shuffle extracts successor pairs,
     one keyed agg to the |types|² grid — then the bounded-collect
-    device (the grid is corpus-independent): the three iterations are
-    grid-sized local-frame joins, so the corpus is scanned once and
-    the final plan carries no FileScan (pinned). The 100 TB cost is
-    exactly the transitions entry's cost plus O(S²) driver work."""
+    device (the grid is corpus-independent): the three iterations run
+    on exact Python ints over the collected grid (the
+    `emb_cov_top_eigen` power-iteration precedent; r15 — the previous
+    broadcast-join form paid three chained grid-sized Spark jobs of
+    pure scheduling latency per invocation), so the corpus is scanned
+    once and the final plan is a local result relation with no
+    FileScan and no joins (pinned). The 100 TB cost is exactly the
+    transitions entry's cost plus O(S²) driver work."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -13612,22 +13616,21 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in cells:
         tots[r["i"]] = tots.get(r["i"], 0) + r["n"]
     states = sorted({r["i"] for r in cells} | {r["j"] for r in cells})
-    c_local = spark.createDataFrame(
-        [(r["i"], r["j"], r["n"], tots[r["i"]]) for r in cells],
-        "i string, j string, n long, tot long",
-    )
-    pi = spark.createDataFrame(
-        [(t, 1000000 // len(states)) for t in states], "t string, pi long"
-    )
+    # exact-int power iteration on the driver (Python ints never
+    # overflow; (pi*n) // tot on positive ints ≡ Spark DIV ≡ DuckDB //);
+    # states without outgoing edges drop out of pi exactly like the
+    # former inner join on i = t did
+    pi = {t: 1000000 // len(states) for t in states}
     for _ in range(3):
-        pi = (
-            c_local.join(F.broadcast(pi), F.col("i") == F.col("t"))
-            .select(F.col("j"), F.expr("(pi * n) DIV tot").alias("term"))
-            .groupBy("j")
-            .agg(F.sum("term").cast("long").alias("pi"))
-            .select(F.col("j").alias("t"), "pi")
-        )
-    return pi.select(F.col("t").alias("event_type"), F.col("pi").alias("pi_e6"))
+        nxt: dict = {}
+        for r in cells:
+            p = pi.get(r["i"])
+            if p is not None:
+                nxt[r["j"]] = nxt.get(r["j"], 0) + (p * r["n"]) // tots[r["i"]]
+        pi = nxt
+    return spark.createDataFrame(
+        sorted(pi.items()), "event_type string, pi_e6 long"
+    )
 
 
 @staged_query(

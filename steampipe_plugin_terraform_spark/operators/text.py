@@ -172,33 +172,47 @@ def winnow_fingerprints(
 
     Returns (id, n_fps, min_fp).
     """
-    # Compute each window's min DIRECTLY from the text (md5 of the w k-grams
-    # starting at j) instead of materializing a k-gram array column: Spark's
-    # CollapseProject would re-inline the k-gram transform into every window
-    # lambda, turning O(len·w) md5 calls into O(len²) — measured 30× slower.
-    # This form is a single expression with bounded w-fold redundancy.
+    # STAGED projections (r15, two stages): hash each k-gram ONCE into a
+    # stored array column `__gr`, take the window minima into a stored
+    # `__w`, then answer both outputs in-row from `__w` — O(len) md5
+    # calls per doc instead of the previous direct-from-text form's
+    # O(len·w) (each k-gram was re-hashed by every window covering it;
+    # w=4 → ~4× the md5 work), and ZERO shuffle (the previous
+    # explode + groupBy(id) distinct-aggregate re-keyed ~len rows of
+    # 32-char hashes per doc just to compute a per-doc reduction).
+    # Both stage splits survive the optimizer because CollapseProject
+    # never re-inlines an expensive alias with multiple consumers:
+    # `__gr` is referenced twice (size + slice), `__w` twice
+    # (array_distinct + array_min). A SINGLE-select form cannot do
+    # this: inlining the k-gram transform into the window lambda is
+    # O(len²) md5 — measured 30× slower. Measured at sf0.1 (quiet
+    # samples): 1.03 s (old) → 0.89 s (staged grams, still exploded)
+    # → 0.51 s (this form).
+    grams = (
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> md5(substring({text_col}, i, {k})))"
+    )
     wins = (
-        f"transform(sequence(1, length({text_col}) - {k + w - 2}),"
-        f" j -> array_min(transform(sequence(0, {w - 1}),"
-        f" o -> md5(substring({text_col}, j + o, {k})))))"
+        f"transform(sequence(1, size(__gr) - {w - 1}),"
+        f" j -> array_min(slice(__gr, j, {w})))"
     )
-    # explode + aggregate instead of array_distinct/array_min over the same
-    # array expression twice: explode evaluates `wins` ONCE per row, and the
-    # distinct-count/min aggregation is codegen'd (halves the md5 work).
-    # Repartition first: a small single-file input is ONE partition, which
-    # would serialize the md5-heavy expression on one core (at real scale
-    # the input arrives already partitioned and this coalesces to a no-op
-    # shuffle of the narrow id+text projection).
+    # gated narrow spread (the family device): md5-heavy zero-shuffle
+    # per-row work would otherwise serialize on a single-split input; at
+    # real scale the gate sees multi-split input and skips the shuffle
     par = df.sparkSession.sparkContext.defaultParallelism
-    win_rows = (
-        df.filter(F.expr(f"length({text_col}) >= {k + w - 1}"))
-        .select(id_col, text_col)
-        .repartition(par)
-        .select(F.col(id_col), F.explode(F.expr(wins)).alias("win"))
+    proj = df.filter(F.expr(f"length({text_col}) >= {k + w - 1}")).select(
+        id_col, text_col
     )
-    return win_rows.groupBy(id_col).agg(
-        F.countDistinct("win").alias("n_fps"),
-        F.min("win").alias("min_fp"),
+    if proj.rdd.getNumPartitions() < max(par // 2, 2):
+        proj = proj.repartition(par)
+    return (
+        proj.select(F.col(id_col), F.expr(grams).alias("__gr"))
+        .select(F.col(id_col), F.expr(wins).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.expr("CAST(size(array_distinct(__w)) AS BIGINT)").alias("n_fps"),
+            F.expr("array_min(__w)").alias("min_fp"),
+        )
     )
 
 

@@ -1510,18 +1510,22 @@ def test_overdispersion_single_scan_keyed_aggs(spark):
 
 def test_markov_stationary_localized_broadcast_iterations(spark):
     # bounded-collect grid: the corpus window/agg happened at build
-    # time; the returned 3-step walk is local-frame joins only — no
-    # FileScan, every iteration a broadcast hash join on the state key
-    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
-
+    # time; the 3-step walk runs on exact Python ints over the
+    # collected grid (r15 — previously three chained broadcast-join
+    # jobs), so the returned frame is a pure local result relation:
+    # no FileScan, no joins, no exchanges, no Python eval
     plan = _plan_df(
         QUERIES["q_events_markov_stationary"](spark, SF)
     )
     assert "FileScan" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 3
+    assert "Join" not in plan
+    assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+    assert (
+        "LocalTableScan" in plan
+        or "LocalRelation" in plan
+        or "ExistingRDD" in plan
+    )
 
 
 
@@ -2238,6 +2242,20 @@ def test_per_row_heavy_operators_keep_their_spread(spark):
                  "emb_quantize_int8"):
         plan = _plan(spark, name)
         assert "RoundRobinPartitioning" in plan, name
+
+
+def test_winnow_staged_projections_survive_and_no_aggregate_shuffle(spark):
+    """docs_winnow_fingerprint (r15): the k-gram hash array and the
+    window-min array are STAGED columns (CollapseProject must not
+    re-inline them — each is multiply-referenced), and the per-doc
+    reduction happens in-row, so the only exchange is the gated
+    round-robin spread of the narrow projection — no groupBy shuffle
+    of exploded hash rows."""
+    plan = _plan(spark, "docs_winnow_fingerprint")
+    assert "__gr" in plan and "__w" in plan
+    assert plan.count("RoundRobinPartitioning") == 1
+    assert "hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode left
 
 
 def test_cheap_text_scans_skip_the_spread(spark):
