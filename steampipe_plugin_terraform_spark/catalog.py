@@ -5659,7 +5659,19 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     characters is missed — is the documented trade, like the shingle
     df-cap. Blocks larger than 256 docs are additionally dropped
     entirely (a degenerate block would cost O(c²)). Per-pair work is
-    O(80²) cells, embarrassingly parallel within blocks."""
+    O(80²) cells, embarrassingly parallel within blocks.
+
+    Pair generation is posting-list style (r15; the simhash device):
+    ONE groupBy on the block key collects each block's (doc_id, p)
+    rows sorted by doc_id, the size filter IS the window count (rows
+    per block ≡ list size) and the ≥2 floor (singleton blocks emit no
+    pairs either way), and pairs come from chunked anchor explosion
+    with levenshtein inline — the previous self-join DUPLICATED the
+    whole scan+regex+window subtree into the broadcast build side
+    (measured: the 0.55 s window subtree ran twice of the entry's
+    1.17 s). The explicit not-null filters on the block keys preserve
+    the join's null-drop semantics (NULL never equals NULL; a groupBy
+    would otherwise pair NULL-keyed rows)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -5668,27 +5680,37 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", r"[^\x20-\x7e]", ""), 1, 80
         ).alias("p"),
     )
-    b = d.withColumn("nb", F.expr("n_chars DIV 16")).withColumn(
-        "pf", F.substring("p", 1, 2)
-    )
-    wb = Window.partitionBy("lang", "nb", "pf")
-    k = b.withColumn("c", F.count("*").over(wb)).filter(F.col("c") <= 256)
-    a, c = k.alias("a"), k.alias("c")
-    dist = F.levenshtein(F.col("a.p"), F.col("c.p"))
-    return (
-        a.join(
-            c,
-            (F.col("a.lang") == F.col("c.lang"))
-            & (F.col("a.nb") == F.col("c.nb"))
-            & (F.col("a.pf") == F.col("c.pf"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+    b = (
+        d.withColumn("nb", F.expr("n_chars DIV 16"))
+        .withColumn("pf", F.substring("p", 1, 2))
+        .filter(
+            F.col("lang").isNotNull()
+            & F.col("nb").isNotNull()
+            & F.col("pf").isNotNull()
         )
-        .filter(dist <= 8)
+    )
+    buckets = (
+        b.groupBy("lang", "nb", "pf")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "p"))).alias("ds"))
+        .filter(F.expr("size(ds) BETWEEN 2 AND 256"))
+    )
+    # chunked by anchor (bounds per-row memory at O(block), see
+    # shingle_jaccard_pairs for why a flat flatten() is fatal); ds is
+    # doc_id-sorted so i < j gives doc_id1 < doc_id2 directly
+    return (
+        buckets.select(
+            "ds", F.explode(F.expr("sequence(0, size(ds) - 2)")).alias("i")
+        )
+        .select(
+            F.expr("ds[i]").alias("a"),
+            F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("c"),
+        )
         .select(
             F.col("a.doc_id").alias("doc_id1"),
             F.col("c.doc_id").alias("doc_id2"),
-            dist.cast("long").alias("dist"),
+            F.levenshtein(F.col("a.p"), F.col("c.p")).cast("long").alias("dist"),
         )
+        .filter(F.col("dist") <= 8)
     )
 
 

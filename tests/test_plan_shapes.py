@@ -416,10 +416,15 @@ def test_partitioned_join_prunes_dynamically(spark):
 
 
 def test_edit_distance_pairs_block_join_no_cartesian(spark):
-    """Pair generation must be an equi-join on the block key (lang, nb) —
-    a cartesian/BNL join here means the blocking broke."""
+    """Pair generation is posting-list style (r15): ONE scan, ONE
+    exchange on the block key, no join at all — the former block-key
+    self-join duplicated the scan+regex+window subtree into its
+    broadcast build side. A cartesian/BNL join here means the blocking
+    broke; a second documents scan means the self-join came back."""
     plan = _plan(spark, "dedup_edit_distance_pairs")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
 
 
 def test_kmv_set_ops_two_branch_scans_no_pair_join(spark):
