@@ -1679,15 +1679,27 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline shape."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    lb = (
+    # r15 (guide §2.3): the basket aggregation is the entry's spine —
+    # collect_set dedups (order, brand) in the partial aggregate, so the
+    # separate DISTINCT exchange is gone (map-side dedup, fewer shuffled
+    # rows); the brand marginals explode the stored basket arrays and the
+    # order total is a count of basket rows (≡ the oracle's
+    # count(DISTINCT l_orderkey) FROM lb — even more literally than the
+    # old separate lineitem countDistinct scan). Runtime exchange reuse
+    # collapses only some of the repeated basket subtrees (broadcast
+    # wrappers canonicalize differently), so the measured win is the
+    # removed distinct exchange, not a single-scan plan: A/B at sf0.1,
+    # zero-steal mins, old 1.094 s vs new 1.068 s.
+    baskets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    pa = lb.groupBy("p_brand").agg(F.count("*").alias("na"))
-    baskets = lb.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    pa = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("na"))
     )
     pr = (
         baskets.select(
@@ -1819,13 +1831,13 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     at S(S-1)/2 ≈ 2.1M per type regardless of span, with the identical
     selection semantics on the sample (the textbook sampled Theil–Sen;
     the oracle replays the same QUALIFY rank rule). Pinned with a
-    mirrored small-S oracle by tests/test_theil_sen_guard.py. Cost of
-    the guard: one rank window per join side — two exchanges+sorts of
-    the AGGREGATED hourly frame (≤ |types|·S rows), i.e. ~1s of fixed
-    task overhead at sf0.1's 3.6k-row noise floor and milliseconds of
-    real work at any scale; the hard cap is worth the fixed cost (a
-    modulo-thinning variant would be overhead-free but only bounds the
-    EXPECTED sample size)."""
+    mirrored small-S oracle by tests/test_theil_sen_guard.py. Since
+    r15 the sample and the pair set are built IN-ROW from one per-type
+    point array (≤ S structs — bounded by the same cap), so the guard
+    costs one groupBy instead of two rank-window exchanges per join
+    side, and the pair build needs no join at all; the hard cap is
+    worth the fixed cost (a modulo-thinning variant would be
+    overhead-free but only bounds the EXPECTED sample size)."""
     hc = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
@@ -1841,46 +1853,84 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unix_micros(CAST(hour AS TIMESTAMP)) DIV 3600000000"
         ).alias("h"),
     )
-    # md5-rank hour sampling past the pair-explosion threshold (module
-    # constant read at call time so the guard test can shrink it)
-    hi = (
-        hi.withColumn(
-            "__hr",
-            F.row_number().over(
-                Window.partitionBy("event_type").orderBy(
-                    F.md5(F.concat_ws(":", F.col("event_type"), F.col("h"))), F.col("h")
+    # r15 restructure (guide §2.4): the rank-window sample + self-join
+    # pair build evaluated the whole events-agg subtree TWICE (the
+    # broadcast build side cannot reuse the stream side's exchange) and
+    # spent 4 exchanges on ≤|types|·S rows. The md5-rank sample is now
+    # IN-ROW on one per-type point array (array_sort by (mk, h) + slice
+    # — the same order the QUALIFY window ranked by, so the sample SET
+    # is identical), re-sorted by h so ascending array pairs satisfy
+    # a.h < b.h exactly as the join condition did; pairs come from the
+    # chunked posting-list emission (the edit-distance/simhash device:
+    # anchor-exploded, O(S) per row). One events scan, no join; the
+    # median windows reuse the groupBy's hash(event_type) partitioning.
+    # Module constant read at call time so the guard test can shrink it.
+    pts = (
+        hi.groupBy("event_type")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.md5(F.concat_ws(":", F.col("event_type"), F.col("h"))).alias("mk"),
+                    F.col("h").alias("h"),
+                    F.col("cnt").alias("cnt"),
                 )
-            ),
+            ).alias("raw")
         )
-        .filter(F.col("__hr") <= _THEIL_SEN_MAX_HOURS)
-        .drop("__hr")
+        .select(
+            "event_type",
+            F.expr(
+                f"array_sort(transform(slice(array_sort(raw), 1, {_THEIL_SEN_MAX_HOURS}),"
+                " p -> struct(p.h AS h, p.cnt AS cnt)))"
+            ).alias("pts"),
+        )
     )
-    a, b = hi.alias("a"), hi.alias("b")
-    pr = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.h") < F.col("b.h")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        (
-            (F.col("b.cnt") - F.col("a.cnt")).cast("double")
-            / (F.col("b.h") - F.col("a.h"))
-        ).alias("slope"),
-        F.col("a.h").alias("h1"),
-        F.col("b.h").alias("h2"),
-    )
-    wn = Window.partitionBy("event_type").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # the per-type point rows are TINY (|types| rows) so AQE coalesces the
+    # groupBy exchange to ONE partition — which would serialize the whole
+    # O(S²)-pair emission and the median sort on a single core. The
+    # explicit-count repartition (AQE leaves user-numbered shuffles alone)
+    # spreads the type rows so downstream work runs per-type parallel and
+    # the median window reuses hash(event_type) with no further exchange;
+    # it moves |types| array rows, not pairs. n_pairs = S(S-1)/2 rides the
+    # rows (per-type constant carry), replacing the unbounded count window
+    # that re-buffered every pair row per type.
+    par = spark.sparkContext.defaultParallelism
+    pts = pts.repartition(max(par, 2), "event_type")
+    pr = (
+        pts.filter(F.expr("size(pts) >= 2"))
+        .select(
+            "event_type",
+            "pts",
+            F.expr(
+                f"CAST(size(pts) AS BIGINT) * (size(pts) - 1) DIV 2"
+            ).alias("n_pairs"),
+            F.explode(F.expr("sequence(0, size(pts) - 2)")).alias("i"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            F.expr("pts[i]").alias("a"),
+            F.explode(F.expr("slice(pts, i + 2, size(pts) - i - 1)")).alias("b"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            (
+                (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+                / (F.col("b.h") - F.col("a.h"))
+            ).alias("slope"),
+            F.col("a.h").alias("h1"),
+            F.col("b.h").alias("h2"),
+        )
     )
     r = pr.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("event_type").orderBy("slope", "h1", "h2")
         ),
-    ).withColumn("n", F.count("*").over(wn))
-    return r.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+    )
+    return r.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2")).select(
         "event_type",
-        F.col("n").alias("n_pairs"),
+        "n_pairs",
         (F.floor(F.col("slope") * 1000000 + 0.5) / 1000000).alias("sen_slope"),
     )
 
@@ -6010,11 +6060,22 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = dedup.minhash_lsh_pairs(
         docs, n=5, num_hashes=8, bands=4, threshold=0.8
     ).select("id_a", "id_b")
-    hit = truth.join(found, ["id_a", "id_b"], "left_semi")
-    nt = truth.agg(F.count("*").alias("n_true"))
-    nh = hit.agg(F.count("*").alias("n_found"))
+    # r15 (guide §2.4): n_true and the hit count come from ONE truth
+    # evaluation — a left join against the (unique-keyed) found pairs
+    # with a match marker, aggregated as (count(*), count(marker)).
+    # The former semi-join + separate truth count evaluated the whole
+    # Jaccard posting-list pipeline twice per run (the docstring's
+    # localCheckpoint experiment attacked the same double evaluation
+    # and lost to materialization cost; the marker join removes the
+    # second evaluation without materializing anything).
+    marked = truth.join(
+        found.withColumn("__f", F.lit(1)), ["id_a", "id_b"], "left"
+    )
     return (
-        nt.crossJoin(nh)
+        marked.agg(
+            F.count("*").alias("n_true"),
+            F.count("__f").alias("n_found"),
+        )
         .select(
             "n_true",
             "n_found",
@@ -11898,26 +11959,35 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_exact = len(exact_rows)
     assigned, centroids = _kmeans16(spark, sf_dir, "ge10")
-    out = None
-    for np_ in (1, 2, 4):
-        approx = similarity.ivf_topk(
-            queries, assigned, centroids, k=5, nprobe=np_
-        ).select("query_id", "neighbor_id")
-        point = (
-            exact.join(
-                F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi"
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-            .select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                "n_hits",
-                F.expr(f"CAST(n_hits * 10000 DIV {n_exact} AS BIGINT)").alias(
-                    "recall_bp"
-                ),
-            )
+    # r15: the three probe pipelines are FUSED — one probe pass at
+    # nprobe=4 with probe-position tags; each point's candidate set is a
+    # ppos-prefix subset, recovered with running-count ranks in ONE
+    # window pass (similarity.ivf_topk_curve has the exactness argument).
+    # Plan diff: 3 corpus-assignment scans + 3 bucket joins + 3 window
+    # sorts → 1 each; per-point rows are bit-identical to the unfused
+    # ivf_topk loop (pinned by test_ivf_topk_curve_matches_pointwise).
+    approx = similarity.ivf_topk_curve(
+        queries, assigned, centroids, k=5, nprobes=(1, 2, 4)
+    ).select("nprobe", "query_id", "neighbor_id")
+    counts = (
+        approx.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    # 3-row point spine so a zero-hit depth still emits its row (the
+    # unfused loop's global agg emitted 0-rows; groupBy alone would drop them)
+    spine = spark.createDataFrame([(1,), (2,), (4,)], "nprobe long")
+    return (
+        spine.join(F.broadcast(counts), "nprobe", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("long"))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.expr(f"CAST(n_hits * 10000 DIV {n_exact} AS BIGINT)").alias(
+                "recall_bp"
+            ),
         )
-        out = point if out is None else out.unionByName(point)
-    return out
+    )
 
 
 # the chain below reuses the dedup_clusters minhash→CC CTEs (same shared

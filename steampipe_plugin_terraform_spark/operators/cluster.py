@@ -23,8 +23,9 @@ Scale notes (100 TB design point):
 - per-round lineage is truncated with localCheckpoint(eager): iterative
   DataFrame loops otherwise accumulate a plan per round and re-execute
   the whole history every round (and overwhelm the optimizer by ~round 8).
-- convergence test is an aggregate (count of label changes), never a
-  collect of rows.
+- convergence test is a one-job set-equality aggregate (full-outer join
+  null check over the checkpointed round outputs), never a collect of
+  rows.
 - the hub nodes large-star creates (everything links to the component min)
   are bounded: large-star emits only (bigger → min) edges, so a component
   of size k contributes ≤ k rows keyed by its min — the classic skew is on
@@ -95,18 +96,30 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_count = edges.count()
     converged = False
     for _ in range(max_rounds):
         after_large = _star_round(edges, large=True, dedup_output=False)
         after_small = _star_round(after_large, large=False).localCheckpoint(eager=True)
-        # fixpoint test: both sides are distinct sets, so equality is
-        # count-equality plus an empty one-sided difference (small-star
-        # output is canonically oriented u > v, as is the previous round's)
-        new_count = after_small.count()
+        # fixpoint test in ONE job (r15; was a count job per round plus a
+        # conditional exceptAll job — two scheduling round-trips on a
+        # pair-graph that is tiny relative to the corpus): small-star
+        # output is a distinct canonically-oriented (u > v) set, so
+        # set-equality with the previous round is exactly "no one-sided
+        # row in a full outer join on (u, v)". Duplicate rows that the
+        # greatest/least canonicalization of a first-round directed edge
+        # list can create on the prev side cannot flip the test — a key
+        # is one-sided or it is not — they can only let it converge one
+        # (provably no-op) round earlier than the old count-then-diff
+        # test. Both sides are localCheckpointed, so the test job reads
+        # materialized partitions, not lineage.
         canon_prev = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        converged = new_count == prev_count and after_small.exceptAll(canon_prev).isEmpty()
-        edges, prev_count = after_small, new_count
+        mismatch = (
+            after_small.withColumn("__a", F.lit(1))
+            .join(canon_prev.withColumn("__b", F.lit(1)), ["u", "v"], "full")
+            .where(F.col("__a").isNull() | F.col("__b").isNull())
+        )
+        converged = mismatch.isEmpty()
+        edges = after_small
         if converged:
             break
     if not converged:

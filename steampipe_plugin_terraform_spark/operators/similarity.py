@@ -684,6 +684,116 @@ def ivf_topk(
     )
 
 
+def ivf_topk_curve(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Every ``nprobes`` curve point of :func:`ivf_topk` from ONE probe
+    pass — (nprobe, query_id, neighbor_id, cosine, rank) rows identical to
+    ``ivf_topk(..., nprobe=np)`` run independently per point.
+
+    Why the fusion is EXACT, not approximate: the probe ranks buckets by
+    ``argsort(-S, kind="stable")`` over the same quantized score matrix for
+    every nprobe, so the bucket list at a smaller nprobe is a strict PREFIX
+    of the list at a larger one; tagging each probed bucket with its probe
+    position ``ppos`` makes point np's candidate set exactly the rows with
+    ``ppos < np``. Scoring is the same quantized-cosine expression, and the
+    per-point rank is recovered from ONE window pass: a running count of
+    subset rows under the shared total order (cosine DESC, neighbor_id ASC
+    — strict, since a neighbor lives in exactly one bucket) equals the
+    subset's ``row_number``. Cost: one corpus-assignment scan, one bucket
+    join, one window sort for the whole curve, vs len(nprobes) of each when
+    the points run as separate pipelines (guide §2.4: one exchange serving
+    every consumer keyed the same way).
+    """
+    import numpy as np
+
+    nps = sorted({int(x) for x in nprobes})
+    np_max = nps[-1]
+    C = np.asarray(centroids, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bc = queries.sparkSession.sparkContext.broadcast(Cn)
+
+    def probe(batches):
+        import pandas as pd
+
+        Cn_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            n_probe = min(np_max, Cn_b.shape[0])
+            # same quantize + stable sort as ivf_topk — the prefix property
+            # above is exactly this determinism
+            S = np.floor((Qn @ Cn_b.T) * 1e6 + 0.5) / 1e6
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out["bucket"] = order.ravel()
+            out["ppos"] = np.tile(np.arange(n_probe, dtype="int32"), len(pdf))
+            yield pd.DataFrame(
+                {
+                    "query_id": out[id_col],
+                    "qv": out[vec_col],
+                    "bucket": out["bucket"],
+                    "ppos": out["ppos"],
+                }
+            )
+
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        probe,
+        f"query_id long, qv {dict(queries.dtypes)[vec_col]}, bucket int, ppos int",
+    )
+    cand = F.broadcast(probed).join(assigned, "bucket").select(
+        "query_id",
+        "qv",
+        "ppos",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = cand.withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+    scored = scored.withColumn("cosine", F.expr("floor(cosine * 1000000 + 0.5) / 1000000"))
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "ppos",
+        *[
+            F.sum(F.when(F.col("ppos") < np_, 1).otherwise(0))
+            .over(w)
+            .cast("long")
+            .alias(f"__r{np_}")
+            for np_ in nps
+        ],
+    )
+    # one row per (point, in-subset candidate) via stack; rank<=k filter per point
+    stack_args = ", ".join(
+        f"CAST({np_} AS BIGINT), __r{np_}, (ppos < {np_})" for np_ in nps
+    )
+    return (
+        ranked.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.expr(
+                f"stack({len(nps)}, {stack_args}) AS (nprobe, rank, __in)"
+            ),
+        )
+        .filter(F.col("__in") & (F.col("rank") <= k))
+        .select("nprobe", "query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def pq_codebooks_encode(
     df: DataFrame,
     id_col: str = "vec_id",

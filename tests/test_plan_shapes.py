@@ -490,6 +490,13 @@ def test_basket_pairs_from_arrays_not_self_join(spark):
     plan = _plan(spark, "q_basket_brand_lift")
     assert "Generate explode" in plan
     assert "SortMergeJoin" not in plan
+    # r15: the pre-basket DISTINCT exchange is gone — collect_set dedups
+    # (order, brand) in the partial aggregate, so no exchange partitions
+    # on the (l_orderkey, p_brand) pair any more
+    import re
+
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert not ("l_orderkey" in m and "p_brand" in m), m
 
 
 def test_equidepth_ntile_on_projected_frame(spark):
@@ -648,20 +655,30 @@ def test_join_size_estimate_joins_only_summaries(spark):
 
 
 def test_theil_sen_hash_join_with_presampled_sides(spark):
-    # pair generation must be a HASH join on event_type (the h1 < h2
-    # range is a join condition, not a nested-loop driver), and the
-    # round-7 hour-sampling guard (__hr <= S) must filter BOTH sides
-    # BELOW the join so the pair count is capped before any pairing work
+    # r15 restructure supersedes the round-7 join pin: pair generation is
+    # now the IN-ROW chunked posting-list emission over one per-type point
+    # array (the rank-window + self-join form evaluated the events-agg
+    # subtree twice — broadcast build sides cannot reuse the stream
+    # exchange). Pin the new shape: NO join of any kind, ONE events scan,
+    # the md5-rank sampling cap applied in-row (the slice bound appears in
+    # the plan) BEFORE pair emission, and the median window reusing the
+    # groupBy/repartition hash(event_type) partitioning (no exchange
+    # between the Generate pair emission and the Window).
+    from steampipe_plugin_terraform_spark.catalog import _THEIL_SEN_MAX_HOURS
+
     plan = _plan(spark, "q_events_theil_sen")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ("BroadcastHashJoin [event_type" in plan) or ("SortMergeJoin [event_type" in plan)
-    assert plan.count("__hr") >= 2  # guard present on both join inputs
-    # hourly aggregation reads only (ts, event_type) — column pruning
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"pair build regressed to a {join}"
+    # sampling cap is in-row, before any pairing work
+    assert f", 1, {_THEIL_SEN_MAX_HOURS})" in plan
+    assert "Generate" in plan  # chunked pair emission
+    # one scan, column-pruned to (ts, event_type)
     import re
 
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
-    assert scans
+    assert len(scans) == 1, f"expected a single events scan, got {len(scans)}"
     for s in scans:
         cols = {c.split("#")[0] for c in s.split(",") if c}
         assert cols <= {"ts", "event_type"}, f"unpruned scan columns: {cols}"

@@ -50,6 +50,35 @@ def test_ivf_partial_probe_recall(spark, split):
     assert recall >= 0.4, f"recall {recall}"
 
 
+def test_ivf_topk_curve_matches_pointwise(spark, split):
+    # r15 fusion pin: every (nprobe, query, neighbor, cosine, rank) row of
+    # the one-pass curve equals the unfused ivf_topk run at that nprobe —
+    # the prefix-subset + running-count-rank argument made executable
+    from steampipe_plugin_terraform_spark.operators.similarity import (
+        ivf_topk_curve,
+    )
+
+    queries, corpus = split
+    assigned, centroids = build_ivf(corpus, n_centroids=8)
+    curve = ivf_topk_curve(
+        queries, assigned, centroids, k=5, nprobes=(1, 2, 4)
+    ).collect()
+    by_np = {}
+    for r in curve:
+        by_np.setdefault(r["nprobe"], set()).add(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        )
+    assert set(by_np) == {1, 2, 4}
+    for np_ in (1, 2, 4):
+        point = {
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in ivf_topk(
+                queries, assigned, centroids, k=5, nprobe=np_
+            ).collect()
+        }
+        assert by_np[np_] == point, f"nprobe={np_} diverged from pointwise run"
+
+
 def test_lsh_topk_shape_and_bucket_pruning(spark, split):
     queries, corpus = split
     res = lsh_cosine_topk(queries, corpus, num_planes=8, k=5)
