@@ -2229,6 +2229,25 @@ def test_jaccard_single_documents_scan(spark):
     assert plan.count("Scan parquet") == 1
 
 
+def test_tfidf_single_tokenize_no_norm_joins(spark):
+    """r15 tfidf restructure: df comes from a count window over h (no
+    dfreq join to duplicate the tf subtree into a broadcast build) and
+    each doc's norm rides the posting rows (no norms joins). The old
+    shape planned 9 documents scans and SIX full n-gram tokenize passes
+    with zero exchange reuse (plans/r15/dedup_tfidf_cosine_pairs_before
+    .txt); this pins the corpus to ONE tokenize pass and two scans (the
+    pipeline + the 1-row n_docs scalar), with no join but the sanctioned
+    scalar cross build."""
+    plan = _plan(spark, "dedup_tfidf_cosine_pairs")
+    tokenize_gens = [
+        l for l in plan.splitlines() if "Generate" in l and "split(text" in l
+    ]
+    assert len(tokenize_gens) == 1
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_shingle_explode_has_no_inferred_prefilter(spark):
     """The shingle explode's child must stay an EXPRESSION over the stored
     array: with a bare attribute child, InferFiltersFromGenerate adds a
