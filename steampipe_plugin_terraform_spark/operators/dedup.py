@@ -300,8 +300,28 @@ def tfidf_cosine_pairs(
     ``_cap_document_frequency`` semantics; here the cap also drops the
     term from norms on BOTH sides, keeping cosine consistent). Pair
     emission is chunked by anchor exactly like ``shingle_jaccard_pairs``;
-    the only shuffles are groupBy(id, h), groupBy(h), and the final
-    groupBy(pair) — all on uniform hashed keys.
+    the only shuffles are groupBy(id, h), the df window on h, groupBy(id),
+    groupBy(h), and the final groupBy(pair) — all on uniform hashed keys.
+
+    r15 restructure (guide §2.4 / §1.2 step 1): the previous shape —
+    ``kept = tf JOIN dfreq`` with ``norms`` joined back onto the pair
+    dots twice — planned with ZERO exchange reuse: dfreq and norms are
+    small post-aggregation frames, so the planner broadcast them, and a
+    broadcast build side DUPLICATES its whole subtree instead of reusing
+    a shuffle (9 documents scans, 6 n-gram tokenize passes and 6 tf
+    aggregations for one invocation; plans/r15/
+    dedup_tfidf_cosine_pairs_before.txt). Now (a) the document frequency
+    comes from a count window over h on the tf rows — no dfreq join to
+    duplicate ``tf`` into, and (b) each doc's norm ``nr`` rides the
+    posting rows as a per-doc constant (the ``_shared_pairs_with_sizes``
+    n_sh device): one groupBy(id) collects the doc's (h, w) terms
+    together with nr, the re-exploded postings carry nr into the pair
+    lists, and the dot groupBy keys on (id_a, id_b, na, nb) — grouping
+    exactly like (id_a, id_b) since the norms are functionally dependent
+    on the ids. One scan, one tokenize pass, zero joins; per-term w is
+    the identical IEEE expression, and the dot/norm sums stay on the
+    same 1e-6 snapped grid (the only order-sensitive step, exactly as
+    before the restructure).
 
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine snapped to 1e-6.
     """
@@ -318,20 +338,29 @@ def tfidf_cosine_pairs(
         ).alias("h"),
     )
     tf = sh.groupBy("id", "h").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("h").agg(F.count("*").alias("df_"))
     tot = df.agg(F.count("*").alias("n_docs"))  # 1-row scalar, broadcast
     cap = F.lit(True) if df_max is None else (F.col("df_") <= df_max)
     kept = (
-        tf.join(dfreq, "h")
+        tf.withColumn("df_", F.count("*").over(Window.partitionBy("h")))
         .filter(cap)
         .crossJoin(F.broadcast(tot))
         # identical parse tree to the oracle: (tf * (N+1.0)) / (df+1.0)
         .select("id", "h", F.expr("tf * (n_docs + 1.0) / (df_ + 1.0)").alias("w"))
     )
-    norms = kept.groupBy("id").agg(F.sqrt(F.sum(F.expr("w * w"))).alias("nr"))
-    pairs = (
-        kept.groupBy("h")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "w"))).alias("iw"))
+    # one groupBy(id) yields the doc's kept terms AND its norm; the norm
+    # then rides every posting row so no join re-attaches it
+    docterms = kept.groupBy("id").agg(
+        F.collect_list(F.struct("h", "w")).alias("hw"),
+        F.sqrt(F.sum(F.expr("w * w"))).alias("nr"),
+    )
+    posting = docterms.select("id", "nr", F.explode("hw").alias("t")).select(
+        "id", "nr", F.col("t.h").alias("h"), F.col("t.w").alias("w")
+    )
+    return (
+        posting.groupBy("h")
+        # ids are unique within a posting list, so the sort order (id
+        # first) is identical with nr appended to the struct
+        .agg(F.sort_array(F.collect_list(F.struct("id", "w", "nr"))).alias("iw"))
         .filter(F.expr("size(iw) >= 2"))
         # chunked by anchor — bounds per-row memory at O(df_max), see
         # shingle_jaccard_pairs for why a flat flatten() is fatal
@@ -341,25 +370,17 @@ def tfidf_cosine_pairs(
                 F.expr(
                     "transform(slice(iw, i + 2, size(iw) - i - 1), "
                     "y -> struct(iw[i].id AS id_a, y.id AS id_b, "
-                    "(iw[i].w * y.w) AS p))"
+                    "(iw[i].w * y.w) AS p, iw[i].nr AS na, y.nr AS nb))"
                 )
             ).alias("t")
         )
-        .select("t.id_a", "t.id_b", "t.p")
-        .groupBy("id_a", "id_b")
+        .select("t.id_a", "t.id_b", "t.p", "t.na", "t.nb")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.sum("p").alias("dot"))
-    )
-    # renames on the pairs side so both joins share one `norms` subtree
-    # (exchange reuse), mirroring shingle_jaccard_pairs
-    return (
-        pairs.withColumnRenamed("id_a", "id")
-        .join(norms, "id")
-        .select(F.col("id").alias("id_a"), F.col("id_b").alias("id"), "dot", F.col("nr").alias("na"))
-        .join(norms, "id")
         .select(
             "id_a",
-            F.col("id").alias("id_b"),
-            F.expr("floor(dot / (na * nr) * 1000000 + 0.5) / 1000000").alias("cosine"),
+            "id_b",
+            F.expr("floor(dot / (na * nb) * 1000000 + 0.5) / 1000000").alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
