@@ -10836,13 +10836,20 @@ def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is integer-snapped — the one IEEE division is the exact
     Jaccard's, snapped identically on both engines."""
     docs = _t(spark, sf_dir, "documents")
-    # carry_sig threads both signatures through the verify joins the pair
-    # pipeline runs anyway (r15): the previous shape re-joined the
-    # signature subtree onto the pair table twice (two more merge joins
-    # with their exchange+sort of the pair table, plus a re-evaluation of
-    # the signature pipeline), for values the candidate generator had
-    # already computed
-    wide = dedup.minhash_lsh_pairs(docs, threshold=0.0, carry_sig=True)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.0)
+    # merge-hinted like every minhash-family join: the signature table is
+    # O(N) rows over a heavy explode+groupBy subtree — a small-SF
+    # broadcast would DUPLICATE that subtree into the build side (the
+    # round-6 minhash adjudication), while identical exchanges let the
+    # reuse rule materialize it once for both sides
+    sig = dedup.minhash_signatures(docs).hint("merge")
+    wide = pairs.join(
+        sig.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sa"),
+        "id_a",
+    ).join(
+        sig.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sb"),
+        "id_b",
+    )
     return wide.select(
         "id_a",
         "id_b",

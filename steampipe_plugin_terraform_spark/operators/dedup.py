@@ -397,30 +397,30 @@ def minhash_signatures(
 
     Lexicographic min over md5 hex strings is a valid uniform min-hash and is
     bit-identical across engines (the DuckDB oracle runs the same formula).
+    One narrow explode + one groupBy(id) shuffle.
 
-    r15 (guide §2.4 / §1.2 step 2): computed IN-ROW — sig[i] =
-    ``array_min(transform(__s, s -> md5(i || ':' || s)))`` over the doc's
-    staged shingle array. min is dedup- and multiplicity-invariant, so this
-    equals the previous explode + groupBy(id) min-aggregation bit for bit
-    (same md5 formula, same distinct-shingle domain) while removing the
-    posting-row shuffle AND the two per-partition sorts of the old
-    SortAggregate (8 parallel min(string) aggs plan sort-based). The md5
-    count per doc is unchanged (num_hashes per shingle). Docs without
-    shingles are dropped by an explicit token-count pre-filter — the exact
-    row set the old explode dropped — placed BELOW the spread so predicate
-    pushdown has nothing to alias-substitute (the _hashed_shingles
-    inferred-filter trap). ``__s`` is a staged projection referenced
-    num_hashes times, so CollapseProject cannot re-inline the shingle
-    transform into each band min."""
-    toks = f"split({text_col}, ' ')"
-    base = _spread(
-        df.filter(F.expr(f"size({toks}) >= {n}")), id_col, text_col
-    ).select(F.col(id_col).alias("id"), shingles(text_col, n).alias("__s"))
-    mins = [
-        F.expr(f"array_min(transform(__s, s -> md5(concat('{i}:', s))))").alias(f"h{i}")
+    KEEP this explode + min-AGGREGATE form (r15 adjudication, tried and
+    reverted): an in-row variant — sig[i] = ``array_min(transform(__s,
+    s -> md5(i || ':' || s)))`` over a staged shingle array — is
+    value-identical (min is dedup- and multiplicity-invariant) and
+    removes this shuffle plus the SortAggregate pair, but it moves the
+    num_hashes·|shingles| md5 calls from CODEGEN'D aggregate input
+    expressions into interpreted higher-order-function lambdas (HOFs are
+    CodegenFallback): warm timings were flat (dedup_minhash_lsh 1.79 →
+    1.78 s) while FIRST-execution cost exploded while the interpreted
+    eval path JIT-warms (docs_minhash_estimate_error cold sample → 15–25
+    s in a verified-quiet window) — the hazard class the codegen-size
+    note under ``_hashed_shingles`` documents. One-shot invocations are
+    the bench's and any real job's shape, so the aggregate form stays.
+    """
+    sh = _spread(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = base.select("id", *mins)
+    sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -501,16 +501,9 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     df_max: int | None = 10_000,
-    carry_sig: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures into buckets, join within
     buckets only, then verify candidates with exact shingle Jaccard.
-
-    ``carry_sig=True`` additionally returns each side's minhash signature
-    (``sa``, ``sb``) — it rides the two verify joins that run anyway (one
-    extra id-keyed merge join of the doc-level sig frame onto ``sets``),
-    so a consumer needing signatures per pair (the estimator self-eval)
-    does not re-join the signature subtree twice onto the pair table.
 
     The band join key is an md5 of the band slice — uniformly distributed, so
     the self-join shuffle has no skew. Verification carries each doc's
@@ -531,8 +524,7 @@ def minhash_lsh_pairs(
     materializes each heavy subtree once, and the measured cold-start
     settles at the warm cost (~2 s at sf0.1) instead of 4× it.
     """
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands, sig=sig)
+    buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y").hint("merge"), ["band", "bh"])
@@ -543,10 +535,6 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs (|cand| << all pairs — that is the
     # entire point of LSH), never touching non-colliding pairs.
     sets = shingle_sets(df, id_col, text_col, n, df_max)
-    if carry_sig:
-        # id-keyed merge join onto the id-partitioned sets frame; the sig
-        # values then ride the two verify joins below for free
-        sets = sets.join(sig.hint("merge"), "id")
     # both pair-side joins hit the IDENTICAL `sets` projection (renames go on
     # the candidate side) so exchange reuse materializes its subtree — the
     # full shingle explode + groupBy — once, not twice; the merge hint keeps
@@ -560,7 +548,6 @@ def minhash_lsh_pairs(
             F.col("id_b").alias("id"),
             F.col("hs").alias("hs_a"),
             F.col("n_sh").alias("n_a"),
-            *([F.col("sig").alias("sa")] if carry_sig else []),
         )
         .join(sets, "id")
         .select(
@@ -569,13 +556,11 @@ def minhash_lsh_pairs(
             F.size(F.array_intersect("hs_a", "hs")).alias("shared"),
             "n_a",
             F.col("n_sh").alias("n_b"),
-            *([F.col("sa"), F.col("sig").alias("sb")] if carry_sig else []),
         )
         .select(
             "id_a",
             "id_b",
             (F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))).alias("jaccard"),
-            *(["sa", "sb"] if carry_sig else []),
         )
         .filter(F.col("jaccard") >= threshold)
     )
