@@ -39,79 +39,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (all oracled entries) at sf0.001, and by
 # the sf0.01 sweep (`make parity-sf001 parity-sf01`).
 #
-# Round-15 window (executes the r14 verdict's pinned rotation — the
-# red test_horizon_holds tripwire after CORRECTNESS_r14.json landed):
-# positions 1-5 are the five entries promoted from the r15 staging
-# wave (tf_variable_hygiene, docs_perplexity_buckets,
-# stream_docs_pipeline_funnel, emb_ann_recall_curve,
-# docs_dedup_rate_report) — never driver-checked, so rule 2 puts them
-# first; positions 6-32 are the 27 forced r10 leftovers (the
-# alphabetically-last 27 of the r10 cohort, named by the tripwire);
-# positions 33-50 are the 18 alphabetically-first r11 rows (the r11
-# cohort is 50; the last 32 become the r16 forced leftovers, pinned in
-# docs/OPERATORS.md). Catalog 232 → horizon stays ceil(232/50) = 5
-# rounds. After the window: the 32 r11 leftovers (due r16), then
-# r12-green, r13-green, and the r14 window rows (newest last).
+# Round-16 window (executes the r15 verdict's pinned rotation — the
+# red test_horizon_holds tripwire after CORRECTNESS_r15.json landed):
+# positions 1-32 are the 32 forced r11 leftovers (pinned in
+# docs/OPERATORS.md since r15, named by the tripwire); positions 33-50
+# are the 18 oldest r12 rows (rotation rule 3; no promotions this
+# optimization round, so rule 2 is vacuous — entries restructured this
+# round that are NOT already in the window ride rule 1 at the window
+# front if slots allow). Catalog 232 → horizon stays ceil(232/50) = 5
+# rounds. After the window: the remaining r12 rows (due r17), then
+# r13-green, r14-green, and the r15 window rows (newest last).
 _VALIDATE_FIRST = [
-    # -- r15 window: the five entries promoted from the r15 staging
-    # wave (never driver-checked; rotation rule 2 puts them first) --
-    "tf_variable_hygiene",
-    "docs_perplexity_buckets",
-    "stream_docs_pipeline_funnel",
-    "emb_ann_recall_curve",
-    "docs_dedup_rate_report",
-    # -- r15 window: the 27 forced r10 leftovers (the
-    # alphabetically-last 27 of the 50-row r10 cohort) --
-    "q5_region_revenue",
-    "q7_volume_shipping",
-    "q_big_spenders_semi",
-    "q_brand_revenue",
-    "q_cube_revenue",
-    "q_custkeys_intersect",
-    "q_custkeys_set_difference",
-    "q_customers_without_orders",
-    "q_distinct_nations_per_segment",
-    "q_events_type_quantiles",
-    "q_grouping_sets",
-    "q_logsketch_merge",
-    "q_orders_running_total",
-    "q_pivot_priority_by_segment",
-    "q_promo_revenue_ratio",
-    "q_returns_exists",
-    "q_rollup_revenue",
-    "q_small_quantity_revenue",
-    "q_top3_orders_per_segment",
-    "q_value_percentiles",
-    "stream_quantile_logsketch",
-    "tf_module_pinning_audit",
-    "tf_outputs",
-    "tf_plan_state_drift",
-    "tf_resource_count_by_type",
-    "tf_resources",
-    "tf_unused_variables",
-    # -- r15 window: the 18 alphabetically-first r11 rows (the r11
-    # cohort is 50; the alphabetically-last 32 become the r16 forced
-    # leftovers, pinned in docs/OPERATORS.md) --
-    "dedup_edit_distance_pairs",
-    "dedup_tfidf_cosine_pairs",
-    "docs_bm25_topk",
-    "docs_epoch_shuffle",
-    "docs_length_buckets",
-    "docs_quality_quantile_filter",
-    "docs_train_val_test_split",
-    "docs_weighted_sample",
-    "emb_cluster_balanced_sample",
-    "emb_curation_pipeline",
-    "emb_hard_negatives",
-    "emb_ivf_pq_topk",
-    "emb_matryoshka_prefix_recall",
-    "emb_pq_topk",
-    "emb_rp_reduce",
-    "q11_important_parts",
-    "q2_min_cost_supplier",
-    "q_customer_pareto",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r11: the 32 leftovers, due r16 (forced) --
+    # -- r16 window: the 32 forced r11 leftovers (pinned in
+    # docs/OPERATORS.md since r15) --
     "q_customer_skyline",
     "q_customer_supplier_pagerank",
     "q_events_anomaly",
@@ -144,7 +84,7 @@ _VALIDATE_FIRST = [
     "tf_resource_reference_graph",
     "tf_sensitive_output_audit",
     "tf_tags_inheritance_audit",
-    # -- last driver row r12 --
+    # -- r16 window: the 18 oldest r12 rows (rotation rule 3) --
     "q_events_bitmap_distinct_users",
     "q_lineitem_flag_status_chi2",
     "tf_unused_locals",
@@ -163,6 +103,8 @@ _VALIDATE_FIRST = [
     "docs_chunk_overlap",
     "docs_k_anonymity",
     "docs_lang_confusion",
+    # ---- 50-entry window boundary ----
+    # -- last driver row r12 (remainder) --
     "docs_leakage_safe_split",
     "docs_novelty",
     "emb_dim_stats",
@@ -246,7 +188,7 @@ _VALIDATE_FIRST = [
     "q22_idle_rich_customers",
     "q9_profit_by_nation",
     "q_bucketed_cokey_join",
-    # -- last driver row r14 (newest rows; recheck last) --
+    # -- last driver row r14 --
     "tf_required_providers_audit",
     "tf_state_lineage_audit",
     "tf_backend_audit",
@@ -297,6 +239,57 @@ _VALIDATE_FIRST = [
     "q10_returned_items",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # -- last driver row r15 --
+    "tf_variable_hygiene",
+    "docs_perplexity_buckets",
+    "stream_docs_pipeline_funnel",
+    "emb_ann_recall_curve",
+    "docs_dedup_rate_report",
+    "q5_region_revenue",
+    "q7_volume_shipping",
+    "q_big_spenders_semi",
+    "q_brand_revenue",
+    "q_cube_revenue",
+    "q_custkeys_intersect",
+    "q_custkeys_set_difference",
+    "q_customers_without_orders",
+    "q_distinct_nations_per_segment",
+    "q_events_type_quantiles",
+    "q_grouping_sets",
+    "q_logsketch_merge",
+    "q_orders_running_total",
+    "q_pivot_priority_by_segment",
+    "q_promo_revenue_ratio",
+    "q_returns_exists",
+    "q_rollup_revenue",
+    "q_small_quantity_revenue",
+    "q_top3_orders_per_segment",
+    "q_value_percentiles",
+    "stream_quantile_logsketch",
+    "tf_module_pinning_audit",
+    "tf_outputs",
+    "tf_plan_state_drift",
+    "tf_resource_count_by_type",
+    "tf_resources",
+    "tf_unused_variables",
+    "dedup_edit_distance_pairs",
+    "dedup_tfidf_cosine_pairs",
+    "docs_bm25_topk",
+    "docs_epoch_shuffle",
+    "docs_length_buckets",
+    "docs_quality_quantile_filter",
+    "docs_train_val_test_split",
+    "docs_weighted_sample",
+    "emb_cluster_balanced_sample",
+    "emb_curation_pipeline",
+    "emb_hard_negatives",
+    "emb_ivf_pq_topk",
+    "emb_matryoshka_prefix_recall",
+    "emb_pq_topk",
+    "emb_rp_reduce",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q_customer_pareto",
 ]
 
 
