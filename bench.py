@@ -288,19 +288,52 @@ _EXT_HEAVY = {
 _EXT_RESAMPLE_THRESHOLD = 2.0
 
 
-def _timed_samples(run, n: int, resample_over: float | None = None) -> list[float]:
+# r15 verdict item 1: two 10x phantom regressions (dedup_linkage_clusters,
+# dedup_minhash_lsh) cost a full adjudication because the bench JSON
+# carried no evidence of the hypervisor-steal window the run sat in.
+# Every timed sample now records the cumulative-steal delta around it
+# (/proc/stat cpu line, field 8 — the verify SKILL's green-light counter)
+# so a judge can separate steal contamination from plan regressions from
+# the artifact alone. Additions-only: the timing protocol is unchanged.
+def _read_steal_ticks() -> int:
+    """Cumulative hypervisor-steal ticks for the whole box; -1 when
+    /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
+# reported-sample steal above this rate marks the entry (and the run)
+# contaminated: the SKILL.md calibration saw clean runs at <=~0.5 tick/s
+# and +40% runs from 4-7 ticks/s; 3 ticks/s splits those regimes with
+# margin, and the absolute floor ignores 1-2 stray ticks on fast entries
+_STEAL_FLAG_TICKS_PER_SEC = 3.0
+_STEAL_FLAG_MIN_TICKS = 3
+
+
+def _timed_samples(run, n: int, resample_over: float | None = None) -> list[tuple[float, int]]:
     """n timed passes of run(); if a single-sample measurement lands
     above resample_over seconds, take one extra sample (see
-    _EXT_RESAMPLE_THRESHOLD). Reported value is min(samples)."""
+    _EXT_RESAMPLE_THRESHOLD). Each sample is (seconds, steal_ticks
+    accrued during the sample; -1 unknown). Reported value is the min
+    by seconds."""
     out = []
+
+    def one() -> None:
+        s0 = _read_steal_ticks()
+        start = time.perf_counter()
+        run()
+        sec = time.perf_counter() - start
+        s1 = _read_steal_ticks()
+        out.append((sec, s1 - s0 if s0 >= 0 and s1 >= 0 else -1))
+
     for _ in range(n):
-        start = time.perf_counter()
-        run()
-        out.append(time.perf_counter() - start)
-    if resample_over is not None and len(out) == 1 and out[0] > resample_over:
-        start = time.perf_counter()
-        run()
-        out.append(time.perf_counter() - start)
+        one()
+    if resample_over is not None and len(out) == 1 and out[0][0] > resample_over:
+        one()
     return out
 
 
@@ -410,16 +443,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
+    steal_samples: dict[str, list[int]] = {}
+    steal_of_min: dict[str, int] = {}
 
     def record(name: str, run, n_timed: int, resample_over: float | None = None) -> None:
         run()  # warm pass: codegen JIT + session caches, untimed
         samples = _timed_samples(run, n_timed, resample_over)
-        best = min(samples)
+        secs = [s for s, _ in samples]
+        best = min(secs)
         timings[name] = round(best, 3)
-        spreads[name] = round((max(samples) - best) / max(best, 1e-9), 3)
-        all_samples[name] = [round(s, 3) for s in samples]
+        spreads[name] = round((max(secs) - best) / max(best, 1e-9), 3)
+        all_samples[name] = [round(s, 3) for s in secs]
+        steal_samples[name] = [st for _, st in samples]
+        steal_of_min[name] = samples[secs.index(best)][1]
         print(
-            f"# {name}: {timings[name]}s (spread {spreads[name]}, samples {all_samples[name]})",
+            f"# {name}: {timings[name]}s (spread {spreads[name]}, samples {all_samples[name]},"
+            f" steal {steal_samples[name]})",
             file=sys.stderr,
         )
 
@@ -461,7 +500,6 @@ def main() -> None:
     # compatibility field below keeps r13<->r14 totals comparable for
     # exactly the transition round.
     streaming_drain = timings.pop(_DRAIN_KEY)
-    total = round(sum(timings.values()), 3)
     # Round-7 contract fix: round 6's single JSON line grew to ~9.3 KB
     # (samples + spread + 77-entry extended) and overflowed the driver's
     # tail capture (BENCH_r06.json "parsed": null). The driver-parsed line
@@ -475,6 +513,7 @@ def main() -> None:
     side = {
         "samples": all_samples,
         "spread": spreads,
+        "steal_samples": steal_samples,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "sf": sf,
@@ -483,14 +522,46 @@ def main() -> None:
     with open(side_path, "w") as f:
         json.dump(side, f, indent=1, sort_keys=True)
     print(f"# extended diagnostics -> {side_path}", file=sys.stderr)
-    print(json.dumps({
+    headline_steal = {
+        name: steal_of_min[name]
+        for name in list(timings) + ["tf_parse_500_files", _DRAIN_KEY]
+        if name in steal_of_min
+    }
+    print(_driver_line(timings, streaming_drain, sf, headline_steal))
+
+
+def _steal_contaminated(sec: float, ticks: int) -> bool:
+    """True when a reported sample's steal rate says the number is
+    inflated (calibration in _STEAL_FLAG_TICKS_PER_SEC's comment)."""
+    return ticks >= _STEAL_FLAG_MIN_TICKS and ticks > _STEAL_FLAG_TICKS_PER_SEC * sec
+
+
+def _driver_line(
+    timings: dict[str, float],
+    streaming_drain: float,
+    sf: float | None,
+    steal_of_min: dict[str, int],
+) -> str:
+    """The single driver-parsed stdout line. r15 verdict item 1
+    (additions-only): per-entry steal ticks of the REPORTED sample plus
+    a run-level contamination flag ride the line so phantom regressions
+    self-adjudicate; unknown steal (-1 samples) is reported but never
+    flags."""
+    flagged = sorted(
+        name
+        for name, ticks in steal_of_min.items()
+        if _steal_contaminated(timings.get(name, streaming_drain), ticks)
+    )
+    return json.dumps({
         "metric": "headline_queries_total_time",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "streaming_drain": streaming_drain,
+        "steal_ticks": steal_of_min,
+        "steal_flagged": flagged,
         "sf": sf,
-    }))
+    })
 
 
 if __name__ == "__main__":

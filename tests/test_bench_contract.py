@@ -34,56 +34,83 @@ def test_driver_line_stays_small():
     it must stay far below the ~8 KB capture limit that truncated
     BENCH_r06 (samples/spread/extended belong in BENCH_EXTENDED.json)."""
     timings = {name: 9999.999 for name in bench.HEADLINE + ["tf_parse_500_files"]}
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_time",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            # r13 verdict item 2: the stream drain rides its own key
-            # (the r14 transition-round value_incl_stream_drain field
-            # was removed in r15 per the r14 advisory)
-            "streaming_drain": 9999.999,
-            "sf": 0.1,
-        }
-    )
-    assert len(line) < 4096, f"driver line would be {len(line)} bytes"
+    steal = {name: 999999 for name in timings}
+    line = bench._driver_line(timings, 9999.999, 0.1, steal)
+    assert len(line) < 6144, f"driver line would be {len(line)} bytes"
+
+
+def test_driver_line_keeps_contract_and_adds_steal():
+    """r15 verdict item 1 (additions-only contract change): the line
+    keeps metric/value/unit/queries/streaming_drain/sf unchanged and
+    adds per-entry steal ticks of the reported sample plus a run-level
+    contamination flag. Unknown steal (-1) must never flag."""
+    timings = {"q_a": 1.0, "q_b": 0.2}
+    steal = {"q_a": 120, "q_b": 0, "q_c_unknown": -1}
+    parsed = json.loads(bench._driver_line(timings, 5.5, 0.1, steal))
+    assert parsed["metric"] == "headline_queries_total_time"
+    assert parsed["value"] == 1.2
+    assert parsed["unit"] == "sec"
+    assert parsed["queries"] == timings
+    assert parsed["streaming_drain"] == 5.5
+    assert parsed["sf"] == 0.1
+    assert parsed["steal_ticks"] == steal
+    # 120 ticks over a 1.0 s sample is far past the 3 ticks/s gate;
+    # 0 ticks and unknown (-1) stay clean
+    assert parsed["steal_flagged"] == ["q_a"]
+    # absolute floor: 1-2 stray ticks on a fast entry never flag
+    assert not bench._steal_contaminated(0.1, 2)
+    assert bench._steal_contaminated(0.1, 3)
 
 
 def test_extended_tail_resamples_over_threshold(monkeypatch):
     """r14 verdict item 3: a single-sample extended entry that lands
     above the resample threshold must take ONE extra sample (min wins —
     the box's steal noise is one-sided), and a fast entry must not pay
-    for a second pass."""
+    for a second pass. r15 item 1: each sample carries its steal-tick
+    delta (fake counter: 7 ticks per pass here)."""
     clock = {"t": 0.0}
+    steal = {"t": 1000}
 
     def fake_perf_counter():
         return clock["t"]
+
+    def fake_steal():
+        return steal["t"]
 
     def make_run(durations):
         it = iter(durations)
 
         def run():
             clock["t"] += next(it)
+            steal["t"] += 7
 
         return run
 
     monkeypatch.setattr(bench.time, "perf_counter", fake_perf_counter)
+    monkeypatch.setattr(bench, "_read_steal_ticks", fake_steal)
 
     # slow first sample (3.0 s > 2.0) -> one resample (1.5 s), 2 samples
     samples = bench._timed_samples(
         make_run([3.0, 1.5]), 1, resample_over=bench._EXT_RESAMPLE_THRESHOLD
     )
-    assert [round(s, 9) for s in samples] == [3.0, 1.5]
+    assert [(round(s, 9), st) for s, st in samples] == [(3.0, 7), (1.5, 7)]
     # fast first sample -> no resample
     samples = bench._timed_samples(
         make_run([0.4]), 1, resample_over=bench._EXT_RESAMPLE_THRESHOLD
     )
-    assert [round(s, 9) for s in samples] == [0.4]
+    assert [(round(s, 9), st) for s, st in samples] == [(0.4, 7)]
     # multi-sample (heavy) entries never trigger the adaptive pass
     samples = bench._timed_samples(make_run([3.0, 3.0]), 2, resample_over=None)
-    assert [round(s, 9) for s in samples] == [3.0, 3.0]
+    assert [(round(s, 9), st) for s, st in samples] == [(3.0, 7), (3.0, 7)]
     assert bench._EXT_RESAMPLE_THRESHOLD == 2.0
+
+    # a steal reader that reports unavailable (-1) yields -1 deltas
+    monkeypatch.setattr(bench, "_read_steal_ticks", lambda: -1)
+    samples = bench._timed_samples(make_run([1.0]), 1)
+    assert samples[0][1] == -1
+    # the real reader returns an int (>=0 on Linux, -1 elsewhere)
+    monkeypatch.undo()
+    assert isinstance(bench._read_steal_ticks(), int)
 
 
 def test_drain_key_stays_timed_and_out_of_the_sum():
