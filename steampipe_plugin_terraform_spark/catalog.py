@@ -1685,16 +1685,22 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows); the brand marginals explode the stored basket arrays and the
     # order total is a count of basket rows (≡ the oracle's
     # count(DISTINCT l_orderkey) FROM lb — even more literally than the
-    # old separate lineitem countDistinct scan). Runtime exchange reuse
-    # collapses only some of the repeated basket subtrees (broadcast
-    # wrappers canonicalize differently), so the measured win is the
-    # removed distinct exchange, not a single-scan plan: A/B at sf0.1,
-    # zero-steal mins, old 1.094 s vs new 1.068 s.
+    # old separate lineitem countDistinct scan).
+    # r16 (guide §5, verdict item 4): the basket frame feeds FOUR
+    # consumers (the order total n, the two broadcast marginal builds x
+    # and y, and the pair-explosion probe side) and runtime exchange
+    # reuse cannot fold them (broadcast wrappers canonicalize
+    # differently) — the r15 plan re-ran the lineitem⋈part scan 16
+    # times. Four reuses clears the CLAUDE.md ≥4 localCheckpoint
+    # break-even, so the baskets are materialized once per invocation
+    # (within the timed region — no cross-run state; same device as
+    # _kmeans16, without the session cache because every invocation
+    # rebuilds).
     baskets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-    )
+    ).localCheckpoint()
     n = baskets.agg(F.count("*").alias("n_orders"))
     pa = (
         baskets.select(F.explode("bs").alias("p_brand"))
@@ -6639,19 +6645,32 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-rank ground truth).
 
     Shape: both sides produce (qid, nid) pairs; recall is |approx ∩ exact|
-    / |exact| via an equi-join and one aggregate — no collect."""
+    / |exact| via an equi-join and one aggregate — no collect.
+
+    r16 (guide §5, verdict item 7): the denominator was a driver-side
+    ``exact.count()`` at build time — a second full evaluation of the
+    brute-force top-k pipeline per invocation before the timed job even
+    started. The marker left join (the r15 dedup_lsh_recall device —
+    exact, because approx's (qid, nid) pairs are unique by construction)
+    folds numerator and denominator into ONE aggregate over one exact
+    evaluation: recall = sum(hit)/count(*), both exact integers, same
+    single IEEE division as before."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     exact = similarity.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
     assigned, centroids = _kmeans16(spark, sf_dir, "ge10")
     approx = similarity.ivf_topk(queries, assigned, centroids, k=5, nprobe=8).select(
-        "query_id", "neighbor_id"
+        "query_id", "neighbor_id", F.lit(True).alias("__hit")
     )
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    return hits.agg(
-        (F.count("*") / F.lit(exact.count())).alias("recall_at_5"),
-        F.countDistinct("query_id").alias("n_queries_with_hits"),
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        (
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)) / F.count("*")
+        ).alias("recall_at_5"),
+        F.countDistinct(F.when(F.col("__hit"), F.col("query_id"))).alias(
+            "n_queries_with_hits"
+        ),
     )
 
 
@@ -10773,17 +10792,21 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=2,
         topk=5,
         trained=_pq_trained(spark, sf_dir),
-    ).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    # bounded scalar (|Q|·k pair count) — the ivf_recall-accepted class
-    total = exact.count()
-    return hits.agg(
-        F.expr(f"CAST(count(*) * 10000 DIV {total} AS BIGINT)").alias(
-            "recall_x1e4"
-        ),
-        F.countDistinct("query_id").cast("long").alias(
-            "n_queries_with_hits"
-        ),
+    ).select("query_id", "neighbor_id", F.lit(True).alias("__hit"))
+    # r16 (guide §5): the denominator was a driver-side exact.count() —
+    # a second full brute-force evaluation per invocation. Marker left
+    # join (exact: approx pairs are unique) folds both counts into one
+    # aggregate; numerator and denominator stay positive integers, so
+    # the DIV parity is unchanged.
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN __hit THEN 1 ELSE 0 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("recall_x1e4"),
+        F.countDistinct(F.when(F.col("__hit"), F.col("query_id")))
+        .cast("long")
+        .alias("n_queries_with_hits"),
     )
 
 
@@ -11077,7 +11100,6 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = similarity.assign_to_centroids(cur, cents)
     rc = ra.groupBy("bucket").agg(F.count("*").cast("long").alias("n_ref"))
     cc = ca.groupBy("bucket").agg(F.count("*").cast("long").alias("n_cur"))
-    n_ref_tot, n_cur_tot = ref.count(), cur.count()
     buckets = spark.range(len(cents)).select(
         F.col("id").cast("int").alias("bucket")
     )
@@ -11090,16 +11112,22 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cur", F.lit(0).cast("long")).alias("n_cur"),
         )
     )
+    # r16 (guide §5): the slice totals were two driver-side .count()
+    # jobs — two extra full scans of the embeddings table per
+    # invocation. Every slice row lands in exactly one bucket, so the
+    # totals are the SUM of the per-bucket counts already on hand: a
+    # whole-frame window over the k-row bucket report, zero extra scans.
+    # Positive-integer DIV parity unchanged (same integers divided).
     return j.select(
         "bucket",
         "n_ref",
         "n_cur",
-        F.expr(f"CAST(n_ref * 10000 DIV {n_ref_tot} AS BIGINT)").alias(
-            "share_ref_x1e4"
-        ),
-        F.expr(f"CAST(n_cur * 10000 DIV {n_cur_tot} AS BIGINT)").alias(
-            "share_cur_x1e4"
-        ),
+        F.expr(
+            "CAST(n_ref * 10000 DIV (sum(n_ref) OVER ()) AS BIGINT)"
+        ).alias("share_ref_x1e4"),
+        F.expr(
+            "CAST(n_cur * 10000 DIV (sum(n_cur) OVER ()) AS BIGINT)"
+        ).alias("share_cur_x1e4"),
     ).withColumn(
         "drift_x1e4",
         F.expr("CAST(abs(share_cur_x1e4 - share_ref_x1e4) AS BIGINT)"),

@@ -497,6 +497,12 @@ def test_basket_pairs_from_arrays_not_self_join(spark):
 
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert not ("l_orderkey" in m and "p_brand" in m), m
+    # r16: the basket frame feeds four consumers (n, x, y, pr) that
+    # exchange reuse cannot fold — it is localCheckpoint-materialized
+    # once per invocation (>=4-reuse break-even), so the query plan
+    # reads the checkpointed RDD and the r15 16-fold scan re-run is gone
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_equidepth_ntile_on_projected_frame(spark):
