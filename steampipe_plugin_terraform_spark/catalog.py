@@ -25,6 +25,7 @@ the full pipeline in DuckDB.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -7016,22 +7017,75 @@ def _stop_stream(spark: SparkSession, name: str) -> None:
 
 
 
+def _stream_state_partitions(spark: SparkSession, source_path: str) -> int | None:
+    """State-partition count for a drain, derived from the INPUT VOLUME
+    instead of the core count (r16, verdict item 3).
+
+    Stateful operators pay a fixed per-partition per-micro-batch cost
+    (state store open/commit/snapshot); the partition count is captured
+    from ``spark.sql.shuffle.partitions`` at stream start and AQE cannot
+    coalesce it. The driver's own 8-vs-32-core r15 data showed the drain
+    ANTI-scaling with cores (4.6 s at 8 state partitions vs 9.0 s at 32
+    for identical data) — the cost is partition-count-driven, so sizing
+    from cores is wrong in both directions. Rule: one state partition
+    per ``spark.graft.stream.statePartitionBytes`` of source bytes
+    (default 32 MiB of parquet ≈ 100–200 MB of in-memory two-sided join
+    state — the guide §2.2 100 MB–1 GB band), CAPPED at the session's
+    configured shuffle.partitions — the cluster's configured parallelism
+    is never exceeded, it is only left idle when the state provably
+    cannot fill it. Returns None (leave the session value alone) when
+    the source size is unknowable."""
+    try:
+        if os.path.isdir(source_path):
+            with os.scandir(source_path) as it:
+                size = sum(e.stat().st_size for e in it if e.is_file())
+        else:
+            size = os.path.getsize(source_path)
+    except OSError:
+        return None
+    target = int(
+        spark.conf.get("spark.graft.stream.statePartitionBytes", str(32 << 20))
+    )
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(sess, -(-size // target)))
+
+
 def _drain_memory_sink(
-    spark: SparkSession, stream_df: DataFrame, name: str, mode: str
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    mode: str,
+    source_path: str | None = None,
 ) -> DataFrame:
     """THE drain protocol for every batch-checkable streaming entry, in
     one place so it cannot fork across entries: stop any leftover query
     with the same name (re-invocation safety), run the stream to
     completion into a memory sink with an availableNow trigger under a
-    600 s guard (stop-and-raise on timeout), return the sink table."""
+    600 s guard (stop-and-raise on timeout), return the sink table.
+
+    When ``source_path`` is given, the stream starts with the
+    data-volume-derived state-partition count (see
+    ``_stream_state_partitions``) — shuffle.partitions is set for the
+    stream START only (captured into the query's state layout) and
+    restored immediately after; partition count never changes emitted
+    values (hash placement only), which the stream≡batch oracle parity
+    pins."""
     _stop_stream(spark, name)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    parts = _stream_state_partitions(spark, source_path) if source_path else None
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError(f"{name} drain exceeded 600s")
@@ -7063,6 +7117,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_counts_stream(read_events_stream(spark, sf_dir)),
         "__stream_events_hourly",
         "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -7108,6 +7163,7 @@ def stream_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.groupBy("i", "cell").agg(F.count("*").alias("cell_cnt")),
         "__stream_countmin",
         "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -7152,6 +7208,7 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n"),
         "__stream_hopping",
         "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -7190,6 +7247,7 @@ def stream_hourly_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_counts_stream(read_events_stream(spark, sf_dir)),
         "__stream_hourly_append",
         "append",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -7278,6 +7336,7 @@ def stream_segment_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_enriched_agg_stream(read_events_stream(spark, sf_dir), dim),
         "__stream_seg_enriched",
         "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -7305,6 +7364,7 @@ def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionized_stream(read_events_stream(spark, sf_dir)),
         "__stream_sessions",
         "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
     return sink.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
 
@@ -7328,6 +7388,7 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals(read_events_stream(spark, sf_dir)),
         "__stream_user_totals",
         "update",
+        source_path=f"{sf_dir}/events.parquet",
     )
     latest = sink.groupBy("user_id").agg(
         F.max(F.struct("n_events", "total_value")).alias("s")
@@ -7357,6 +7418,7 @@ def stream_deduped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type"),
         "__stream_deduped",
         "append",
+        source_path=f"{sf_dir}/events.parquet",
     )
     # no final distinct: the comparison against the DISTINCT oracle is the
     # proof that the STREAM deduped (one parquet file → one micro-batch)
@@ -7387,6 +7449,7 @@ def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "__stream_ss_join",
         "append",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -7445,6 +7508,7 @@ def stream_click_error_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "__stream_ss_ljoin",
         "append",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -7940,6 +8004,7 @@ def stream_click_error_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "__stream_ss_fjoin",
         "append",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -8306,6 +8371,7 @@ def stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         record_breaking_events_awps(read_events_stream(spark, sf_dir)),
         "__stream_record_highs",
         "append",
+        source_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -9699,6 +9765,7 @@ def stream_quantile_logsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.groupBy("lb").agg(F.count("*").cast("long").alias("cnt")),
         "__stream_quantile_logsketch",
         "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
     return sketch.logsketch_quantiles(sk, [50, 90, 99]).select(
         "q_pct", F.col("est").alias("est_cents")
@@ -10671,6 +10738,7 @@ def stream_hourly_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_counts_stream(read_events_stream(spark, sf_dir)),
         "__stream_hourly_topk",
         "append",
+        source_path=f"{sf_dir}/events.parquet",
     )
     w = Window.partitionBy("hour").orderBy(
         F.col("n").desc(), F.col("event_type")
@@ -10859,13 +10927,16 @@ def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is integer-snapped — the one IEEE division is the exact
     Jaccard's, snapped identically on both engines."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.0)
+    # r16: pairs and sig come from ONE pipeline over the shared posting
+    # checkpoint — the separate minhash_signatures call re-tokenized the
+    # corpus a second time per invocation (plan: 16 scans → 4)
+    pairs, sig = dedup.minhash_lsh_pairs_with_sig(docs, threshold=0.0)
     # merge-hinted like every minhash-family join: the signature table is
     # O(N) rows over a heavy explode+groupBy subtree — a small-SF
     # broadcast would DUPLICATE that subtree into the build side (the
     # round-6 minhash adjudication), while identical exchanges let the
     # reuse rule materialize it once for both sides
-    sig = dedup.minhash_signatures(docs).hint("merge")
+    sig = sig.hint("merge")
     wide = pairs.join(
         sig.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sa"),
         "id_a",
@@ -10929,7 +11000,8 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = _drain_memory_sink(
-        spark, words, "__stream_bitmap_distinct", "complete"
+        spark, words, "__stream_bitmap_distinct", "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
     return sink.groupBy("event_type").agg(
         F.expr("CAST(coalesce(sum(bit_count(word)), 0) AS BIGINT)").alias(
@@ -11538,7 +11610,8 @@ def stream_state_serial_watch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
     return _drain_memory_sink(
-        spark, agg, "stream_state_serial_watch", "complete"
+        spark, agg, "stream_state_serial_watch", "complete",
+        source_path=f"{_TF_FIXTURES}/statelineage/",
     )
 
 
@@ -11920,7 +11993,8 @@ def stream_docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = _funnel_counts(src, _funnel_dups(spark, sf_dir))
     t = _drain_memory_sink(
-        spark, agg, "stream_docs_pipeline_funnel", "complete"
+        spark, agg, "stream_docs_pipeline_funnel", "complete",
+        source_path=f"{sf_dir}/documents.parquet",
     )
     return _funnel_report(t)
 
@@ -12379,7 +12453,8 @@ def stream_benford_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     sink = _drain_memory_sink(
-        spark, counts, "__stream_benford_monitor", "complete"
+        spark, counts, "__stream_benford_monitor", "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
     t = sink.withColumn(
         "total", F.sum("n").over(Window.partitionBy("event_type"))
@@ -13808,7 +13883,8 @@ def stream_overdispersion_monitor(
         .agg(F.count("*").cast("long").alias("n"))
     )
     sink = _drain_memory_sink(
-        spark, counts, "__stream_overdispersion_monitor", "complete"
+        spark, counts, "__stream_overdispersion_monitor", "complete",
+        source_path=f"{sf_dir}/events.parquet",
     )
     return _overdispersion_report(sink)
 
@@ -15756,7 +15832,7 @@ def stream_zipf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("f"))
     )
-    t = _drain_memory_sink(spark, wf, "stream_zipf_monitor", "complete")
+    t = _drain_memory_sink(spark, wf, "stream_zipf_monitor", "complete", source_path=f"{sf_dir}/documents.parquet")
     return _zipf_slope_report(t)
 
 
@@ -15948,7 +16024,8 @@ def stream_source_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("o")
     )
     t = _drain_memory_sink(
-        spark, grid, "stream_source_drift_monitor", "complete"
+        spark, grid, "stream_source_drift_monitor", "complete",
+        source_path=f"{sf_dir}/documents.parquet",
     )
     return _source_drift_report(t)
 
@@ -16620,7 +16697,7 @@ def stream_hapax_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    t = _drain_memory_sink(spark, v, "stream_hapax_monitor", "complete")
+    t = _drain_memory_sink(spark, v, "stream_hapax_monitor", "complete", source_path=f"{sf_dir}/documents.parquet")
     return _hapax_report(t)
 
 
@@ -16987,7 +17064,7 @@ def stream_code_mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = _code_flags(src).groupBy("lang", "looks_code").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    t = _drain_memory_sink(spark, grid, "stream_code_mix_monitor", "complete")
+    t = _drain_memory_sink(spark, grid, "stream_code_mix_monitor", "complete", source_path=f"{sf_dir}/documents.parquet")
     return _code_mix_report(t)
 
 
@@ -17252,7 +17329,8 @@ def stream_norm_buckets_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = _norm_bucket_grid(src)
     t = _drain_memory_sink(
-        spark, grid, "stream_norm_buckets_monitor", "complete"
+        spark, grid, "stream_norm_buckets_monitor", "complete",
+        source_path=f"{sf_dir}/embeddings.parquet",
     )
     return _norm_bucket_report(t)
 
@@ -17504,7 +17582,7 @@ def stream_simpson_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    t = _drain_memory_sink(spark, tc, "stream_simpson_monitor", "complete")
+    t = _drain_memory_sink(spark, tc, "stream_simpson_monitor", "complete", source_path=f"{sf_dir}/documents.parquet")
     return _simpson_report(t)
 
 

@@ -492,6 +492,60 @@ def shingle_sets(
     )
 
 
+def _minhash_posting_base(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, n_sh, s, h) posting rows — ONE tokenize pass serving BOTH
+    minhash devices: ``s`` is the raw n-gram string the signature md5s
+    need, ``h`` the 8-byte xxhash the verify sets intersect on
+    (identical formula to ``_hashed_shingles``: xxhash64 of the 5-long
+    token-hash slice), ``n_sh`` the doc's distinct-shingle count.
+
+    r16 (guide §1.2 step 1 / §5, verdict item 2): one dedup_minhash_lsh
+    invocation evaluated THREE corpus tokenize passes at runtime — the
+    string-shingle pass under the signature aggregate plus two
+    hashed-shingle passes inside the verify-set build (overcap broadcast
+    build + probe side, which exchange reuse cannot fold across the
+    broadcast boundary) — and six statically. This frame is
+    localCheckpoint-materialized once per invocation (static reuse
+    sites: signature agg + overcap agg + sets agg, the latter two ×2 in
+    the declared plan = 5, clearing the ≥4 break-even; NEVER .persist(),
+    the CLAUDE.md plan-contamination hazard) so every consumer reads the
+    materialized rows. Distinctness is per STRING shingle — exactly the
+    oracle's ``SELECT DISTINCT doc_id, s`` — so n_sh/hs semantics match
+    the replayed SQL even more literally than the hash-distinct form
+    (equal on any collision-free corpus, i.e. every tested one). The
+    explode child stays an EXPRESSION over the stored array
+    (SPARK-36715 guard, see ``_hashed_shingles``); the md5 calls stay
+    codegen'd aggregate inputs (the r15 in-row-HOF revert stands)."""
+    toks = f"split({text_col}, ' ')"
+    sl = f"slice({toks}, i, {n})"
+    return (
+        _spread(df, id_col, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"CASE WHEN size({toks}) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+                f"i -> named_struct('s', concat_ws(' ', {sl}), "
+                f"'h', xxhash64(transform({sl}, t -> xxhash64(t)))))) "
+                f"ELSE array() END"
+            ).alias("__sh"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(__sh, x -> named_struct("
+                    "'s', x.s, 'h', x.h, 'n_sh', CAST(size(__sh) AS BIGINT)))"
+                )
+            ).alias("p"),
+        )
+        .select("id", F.col("p.n_sh").alias("n_sh"), F.col("p.s").alias("s"), F.col("p.h").alias("h"))
+        .localCheckpoint()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -521,10 +575,44 @@ def minhash_lsh_pairs(
     broadcast plan Spark otherwise picks duplicates the whole signature /
     shingle-aggregation subtree into the build side — with identical
     shuffle exchanges on both sides instead, the exchange-reuse rule
-    materializes each heavy subtree once, and the measured cold-start
-    settles at the warm cost (~2 s at sf0.1) instead of 4× it.
+    materializes each heavy subtree once.
+
+    r16: signature AND verify sets both read the single
+    ``_minhash_posting_base`` checkpoint — one corpus scan + one
+    tokenize pass per invocation instead of three (see its docstring).
     """
-    buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands)
+    pairs, _ = minhash_lsh_pairs_with_sig(
+        df, id_col, text_col, n, num_hashes, bands, threshold, df_max
+    )
+    return pairs
+
+
+def minhash_lsh_pairs_with_sig(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    df_max: int | None = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, sig) — the LSH pair pipeline plus the signature frame it
+    banded, both reading ONE ``_minhash_posting_base`` checkpoint.
+    Consumers that need signatures next to the pairs (the estimator
+    self-eval) reuse ``sig`` instead of re-running the tokenize+aggregate
+    chain on a second corpus pass."""
+    base = _minhash_posting_base(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        base.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands, sig=sig)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y").hint("merge"), ["band", "bh"])
@@ -533,14 +621,26 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify ONLY the candidate pairs (|cand| << all pairs — that is the
-    # entire point of LSH), never touching non-colliding pairs.
-    sets = shingle_sets(df, id_col, text_col, n, df_max)
+    # entire point of LSH), never touching non-colliding pairs. Same
+    # flag-then-aggregate cap device as shingle_sets, over the checkpoint.
+    sh = base.select("id", "n_sh", "h")
+    if df_max is not None:
+        overcap = (
+            sh.groupBy("h").agg(F.count("*").alias("__df")).filter(F.col("__df") > df_max).select("h")
+        )
+        flagged = sh.join(overcap.withColumn("__over", F.lit(True)), "h", "left")
+    else:
+        flagged = sh.withColumn("__over", F.lit(None).cast("boolean"))
+    sets = flagged.groupBy("id").agg(
+        F.collect_set(F.when(F.col("__over").isNull(), F.col("h"))).alias("hs"),
+        F.first("n_sh").alias("n_sh"),
+    )
     # both pair-side joins hit the IDENTICAL `sets` projection (renames go on
     # the candidate side) so exchange reuse materializes its subtree — the
     # full shingle explode + groupBy — once, not twice; the merge hint keeps
     # Spark from broadcasting (and thereby duplicating) that subtree
     sets = sets.hint("merge")
-    return (
+    pairs = (
         cand.withColumnRenamed("id_a", "id")
         .join(sets, "id")
         .select(
@@ -564,6 +664,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return pairs, sig
 
 
 _HEX = "0123456789abcdef"

@@ -2311,3 +2311,54 @@ def test_cheap_text_scans_skip_the_spread(spark):
     first real shuffle parallelizes the aggregation either way)."""
     plan = _plan(spark, "docs_token_stats")
     assert "RoundRobinPartitioning" not in plan
+
+
+# ---- round-16 pins ----
+
+
+def test_minhash_family_reads_one_posting_checkpoint(spark):
+    """r16 (verdict item 2): dedup_minhash_lsh evaluated the corpus
+    tokenize three times at runtime (signature pass + the two verify-set
+    subtrees split by the overcap broadcast boundary) and six times
+    statically. The shared _minhash_posting_base localCheckpoint now
+    serves signature AND verify sets: the declared query plan reads the
+    materialized rows only — zero parquet scans (the one scan+tokenize
+    lives in the checkpoint build job), and the estimator self-eval
+    reuses the same base instead of a second minhash_signatures chain."""
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    for plan in (
+        _plan(spark, "dedup_minhash_lsh"),
+        _plan_df(STAGED_QUERIES["docs_minhash_estimate_error"](spark, SF)),
+    ):
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan
+
+
+def test_stream_state_partitions_sized_by_volume():
+    """r16 (verdict item 3): drain state partitions derive from source
+    bytes (one per 32 MiB by default), capped at the session's
+    configured shuffle.partitions and floored at 1 — never sized by
+    core count, which the r15 driver data showed anti-scaling (4.6 s at
+    8 state partitions vs 9.0 s at 32 on identical data)."""
+    from unittest.mock import patch
+
+    from steampipe_plugin_terraform_spark import catalog
+
+    class FakeConf:
+        def get(self, key, default=None):
+            return {"spark.sql.shuffle.partitions": "32"}.get(key, default)
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    with patch.object(catalog.os.path, "isdir", return_value=False):
+        with patch.object(catalog.os.path, "getsize", return_value=2_000_000):
+            assert catalog._stream_state_partitions(FakeSpark(), "x") == 1
+        with patch.object(catalog.os.path, "getsize", return_value=(32 << 20) + 1):
+            assert catalog._stream_state_partitions(FakeSpark(), "x") == 2
+        with patch.object(catalog.os.path, "getsize", return_value=1 << 40):
+            # capped at the session's configured parallelism
+            assert catalog._stream_state_partitions(FakeSpark(), "x") == 32
+        with patch.object(catalog.os.path, "getsize", side_effect=OSError):
+            assert catalog._stream_state_partitions(FakeSpark(), "x") is None
