@@ -686,27 +686,42 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[pos(i, F.col("c_custkey")) for i in range(3)])
         ).alias("b")
     ).distinct()
+    # r16 (guide §2.4): the true-match count was a SECOND evaluation of
+    # the distinct-orders-keys frame (scan + distinct exchange) semi-
+    # joined against dk. The truth marker now rides the probe pipeline
+    # (broadcast left join on the unique dim key): a true key always
+    # passes the filter (no false negatives), so both n_candidates and
+    # n_true_matches fall out of ONE aggregate over the per-key
+    # bloom-probe groupBy — one orders scan, one distinct, no semi join.
     pk = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
-    pb = pk.select(
+    marked = pk.join(
+        F.broadcast(dk.withColumn("__t", F.lit(True))),
+        pk.o_custkey == dk.c_custkey,
+        "left",
+    ).select("o_custkey", "__t")
+    pb = marked.select(
         "o_custkey",
+        "__t",
         F.posexplode(
             F.array(*[pos(i, F.col("o_custkey")) for i in range(3)])
         ).alias("i", "b"),
     )
-    cand = (
+    kc = (
         pb.join(F.broadcast(bits), "b")
         .groupBy("o_custkey")
-        .agg(F.countDistinct("i").alias("k"))
-        .filter(F.col("k") == 3)
+        .agg(F.countDistinct("i").alias("k"), F.first("__t").alias("__t"))
     )
-    tru = pk.join(F.broadcast(dk), pk.o_custkey == dk.c_custkey, "left_semi")
+    cnt = kc.agg(
+        F.sum(F.when(F.col("k") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_matches"),
+    )
     nd = dk.agg(F.count("*").alias("n_dim_keys"))
     nb = bits.agg(F.count("*").alias("n_bits_set"))
-    nc = cand.agg(F.count("*").alias("n_candidates"))
-    nt = tru.agg(F.count("*").alias("n_true_matches"))
-    out = nd.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nc)).crossJoin(
-        F.broadcast(nt)
-    )
+    out = nd.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(cnt))
     return out.select(
         "n_dim_keys",
         "n_bits_set",
@@ -1102,9 +1117,17 @@ def q_orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    deltas = oi.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
-        oi.select(F.col("e").alias("day"), F.lit(-1).alias("d"))
-    )
+    # r16 (guide §2.4): the unionAll of two projections evaluated the
+    # orders⋈lineitem aggregate TWICE (4 scans, 2 joins per invocation);
+    # one in-row explode emits both sweep deltas from a single pass.
+    deltas = oi.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("x")
+    ).select("x.*")
     g = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return g.select("day", F.sum("delta").over(w).alias("open_orders"))
@@ -1446,22 +1469,35 @@ def q_events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
         .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .distinct()
     )
-    mx = ud.agg(F.max("day").alias("mxd"))
+    # r16 (guide §2.4): the max-day scalar was a SECOND evaluation of ud
+    # (another events scan + distinct exchange) broadcast back on. The
+    # fanout now tags origin rows (posexplode position 0 = the real
+    # event day), the max real day rides the grouped ≤|days|+6 spine as
+    # a whole-frame window (post-agg-tiny-frame exemption), and the
+    # spine filter moves AFTER the aggregate — group keys past the cap
+    # are dropped with their values untouched. One scan, no crossJoin.
     sp = ud.select(
         "user_id",
-        F.explode(
+        F.posexplode(
             F.sequence(
                 F.col("day"),
                 F.col("day") + F.expr("INTERVAL 6 DAY"),
                 F.expr("INTERVAL 1 DAY"),
             )
-        ).alias("day"),
+        ).alias("i", "day"),
     )
+    g = sp.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.max(F.when(F.col("i") == 0, F.lit(1))).alias("__o"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        sp.crossJoin(F.broadcast(mx))
+        g.withColumn(
+            "mxd",
+            F.max(F.when(F.col("__o").isNotNull(), F.col("day"))).over(wall),
+        )
         .filter(F.col("day") <= F.col("mxd"))
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select("day", "active_users")
     )
 
 
@@ -2152,13 +2188,14 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("lineitem_range_violations")
     )
-    dup = ev.agg(
-        (F.count("*") - F.countDistinct("event_id")).alias("duplicate_event_ids")
-    )
-    nulls = ev.agg(
+    # r16 (guide §2.4): the duplicate-id and null-key rules were two
+    # separate aggregates over the same events frame — two scans for
+    # what one partial+final aggregate computes in one pass.
+    dup_nulls = ev.agg(
+        (F.count("*") - F.countDistinct("event_id")).alias("duplicate_event_ids"),
         F.sum(
             F.when(F.col("user_id").isNull() | F.col("ts").isNull(), 1).otherwise(0)
-        ).alias("events_null_keys")
+        ).alias("events_null_keys"),
     )
     orphan_o = (
         o.select("o_custkey")
@@ -2171,7 +2208,7 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_length_mismatches")
     )
     out = orphan_li
-    for d in [ranges, dup, nulls, orphan_o, lens]:
+    for d in [ranges, dup_nulls, orphan_o, lens]:
         out = out.crossJoin(F.broadcast(d))
     return out
 
@@ -4875,38 +4912,71 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase-after-click): per-user stage timestamps chained through
     min-after-predecessor aggregations, then stage-level user counts.
 
-    Scale: three aggregations and two joins, ALL keyed on user_id — after
-    the first shuffle the stage tables are co-partitioned, and each stage
-    table shrinks (funnel monotonicity), so AQE broadcasts the later
-    stages. No window over global order, no driver state. The min-after-ts
-    predicate join (not a window over a union) keeps each stage a plain
-    equi-join Catalyst can reorder."""
+    Scale (r16 restructure, guide §2.4): the old three-aggregation /
+    two-join chain ran three events scans + three aggregate exchanges +
+    two joins per invocation (stage subtrees cannot share — each stage's
+    scan filters a different event_type). The stage timestamps are now
+    three chained whole-partition windows over ONE user_id exchange
+    (c_ts = min click ts ≥ v_ts inside the same partition, etc. — the
+    same min-after-predecessor values), the per-user collapse reuses the
+    window's hash partitioning (no new exchange), and the three stage
+    counts come from one final aggregate exploded into the 3-row funnel.
+    Napkin (§1.3): one pass + one (user_id, type, ts) shuffle ≈ 2× the
+    projected bytes, vs the old 3 passes + 3 (smaller) shuffles ≈ 3–4×.
+    """
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("v_ts"))
-        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("c_ts"))
-        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
-    )
-
-    def _stage(df: DataFrame, n: int, nm: str) -> DataFrame:
-        return df.agg(F.count("*").alias("users")).select(
-            F.lit(n).alias("stage"), F.lit(nm).alias("stage_name"), "users"
+    wu = Window.partitionBy("user_id")
+    st = (
+        ev.withColumn(
+            "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
         )
-
-    return _stage(v, 1, "view").unionAll(_stage(c, 2, "click")).unionAll(
-        _stage(p, 3, "purchase")
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
+    per_user = st.groupBy("user_id").agg(
+        F.first("v_ts").alias("v_ts"),
+        F.first("c_ts").alias("c_ts"),
+        F.first("p_ts").alias("p_ts"),
+    )
+    one = per_user.agg(
+        *[
+            F.sum(F.when(F.col(c_).isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(a)
+            for c_, a in (("v_ts", "nv"), ("c_ts", "nc"), ("p_ts", "np"))
+        ]
+    )
+    stages = [(1, "view", "nv"), (2, "click", "nc"), (3, "purchase", "np")]
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("stage"),
+                        F.lit(nm).alias("stage_name"),
+                        F.col(a).alias("users"),
+                    )
+                    for n, nm, a in stages
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
 
 
 @query(
@@ -8886,30 +8956,34 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .distinct()
     )
-    mx = ud.agg(F.max("day").alias("mxd"))
-    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    # r16 (guide §2.4): ud was evaluated THREE times (the mx scalar, the
+    # dau aggregate, the fanout) — three events scans + distinct
+    # exchanges per invocation. Both counts now come from ONE groupBy
+    # over the tagged fanout: dau = distinct users among origin rows
+    # (posexplode position 0 = the real event day), wau = distinct users
+    # over all supporting rows. The old dau⋈wau inner join kept exactly
+    # the real event days, i.e. the days with dau > 0 — a filter, so the
+    # join and the max-day broadcast vanish with it (real days are ≤ the
+    # max real day by construction). One scan, no joins.
     sp = ud.select(
         "user_id",
-        F.explode(
+        F.posexplode(
             F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
-        ).alias("day"),
+        ).alias("i", "day"),
     )
-    wau = (
-        sp.crossJoin(F.broadcast(mx))
-        .filter(F.col("day") <= F.col("mxd"))
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    g = sp.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("i") == 0, F.col("user_id")))
+        .cast("long")
+        .alias("dau"),
+        F.countDistinct("user_id").cast("long").alias("wau"),
     )
-    return (
-        dau.join(wau, "day")
-        .select(
-            "day",
-            "dau",
-            "wau",
-            F.expr("CAST((2 * dau * 10000 + wau) DIV (2 * wau) AS BIGINT)").alias(
-                "stickiness_bp"
-            ),
-        )
+    return g.filter(F.col("dau") > 0).select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("CAST((2 * dau * 10000 + wau) DIV (2 * wau) AS BIGINT)").alias(
+            "stickiness_bp"
+        ),
     )
 
 
@@ -13253,6 +13327,12 @@ def q_orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
     )
+    # r16 (guide §2.4): the median was a filter over the ranked frame
+    # broadcast back onto a SECOND evaluation of d — two orders
+    # scans+aggregations per invocation. The median value now rides the
+    # ranked frame itself as one more whole-frame window (the documented
+    # post-agg-tiny-frame exemption; it reuses the rank window's
+    # single-partition exchange) — one scan, no crossJoin, same value.
     ranked = d.select(
         "day",
         "rev",
@@ -13261,11 +13341,13 @@ def q_orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count("*").over(Window.partitionBy()).alias("n"),
     )
-    med = ranked.filter(F.expr("rn = (n + 1) DIV 2")).select(
-        F.col("rev").alias("med")
-    )
     s = (
-        d.crossJoin(F.broadcast(med))
+        ranked.withColumn(
+            "med",
+            F.max(F.expr("CASE WHEN rn = (n + 1) DIV 2 THEN rev END")).over(
+                Window.partitionBy()
+            ),
+        )
         .filter(F.col("rev") != F.col("med"))
         .select(
             "day",
@@ -13700,18 +13782,31 @@ def _overdispersion_report(hc: DataFrame) -> DataFrame:
     """Batch-side roll-up shared VERBATIM by `q_events_overdispersion`
     and the streaming monitor's drained state — one definition so the
     stream≡batch identity cannot fork: (type, hour, n) cells → spine
-    length → per-type integer dispersion + label bands."""
-    sp = hc.agg((F.max("h") - F.min("h") + 1).alias("n_hours"))
+    length → per-type integer dispersion + label bands.
+
+    r16 (guide §2.4): the spine length was a second aggregation of the
+    hc cells crossJoined back on — two evaluations of the cell subtree
+    (for the batch entry, two events scans+aggs). The global hour
+    extremes now fold into the per-type aggregate (per-type max/min of
+    h) and surface via whole-frame windows over the ≤|types|-row report
+    (every cell belongs to some type, so the max of per-type maxes IS
+    the global max) — one evaluation, no crossJoin, same integers."""
     ag = hc.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n_events"),
         F.expr("CAST(sum(n * n) AS DECIMAL(38,0))").alias("sum_sq"),
+        F.max("h").alias("__mxh"),
+        F.min("h").alias("__mnh"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ag = ag.withColumn(
+        "n_hours", F.max("__mxh").over(wall) - F.min("__mnh").over(wall) + 1
     )
     d_expr = (
         "(CAST(n_hours AS DECIMAL(38,0)) * sum_sq"
         " - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000"
         " DIV (CAST(n_hours AS DECIMAL(38,0)) * n_events)"
     )
-    return ag.crossJoin(F.broadcast(sp)).select(
+    return ag.select(
         "event_type",
         "n_events",
         F.col("n_hours").cast("long").alias("n_hours"),
@@ -14350,42 +14445,54 @@ def q_lineitem_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "g")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    lvl = grid.groupBy("q").agg(F.sum("n").cast("long").alias("t"))
-    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    # r16 (guide §2.4, the mood-median window device): the level frame
+    # and its rank window were a separate grid aggregation joined back
+    # on — plus a THIRD evaluation under the denominator aggregate
+    # (three lineitem scans+aggs per invocation). The doubled mid-ranks
+    # now ride the grid rows directly via RANGE-framed sums ordered by q
+    # (cb = pooled count strictly below q, ca = at-or-below; t = ca−cb,
+    # rank2 = 2·cb + t + 1 = ca + cb + 1), and the denominator folds
+    # into the per-group aggregate — Σ_q t·(rank2−(nn+1))² ≡
+    # Σ_{q,g} n·(rank2−(nn+1))² since t = Σ_g n at each q; exact-integer
+    # addition is order-free, so the value is bit-identical. One scan,
+    # no join, no crossJoin; windows run on the ≤3×50-row grid
+    # (post-agg-tiny-frame exemption).
+    wq_at = Window.orderBy("q").rangeBetween(Window.unboundedPreceding, 0)
+    wq_below = Window.orderBy("q").rangeBetween(Window.unboundedPreceding, -1)
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    rk = lvl.select(
-        "q",
-        "t",
-        (2 * (F.sum("t").over(wq) - F.col("t")) + F.col("t") + 1)
-        .cast("long")
-        .alias("rank2"),
-        F.sum("t").over(wall).cast("long").alias("nn"),
+    g2 = grid.select(
+        "g",
+        "n",
+        F.sum("n").over(wq_at).cast("long").alias("ca"),
+        F.coalesce(F.sum("n").over(wq_below), F.lit(0)).cast("long").alias("cb"),
+        F.sum("n").over(wall).cast("long").alias("nn"),
+    ).select(
+        "g",
+        "n",
+        "nn",
+        (F.col("ca") + F.col("cb") + 1).cast("long").alias("rank2"),
     )
-    gr = (
-        grid.join(rk, "q")
-        .groupBy("g")
-        .agg(
-            F.sum("n").cast("long").alias("n_i"),
-            F.expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * rank2)"
-                   " AS DECIMAL(38,0))").alias("r2"),
-            F.max("nn").alias("nn"),
-        )
+    gr = g2.groupBy("g").agg(
+        F.sum("n").cast("long").alias("n_i"),
+        F.expr(
+            "CAST(sum(CAST(n AS DECIMAL(38,0)) * rank2) AS DECIMAL(38,0))"
+        ).alias("r2"),
+        F.max("nn").alias("nn"),
+        F.expr(
+            "CAST(sum(CAST(n AS DECIMAL(38,0)) * (rank2 - (nn + 1))"
+            " * (rank2 - (nn + 1))) AS DECIMAL(38,0))"
+        ).alias("sden_g"),
     )
     dev = "(r2 - CAST(n_i AS DECIMAL(38,0)) * (nn + 1))"
-    num = gr.agg(
+    st = gr.agg(
         F.expr(f"CAST(sum({dev} * {dev} DIV n_i) AS DECIMAL(38,0))").alias(
             "s_num"
         ),
         F.count("*").cast("long").alias("n_groups"),
         F.max("nn").alias("nn"),
-    )
-    den = rk.agg(
-        F.expr(
-            "CAST(sum(CAST(t AS DECIMAL(38,0)) * (rank2 - (nn + 1))"
-            " * (rank2 - (nn + 1))) AS DECIMAL(38,0))"
-        ).alias("s_den")
+        F.expr("CAST(sum(sden_g) AS DECIMAL(38,0))").alias("s_den"),
     )
     # degenerate guard (mirrored by the oracle's CASE): a single pooled
     # quantity level makes every rank2 = nn+1, so s_den = 0 and H is
@@ -14393,7 +14500,7 @@ def q_lineitem_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-specific divide-by-zero (Spark DIV → NULL, DuckDB // →
     # error); same device as q_lineitem_mannwhitney_u's z guard
     h = "CASE WHEN s_den > 0 THEN s_num * (nn - 1) * 1000000 DIV s_den END"
-    return num.crossJoin(F.broadcast(den)).select(
+    return st.select(
         "n_groups",
         F.col("nn").alias("n_rows"),
         F.expr(f"CAST({h} AS BIGINT)").alias("h_e6"),
@@ -15623,24 +15730,35 @@ def q_lineitem_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g", "q")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    # r16 (guide §2.4, the runs_test device): the pooled median came off
+    # a SECOND groupBy(q) evaluation of the grid, broadcast back onto
+    # the first — two lineitem scans+aggregations per invocation. The
+    # cumulative level counts now ride the grid frame itself: a
+    # RANGE-framed sum ordered by q gives each row the pooled count of
+    # quantities ≤ its q (exactly the old lvl cum), nn and the median
+    # are whole-frame windows over the ≤3×50-row grid (post-agg-tiny-
+    # frame exemption) — one scan, no crossJoin, identical values.
+    wq = Window.orderBy("q").rangeBetween(Window.unboundedPreceding, 0)
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    m = (
-        grid.groupBy("q")
-        .agg(F.sum("n").cast("long").alias("t"))
-        .select(
+    g2 = (
+        grid.select(
+            "g",
             "q",
-            F.sum("t").over(wq).cast("long").alias("cum"),
-            F.sum("t").over(wall).cast("long").alias("nn"),
+            "n",
+            F.sum("n").over(wq).cast("long").alias("cum"),
+            F.sum("n").over(wall).cast("long").alias("nn"),
         )
-        .filter(F.expr("cum >= (nn + 1) DIV 2"))
-        .agg(F.min("q").alias("m"), F.max("nn").alias("nn"))
+        .withColumn(
+            "m",
+            F.min(
+                F.when(F.expr("cum >= (nn + 1) DIV 2"), F.col("q"))
+            ).over(wall),
+        )
     )
     pg = (
-        grid.crossJoin(F.broadcast(m))
-        .groupBy("g")
+        g2.groupBy("g")
         .agg(
             F.sum("n").cast("long").alias("n_j"),
             F.expr(

@@ -2362,3 +2362,35 @@ def test_stream_state_partitions_sized_by_volume():
             assert catalog._stream_state_partitions(FakeSpark(), "x") == 32
         with patch.object(catalog.os.path, "getsize", side_effect=OSError):
             assert catalog._stream_state_partitions(FakeSpark(), "x") is None
+
+
+def test_r16_single_evaluation_restructures(spark):
+    """r16 batch (guide §2.4): each of these entries evaluated a shared
+    subtree 2-3x (a scalar/median/truth aggregate broadcast back onto a
+    second evaluation of the same frame, or a unionAll of two
+    projections of one aggregate). The restructures carry the scalar as
+    a whole-frame window / origin-flag / folded aggregate instead — the
+    fact table now appears EXACTLY ONCE in each declared plan."""
+    single_scan = {
+        "q_events_funnel": "events.parquet",
+        "q_events_sliding_distinct_users": "events.parquet",
+        "q_events_stickiness": "events.parquet",
+        "q_events_overdispersion": "events.parquet",
+        "q_orders_open_interval_sweep": "orders.parquet",
+        "q_lineitem_kruskal_wallis": "lineitem.parquet",
+        "q_bloom_semi_join": "orders.parquet",
+    }
+    for name, table in single_scan.items():
+        plan = _plan(spark, name)
+        assert plan.count(table) == 1, name
+    from steampipe_plugin_terraform_spark.catalog import STAGED_QUERIES
+
+    for name, table in (
+        ("q_orders_runs_test", "orders.parquet"),
+        ("q_lineitem_mood_median", "lineitem.parquet"),
+    ):
+        plan = _plan_df(STAGED_QUERIES[name](spark, SF))
+        assert plan.count(table) == 1, name
+    # funnel and stickiness additionally lost their stage joins outright
+    assert "Join" not in _plan(spark, "q_events_funnel")
+    assert "Join" not in _plan(spark, "q_events_stickiness")
