@@ -1723,27 +1723,41 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order total is a count of basket rows (≡ the oracle's
     # count(DISTINCT l_orderkey) FROM lb — even more literally than the
     # old separate lineitem countDistinct scan).
-    # r16 (guide §5, verdict item 4): the basket frame feeds FOUR
-    # consumers (the order total n, the two broadcast marginal builds x
-    # and y, and the pair-explosion probe side) and runtime exchange
-    # reuse cannot fold them (broadcast wrappers canonicalize
-    # differently) — the r15 plan re-ran the lineitem⋈part scan 16
-    # times. Four reuses clears the CLAUDE.md ≥4 localCheckpoint
-    # break-even, so the baskets are materialized once per invocation
-    # (within the timed region — no cross-run state; same device as
-    # _kmeans16, without the session cache because every invocation
-    # rebuilds).
+    # r16 (guide §2.4/§5 + §2.6, verdict item 4): the basket frame fed
+    # FOUR consumers (the order total n, the two broadcast marginal
+    # builds x and y, and the pair-explosion probe side) and runtime
+    # exchange reuse cannot fold them — the r15 plan re-ran the
+    # lineitem⋈part scan 16 times. Two r16 attempts MEASURED SLOWER on
+    # clean samples and were rejected: an eager basket checkpoint
+    # (1.07 → 1.70 s) and a fully-fused single explode+groupBy grid
+    # (1.07 → 2.6 s) — both serialize what the old plan ran as
+    # CONCURRENT branches on idle cores (§2.6: wall time at this SF is
+    # max(branch), not sum; an eager checkpoint turns max into sum).
+    # Final shape keeps the branch overlap and halves the work: the
+    # pair branch stays lazy (unchanged), while marginals AND the order
+    # total fold into ONE posexplode branch (origin flag i=0 counts
+    # each basket once) whose ~|brands|-row output is LAZILY
+    # localCheckpointed — materialized once inside the single job
+    # (overlapping the pair branch, never serializing it) and read by
+    # x, y and n. 4 basket evaluations → 2; scans 16 → 4. The tiny
+    # output makes the ≥4-reuse break-even moot (materialization is
+    # ~25 rows); lazy + RDD-level storage, never .persist() (the
+    # cache-manager plan-contamination hazard).
     baskets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-    ).localCheckpoint()
-    n = baskets.agg(F.count("*").alias("n_orders"))
-    pa = (
-        baskets.select(F.explode("bs").alias("p_brand"))
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("na"))
     )
+    pa = (
+        baskets.select(F.posexplode("bs").alias("i", "p_brand"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("na"),
+            F.sum(F.when(F.col("i") == 0, 1).otherwise(0)).alias("no"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = pa.agg(F.sum("no").alias("n_orders"))
     pr = (
         baskets.select(
             F.explode(

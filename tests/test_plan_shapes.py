@@ -488,7 +488,9 @@ def test_basket_pairs_from_arrays_not_self_join(spark):
     over the per-order aggregate), not a self-join of the order frame —
     the self-join doubles the largest shuffle and re-sorts it."""
     plan = _plan(spark, "q_basket_brand_lift")
-    assert "Generate explode" in plan
+    # r16: the basket explode+groupBy moved into the checkpoint-build
+    # job (one evaluation); the declared plan consumes the materialized
+    # cell grid only — still no self-join anywhere
     assert "SortMergeJoin" not in plan
     # r15: the pre-basket DISTINCT exchange is gone — collect_set dedups
     # (order, brand) in the partial aggregate, so no exchange partitions
@@ -497,12 +499,14 @@ def test_basket_pairs_from_arrays_not_self_join(spark):
 
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert not ("l_orderkey" in m and "p_brand" in m), m
-    # r16: the basket frame feeds four consumers (n, x, y, pr) that
-    # exchange reuse cannot fold — it is localCheckpoint-materialized
-    # once per invocation (>=4-reuse break-even), so the query plan
-    # reads the checkpointed RDD and the r15 16-fold scan re-run is gone
+    # r16: marginals + the order total fold into ONE lazily-checkpointed
+    # posexplode branch (ExistingRDD read by x, y and n) while the pair
+    # branch stays lazy for §2.6 branch overlap — basket evaluations
+    # 4 → 2, lineitem scans 16 → 4 in the declared plan (measured: the
+    # eager variants serialized the branches and LOST, see the entry's
+    # comment)
     assert "ExistingRDD" in plan
-    assert "Scan parquet" not in plan
+    assert plan.count("lineitem.parquet") <= 4
 
 
 def test_equidepth_ntile_on_projected_frame(spark):
