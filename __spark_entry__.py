@@ -42,13 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-16 window (executes the r15 verdict's pinned rotation — the
 # red test_horizon_holds tripwire after CORRECTNESS_r15.json landed):
 # positions 1-32 are the 32 forced r11 leftovers (pinned in
-# docs/OPERATORS.md since r15, named by the tripwire); positions 33-50
-# are the 18 oldest r12 rows (rotation rule 3; no promotions this
-# optimization round, so rule 2 is vacuous — entries restructured this
-# round that are NOT already in the window ride rule 1 at the window
-# front if slots allow). Catalog 232 → horizon stays ceil(232/50) = 5
-# rounds. After the window: the remaining r12 rows (due r17), then
-# r13-green, r14-green, and the r15 window rows (newest last).
+# docs/OPERATORS.md since r15, named by the tripwire; several of them —
+# funnel, sliding_distinct, open_interval_sweep — were ALSO restructured
+# this round, so rules 1 and the forcing coincide); positions 33-47 are
+# rule 1 — every declared entry whose Spark-side computation was
+# restructured by this optimization round and not already forced (the
+# minhash-posting-checkpoint consumers, the basket/recall/stats
+# restructures, the drain whose state partitioning changed); positions
+# 48-50 are the 3 oldest r12 rows (rule 3; no promotions this round, so
+# rule 2 is vacuous). Catalog 232 → horizon stays ceil(232/50) = 5
+# rounds. After the window: the remaining r12 rows (due r17 — their
+# last green row 12 sits exactly on this round's floor), then r13-,
+# r14-green, and the r15 window rows (newest last).
 _VALIDATE_FIRST = [
     # -- r16 window: the 32 forced r11 leftovers (pinned in
     # docs/OPERATORS.md since r15) --
@@ -84,10 +89,32 @@ _VALIDATE_FIRST = [
     "tf_resource_reference_graph",
     "tf_sensitive_output_audit",
     "tf_tags_inheritance_audit",
-    # -- r16 window: the 18 oldest r12 rows (rotation rule 3) --
+    # -- r16 window: rule 1 — entries whose Spark-side computation was
+    # restructured this optimization round (a stale green row proves
+    # nothing about them): the minhash-family consumers of the new
+    # posting checkpoint, the basket/recall/stats restructures, and
+    # the drain whose state partitioning changed --
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "docs_curation_pipeline",
+    "docs_leakage_safe_split",
+    "q_basket_brand_lift",
+    "emb_ivf_recall",
+    "q_events_stickiness",
+    "q_bloom_semi_join",
+    "q_events_overdispersion",
+    "q_lineitem_kruskal_wallis",
+    "q_dq_audit",
+    "stream_click_error_full_join",
+    "dedup_golden_record",
+    "dedup_linkage_clusters",
+    "dedup_lsh_recall",
+    # -- r16 window: rule 3 fill — the 3 oldest r12 rows --
     "q_events_bitmap_distinct_users",
     "q_lineitem_flag_status_chi2",
     "tf_unused_locals",
+    # ---- 50-entry window boundary ----
+    # -- last driver row r12 (remainder; due r17) --
     "emb_mmr_rerank",
     "stream_hourly_topk_types",
     "docs_bpe_merge_pairs",
@@ -96,16 +123,10 @@ _VALIDATE_FIRST = [
     "stream_foreachbatch_sink",
     "stream_hopping_counts",
     "stream_hourly_append_closed",
-    "dedup_golden_record",
-    "dedup_linkage_clusters",
-    "dedup_lsh_recall",
     "docs_bigram_logprob",
     "docs_chunk_overlap",
     "docs_k_anonymity",
     "docs_lang_confusion",
-    # ---- 50-entry window boundary ----
-    # -- last driver row r12 (remainder) --
-    "docs_leakage_safe_split",
     "docs_novelty",
     "emb_dim_stats",
     "emb_intra_class_outliers",
@@ -114,12 +135,9 @@ _VALIDATE_FIRST = [
     "q4_priority_late_ship",
     "q6_forecast_revenue",
     "q8_market_share",
-    "q_basket_brand_lift",
-    "q_bloom_semi_join",
     "q_customer_activity_reconciliation",
     "q_customer_gini",
     "q_customer_rfm",
-    "q_dq_audit",
     "q_events_ab_significance",
     "q_events_autocorr24",
     "q_events_cep_pattern",
@@ -127,7 +145,6 @@ _VALIDATE_FIRST = [
     "q_events_lateness_profile",
     "q_events_moving_avg",
     "q_events_seasonal_anomaly",
-    "q_events_stickiness",
     "q_events_top_paths",
     "q_fulfillment_latency",
     "q_join_size_cms_estimate",
@@ -137,14 +154,11 @@ _VALIDATE_FIRST = [
     "q_orders_cohort_ltv",
     "q_orders_equidepth_histogram",
     "q_orders_interval_merge",
-    # -- last driver row r13 --
     "tf_lifecycle_audit",
     "tf_legacy_interpolation_audit",
     "q_lineitem_mannwhitney_u",
-    "q_events_overdispersion",
     "q_events_markov_stationary",
     "tf_unused_data_sources",
-    "q_lineitem_kruskal_wallis",
     "q_supplier_abc_classes",
     "dedup_incremental_batch",
     "q_part_kcore",
@@ -154,7 +168,6 @@ _VALIDATE_FIRST = [
     "q_user_entropy",
     "q_user_segment_asof_snapshot",
     "q_weighted_median_price",
-    "stream_click_error_full_join",
     "stream_record_highs",
     "tf_resource_provider_join",
     "tf_untagged_resources",
@@ -188,7 +201,6 @@ _VALIDATE_FIRST = [
     "q22_idle_rich_customers",
     "q9_profit_by_nation",
     "q_bucketed_cokey_join",
-    # -- last driver row r14 --
     "tf_required_providers_audit",
     "tf_state_lineage_audit",
     "tf_backend_audit",
@@ -216,10 +228,7 @@ _VALIDATE_FIRST = [
     "tf_modules",
     "tf_providers",
     "tf_variables",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
     "docs_benchmark_contamination",
-    "docs_curation_pipeline",
     "docs_pack_sequences",
     "docs_redact_pii",
     "docs_repetition",
@@ -229,7 +238,6 @@ _VALIDATE_FIRST = [
     "docs_winnow_fingerprint",
     "emb_cosine_topk",
     "emb_ivf_incremental_topk",
-    "emb_ivf_recall",
     "emb_ivf_topk",
     "emb_lang_centroids",
     "emb_lsh_topk",
@@ -239,7 +247,6 @@ _VALIDATE_FIRST = [
     "q10_returned_items",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # -- last driver row r15 --
     "tf_variable_hygiene",
     "docs_perplexity_buckets",
     "stream_docs_pipeline_funnel",
