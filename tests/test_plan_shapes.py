@@ -460,9 +460,14 @@ def test_sliding_distinct_fanout_after_collapse(spark):
     in the plan the explode Generate sits above a HashAggregate, never
     directly above the scan."""
     plan = _plan(spark, "q_events_sliding_distinct_users")
-    gen = plan.index("Generate explode")
+    # r16: posexplode (the origin-tagged fanout) instead of explode
+    gen = plan.index("Generate posexplode")
     assert "HashAggregate" in plan[gen:]  # aggregate below the explode
-    assert "Window" not in plan
+    # r16: the max-day cap rides the grouped day spine as a whole-frame
+    # window (origin-flag device) instead of a crossJoin-broadcast over
+    # a SECOND events evaluation — one scan, no join of any kind
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
 
 
 def test_top_paths_rank_on_aggregated_frame(spark):
@@ -1532,9 +1537,12 @@ def test_overdispersion_single_scan_keyed_aggs(spark):
     plan = _plan_df(QUERIES["q_events_overdispersion"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # r16: the spine extremes fold into the per-type aggregate + a
+    # whole-frame window over the report — the 1-row BNLJ attach (and
+    # its second evaluation of the cell subtree) is gone entirely
+    assert "BroadcastNestedLoopJoin" not in plan
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
-    assert len(scans) <= 2  # Catalyst may split the hour-agg subtree
+    assert len(scans) == 1  # one evaluation of the hour-cell subtree
     for sc in scans:
         cols = [c.split("#")[0] for c in sc.split(",") if c]
         assert set(cols) <= {"event_type", "ts"}, cols
@@ -1572,7 +1580,9 @@ def test_stream_overdispersion_keyed_state_report_over_sink(spark):
     )
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # r16: the spine attach folded into the report aggregate (see the
+    # batch pin) — no BNLJ left
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "FileScan parquet" not in plan  # report reads the memory sink
     assert "BatchEvalPython" not in plan
 
@@ -1657,8 +1667,12 @@ def test_kruskal_wallis_single_scan_grid_windows(spark):
 
     plan = _plan_df(QUERIES["q_lineitem_kruskal_wallis"](spark, SF))
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row den attach
+    # r16: the denominator folds into the per-group aggregate (the
+    # Σ_q t·x² ≡ Σ_{q,g} n·x² identity) — no join of any kind left,
+    # and the grid is evaluated once
+    assert "Join" not in plan
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
     for sc in scans:
         cols = [c.split("#")[0] for c in sc.split(",") if c]
         assert set(cols) <= {"l_quantity", "l_returnflag"}, cols
