@@ -396,3 +396,27 @@ def test_table_reads_are_plan_cached_never_data_cached(spark):
     # distinct corpora never share a cache slot
     c = cat._t(spark, "/root/testdata/sf0.01", "lineitem")
     assert c is not a
+
+
+def test_minhash_posting_base_one_checkpoint_per_corpus(spark):
+    """r16: the shared (id, n_sh, s, h) posting checkpoint behind the
+    minhash family is session-cached per (appId, corpus, n) — repeat
+    invocations (and sibling entries) reuse ONE materialized RDD
+    instead of parking a fresh ~70 MB checkpoint in executor storage
+    per pass (the unbounded within-session accumulation the bench
+    session exhibited). appId-keyed like every serving-state cache —
+    rebuilt every run, never cross-run."""
+    from steampipe_plugin_terraform_spark import catalog as cat
+    from steampipe_plugin_terraform_spark.operators import dedup
+
+    dedup._BASE_CACHE.clear()
+    docs = cat._t(spark, SF_A, "documents")
+    a = dedup._minhash_posting_base(docs, "doc_id", "text", 5)
+    b = dedup._minhash_posting_base(docs, "doc_id", "text", 5)
+    assert a is b, "repeat base builds must hit the session cache"
+    keys = list(dedup._BASE_CACHE)
+    assert len(keys) == 1 and keys[0][0] == spark.sparkContext.applicationId
+    # a different corpus gets its own slot, never a shared one
+    other = cat._t(spark, "/root/testdata/sf0.01", "documents")
+    c = dedup._minhash_posting_base(other, "doc_id", "text", 5)
+    assert c is not a and len(dedup._BASE_CACHE) == 2
