@@ -489,16 +489,28 @@ def bigram_logprob(
             )
         ).alias("p"),
     ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # r16 (guide §2.4): the context totals were a separate groupBy over
+    # bg joined back on (a second evaluation of the whole bigram
+    # subtree), and the corpus total a 1-row aggregate over a second
+    # evaluation of the unigram subtree. Both now ride their frames as
+    # windows — cc = sum(bc) over the w1 partition of the vocab-sized
+    # bigram table, tot = a whole-frame sum over the vocab-sized unigram
+    # table (both the documented post-agg-tiny-frame exemption) — two
+    # joins and two subtree evaluations fewer; plan scans 5 → 3.
+    from pyspark.sql.window import Window as _W
+
     bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
-    ctx = bg.groupBy("w1").agg(F.sum("bc").alias("cc"))
+    bg = bg.withColumn("cc", F.sum("bc").over(_W.partitionBy("w1")))
     tok = df.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
     uni = tok.groupBy("t").agg(F.count("*").alias("uc"))
-    tot = uni.agg(F.sum("uc").alias("tot"))
-    scored = (
-        pairs.join(bg, ["w1", "w2"])
-        .join(ctx, "w1")
-        .join(uni.withColumnRenamed("t", "w2"), "w2")
-        .crossJoin(F.broadcast(tot))
+    uni = uni.withColumn(
+        "tot",
+        F.sum("uc").over(
+            _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+        ),
+    )
+    scored = pairs.join(bg, ["w1", "w2"]).join(
+        uni.withColumnRenamed("t", "w2"), "w2"
     )
     lp = F.expr(
         "ln(0.5 * CAST(bc AS DOUBLE) / cc + 0.5 * CAST(uc AS DOUBLE) / tot)"
