@@ -429,10 +429,21 @@ def unigram_logprob(
     join) and averages per doc. The corpus total rides along as a literal
     aggregate, not a driver-side collect.
     """
+    # r16 (guide §2.4, the bigram_logprob device): the corpus total was
+    # a 1-row aggregate over a SECOND evaluation of the vocab subtree
+    # (scan + tokenize + agg); it now rides the vocab-sized frame as a
+    # whole-frame window — one evaluation, no crossJoin.
+    from pyspark.sql.window import Window as _W
+
     tok = df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
     vocab = tok.groupBy("t").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("tot"))
-    scored = tok.join(vocab, "t").crossJoin(F.broadcast(total))
+    vocab = vocab.withColumn(
+        "tot",
+        F.sum("cnt").over(
+            _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+        ),
+    )
+    scored = tok.join(vocab, "t")
     return (
         scored.groupBy("id")
         .agg(
