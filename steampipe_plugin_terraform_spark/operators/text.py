@@ -570,8 +570,21 @@ def source_mix(
             F.avg("q").alias("mq"),
         )
     )
-    tot = per.agg(F.sum(F.sqrt(F.expr("CAST(n_tokens AS DOUBLE)"))).alias("tot_sqrt"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    # r16 (guide §2.4): the normalizer was a 1-row aggregate over a
+    # SECOND evaluation of the per-source frame (another corpus
+    # scan+agg); it now rides the |sources|-row report as a whole-frame
+    # window. Same doubles summed in a possibly different order — the
+    # weight column is snapped on the pround grid, and both sweeps stay
+    # green (the sum is over ≤|sources| IEEE doubles).
+    from pyspark.sql.window import Window as _W
+
+    per = per.withColumn(
+        "tot_sqrt",
+        F.sum(F.sqrt(F.expr("CAST(n_tokens AS DOUBLE)"))).over(
+            _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+        ),
+    )
+    return per.select(
         "source",
         F.col("n_docs").cast("long"),
         F.col("n_tokens").cast("long"),
