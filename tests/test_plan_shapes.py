@@ -1225,7 +1225,11 @@ def test_perplexity_buckets_no_global_sort(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert plan.count("Window") == 1
+    # r16: the LM chain's context/corpus totals now ride vocab-sized
+    # windows (bigram_logprob restructure) — still ZERO windows over the
+    # document frame; the bound covers the sketch window + the two
+    # vocab-bounded LM windows in the formatted double-print
+    assert 1 <= plan.count("Window") <= 6
 
 def test_recall_curve_broadcast_and_localized_truth(spark):
     # three curve points share ONE ground truth, materialized by the
